@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared scalar expressions distilled from the reference engine.
+  *
+  * All helpers are plain Catalyst expression trees (no UDFs), so they stay
+  * inside whole-stage codegen and remain pushdown/prune-friendly at scale.
+  *
+  * Reference citations point into /root/reference (read-only).
+  */
+object Exprs {
+
+  /** Thickness of the overlap between a horizon [hzdept, hzdepb) and a
+    * depth slice [top, bot), clamped at 0.
+    *
+    * Closed form of the reference's IN-list overlap predicate
+    * (gSSURGO_CreateSoilMap.py:10013-10022) and the accumulation
+    * `hzT = min(hzdepb, bot) - max(hzdept, top)` at
+    * gSSURGO_CreateSoilMap.py:8398 / gSSURGO_ValuTable.py:1553.
+    */
+  def depthOverlap(hzdept: Column, hzdepb: Column, top: Column, bot: Column): Column =
+    greatest(lit(0), least(hzdepb, bot) - greatest(hzdept, top))
+
+  def depthOverlap(hzdept: Column, hzdepb: Column, top: Int, bot: Int): Column =
+    depthOverlap(hzdept, hzdepb, lit(top), lit(bot))
+
+  /** True when a horizon interval overlaps the slice [top, bot) at all —
+    * the filter the reference pushes into its horizon cursor (F4,
+    * gSSURGO_CreateSoilMap.py:10013-10022). */
+  def overlaps(hzdept: Column, hzdepb: Column, top: Column, bot: Column): Column =
+    hzdepb > top && hzdept < bot
+
+  /** 1-based ordinal of a Choice rating inside its ordered metadata domain
+    * (mdstatdomdet.choicesequence; GetRatingDomain,
+    * gSSURGO_CreateSoilMap.py:3865-3901). Values missing from the domain
+    * (and nulls) sort after every member, mirroring the reference's
+    * "append unknown values at the end" behavior.
+    */
+  def domainRank(rating: Column, domain: Seq[String]): Column = {
+    val pos = array_position(lit(domain.toArray), rating)
+    when(pos > 0, pos).otherwise(lit(domain.size + 1)).cast("double")
+  }
+
+  /** Null-rating sentinel replacement (nullratingreplacementvalue, e.g.
+    * depth-to-water-table null -> 201 cm;
+    * gSSURGO_CreateSoilMap.py:9725-9745). */
+  def nullSentinel(rating: Column, sentinel: Double): Column =
+    coalesce(rating, lit(sentinel))
+
+  /** bZero / interpnullsaszerooptionflag: treat null ratings as zero
+    * (gSSURGO_CreateSoilMap.py:9747-9748, 5588-5593). */
+  def nullsAsZero(rating: Column): Column = coalesce(rating, lit(0.0))
+
+  /** Exact-cents encoding used by the analog oracle queries: a 2-decimal
+    * double becomes an integral double so downstream sums are exact in
+    * IEEE754 and hash-comparable across engines. */
+  def cents(c: Column): Column = round(c * 100, 0)
+}

@@ -1,0 +1,307 @@
+package graft.sdv
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exprs, Ranked}
+
+/** The 23 SDV aggregation algorithms (SURVEY.md §2.4, A1–A23) as pure
+  * `DataFrame => DataFrame` combinators.
+  *
+  * Input contract — a component "rating table" with fixed column names:
+  * {{{
+  *   mukey      group key (any type)
+  *   cokey      component key, numeric (deterministic final tiebreak)
+  *   comppct    component weight (comppct_r), numeric, non-null
+  *   rating     rated value (numeric or string)
+  *   ratingOrd  numeric ordinal of the rating under the tiebreak domain:
+  *              = rating for numeric attributes, = domain index for
+  *              Choice attributes (Exprs.domainRank). Non-null.
+  * }}}
+  * Month-level inputs add `month`; horizon-level inputs use
+  * (mukey, cokey, comppct, hzdept, hzdepb, rating[, ratingOrd]).
+  *
+  * Output: one row per mukey, (mukey, rating[, comppct]) unless noted.
+  *
+  * Scale notes: every combinator is groupBy/agg-shaped (map-side partial
+  * aggregation, AQE-friendly) — no row_number windows over the full fact
+  * table, no driver-side state. References cite /root/reference.
+  */
+object SdvAgg {
+
+  private val m = col("mukey")
+
+  /** Tie orientation: under MAX-selection, prefer LOW rating when the
+    * tiebreak rule says "lower" (tiebreakrule = -1). */
+  private def tieCol(tieLow: Boolean): Column =
+    if (tieLow) -col("ratingOrd") else col("ratingOrd")
+
+  // ---------------------------------------------------------------------
+  // A1 — No Aggregation Necessary (Aggregate1,
+  // gSSURGO_CreateSoilMap.py:4720-4808): mapunit-level passthrough with
+  // precision rounding. Input: (mukey, rating).
+  def noAggregation(df: DataFrame, scale: Int = 2): DataFrame =
+    df.select(m, round(col("rating"), scale).as("rating"))
+
+  /** The legend side-output every aggregate computes (outputValues,
+    * e.g. gSSURGO_CreateSoilMap.py:4766-4776): global [min,max] of the
+    * rating — a tiny separate agg pass. */
+  def legendRange(df: DataFrame): DataFrame =
+    df.agg(min(col("rating")).as("rating_min"), max(col("rating")).as("rating_max"))
+
+  // ---------------------------------------------------------------------
+  // A2 — Dominant Component (AggregateCo_DCP,
+  // gSSURGO_CreateSoilMap.py:4810-4986). Highest comppct wins; comppct
+  // ties broken by rating order (sort :4833-4838), then lowest cokey.
+  // A5 — AggregateCo_DCP_Domain (:7752-7979) is the same pick with
+  // ratingOrd = domain index.
+  def dominantComponent(df: DataFrame, tieLow: Boolean = true): DataFrame =
+    Ranked.argmax(df, Seq("mukey"),
+      Seq(col("comppct"), tieCol(tieLow), -col("cokey")),
+      Seq("rating" -> col("rating"), "comppct" -> col("comppct")))
+
+  // ---------------------------------------------------------------------
+  // A3 — Dominant Condition (AggregateCo_DCD,
+  // gSSURGO_CreateSoilMap.py:5564-5892): sum comppct per rating value;
+  // if the dominant *component*'s comppct >= trumpPct its rating wins
+  // (:5768-5787), else the rating with max summed pct (ties by rating
+  // order). Output pct is normalized: 100 * classPct / totalPct.
+  // A4 — AggregateCo_DCD_Domain (:7339-7750) = same with domain ordinal.
+  def dominantCondition(
+      df: DataFrame,
+      tieLow: Boolean = true,
+      trumpPct: Option[Double] = Some(50.0),
+      scale: Int = 4): DataFrame = {
+    val byRating = df.groupBy(m, col("rating"))
+      .agg(sum(col("comppct")).as("sumpct"), max(col("ratingOrd")).as("ratingOrd"))
+    val tot = byRating.groupBy(m).agg(sum(col("sumpct")).as("totalpct"))
+    val cond = Ranked.argmax(byRating, Seq("mukey"),
+      Seq(col("sumpct"), tieCol(tieLow)),
+      Seq("condrating" -> col("rating")))
+    val winner = trumpPct match {
+      case Some(t) =>
+        val dcp = dominantComponent(df, tieLow)
+          .select(m, col("rating").as("dcprating"), col("comppct").as("dcppct"))
+        cond.join(dcp, "mukey").select(m,
+          when(col("dcppct") >= t, col("dcprating"))
+            .otherwise(col("condrating")).as("wrating"))
+      case None => cond.select(m, col("condrating").as("wrating"))
+    }
+    winner
+      .join(byRating.select(m, col("rating").as("wrating"), col("sumpct")),
+        Seq("mukey", "wrating"))
+      .join(tot, "mukey")
+      .select(m, col("wrating").as("rating"),
+        round(lit(100) * col("sumpct") / col("totalpct"), scale).as("comppct"))
+  }
+
+  // ---------------------------------------------------------------------
+  // A6 — Weighted Average (AggregateCo_WTA,
+  // gSSURGO_CreateSoilMap.py:7981-8203): sum(pct*rating)/sum(pct) over
+  // components with a non-null rating (product :8152-8158, mean :8115).
+  // Numeric ratings only.
+  def weightedAverage(df: DataFrame, scale: Int = 4): DataFrame = {
+    val rated = col("rating").isNotNull
+    df.groupBy(m).agg(
+      round(sum(when(rated, col("comppct") * col("rating")))
+        / sum(when(rated, col("comppct"))), scale).as("rating"),
+      sum(when(rated, col("comppct"))).as("comppct"))
+  }
+
+  // ---------------------------------------------------------------------
+  // A7 — Minimum or Maximum (AggregateCo_MaxMin,
+  // gSSURGO_CreateSoilMap.py:5230-5562): extreme of ratingOrd across
+  // components. 'Not rated' rows (ratingOrd == notRatedOrd) are skipped
+  // unless no rated row exists (:5415-5422).
+  def maxMin(df: DataFrame, most: Boolean, notRatedOrd: Option[Double] = None): DataFrame = {
+    val ratedOrd = notRatedOrd match {
+      case Some(o) => when(col("ratingOrd") =!= o, col("ratingOrd"))
+      case None    => col("ratingOrd")
+    }
+    val extreme =
+      if (most) max_by(col("rating"), ratedOrd) else min_by(col("rating"), ratedOrd)
+    // Fallback fires only when every row was 'Not rated' (single literal).
+    df.groupBy(m).agg(
+      coalesce(extreme, first(col("rating"))).as("rating"))
+  }
+
+  // ---------------------------------------------------------------------
+  // A8 — Most / Least Limiting (AggregateCo_Limiting,
+  // gSSURGO_CreateSoilMap.py:4988-5228; least :5093-5135, most
+  // :5140-5180). Convention here: the domain is ordered least→most
+  // limiting, so "most limiting" = max ratingOrd (suitability interps
+  // flip the domain upstream — ruledesign==2, :9942-9944). 'Not rated'
+  // loses to any rated class but wins when alone. Reports the summed
+  // comppct of the winning class.
+  def limiting(df: DataFrame, most: Boolean, notRatedOrd: Option[Double] = None): DataFrame = {
+    val byRating = df.groupBy(m, col("rating"))
+      .agg(sum(col("comppct")).as("comppct"), max(col("ratingOrd")).as("ratingOrd"))
+    val ratedFlag = notRatedOrd match {
+      case Some(o) => when(col("ratingOrd") =!= o, lit(1)).otherwise(lit(0))
+      case None    => lit(1)
+    }
+    val orient = if (most) col("ratingOrd") else -col("ratingOrd")
+    Ranked.argmax(byRating, Seq("mukey"),
+      Seq(ratedFlag, orient),
+      Seq("rating" -> col("rating"), "comppct" -> col("comppct")))
+  }
+
+  // ---------------------------------------------------------------------
+  // A9 — Percent Present (AggregateCo_PP_SUM,
+  // gSSURGO_CreateSoilMap.py:8205-8306): sum comppct of components
+  // matching `cond` (target parsed from the sdv whereclause, :8240);
+  // mapunits with no match report 0 (:8290-8294). `base` = the full
+  // mapunit key universe (one column `mukey`).
+  def percentPresent(df: DataFrame, base: DataFrame, cond: Column): DataFrame =
+    base.select(m).join(
+        df.filter(cond).groupBy(m).agg(sum(col("comppct")).as("matchpct")),
+        Seq("mukey"), "left")
+      .select(m, coalesce(col("matchpct"), lit(0.0)).as("comppct"))
+
+  // ---------------------------------------------------------------------
+  // Month family pre-steps. Month-level input carries one row per
+  // (cokey, month[, value]); comppct is constant within cokey.
+
+  /** Per-component extreme over months — the DTWT pre-step (A10–A12,
+    * A17; AggregateCo_DCP_DTWT gSSURGO_CreateSoilMap.py:5894-5981,
+    * monthly min/max :7140-7155). Null monthly values take the
+    * nullratingreplacementvalue sentinel first (201 cm for DTWT,
+    * :9725-9745). Returns a component-level rating table. */
+  def perComponentMonthlyExtreme(
+      df: DataFrame, most: Boolean, sentinel: Option[Double] = None): DataFrame = {
+    val v = sentinel.map(s => Exprs.nullSentinel(col("rating"), s)).getOrElse(col("rating"))
+    df.groupBy(m, col("cokey"), col("comppct"))
+      .agg((if (most) max(v) else min(v)).as("rating"))
+      .withColumn("ratingOrd", col("rating"))
+  }
+
+  /** Per-component worst month by domain ordinal — the flooding/ponding
+    * pre-step (A15/A16; AggregateCo_Mo_DCP_Domain,
+    * gSSURGO_CreateSoilMap.py:6413-6649). */
+  def perComponentMonthlyWorst(df: DataFrame): DataFrame =
+    df.groupBy(m, col("cokey"), col("comppct"))
+      .agg(max_by(col("rating"), col("ratingOrd")).as("rating"),
+        max(col("ratingOrd")).as("ratingOrd"))
+
+  // A10 — monthly extreme then Dominant Component (:5894-5981).
+  def moDominantComponent(df: DataFrame, most: Boolean,
+      sentinel: Option[Double] = None, tieLow: Boolean = true): DataFrame =
+    dominantComponent(perComponentMonthlyExtreme(df, most, sentinel), tieLow)
+
+  // A11 — monthly extreme then Dominant Condition (:5983-6107).
+  def moDominantCondition(df: DataFrame, most: Boolean,
+      sentinel: Option[Double] = None, tieLow: Boolean = true): DataFrame =
+    dominantCondition(perComponentMonthlyExtreme(df, most, sentinel), tieLow)
+
+  // A12 — monthly extreme then WTA (AggregateCo_WTA_DTWT, :7209-7337).
+  def moWeightedAverage(df: DataFrame, most: Boolean,
+      sentinel: Option[Double] = None, scale: Int = 4): DataFrame =
+    weightedAverage(perComponentMonthlyExtreme(df, most, sentinel), scale)
+
+  // A13 — month-expanded Min/Max (AggregateCo_Mo_MaxMin, :6109-6287):
+  // the extreme over all (component, month) rows directly.
+  def moMaxMin(df: DataFrame, most: Boolean, notRatedOrd: Option[Double] = None): DataFrame =
+    maxMin(df, most, notRatedOrd)
+
+  // A14 — month-expanded Dominant Condition (AggregateCo_Mo_DCD,
+  // :6289-6411): each component's pct counts once per rating value (the
+  // "12X" de-dup, :6298), then DCD.
+  def moDominantConditionDedup(df: DataFrame, tieLow: Boolean = true,
+      trumpPct: Option[Double] = Some(50.0)): DataFrame =
+    dominantCondition(
+      df.dropDuplicates("mukey", "cokey", "rating"), tieLow, trumpPct)
+
+  // A15 — per-component worst month (domain) then DCP (:6413-6649).
+  def moDomainDominantComponent(df: DataFrame, tieLow: Boolean = true): DataFrame =
+    dominantComponent(perComponentMonthlyWorst(df), tieLow)
+
+  // A16 — per-component worst month (domain) then DCD (:6651-7055).
+  def moDomainDominantCondition(df: DataFrame, tieLow: Boolean = true,
+      trumpPct: Option[Double] = Some(50.0)): DataFrame =
+    dominantCondition(perComponentMonthlyWorst(df), tieLow, trumpPct)
+
+  // A17 — per-component monthly extreme then WTA (AggregateCo_Mo_WTA,
+  // :7057-7207).
+  def moWta(df: DataFrame, most: Boolean, scale: Int = 4): DataFrame =
+    weightedAverage(perComponentMonthlyExtreme(df, most, None), scale)
+
+  // ---------------------------------------------------------------------
+  // Horizon family. Input columns: mukey, cokey, comppct, hzdept,
+  // hzdepb, rating (numeric unless noted). Slice [top, bot) in cm.
+
+  private def hzT(top: Int, bot: Int): Column =
+    Exprs.depthOverlap(col("hzdept"), col("hzdepb"), top, bot)
+
+  /** Per-component Σ overlap·rating and Σ overlap — the inner loop every
+    * Hz aggregate shares (gSSURGO_CreateSoilMap.py:8398-8449). Null
+    * ratings contribute to neither sum. */
+  private def perComponentSliceSums(df: DataFrame, top: Int, bot: Int): DataFrame = {
+    val rated = col("rating").isNotNull && hzT(top, bot) > 0
+    df.groupBy(m, col("cokey"), col("comppct"))
+      .agg(sum(when(rated, hzT(top, bot) * col("rating"))).as("compval"),
+        sum(when(rated, hzT(top, bot))).as("thick"))
+  }
+
+  // A18 — AggregateHz_WTA_SUM (:8308-8482, AWS pattern): component value
+  // = Σ_hz overlap·rating; mapunit = Σ (comppct/sumPct)·compVal, with the
+  // slice thickness weighted the same way (adj :8440-8449).
+  def hzWtaSum(df: DataFrame, top: Int, bot: Int, scale: Int = 4): DataFrame = {
+    val perCo = perComponentSliceSums(df, top, bot)
+    val ok = col("compval").isNotNull
+    perCo.groupBy(m).agg(
+      round(sum(when(ok, col("comppct") * col("compval")))
+        / sum(when(ok, col("comppct"))), scale).as("rating"),
+      round(sum(when(ok, col("comppct") * col("thick")))
+        / sum(when(ok, col("comppct"))), scale).as("thickness"))
+  }
+
+  // A19 — AggregateHz_WTA_WTA (:8484-8637, AWC pattern): per-component
+  // depth-weighted mean Σ(hzT·val)/Σ(hzT) (:8553, divisor :8593-8600),
+  // then comppct-weighted average across components.
+  def hzWtaWta(df: DataFrame, top: Int, bot: Int, scale: Int = 4): DataFrame = {
+    val perCo = perComponentSliceSums(df, top, bot)
+      .select(m, col("cokey"), col("comppct"),
+        (col("compval") / col("thick")).as("rating"))
+    weightedAverage(perCo, scale)
+  }
+
+  // A20 — AggregateHz_DCP_WTA (:8639-8893): all components tied for max
+  // comppct are kept (:8739-8752); the depth-weighted mean is taken over
+  // the union of their horizons.
+  def hzDcpWta(df: DataFrame, top: Int, bot: Int, scale: Int = 4): DataFrame = {
+    val dom = Ranked.keepTies(df, Seq("mukey"), "comppct")
+    val rated = col("rating").isNotNull && hzT(top, bot) > 0
+    dom.groupBy(m).agg(
+      round(sum(when(rated, hzT(top, bot) * col("rating")))
+        / sum(when(rated, hzT(top, bot))), scale).as("rating"))
+  }
+
+  // A21 — AggregateHz_MaxMin_WTA (:8895-9050): per-component
+  // depth-weighted mean over the slice, then min/max across components.
+  def hzMaxMinWta(df: DataFrame, most: Boolean, top: Int, bot: Int, scale: Int = 4): DataFrame = {
+    val perCo = perComponentSliceSums(df, top, bot)
+      .select(m, round(col("compval") / col("thick"), scale).as("compmean"))
+    perCo.groupBy(m).agg(
+      (if (most) max(col("compmean")) else min(col("compmean"))).as("rating"))
+  }
+
+  /** Per-component worst horizon rating inside the slice (K-factor
+    * pre-step for A22/A23; :9052-9346). Requires ratingOrd. */
+  private def perComponentWorstHorizon(df: DataFrame, top: Int, bot: Int): DataFrame =
+    df.filter(Exprs.overlaps(col("hzdept"), col("hzdepb"), lit(top), lit(bot))
+        && col("rating").isNotNull)
+      .groupBy(m, col("cokey"), col("comppct"))
+      .agg(max_by(col("rating"), col("ratingOrd")).as("rating"),
+        max(col("ratingOrd")).as("ratingOrd"))
+
+  // A22 — AggregateHz_MaxMin_DCD (:9052-9199): per-component worst
+  // horizon rating, then Dominant Condition.
+  def hzMaxMinDcd(df: DataFrame, top: Int, bot: Int, tieLow: Boolean = true,
+      trumpPct: Option[Double] = Some(50.0)): DataFrame =
+    dominantCondition(perComponentWorstHorizon(df, top, bot), tieLow, trumpPct)
+
+  // A23 — AggregateHz_MaxMin_DCP (:9201-9346): per-component worst
+  // horizon rating, then Dominant Component.
+  def hzMaxMinDcp(df: DataFrame, top: Int, bot: Int, tieLow: Boolean = true): DataFrame =
+    dominantComponent(perComponentWorstHorizon(df, top, bot), tieLow)
+}
