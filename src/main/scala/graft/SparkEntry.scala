@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query sets, one per SURVEY.md §2 family. */
-  def sets: Seq[QuerySet] = Seq(CoreQueries, SdvQueries)
+  def sets: Seq[QuerySet] = Seq(CoreQueries, SdvQueries, HzMoQueries)
 
   private lazy val allQ: Seq[Q] = sets.flatMap(_.all)
 

@@ -80,13 +80,14 @@ object Analog {
   // -------------------------------------------------------------------
   // Month-level rating table (comonth/cosoilmoist analog): mapunit =
   // customer, component = order, months from the order's lineitem
-  // shipdates. comppct = whole-dollar o_totalprice (integral).
+  // shipdates. comppct is a deterministic 1..97 pseudo-percent so the
+  // DCD 50%-trump rule exercises both branches.
 
   val moCte: String =
     s"""mo AS (
        |  SELECT o_custkey AS mukey,
        |         o_orderkey AS cokey,
-       |         round(o_totalprice) AS comppct,
+       |         CAST(1 + o_orderkey % 97 AS DOUBLE) AS comppct,
        |         CAST(month(l_shipdate) AS DOUBLE) AS month,
        |         round(l_extendedprice*100) AS rating,
        |         l_returnflag AS crating,
@@ -99,7 +100,7 @@ object Analog {
     o.join(l, o("o_orderkey") === l("l_orderkey")).select(
       col("o_custkey").as("mukey"),
       col("o_orderkey").as("cokey"),
-      round(col("o_totalprice"), 0).as("comppct"),
+      (col("o_orderkey") % 97 + 1).cast("double").as("comppct"),
       month(col("l_shipdate")).cast("double").as("month"),
       Exprs.cents(col("l_extendedprice")).as("rating"),
       col("l_returnflag").as("crating"),
@@ -122,7 +123,7 @@ object Analog {
     s"""hz AS (
        |  SELECT o_custkey AS mukey,
        |         o_orderkey AS cokey,
-       |         round(o_totalprice) AS comppct,
+       |         CAST(1 + o_orderkey % 97 AS DOUBLE) AS comppct,
        |         CAST((l_linenumber-1)*30 AS DOUBLE) AS hzdept,
        |         CAST(l_linenumber*30 AS DOUBLE) AS hzdepb,
        |         round(l_discount*100) AS rating,
@@ -136,7 +137,7 @@ object Analog {
     o.join(l, o("o_orderkey") === l("l_orderkey")).select(
       col("o_custkey").as("mukey"),
       col("o_orderkey").as("cokey"),
-      round(col("o_totalprice"), 0).as("comppct"),
+      (col("o_orderkey") % 97 + 1).cast("double").as("comppct"),
       ((col("l_linenumber") - 1) * 30).cast("double").as("hzdept"),
       (col("l_linenumber") * 30).cast("double").as("hzdepb"),
       Exprs.cents(col("l_discount")).as("rating"),
@@ -146,6 +147,12 @@ object Analog {
 
   def hzNumeric(spark: SparkSession, dir: String): DataFrame =
     hz(spark, dir).withColumn("ratingOrd", col("rating"))
+
+  /** Choice-rating horizon view (K-factor pattern): rating = returnflag. */
+  def hzChoice(spark: SparkSession, dir: String): DataFrame =
+    hz(spark, dir).select(col("mukey"), col("cokey"), col("comppct"),
+      col("hzdept"), col("hzdepb"),
+      col("crating").as("rating"), col("cord").as("ratingOrd"))
 
   /** Mapunit key universe (the reference always reports every mukey —
     * BadTable, gSSURGO_CreateSoilMap.py:433-454). */
