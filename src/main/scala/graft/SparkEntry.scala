@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query sets, one per SURVEY.md §2 family. */
-  def sets: Seq[QuerySet] = Seq(CoreQueries, SdvQueries, HzMoQueries)
+  def sets: Seq[QuerySet] =
+    Seq(CoreQueries, SdvQueries, HzMoQueries, ValuQueries, MiscQueries)
 
   private lazy val allQ: Seq[Q] = sets.flatMap(_.all)
 

@@ -1,0 +1,182 @@
+package graft.valu
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exprs
+
+/** The Valu1 derived-table pipeline operators (SURVEY.md §2.5, V1–V14;
+  * reference gSSURGO_ValuTable.py). All are expression-tree / two-level
+  * aggregation shapes — no UDFs, no windows over the fact table.
+  *
+  * Determinism convention: constant divisors are factored OUT of the
+  * aggregates (sum exact integral terms, divide once at the end), so the
+  * results are bit-reproducible regardless of partitioning / summation
+  * order — required both for the DuckDB oracle gate and for stable
+  * results across cluster re-runs at scale.
+  */
+object Valu {
+
+  private val m = col("mukey")
+
+  // -------------------------------------------------------------------
+  // V1 — GetSumPct (gSSURGO_ValuTable.py:1953-2013): per mapunit, the 4
+  // comppct sums the pipeline normalizes by: all / major / earthy /
+  // major+earthy components.
+  def sumPct(comp: DataFrame, major: Column, earthy: Column): DataFrame =
+    comp.groupBy(m).agg(
+      coalesce(sum(col("comppct")), lit(0.0)).as("musumcpct"),
+      coalesce(sum(when(major, col("comppct"))), lit(0.0)).as("musumcpcta"),
+      coalesce(sum(when(earthy, col("comppct"))), lit(0.0)).as("musumcpcts"),
+      coalesce(sum(when(major && earthy, col("comppct"))), lit(0.0)).as("pctearthmc"))
+
+  // -------------------------------------------------------------------
+  // V2+V3 — CalcAWS over the fixed depth-slice list
+  // (gSSURGO_ValuTable.py:1481-1673, formula :1556; slice list :3092).
+  // One pass, 2 columns per slice:
+  //   aws{t}_{b}  = Σ comppct·overlap·awc / 10      (≡ Σ (pct/100)·ov·awc·10)
+  //   tk{t}_{b}a  = Σ comppct·overlap / 100
+  val valu1Slices: Seq[(Int, Int)] = Seq((0, 5), (5, 20), (20, 50), (50, 100),
+    (100, 150), (150, 999), (0, 20), (0, 30), (0, 100), (0, 150), (0, 999))
+
+  def calcAws(hz: DataFrame, slices: Seq[(Int, Int)] = valu1Slices, scale: Int = 4): DataFrame = {
+    val rated = col("rating").isNotNull
+    val aggs = slices.flatMap { case (t, b) =>
+      val ov = Exprs.depthOverlap(col("hzdept"), col("hzdepb"), t, b)
+      Seq(
+        round(sum(when(rated, col("comppct") * ov * col("rating"))) / 10.0, scale)
+          .as(s"aws${t}_$b"),
+        round(sum(when(rated, col("comppct") * ov)) / 100.0, scale)
+          .as(s"tk${t}_${b}a"))
+    }
+    hz.groupBy(m).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // V4 — CheckTexture (gSSURGO_ValuTable.py:741-818): organic-horizon
+  // predicate. Histosols / histic subgroups are exempted (treated as
+  // mineral); otherwise O/L master horizons, organic textures, or
+  // organic in-lieu textures mark the horizon organic.
+  val organicTextures: Seq[String] = Seq("MUCK", "PEAT", "MPT", "UDOM", "PDOM", "HPM", "MPM", "SPM")
+  val organicLieutex: Seq[String] = Seq("PEAT", "MUCK", "MUCKY PEAT", "PEATY MUCK",
+    "COPROGENOUS EARTH", "DIATOMACEOUS EARTH", "UNDECOMPOSED ORGANIC MATTER",
+    "PARTIALLY DECOMPOSED ORGANIC MATTER", "MODERATELY DECOMPOSED PLANT MATERIAL",
+    "SLIGHTLY DECOMPOSED PLANT MATERIAL", "HIGHLY DECOMPOSED PLANT MATERIAL")
+
+  def isOrganic(taxorder: Column, taxsubgrp: Column, desgnmaster: Column,
+      texture: Column, lieutex: Column): Column = {
+    val histic = upper(taxorder) === "HISTOSOLS" ||
+      instr(lower(taxsubgrp), "histic") > 0
+    val organic = upper(desgnmaster).isin("O", "L") ||
+      upper(texture).isin(organicTextures: _*) ||
+      upper(lieutex).isin(organicLieutex: _*)
+    when(histic, lit(false)).otherwise(coalesce(organic, lit(false)))
+  }
+
+  // -------------------------------------------------------------------
+  // V5 — CheckBulkDensity (gSSURGO_ValuTable.py:820-893, formula
+  // :869-871): "dense layer" test. A missing one of sand/silt/clay is
+  // filled so the three sum to 100.
+  def isDense(sand: Column, silt: Column, clay: Column, bd: Column): Column = {
+    val s = coalesce(sand, lit(100.0) - silt - clay)
+    val si = coalesce(silt, lit(100.0) - sand - clay)
+    val cl = coalesce(clay, lit(100.0) - sand - silt)
+    (bd - (lit(1.65) * s + lit(1.30) * si + lit(1.25) * cl) / 100.0) >
+      (lit(0.002081) * s + lit(0.003912) * si + lit(0.0024351) * cl)
+  }
+
+  // -------------------------------------------------------------------
+  // V6 — CalcRZDepth (gSSURGO_ValuTable.py:895-1103): per component, the
+  // depth of the first (shallowest) restrictive horizon within maxD cm
+  // (rules :1007-1060: dense layer, pH ≤ 3.5, EC ≥ 16, or a bedrock /
+  // pan restriction), defaulting to maxD.
+  def rzDepth(hz: DataFrame, restricted: Column, maxD: Int = 150): DataFrame =
+    hz.groupBy(m, col("cokey"), col("comppct"))
+      .agg(coalesce(min(when(restricted && col("hzdept") < maxD, col("hzdept"))),
+        lit(maxD.toDouble)).as("rzdepth"))
+
+  // -------------------------------------------------------------------
+  // V7 — GetCoRestrictions (gSSURGO_ValuTable.py:1106-1148): shallowest
+  // restriction depth per component for a reskind set.
+  def coRestrictions(cr: DataFrame, kinds: Seq[String]): DataFrame =
+    cr.filter(col("reskind").isin(kinds: _*))
+      .groupBy(col("cokey")).agg(min(col("resdept")).as("resdept"))
+
+  // -------------------------------------------------------------------
+  // V8 — CalcRZAWS (gSSURGO_ValuTable.py:1150-1479): root-zone AWS.
+  // Surface organic horizons are skipped until the first mineral horizon
+  // (buried organics below it count); each horizon contributes
+  // thickness between greatest(hzdept, firstMineral) and
+  // least(hzdepb, rzdepth) times awc; mapunit = pct-weighted rollup;
+  // droughty = rootznaws <= 152 (:1436-1440).
+  // `hz` should be pre-filtered to major-earthy components (:1246);
+  // `rz` = (cokey, rzdepth) from rzDepth over the full horizon table.
+  def rzAws(hz: DataFrame, organic: Column, rz: DataFrame, scale: Int = 4): DataFrame = {
+    val fm = hz.groupBy(col("cokey"))
+      .agg(coalesce(min(when(!organic, col("hzdept"))), lit(999.0)).as("fmdept"))
+    val t = greatest(lit(0.0),
+      least(col("hzdepb"), col("rzdepth")) - greatest(col("hzdept"), col("fmdept")))
+    val perCo = hz.join(fm, "cokey").join(rz.select("cokey", "rzdepth"), "cokey")
+      .groupBy(m, col("cokey"), col("comppct"))
+      .agg(sum(when(col("rating").isNotNull, t * col("rating"))).as("awsum"))
+    perCo.groupBy(m).agg(
+      round(sum(col("comppct") * col("awsum")) / sum(col("comppct")) / 10.0, scale)
+        .as("rootznaws"))
+      .withColumn("droughty", col("rootznaws") <= 152)
+  }
+
+  // -------------------------------------------------------------------
+  // V9 — GetFragVol (gSSURGO_ValuTable.py:1910-1951): per horizon, Σ
+  // fragment volume clamped to [0,100].
+  def fragVol(frags: DataFrame): DataFrame =
+    frags.groupBy(col("chkey"))
+      .agg(least(sum(greatest(col("fragvol"), lit(0.0))), lit(100.0)).as("fragvol"))
+
+  // -------------------------------------------------------------------
+  // V10 — CalcSOC (gSSURGO_ValuTable.py:1675-1908, formula :1793):
+  // soc = hzT·(om/1.724·db3)/100·((100−fragvol)/100)·(comppct·100),
+  // summed component→mapunit per slice. db3i = bulk density in
+  // decigrams (10·db3) keeps every term integral; the single constant
+  // divisor 1.724·10·100·100/100 = 1724 is applied after the sum.
+  def calcSoc(hz: DataFrame, slices: Seq[(Int, Int)], scale: Int = 4): DataFrame = {
+    val rated = col("om").isNotNull
+    val aggs = slices.map { case (t, b) =>
+      val ov = Exprs.depthOverlap(col("hzdept"), col("hzdepb"), t, b)
+      val term = ov * col("om") * col("db3i") * (lit(100.0) - col("fragvol")) * col("comppct")
+      round(sum(when(rated, term)) / 1724.0, scale).as(s"soc${t}_$b")
+    }
+    hz.groupBy(m).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // V12 — CalcNCCPI2/3 (gSSURGO_ValuTable.py:2097-2477): per mapunit,
+  // Σ(fuzzy·comppct) per rule ÷ Σ(comppct over distinct components),
+  // pivoted to one fixed column per submodel rule (accum :2347-2399,
+  // divide :2436-2452). `fuzzy` is in exact 1e-4 units (cents of a
+  // percent); the /10000 rescale happens after the division.
+  def nccpi(interp: DataFrame, rules: Seq[(String, String)], scale: Int = 6): DataFrame = {
+    val den = interp.select(m, col("cokey"), col("comppct")).distinct()
+      .groupBy(m).agg(sum(col("comppct")).as("sumpct"))
+    val numAggs = rules.map { case (r, c) =>
+      sum(when(col("rule") === r, col("fuzzy") * col("comppct"))).as(s"num_$c")
+    }
+    val num = interp.groupBy(m).agg(numAggs.head, numAggs.tail: _*)
+    num.join(den, "mukey").select(
+      m +: rules.map { case (_, c) =>
+        round(col(s"num_$c") / col("sumpct") / 10000.0, scale).as(c)
+      }: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // V13 — CalcPWSL (gSSURGO_ValuTable.py:2479-2664): potential wet soil
+  // landscape. If the summed pct of water components >= 80 the mapunit
+  // takes the 999 sentinel; otherwise Σ comppct of hydric-criteria
+  // components (criteria :2500-2560).
+  def pwsl(comp: DataFrame, water: Column, hydric: Column): DataFrame =
+    comp.groupBy(m).agg(
+      sum(when(water, col("comppct"))).as("waterpct"),
+      sum(when(hydric, col("comppct"))).as("hydricpct"))
+      .select(m,
+        when(coalesce(col("waterpct"), lit(0.0)) >= 80, lit(999.0))
+          .otherwise(coalesce(col("hydricpct"), lit(0.0))).as("pwsl1pomu"))
+}
