@@ -1,0 +1,63 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Ranked
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (training-data mandate).
+  *
+  * - bruteForceTopK: exact baseline — query×corpus cross join. Correct
+  *   at any scale only when |queries| is small; the corpus side stays
+  *   distributed.
+  * - IVF (ivfAssign/ivfSearch): the scale path — corpus is bucketed by
+  *   nearest centroid once (a broadcast of the small centroid table);
+  *   each query probes only its bucket, turning the cross join into an
+  *   equi-join on centroid_id. */
+object Ann {
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * Input: queries(qid, qvec), corpus(vid, vec). Ranking key is
+    * round(cosine, 6) with vid as the deterministic tiebreak. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = queries.crossJoin(corpus)
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid").as("neighbor_id"),
+        round(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Assign every corpus vector to its nearest centroid (max cosine;
+    * centroid table is broadcast). centroids: (cid, cvec). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    Ranked.argmax(
+      corpus.crossJoin(broadcast(centroids))
+        .select(col("vid"), col("vec"), col("cid"),
+          Vectors.cosine(col("vec"), col("cvec")).as("cos")),
+      Seq("vid"),
+      Seq(col("cos"), -col("cid")),
+      Seq("cid" -> col("cid"), "vec" -> col("vec")))
+
+  /** IVF search: queries probe only their own centroid bucket.
+    * Returns (qid, neighbor_id, cosine, rank) with rank <= k. */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val corpusAssigned = ivfAssign(corpus, centroids)
+    val queriesAssigned = ivfAssign(
+      queries.select(col("qid").as("vid"), col("qvec").as("vec")), centroids)
+      .select(col("vid").as("qid"), col("cid"), col("vec").as("qvec"))
+    val scored = queriesAssigned.join(corpusAssigned, "cid")
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid").as("neighbor_id"),
+        round(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,12 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Registration for graft's native Catalyst expressions, making them
+  * callable from SQL / expr() strings. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+  }
+}

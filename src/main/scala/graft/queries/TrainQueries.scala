@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.mm.Multimodal
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operators (builder mandate): text analysis,
+  * deduplication, similarity search, multimodal plumbing. Queries
+  * without an oracle use hash functions with no ANSI-SQL equivalent and
+  * get the driver's rows-only check; their deterministic twins (d01,
+  * d04, d05, n01) are fully oracle-checked. */
+object TrainQueries extends QuerySet {
+
+  private def hitsSql(l: String): String = {
+    val arr = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(t, x -> list_contains([$arr], x)))"
+  }
+
+  private val toksCte =
+    """toks AS (SELECT doc_id, lang, text,
+      |               string_split_regex(lower(trim(text)), '\s+') AS t
+      |        FROM documents)""".stripMargin
+
+  private val embCte =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  private val cosSql =
+    "list_dot_product(qv, v)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(v, v)))"
+
+  val all: Seq[Q] = Seq(
+
+    // T1 — language ID (stopword-hit argmax with fixed tie priority).
+    Q("t01_lang_id",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some(s"""WITH $toksCte,
+              |sc AS (SELECT doc_id, lang, ${TextAnalysis.langs.map(l => s"${hitsSql(l)} AS s_$l").mkString(", ")} FROM toks),
+              |m AS (SELECT *, greatest(${TextAnalysis.langs.map("s_" + _).mkString(", ")}) AS mx FROM sc)
+              |SELECT doc_id, lang,
+              |  CASE ${TextAnalysis.langs.map(l => s"WHEN mx > 0 AND s_$l = mx THEN '$l'").mkString(" ")}
+              |       ELSE 'und' END AS lang_pred
+              |FROM m""".stripMargin)),
+
+    // T2 — quality scoring (length / punctuation / stopword-density).
+    Q("t02_quality_score",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+          TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(s"""WITH $toksCte,
+              |b AS (SELECT doc_id, text,
+              |        CAST(len(t) AS DOUBLE) AS nw,
+              |        CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS np,
+              |        CAST(${hitsSql("en")} AS DOUBLE) AS stp
+              |      FROM toks)
+              |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, CAST(np AS BIGINT) AS n_punct,
+              |  round((least(nw, 100.0)/100.0)
+              |        * (1.0 - np/CAST(greatest(length(text), 1) AS DOUBLE))
+              |        * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)), 4) AS quality
+              |FROM b""".stripMargin)),
+
+    // T3 — token counting.
+    Q("t03_token_count",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      Some(s"""WITH $toksCte
+              |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks""".stripMargin)),
+
+    // T4 — canonical content fingerprint (sorted distinct token set).
+    Q("t04_fingerprint",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some(s"""WITH $toksCte
+              |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+              |FROM toks""".stripMargin)),
+
+    // T5 — rolling-hash fingerprint via the native Catalyst expression
+    // (graft.functions.RollingHash; codegen'd). No ANSI equivalent →
+    // rows-only check; the expression itself is unit-tested.
+    Q("t05_rolling_hash",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr("rolling_hash(text)").as("rh"))
+      },
+      None),
+
+    // D1 — exact dedup by content hash.
+    Q("d01_dedup_exact",
+      (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n_docs,
+             |       min(doc_id) AS keep_id
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // D2 — MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join
+    // →verify). xxhash64-based → rows-only check; the exact-Jaccard twin
+    // d04 is the oracle-checked path.
+    Q("d02_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 16, bands = 4, shingleN = 3, threshold = 0.5),
+      None),
+
+    // D3 — SimHash near-dup pairs (64-bit majority-vote hash, 16-bit
+    // band blocking, Hamming verification). Rows-only check.
+    Q("d03_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 8),
+      None),
+
+    // D4 — exact n-gram Jaccard near-dup pairs (deterministic; bounded
+    // slice — LSH (d02) is the 100 TB path).
+    Q("d04_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", shingleN = 2, threshold = 0.5),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |              FROM documents WHERE doc_id < 1000),
+             |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+             |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+             |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+             |WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""".stripMargin)),
+
+    // D5 — embedding-cosine near-dup pairs over a bounded id slice.
+    Q("d05_embed_cosine_dup",
+      (s, dir) => Dedup.embeddingCosinePairs(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.35),
+      Some(s"""WITH $embCte,
+              |eq AS (SELECT vec_id AS id_a, v AS qv FROM e WHERE vec_id < 300),
+              |ec AS (SELECT vec_id AS id_b, v FROM e WHERE vec_id < 300),
+              |p AS (SELECT id_a, id_b, round($cosSql, 4) AS cosine
+              |      FROM eq, ec WHERE id_a < id_b)
+              |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""".stripMargin)),
+
+    // N1 — brute-force cosine top-k (exact ANN baseline).
+    Q("n01_ann_bruteforce",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Ann.bruteForceTopK(
+          e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")), k = 5)
+      },
+      Some(s"""WITH $embCte,
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+              |sc AS (SELECT qid, e.vec_id AS neighbor_id, round($cosSql, 6) AS cosine
+              |       FROM q, e WHERE e.vec_id <> qid)
+              |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
+              |WHERE rn <= 5""".stripMargin)),
+
+    // N2 — IVF-bucketed ANN (seeded centroids, broadcast assign,
+    // within-bucket probe — the cross-join-free scale path). Rows-only.
+    Q("n02_ann_ivf",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Ann.ivfSearch(
+          e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")),
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 3)
+      },
+      None),
+
+    // MM1 — multimodal binary-column plumbing: partition-batched typed
+    // feature extraction with a clearly-marked deterministic stub
+    // decode (real codecs absent in this container).
+    Q("mm01_media_features",
+      (s, dir) => Multimodal.extractFeatures(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("bytes")),
+        "doc_id", "bytes").toDF(),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+             |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+             |  md5(text) AS content_hash
+             |FROM documents""".stripMargin)))
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+import graft.core.Exprs
+
+/** Structured-Streaming ingestion surface (SURVEY §1.5/§7): the
+  * reference's batch-wise survey-area acquisition
+  * (SSURGO_BatchDownload.py → MergeDatabases) becomes an incremental
+  * file-source stream — each landed drop is a micro-batch; rollups
+  * maintain themselves with watermarked windowed aggregation.
+  *
+  * The transform is shared between the batch and streaming paths
+  * (hourlyRollup), so correctness is oracle-checked on the batch twin
+  * and the streaming wrapper only adds watermark/window mechanics. */
+object Ingest {
+
+  /** Shared transform: hourly per-type rollup (batch twin — used by the
+    * driver correctness query; exact-cents so sums are stable). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(Exprs.cents(col("value"))) / 100.0, 2).as("sum_value"))
+
+  /** Streaming twin: file-source stream over a parquet drop directory,
+    * watermarked sliding-window rollup. */
+  def streamHourlyRollup(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(Exprs.cents(col("value"))) / 100.0, 2).as("sum_value"))
+
+  /** Drive a streaming DataFrame to a memory sink until all available
+    * input is processed; returns the result table name. Test harness
+    * for local verification of the streaming path. */
+  def runToMemory(sdf: DataFrame, name: String): Unit = {
+    val q = sdf.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

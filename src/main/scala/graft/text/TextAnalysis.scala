@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder mandate; not present in the reference, which is tabular
+  * only). All are pure Catalyst expression trees over a text column —
+  * no UDFs, fully codegen'd, shuffle-free (per-row). */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * language ID. Order of `langs` is the tie-break priority. */
+  val langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "on", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "en", "un", "por", "con", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "est", "dans", "du", "une", "au"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不", "人", "这"))
+
+  /** Whitespace tokenizer (lowercased). */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Occurrences of any of `stops` in the token array. */
+  def stopwordHits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(stops.toArray), t)))
+
+  /** Language ID: argmax of stopword hits with fixed priority on ties;
+    * 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = langs.map(l => l -> stopwordHits(t, stopwords(l)))
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(mx > 0 && s === mx, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation character count (chars removed by stripping the class). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  /** Document quality score in [0,1]: length credit × punctuation
+    * penalty × stopword-density credit. Deterministic integer inputs →
+    * bit-stable across engines. */
+  def qualityScore(text: Column): Column = {
+    val nw = tokenCount(text).cast("double")
+    val np = punctCount(text).cast("double")
+    val stop = stopwordHits(tokens(text), stopwords("en")).cast("double")
+    val lenCredit = least(nw, lit(100.0)) / 100.0
+    val punctPenalty = lit(1.0) - np / greatest(length(text), lit(1)).cast("double")
+    val stopCredit = lit(0.5) + lit(0.5) * least(stop * 5.0 / greatest(nw, lit(1.0)), lit(1.0))
+    round(lenCredit * punctPenalty * stopCredit, 4)
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token
+    * set — robust to token order / duplication. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}

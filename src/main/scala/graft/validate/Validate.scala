@@ -1,0 +1,41 @@
+package graft.validate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality invariants (SURVEY §5; reference gSSURGO_ValidateData.py
+  * + SSURGO_CheckgSSURGO.py). Each check returns the VIOLATION rows. */
+object Validate {
+
+  /** Horizon gap/overlap per component: consecutive horizons must tile
+    * (hzdept == previous hzdepb; gSSURGO_ValidateData.py:600-606). */
+  def horizonGaps(hz: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cokey")).orderBy(col("hzdept"))
+    hz.select(col("cokey"), col("hzdept"), col("hzdepb"))
+      .withColumn("prev_depb", lag(col("hzdepb"), 1).over(w))
+      .filter(col("prev_depb").isNotNull && col("prev_depb") =!= col("hzdept"))
+      .select(col("cokey"), col("hzdept"), col("prev_depb"))
+  }
+
+  /** Σ comppct per mapunit must lie in [lo, hi]
+    * (gSSURGO_ValidateData.py:624-636). */
+  def comppctBounds(comp: DataFrame, lo: Double = 75, hi: Double = 100): DataFrame =
+    comp.groupBy(col("mukey")).agg(sum(col("comppct")).as("sumpct"))
+      .filter(col("sumpct") < lo || col("sumpct") > hi)
+
+  /** Parents with no children (anti-join; mapunits-without-components /
+    * components-without-horizons, gSSURGO_ValidateData.py:536-541). */
+  def orphans(parent: DataFrame, child: DataFrame, key: String): DataFrame =
+    parent.join(child, Seq(key), "left_anti")
+
+  /** R7 — BadTable cardinality check
+    * (gSSURGO_CreateSoilMap.py:433-454): a rating table must carry
+    * exactly one row per mapunit. Returns a single (n_rating, n_mapunit,
+    * ok) row. */
+  def ratingCardinality(rating: DataFrame, mapunits: DataFrame): DataFrame =
+    rating.agg(count(lit(1)).as("n_rating"))
+      .crossJoin(mapunits.agg(count(lit(1)).as("n_mapunit")))
+      .select(col("n_rating"), col("n_mapunit"),
+        (col("n_rating") === col("n_mapunit")).as("ok"))
+}
