@@ -10,12 +10,12 @@ object OracleSql {
   private def dir(tieLow: Boolean) = if (tieLow) "ASC" else "DESC"
 
   /** Mirror of SdvAgg.dominantComponent: winner by
-    * (comppct DESC, ord tie-dir, cokey ASC). */
+    * (comppct DESC, ord tie-dir, cokey DESC). */
   def dcp(src: String, tieLow: Boolean = true): String =
     s"""SELECT mukey, rating, comppct FROM (
        |  SELECT mukey, rating, comppct,
        |         row_number() OVER (PARTITION BY mukey
-       |           ORDER BY comppct DESC, ord ${dir(tieLow)}, cokey ASC) AS rn
+       |           ORDER BY comppct DESC, ord ${dir(tieLow)}, cokey DESC) AS rn
        |  FROM $src) t WHERE rn = 1""".stripMargin
 
   /** Per-(mukey,rating) class sums CTE used by the DCD mirror. */
@@ -36,7 +36,7 @@ object OracleSql {
        |              FROM dcd_br) x WHERE rn = 1) c
        |      JOIN (SELECT mukey, rating AS dcprating, comppct AS dcppct FROM (
        |              SELECT mukey, rating, comppct, row_number() OVER (PARTITION BY mukey
-       |                ORDER BY comppct DESC, ord ${dir(tieLow)}, cokey ASC) AS rn
+       |                ORDER BY comppct DESC, ord ${dir(tieLow)}, cokey DESC) AS rn
        |              FROM $src) y WHERE rn = 1) d ON c.mukey = d.mukey) w
        |JOIN dcd_br b ON b.mukey = w.mukey AND b.rating = w.rating
        |JOIN (SELECT mukey, sum(sumpct) AS totalpct FROM dcd_br GROUP BY mukey) t

@@ -18,7 +18,7 @@ object SdvQueries extends QuerySet {
     """SELECT mukey, rating, comppct FROM (
       |  SELECT mukey, rating, comppct,
       |         row_number() OVER (PARTITION BY mukey
-      |           ORDER BY comppct DESC, rating ASC, cokey ASC) AS rn
+      |           ORDER BY comppct DESC, rating ASC, cokey DESC) AS rn
       |  FROM comp) t WHERE rn = 1""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -50,7 +50,7 @@ object SdvQueries extends QuerySet {
           |                ORDER BY sumpct DESC, rating ASC) AS rn FROM br) x WHERE rn = 1) c
           |      JOIN (SELECT mukey, rating AS dcprating, comppct AS dcppct FROM (
           |              SELECT mukey, rating, comppct, row_number() OVER (PARTITION BY mukey
-      |                ORDER BY comppct DESC, rating ASC, cokey ASC) AS rn FROM comp) y
+      |                ORDER BY comppct DESC, rating ASC, cokey DESC) AS rn FROM comp) y
           |            WHERE rn = 1) d ON c.mukey = d.mukey) w
           |JOIN br b ON b.mukey = w.mukey AND b.rating = w.rating
           |JOIN (SELECT mukey, sum(sumpct) AS totalpct FROM br GROUP BY mukey) t
@@ -71,7 +71,7 @@ object SdvQueries extends QuerySet {
           |                ORDER BY sumpct DESC, cord DESC) AS rn FROM br) x WHERE rn = 1) c
           |      JOIN (SELECT mukey, crating AS dcprating, comppct AS dcppct FROM (
           |              SELECT mukey, crating, comppct, row_number() OVER (PARTITION BY mukey
-          |                ORDER BY comppct DESC, cord DESC, cokey ASC) AS rn FROM comp) y
+          |                ORDER BY comppct DESC, cord DESC, cokey DESC) AS rn FROM comp) y
           |            WHERE rn = 1) d ON c.mukey = d.mukey) w
           |JOIN br b ON b.mukey = w.mukey AND b.rating = w.rating
           |JOIN (SELECT mukey, sum(sumpct) AS totalpct FROM br GROUP BY mukey) t
@@ -88,7 +88,7 @@ object SdvQueries extends QuerySet {
         """SELECT mukey, rating, comppct FROM (
           |  SELECT mukey, crating AS rating, comppct,
           |         row_number() OVER (PARTITION BY mukey
-          |           ORDER BY comppct DESC, cord ASC, cokey ASC) AS rn
+          |           ORDER BY comppct DESC, cord ASC, cokey DESC) AS rn
           |  FROM comp) t WHERE rn = 1""".stripMargin, compCte))),
 
     // A6 — component-percent Weighted Average (AggregateCo_WTA,

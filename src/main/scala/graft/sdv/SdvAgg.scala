@@ -52,12 +52,14 @@ object SdvAgg {
   // ---------------------------------------------------------------------
   // A2 — Dominant Component (AggregateCo_DCP,
   // gSSURGO_CreateSoilMap.py:4810-4986). Highest comppct wins; comppct
-  // ties broken by rating order (sort :4833-4838), then lowest cokey.
+  // ties broken by rating order (sort :4833-4838), then highest cokey
+  // (the reference's COKEY DESC cursor order, GetDominantComponent.py:
+  // 89-117 — also type-agnostic for SSURGO's string cokeys).
   // A5 — AggregateCo_DCP_Domain (:7752-7979) is the same pick with
   // ratingOrd = domain index.
   def dominantComponent(df: DataFrame, tieLow: Boolean = true): DataFrame =
     Ranked.argmax(df, Seq("mukey"),
-      Seq(col("comppct"), tieCol(tieLow), -col("cokey")),
+      Seq(col("comppct"), tieCol(tieLow), col("cokey")),
       Seq("rating" -> col("rating"), "comppct" -> col("comppct")))
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,224 @@
+package graft.sdv
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exprs
+import graft.schema.SdvAttribute
+
+/** The metadata-driven SDV query planner — the Spark re-expression of
+  * CreateSoilMap's catalog-resolution + join-path-planning + aggregation
+  * dispatch (SURVEY §3 stages 1-2-5; gSSURGO_CreateSoilMap.py:9578-11368).
+  *
+  * A query = (SdvAttribute row, SdvRequest runtime params). The planner:
+  *  1. resolves the algorithm and tiebreak from the catalog row
+  *     (GetSDVAtts :3689-3819),
+  *  2. discovers the join path attribute-table → MAPUNIT by walking the
+  *     mdstatrshipdet FK catalog (:10092-10111), composes left joins and
+  *     pushes the per-level filters (comppct cutoff F2, NOTCOM
+  *     exclusion, month range F5, rule semijoin F6, sql whereclause F9),
+  *  3. standardizes to the (mukey, cokey, comppct, rating, ratingOrd)
+  *     rating-table shape — Choice ratings ranked by their ordered
+  *     domain (reversed for suitability interps, ruledesign==2,
+  *     :9942-9944) — and null-handles per bZero / sentinel (F3),
+  *  4. dispatches to the A1-A23 combinator selected by (algorithm,
+  *     level flags) (:10612-10918).
+  *
+  * Everything stays one lazy DataFrame graph; Catalyst prunes the join
+  * columns and pushes the filters into the scans.
+  */
+class SdvPlanner(
+    tables: Map[String, DataFrame],
+    domains: Map[String, Seq[String]] = Map.empty,
+    fkCatalog: Seq[(String, String, String)] = SdvPlanner.defaultFks) {
+
+  import SdvPlanner._
+
+  /** child → (parent, join key) from the FK catalog. */
+  private val parentOf: Map[String, (String, String)] =
+    fkCatalog.map { case (parent, child, key) => child -> (parent, key) }.toMap
+
+  /** Bottom-up join path from `tbl` to mapunit
+    * (gSSURGO_CreateSoilMap.py:10092-10111; max depth 6 :10400). */
+  def pathToMapunit(tbl: String): List[(String, String, String)] = {
+    var cur = tbl
+    var acc = List.empty[(String, String, String)]
+    var depth = 0
+    while (cur != "mapunit" && depth < 6) {
+      val (parent, key) = parentOf.getOrElse(cur,
+        throw new IllegalArgumentException(s"no FK path from $cur to mapunit"))
+      acc = (cur, parent, key) :: acc
+      cur = parent
+      depth += 1
+    }
+    acc // top-down: (child, parent, key) starting nearest mapunit
+  }
+
+  def plan(att: SdvAttribute, req: SdvRequest = SdvRequest()): DataFrame = {
+    val algorithm = req.aggMethod.getOrElse(att.algorithmname)
+    val tieLow = req.tieLow.getOrElse(att.tiebreakrule == -1)
+
+    // --- stage 2: join tree -------------------------------------------
+    val isMapunitLevel = att.mapunitlevelattribflag == 1 ||
+      att.attributetablename == "mapunit" || att.attributetablename == "muaggatt"
+
+    if (isMapunitLevel) {
+      val src =
+        if (att.attributetablename == "mapunit") tables("mapunit")
+        else tables("mapunit").join(tables(att.attributetablename), Seq("mukey"), "left")
+      val base = src.select(col("mukey"), col(att.attributecolumnname).as("rating"))
+      return SdvAgg.noAggregation(base)
+        .withColumnRenamed("rating", att.resultcolumnname)
+    }
+
+    // component chain (always mapunit ⟕ component with F2 filters;
+    // :10318-10330, :5017)
+    var comp = tables("mapunit").select(col("mukey"))
+      .join(tables("component"), Seq("mukey"), "left")
+      .filter(col("comppct_r") >= req.cutOff && !upper(col("compname")).eqNullSafe("NOTCOM"))
+
+    // interp semijoin F6: restrict cointerp to the requested rule
+    // (GetRuleKey :3821-3863 — we filter by rulename/ruledepth directly,
+    // the rulekey list being its precomputed equivalent)
+    val isInterp = att.attributetablename == "cointerp"
+
+    var joined: DataFrame = att.attributetablename match {
+      case "component" => comp
+      case "cointerp" =>
+        val ci0 = tables("cointerp").filter(col("ruledepth") === 0)
+        val ci = att.nasisrulename match {
+          case Some(r) => ci0.filter(col("rulename") === r)
+          case None => ci0
+        }
+        comp.join(ci, Seq("cokey"), "left")
+      case other =>
+        // generic FK walk below component level
+        pathToMapunit(other).foldLeft(comp) { case (df, (child, _, key)) =>
+          if (child == "component") df
+          else df.join(tables(child), Seq(key), "left")
+        }
+    }
+
+    // month-range filter F5 (:10243-10262)
+    (req.begMonth, req.endMonth) match {
+      case (Some(b), Some(e)) => joined = joined.filter(col("monthseq").between(b, e))
+      case _ => ()
+    }
+
+    // metadata whereclause F9 (:10139-10147)
+    att.sqlwhereclause.foreach(w => joined = joined.filter(expr(w)))
+
+    // --- stage 3: standardize to the rating-table shape ---------------
+    val isChoice = att.attributelogicaldatatype == "Choice" ||
+      att.attributelogicaldatatype == "String"
+    val ratingRaw = col(att.attributecolumnname)
+
+    // suitability interps rank their domain reversed (:9942-9944)
+    val domain0 = att.tiebreakdomainname.flatMap(domains.get).getOrElse(Seq.empty)
+    val domain = if (att.ruledesign.contains(2)) domain0.reverse else domain0
+
+    val rating: Column =
+      if (req.bZero) coalesce(ratingRaw, lit(0.0))
+      else att.nullratingreplacementvalue match {
+        case Some(v) if !isChoice => coalesce(ratingRaw, lit(v))
+        case _ => ratingRaw
+      }
+    val ratingOrd: Column =
+      if (isChoice && domain.nonEmpty) Exprs.domainRank(rating, domain)
+      else if (isChoice) lit(0.0)
+      else rating.cast("double")
+
+    var rt = joined.select(col("mukey"),
+      col("cokey"), col("comppct_r").cast("double").as("comppct"),
+      rating.as("rating"), ratingOrd.as("ratingOrd"))
+    if (!req.bZero && att.nullratingreplacementvalue.isEmpty)
+      rt = rt.filter(col("rating").isNotNull) // F3
+
+    // month-level inputs keep the month column for the A10-A17 pre-steps
+    val isMonth = att.cmonthlevelattribflag == 1
+    val isHz = att.horzlevelattribflag == 1 && !isMonth
+    if (isHz)
+      rt = joined.select(col("mukey"), col("cokey"),
+        col("comppct_r").cast("double").as("comppct"),
+        col("hzdept_r").cast("double").as("hzdept"),
+        col("hzdepb_r").cast("double").as("hzdepb"),
+        rating.as("rating"), ratingOrd.as("ratingOrd"))
+        .filter(col("rating").isNotNull || lit(req.bZero))
+
+    val notRatedOrd =
+      if (domain.nonEmpty) Some(domain.size + 1.0) else None
+
+    // --- stage 5: aggregation dispatch (:10612-10918) ------------------
+    val out = algorithm match {
+      case "No Aggregation Necessary" => SdvAgg.noAggregation(rt)
+      case "Dominant Component" =>
+        if (isHz) SdvAgg.hzDcpWta(rt, req.top, req.bot)
+        else if (isMonth && isChoice) SdvAgg.moDomainDominantComponent(rt, tieLow)
+        else if (isMonth) SdvAgg.moDominantComponent(rt,
+          most = !tieLow, att.nullratingreplacementvalue, tieLow)
+        else SdvAgg.dominantComponent(rt, tieLow)
+      case "Dominant Condition" =>
+        if (isHz) SdvAgg.hzMaxMinDcd(rt, req.top, req.bot, tieLow)
+        else if (isMonth && isChoice) SdvAgg.moDomainDominantCondition(rt, tieLow)
+        else if (isMonth) SdvAgg.moDominantCondition(rt,
+          most = !tieLow, att.nullratingreplacementvalue, tieLow)
+        else SdvAgg.dominantCondition(rt, tieLow)
+      case "Weighted Average" =>
+        if (isHz && att.horzaggmeth.contains("Weighted Sum"))
+          SdvAgg.hzWtaSum(rt, req.top, req.bot)
+        else if (isHz) SdvAgg.hzWtaWta(rt, req.top, req.bot)
+        else if (isMonth) SdvAgg.moWeightedAverage(rt,
+          most = !tieLow, att.nullratingreplacementvalue)
+        else SdvAgg.weightedAverage(rt)
+      case "Minimum or Maximum" =>
+        if (isHz && isChoice) SdvAgg.hzMaxMinDcp(rt, req.top, req.bot, tieLow)
+        else if (isHz) SdvAgg.hzMaxMinWta(rt, most = !tieLow, req.top, req.bot)
+        else if (isMonth) SdvAgg.moMaxMin(rt, most = !tieLow, notRatedOrd)
+        else SdvAgg.maxMin(rt, most = !tieLow, notRatedOrd)
+      case "Most Limiting" => SdvAgg.limiting(rt, most = true, notRatedOrd)
+      case "Least Limiting" => SdvAgg.limiting(rt, most = false, notRatedOrd)
+      case "Percent Present" =>
+        SdvAgg.percentPresent(rt, tables("mapunit").select(col("mukey")), lit(true))
+      case other =>
+        throw new IllegalArgumentException(s"unknown algorithm: $other")
+    }
+    out.withColumnRenamed("rating", att.resultcolumnname)
+  }
+}
+
+object SdvPlanner {
+  /** Runtime query parameters (the user half of the CreateSoilMap
+    * request; SURVEY §3 entry point 1). */
+  case class SdvRequest(
+      aggMethod: Option[String] = None,
+      top: Int = 0, bot: Int = 1,
+      begMonth: Option[Int] = None, endMonth: Option[Int] = None,
+      tieLow: Option[Boolean] = None,
+      cutOff: Int = 0,
+      bZero: Boolean = false)
+
+  /** Default FK catalog (parent, child, key) — the subset of
+    * mdstatrshipdet the analytic surface walks
+    * (Create_SSURGO_RelationshipClasses.py:174-503). Callers can pass
+    * the real mdstatrshipdet rows instead. */
+  val defaultFks: Seq[(String, String, String)] = Seq(
+    ("mapunit", "component", "mukey"),
+    ("mapunit", "muaggatt", "mukey"),
+    ("component", "chorizon", "cokey"),
+    ("component", "cointerp", "cokey"),
+    ("component", "comonth", "cokey"),
+    ("component", "corestrictions", "cokey"),
+    ("comonth", "cosoilmoist", "comonthkey"),
+    ("chorizon", "chtexturegrp", "chkey"),
+    ("chorizon", "chfrags", "chkey"),
+    ("chtexturegrp", "chtexture", "chtgkey"))
+
+  /** Load (parent, child, key) triples from a real mdstatrshipdet
+    * DataFrame (small catalog — collected to the driver, exactly like
+    * the reference's dict). */
+  def fksFromCatalog(mdstatrshipdet: DataFrame): Seq[(String, String, String)] =
+    mdstatrshipdet.select("ltabphyname", "rtabphyname", "ltabcolphyname")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.{SdvAttribute, SsurgoSchema}
+import graft.sdv.SdvPlanner
+import graft.sdv.SdvPlanner.SdvRequest
+
+/** End-to-end planner tests over real-SSURGO-shaped micro tables:
+  * catalog row in → rating table out, with the FK walk, filters,
+  * domain ranking and dispatch all engaged. */
+class SdvPlannerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def mapunit = df(SsurgoSchema.mapunit, Seq(
+    Row("100001", "AaB", "Alpha silt loam", "L1"),
+    Row("100002", "WtA", "Water", "L1")))
+
+  private def component = df(SsurgoSchema.component, Seq(
+    //  cokey    mukey    pct  name     kind      maj  taxorder ...
+    Row("c1", "100001", 60, "Alpha", "Series", "Yes", "Alfisols", "Typic", null, null, "No", "Well drained"),
+    Row("c2", "100001", 40, "Beta", "Series", "No", "Alfisols", "Typic", null, null, "Yes", "Poorly drained"),
+    Row("c3", "100002", 90, "Water", "Miscellaneous area", "Yes", null, null, null, null, null, null),
+    Row("c4", "100002", 10, "NOTCOM", null, "No", null, null, null, null, null, null)))
+
+  private def chorizon = df(SsurgoSchema.chorizon, Seq(
+    // chkey cokey hzname master dept depb sand silt clay om db ec ph awc kffact
+    Row("h1", "c1", "A", "A", 0, 25, 30.0, 40.0, 30.0, 3.0, 1.2, 0.5, 6.5, 0.10, ".24"),
+    Row("h2", "c1", "Bt", "B", 25, 100, 25.0, 40.0, 35.0, 1.0, 1.4, 0.5, 6.0, 0.20, ".32"),
+    Row("h3", "c2", "A", "A", 0, 50, 50.0, 30.0, 20.0, 2.0, 1.3, 0.5, 6.8, 0.15, ".17")))
+
+  private def cointerp = df(SsurgoSchema.cointerp, Seq(
+    Row("c1", "mr1", "ENG - Dwellings", "r1", "ENG - Dwellings", 0, 0.9, "Somewhat limited"),
+    Row("c2", "mr1", "ENG - Dwellings", "r1", "ENG - Dwellings", 0, 0.2, "Very limited"),
+    Row("c1", "mr2", "Other rule", "r2", "Other rule", 0, 0.5, "Not limited")))
+
+  private def tables = Map(
+    "mapunit" -> mapunit, "component" -> component,
+    "chorizon" -> chorizon, "cointerp" -> cointerp)
+
+  private val limitedDomain = Seq("Not limited", "Somewhat limited", "Very limited")
+
+  private def planner = new SdvPlanner(tables,
+    domains = Map("limits" -> limitedDomain))
+
+  test("planner FK walk discovers chorizon→component→mapunit") {
+    assert(planner.pathToMapunit("chorizon") ===
+      List(("component", "mapunit", "mukey"), ("chorizon", "component", "cokey")))
+    assert(planner.pathToMapunit("cosoilmoist").length === 3)
+  }
+
+  test("component-level DCP: NOTCOM excluded, strings keyed by domain") {
+    val att = SdvAttribute("Dwellings", "cointerp", "interphrc", "rating",
+      "Choice", "Dominant Component", ruledesign = Some(1),
+      nasisrulename = Some("ENG - Dwellings"),
+      complevelattribflag = 1, tiebreakdomainname = Some("limits"))
+    val got = rowsOf(planner.plan(att))
+    // c1 dominates mukey 100001 → Somewhat limited; c3 (Miscellaneous
+    // water, no interp row) → null rating filtered; NOTCOM excluded.
+    assert(got === Seq(Seq("100001", "Somewhat limited", 60.0)))
+  }
+
+  test("interp rule filter keeps only the requested rule (F6)") {
+    val att = SdvAttribute("Dwellings", "cointerp", "interphr", "rating",
+      "Float", "Weighted Average", nasisrulename = Some("ENG - Dwellings"),
+      complevelattribflag = 1)
+    val got = rowsOf(planner.plan(att))
+    // (60*0.9 + 40*0.2)/100 = 0.62 — the 0.5 row belongs to Other rule
+    assert(got === Seq(Seq("100001", 0.62, 100.0)))
+  }
+
+  test("horizon-level WTA (Weighted Sum ≡ AWS shape) over slice [0,100)") {
+    val att = SdvAttribute("AWS", "chorizon", "awc_r", "aws0100",
+      "Float", "Weighted Average", horzlevelattribflag = 1,
+      horzaggmeth = Some("Weighted Sum"))
+    val got = rowsOf(planner.plan(att, SdvRequest(top = 0, bot = 100)))
+    // c1: 25*.10+75*.20 = 17.5; c2: 50*.15 = 7.5
+    // mukey: (60*17.5 + 40*7.5)/100 = 13.5, thickness (60*100+40*50)/100 = 80
+    assert(got === Seq(Seq("100001", 13.5, 80.0)))
+  }
+
+  test("mapunit-level passthrough (muaggatt path, A1)") {
+    val muagg = df(SsurgoSchema.muaggatt, Seq(Row("100001", 13.5, "Well drained", 150.0)))
+    val p = new SdvPlanner(tables + ("muaggatt" -> muagg))
+    val att = SdvAttribute("AWS 0-100", "muaggatt", "aws0100wta", "rating",
+      "Float", "No Aggregation Necessary", mapunitlevelattribflag = 1)
+    val got = rowsOf(p.plan(att))
+    assert(got === Seq(Seq("100001", 13.5), Seq("100002", null)))
+  }
+
+  test("suitability interp (ruledesign=2) reverses the domain (:9942-9944)") {
+    val att = SdvAttribute("Dwellings", "cointerp", "interphrc", "rating",
+      "Choice", "Most Limiting", ruledesign = Some(2),
+      nasisrulename = Some("ENG - Dwellings"),
+      complevelattribflag = 1, tiebreakdomainname = Some("limits"))
+    val got = rowsOf(planner.plan(att))
+    // reversed domain: Very limited(1) < Somewhat limited(2) < Not
+    // limited(3); most limiting = max ord → 'Somewhat limited' (c1)
+    // [under design-1 it would be 'Very limited']
+    assert(got === Seq(Seq("100001", "Somewhat limited", 60.0)))
+  }
+
+  test("cutOff pushes the comppct filter (F2)") {
+    val att = SdvAttribute("Dwellings", "cointerp", "interphr", "rating",
+      "Float", "Weighted Average", nasisrulename = Some("ENG - Dwellings"),
+      complevelattribflag = 1)
+    val got = rowsOf(planner.plan(att, SdvRequest(cutOff = 50)))
+    assert(got === Seq(Seq("100001", 0.9, 60.0))) // only c1 ≥ 50
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.text.TextAnalysis
+import graft.validate.Validate
+
+/** Unit tests for the training-data operators and validation checks. */
+class TrainOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def docs = df(docSchema, Seq(
+    Row(1L, "the quick brown fox jumps over the lazy dog"),
+    Row(2L, "the quick brown fox jumps over the lazy cat"),
+    Row(3L, "completely different content about spark engines"),
+    Row(4L, "the quick brown fox jumps over the lazy dog")))
+
+  test("rolling hash: native expression, interpreted == codegen, order-sensitive") {
+    GraftFunctions.register(spark)
+    val d = df(docSchema, Seq(Row(1L, "ab"), Row(2L, "ba"), Row(3L, "ab")))
+    val got = d.select(col("doc_id"), expr("rolling_hash(text)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1) === got(3))
+    assert(got(1) !== got(2))
+    // 'ab' = 97*1000003 + 98
+    assert(got(1) === 97L * 1000003L + 98L)
+  }
+
+  test("langId picks the dominant stopword language") {
+    val d = df(docSchema, Seq(
+      Row(1L, "the cat is on the mat and it is warm"),
+      Row(2L, "el gato que vive en la casa de los perros"),
+      Row(3L, "qzx wvu nopqrst")))
+    val got = d.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(got === Seq("en", "es", "und"))
+  }
+
+  test("exact dedup groups identical content") {
+    val got = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(got.length === 3)
+    val dup = got.find(_.getLong(1) === 2L).get
+    assert(dup.getLong(2) === 1L) // min doc_id kept
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated doc") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // (1,2) share 7 of 9 distinct shingles → j = 7/(8+8-7) = 0.7778;
+    // (1,4) identical → 1.0; (2,4) same as (1,2)
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got.find(p => p._1 == 1 && p._2 == 4).get._3 === 1.0)
+  }
+
+  test("minhash LSH recalls exact duplicates with jaccard 1.0") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 16, bands = 4, shingleN = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.contains((1L, 4L, 1.0)))
+  }
+
+  test("simhash of identical docs has hamming 0; near-dups small hamming") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((1L, 4L)) === 0)
+    assert(got.get((1L, 2L)).forall(_ <= 16))
+  }
+
+  test("validate: horizon gaps and comppct bounds") {
+    val hzS = StructType(Seq(StructField("cokey", StringType),
+      StructField("hzdept", IntegerType), StructField("hzdepb", IntegerType)))
+    val hz = df(hzS, Seq(Row("c1", 0, 20), Row("c1", 30, 50), // gap 20→30
+      Row("c2", 0, 25), Row("c2", 25, 60))) // tiles fine
+    val gaps = rowsOf(Validate.horizonGaps(hz))
+    assert(gaps === Seq(Seq("c1", 30, 20)))
+
+    val cS = StructType(Seq(StructField("mukey", StringType), StructField("comppct", DoubleType)))
+    val comp = df(cS, Seq(Row("m1", 60.0), Row("m1", 50.0), // 110 > 100
+      Row("m2", 40.0), Row("m2", 20.0), // 60 < 75
+      Row("m3", 80.0), Row("m3", 20.0))) // 100 ok
+    val bad = rowsOf(Validate.comppctBounds(comp))
+    assert(bad === Seq(Seq("m1", 110.0), Seq("m2", 60.0)))
+  }
+}
