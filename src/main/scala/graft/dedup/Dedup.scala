@@ -31,34 +31,49 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** MinHash signature: k seeded-xxhash64 minima over the shingle set. */
+  /** MinHash signature: k seeded-xxhash64 minima over the shingle set
+    * (array-expression form, used for ad-hoc column-level work). */
   def minhashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       s => array_min(transform(shingles, sh => xxhash64(s, sh))))
 
   /** MinHash + LSH near-dup pairs: signature → band keys → equi-join on
     * (band, bandkey) for candidates → exact Jaccard verification →
-    * threshold filter. Returns (id_a, id_b, jaccard). */
+    * threshold filter. Returns (id_a, id_b, jaccard).
+    *
+    * Physical shape: shingles are exploded ONCE and the k minhash lanes
+    * are k min() aggregates in a single hash aggregation (no nested
+    * array re-traversal); band keys are xxhash64 over the lane columns.
+    * Defaults k=32/bands=4 → 8 rows per band: on low-diversity corpora
+    * (shared common shingles) fewer rows per band makes whole buckets
+    * collide and the candidate join quadratic — r=8 keeps the
+    * false-candidate probability ~p^8. The LSH s-curve midpoint is
+    * (1/b)^(1/r) ≈ 0.84, tuned for true near-dup mining; lower
+    * `threshold` only widens the final filter, not the banding recall. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      k: Int = 32, bands: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val withSh = docs.select(col(idCol).as("did"),
-      wordShingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
-    val banded = withSh
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("did"), col("sh"), explode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bkey"))))
+    val sh = docs.select(col(idCol).as("did"),
+      explode(wordShingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("s"))
+    val lanes = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+    val sig = sh.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
+    val banded = sig.select(col("did"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("bkey"))): _*))
         .as("bb"))
-      .select(col("did"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val pairs = banded.as("a").join(banded.as("b"),
+      .select(col("did"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.did") < col("b.did"))
-      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact-Jaccard verification only for the (small) candidate set
+    val shArr = sh.groupBy(col("did")).agg(collect_list(col("s")).as("sh"))
+    val pairs = cand
+      .join(shArr.select(col("did").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(shArr.select(col("did").as("id_b"), col("sh").as("shb")), "id_b")
     val common = size(array_intersect(col("sha"), col("shb"))).cast("double")
     pairs.select(col("id_a"), col("id_b"),
         round(common / (size(col("sha")) + size(col("shb")) - common), 4).as("jaccard"))
@@ -75,12 +90,27 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Scalable SimHash: explode tokens once, hash once, then a single
+    * hash-aggregation with 64 conditional-sum lanes (±1 majority vote
+    * per bit). One shuffle on doc id; contrast with the expression-tree
+    * `simhash`, which re-traverses the token array per lane. */
+  def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("did"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("did"), xxhash64(col("t")).as("h"))
+    val lanes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
+    val sums = tok.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    sums.select(col("did"), sim.as("sim"))
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band blocking, then Hamming
     * verification via bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
-    val withSim = docs.select(col(idCol).as("did"),
-      simhash(TextAnalysis.tokens(col(textCol))).as("sim"))
+    val withSim = simhashDf(docs, idCol, textCol)
     // band key = the b-th 16-bit chunk of the 64-bit simhash
     val banded = withSim.select(col("did"), col("sim"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analog.Analog._
+import graft.core.Exprs
+import graft.sdv.SdvAgg
+import graft.valu.{Valu, ValuTable}
+
+/** Remaining inventory coverage: deep join variants (J7/J9), texture
+  * inner join + RV filter (J10/F7), the legend outputValues pass (part
+  * of A1-A23), and the full Valu1 wide assembly (V14). */
+object ExtraQueries extends QuerySet {
+
+  private val socSlices = Seq((0, 30), (0, 100), (0, 999))
+  private val nccpiRules = Seq("A" -> "nccpi_a", "N" -> "nccpi_n", "R" -> "nccpi_r")
+
+  val all: Seq[Q] = Seq(
+
+    // J7/J9 — four-level null-padded join chain (CreateRatingTable4S
+    // :4560-4630 / CreateSoilMoistureTable :4632-4718): mapunit ⟕
+    // component ⟕ month-carrier ⟕ leaf table.
+    Q("j09_four_level_join",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        val l = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .join(l, o("o_orderkey") === l("l_orderkey"), "left")
+          .join(p, l("l_partkey") === p("p_partkey"), "left")
+          .select(col("c_custkey").as("mukey"), col("o_orderkey").as("cokey"),
+            month(col("l_shipdate")).cast("double").as("monthno"),
+            Exprs.cents(col("p_retailprice")).as("rating"))
+      },
+      Some("""SELECT c_custkey AS mukey, o_orderkey AS cokey,
+             |       CAST(month(l_shipdate) AS DOUBLE) AS monthno,
+             |       round(p_retailprice*100) AS rating
+             |FROM customer
+             |LEFT JOIN orders ON o_custkey = c_custkey
+             |LEFT JOIN lineitem ON l_orderkey = o_orderkey
+             |LEFT JOIN part ON p_partkey = l_partkey""".stripMargin)),
+
+    // J10 + F7 — texture inner join with the representative-value filter
+    // (MakeQueryTable + rvindicator='Yes', gSSURGO_ValuTable.py:221-232).
+    Q("j10_texture_inner_join",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .filter(col("p_size") >= 25)
+          .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_size"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, p_name, p_size
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size >= 25""".stripMargin)),
+
+    // A-family legend side-output: the global [min,max] every aggregate
+    // collects for the map legend (outputValues,
+    // gSSURGO_CreateSoilMap.py:4766-4776).
+    Q("a00_legend_range",
+      (s, dir) => SdvAgg.legendRange(compNumeric(s, dir)),
+      Some(withCtes(
+        "SELECT min(rating) AS rating_min, max(rating) AS rating_max FROM comp",
+        compCte))),
+
+    // V14 — CreateValuTable: the full Valu1 wide assembly
+    // (gSSURGO_ValuTable.py:2992-3271) — sumpct + 11-slice AWS + RZAWS +
+    // SOC + NCCPI + PWSL left-joined wide on the mapunit universe.
+    Q("v14_valu_wide",
+      (s, dir) => {
+        val h = hz(s, dir).select(col("mukey"), col("cokey"), col("comppct"),
+          col("hzdept"), col("hzdepb"), col("rating"), col("crating"),
+          col("rating").as("om"), (col("cokey") % 5 + 10).cast("double").as("db3i"),
+          col("comppct").as("fragvol"))
+        val cmp = h.groupBy(col("mukey"), col("cokey"), col("comppct"))
+          .agg(max(col("crating")).as("crating"))
+        val interp = h.select(col("mukey"), col("cokey"), col("comppct"),
+          col("crating").as("rule"), (col("rating") * 1000).as("fuzzy"))
+        val base = Tables.load(s, dir, "customer").select(col("c_custkey").as("mukey"))
+        ValuTable.build(base, h, cmp,
+          major = col("crating") =!= "N", earthy = col("comppct") >= 10,
+          organic = col("crating") === "A", restricted = col("rating") >= 8,
+          water = col("crating") === "N", hydric = col("comppct") >= 40,
+          interp = interp, nccpiRules = nccpiRules, socSlices = socSlices)
+      }, {
+      val awsCols = Valu.valu1Slices.flatMap { case (t, b) =>
+        val ov = graft.analog.OracleSql.ovExpr(t, b)
+        Seq(
+          s"round(sum(CASE WHEN rating IS NOT NULL THEN comppct*$ov*rating END)/10.0, 4) AS aws${t}_$b",
+          s"round(sum(CASE WHEN rating IS NOT NULL THEN comppct*$ov END)/100.0, 4) AS tk${t}_${b}a")
+      }
+      val socCols = socSlices.map { case (t, b) =>
+        val ov = graft.analog.OracleSql.ovExpr(t, b)
+        s"round(sum(CASE WHEN om IS NOT NULL THEN $ov*om*db3i*(100.0-fragvol)*comppct END)/1724.0, 4) AS soc${t}_$b"
+      }
+      val selCols = Seq("musumcpct", "musumcpcta", "musumcpcts", "pctearthmc") ++
+        Valu.valu1Slices.flatMap { case (t, b) => Seq(s"aws${t}_$b", s"tk${t}_${b}a") } ++
+        Seq("rootznaws", "droughty") ++ socSlices.map { case (t, b) => s"soc${t}_$b" } ++
+        nccpiRules.map(_._2) :+ "pwsl1pomu"
+      Some(withCtes(
+        s"""SELECT b.mukey, ${selCols.mkString(", ")}
+           |FROM (SELECT c_custkey AS mukey FROM customer) b
+           |LEFT JOIN sp ON b.mukey = sp.mukey
+           |LEFT JOIN aws ON b.mukey = aws.mukey
+           |LEFT JOIN rzaws ON b.mukey = rzaws.mukey
+           |LEFT JOIN soc ON b.mukey = soc.mukey
+           |LEFT JOIN nccpi ON b.mukey = nccpi.mukey
+           |LEFT JOIN pwsl ON b.mukey = pwsl.mukey""".stripMargin,
+        hzCte,
+        """hzv AS (SELECT mukey, cokey, comppct, hzdept, hzdepb, rating, crating,
+          |               rating AS om, CAST(cokey % 5 + 10 AS DOUBLE) AS db3i,
+          |               comppct AS fragvol
+          |        FROM hz)""".stripMargin,
+        """cmp AS (SELECT mukey, cokey, comppct, max(crating) AS crating
+          |        FROM hzv GROUP BY mukey, cokey, comppct)""".stripMargin,
+        """sp AS (SELECT mukey,
+          |  coalesce(sum(comppct), 0.0) AS musumcpct,
+          |  coalesce(sum(CASE WHEN crating <> 'N' THEN comppct END), 0.0) AS musumcpcta,
+          |  coalesce(sum(CASE WHEN comppct >= 10 THEN comppct END), 0.0) AS musumcpcts,
+          |  coalesce(sum(CASE WHEN crating <> 'N' AND comppct >= 10 THEN comppct END), 0.0) AS pctearthmc
+          |FROM cmp GROUP BY mukey)""".stripMargin,
+        s"aws AS (SELECT mukey, ${awsCols.mkString(", ")} FROM hzv GROUP BY mukey)",
+        """rz AS (SELECT cokey,
+          |  coalesce(min(CASE WHEN rating >= 8 AND hzdept < 150 THEN hzdept END), 150.0) AS rzdepth
+          |FROM hzv GROUP BY cokey)""".stripMargin,
+        """fm AS (SELECT cokey,
+          |  coalesce(min(CASE WHEN NOT (crating = 'A') THEN hzdept END), 999.0) AS fmdept
+          |FROM hzv GROUP BY cokey)""".stripMargin,
+        """pcz AS (SELECT h.mukey, h.cokey, h.comppct,
+          |  sum(CASE WHEN h.rating IS NOT NULL
+          |        THEN greatest(0.0, least(h.hzdepb, r.rzdepth) - greatest(h.hzdept, f.fmdept)) * h.rating
+          |      END) AS awsum
+          |FROM hzv h JOIN rz r ON h.cokey = r.cokey JOIN fm f ON h.cokey = f.cokey
+          |GROUP BY h.mukey, h.cokey, h.comppct)""".stripMargin,
+        """rzaws AS (SELECT mukey,
+          |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) AS rootznaws,
+          |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) <= 152 AS droughty
+          |FROM pcz GROUP BY mukey)""".stripMargin,
+        s"soc AS (SELECT mukey, ${socCols.mkString(", ")} FROM hzv GROUP BY mukey)",
+        """den AS (SELECT mukey, sum(comppct) AS sumpct
+          |FROM (SELECT DISTINCT mukey, cokey, comppct FROM hzv) c GROUP BY mukey)""".stripMargin,
+        """num AS (SELECT mukey,
+          |  sum(CASE WHEN crating = 'A' THEN rating*1000*comppct END) AS na,
+          |  sum(CASE WHEN crating = 'N' THEN rating*1000*comppct END) AS nn,
+          |  sum(CASE WHEN crating = 'R' THEN rating*1000*comppct END) AS nr
+          |FROM hzv GROUP BY mukey)""".stripMargin,
+        """nccpi AS (SELECT n.mukey,
+          |  round(na/d.sumpct/10000.0, 6) AS nccpi_a,
+          |  round(nn/d.sumpct/10000.0, 6) AS nccpi_n,
+          |  round(nr/d.sumpct/10000.0, 6) AS nccpi_r
+          |FROM num n JOIN den d ON n.mukey = d.mukey)""".stripMargin,
+        """pwsl AS (SELECT mukey,
+          |  CASE WHEN coalesce(sum(CASE WHEN crating = 'N' THEN comppct END), 0.0) >= 80
+          |       THEN 999.0
+          |       ELSE coalesce(sum(CASE WHEN comppct >= 40 THEN comppct END), 0.0)
+          |  END AS pwsl1pomu
+          |FROM cmp GROUP BY mukey)""".stripMargin))
+    }))
+}

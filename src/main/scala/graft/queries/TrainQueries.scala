@@ -103,7 +103,7 @@ object TrainQueries extends QuerySet {
     // d04 is the oracle-checked path.
     Q("d02_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", k = 16, bands = 4, shingleN = 3, threshold = 0.5),
+        "doc_id", "text", k = 32, bands = 4, shingleN = 3, threshold = 0.5),
       None),
 
     // D3 — SimHash near-dup pairs (64-bit majority-vote hash, 16-bit

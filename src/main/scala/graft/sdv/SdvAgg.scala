@@ -69,32 +69,40 @@ object SdvAgg {
   // (:5768-5787), else the rating with max summed pct (ties by rating
   // order). Output pct is normalized: 100 * classPct / totalPct.
   // A4 — AggregateCo_DCD_Domain (:7339-7750) = same with domain ordinal.
+  // Physical shape: TWO hash aggregations, no joins. Pass 1 groups by
+  // (mukey, rating) keeping the class pct-sum plus the class's best
+  // component (max comppct, then max cokey — its per-class
+  // representative). Pass 2 groups by mukey and picks, in one agg, the
+  // dominant *condition* (max sumpct), the dominant *component* (argmax
+  // over class representatives — equivalent to the component-level
+  // argmax because ratingOrd is constant within a class), and the
+  // total. The naive form (separate DCP + 3 joins) shuffles the fact
+  // table four times; this shuffles it once plus the tiny byRating set.
   def dominantCondition(
       df: DataFrame,
       tieLow: Boolean = true,
       trumpPct: Option[Double] = Some(50.0),
       scale: Int = 4): DataFrame = {
-    val byRating = df.groupBy(m, col("rating"))
-      .agg(sum(col("comppct")).as("sumpct"), max(col("ratingOrd")).as("ratingOrd"))
-    val tot = byRating.groupBy(m).agg(sum(col("sumpct")).as("totalpct"))
-    val cond = Ranked.argmax(byRating, Seq("mukey"),
-      Seq(col("sumpct"), tieCol(tieLow)),
-      Seq("condrating" -> col("rating")))
-    val winner = trumpPct match {
-      case Some(t) =>
-        val dcp = dominantComponent(df, tieLow)
-          .select(m, col("rating").as("dcprating"), col("comppct").as("dcppct"))
-        cond.join(dcp, "mukey").select(m,
-          when(col("dcppct") >= t, col("dcprating"))
-            .otherwise(col("condrating")).as("wrating"))
-      case None => cond.select(m, col("condrating").as("wrating"))
+    val byRating = df.groupBy(m, col("rating")).agg(
+      sum(col("comppct")).as("sumpct"),
+      max(col("ratingOrd")).as("ratingOrd"),
+      max(struct(col("comppct").as("pct"), col("cokey").as("cokey"))).as("best"))
+    val tie = tieCol(tieLow)
+    val condTot = byRating.groupBy(m).agg(
+      max_by(struct(col("rating").as("r"), col("sumpct").as("sp")),
+        struct(col("sumpct"), tie)).as("cond"),
+      max_by(struct(col("rating").as("r"), col("sumpct").as("sp"), col("best.pct").as("pct")),
+        struct(col("best.pct"), tie, col("best.cokey"))).as("dcp"),
+      sum(col("sumpct")).as("totalpct"))
+    val win = trumpPct match {
+      case Some(t) => when(col("dcp.pct") >= t,
+          struct(col("dcp.r").as("r"), col("dcp.sp").as("sp")))
+        .otherwise(struct(col("cond.r").as("r"), col("cond.sp").as("sp")))
+      case None => struct(col("cond.r").as("r"), col("cond.sp").as("sp"))
     }
-    winner
-      .join(byRating.select(m, col("rating").as("wrating"), col("sumpct")),
-        Seq("mukey", "wrating"))
-      .join(tot, "mukey")
-      .select(m, col("wrating").as("rating"),
-        round(lit(100) * col("sumpct") / col("totalpct"), scale).as("comppct"))
+    condTot.select(m, win.as("win"), col("totalpct"))
+      .select(m, col("win.r").as("rating"),
+        round(lit(100) * col("win.sp") / col("totalpct"), scale).as("comppct"))
   }
 
   // ---------------------------------------------------------------------

@@ -58,6 +58,14 @@ class SdvPlanner(
     val algorithm = req.aggMethod.getOrElse(att.algorithmname)
     val tieLow = req.tieLow.getOrElse(att.tiebreakrule == -1)
 
+    // F10 — RV low/high column swap: _r → _l/_h when the user asks for
+    // the Low or High estimate (gSSURGO_CreateSoilMap.py:3776-3785).
+    val attColName = req.rv match {
+      case Some(s) if att.attributecolumnname.endsWith("_r") =>
+        att.attributecolumnname.dropRight(1) + s
+      case _ => att.attributecolumnname
+    }
+
     // --- stage 2: join tree -------------------------------------------
     val isMapunitLevel = att.mapunitlevelattribflag == 1 ||
       att.attributetablename == "mapunit" || att.attributetablename == "muaggatt"
@@ -66,7 +74,7 @@ class SdvPlanner(
       val src =
         if (att.attributetablename == "mapunit") tables("mapunit")
         else tables("mapunit").join(tables(att.attributetablename), Seq("mukey"), "left")
-      val base = src.select(col("mukey"), col(att.attributecolumnname).as("rating"))
+      val base = src.select(col("mukey"), col(attColName).as("rating"))
       return SdvAgg.noAggregation(base)
         .withColumnRenamed("rating", att.resultcolumnname)
     }
@@ -111,7 +119,7 @@ class SdvPlanner(
     // --- stage 3: standardize to the rating-table shape ---------------
     val isChoice = att.attributelogicaldatatype == "Choice" ||
       att.attributelogicaldatatype == "String"
-    val ratingRaw = col(att.attributecolumnname)
+    val ratingRaw = col(attColName)
 
     // suitability interps rank their domain reversed (:9942-9944)
     val domain0 = att.tiebreakdomainname.flatMap(domains.get).getOrElse(Seq.empty)
@@ -195,7 +203,8 @@ object SdvPlanner {
       begMonth: Option[Int] = None, endMonth: Option[Int] = None,
       tieLow: Option[Boolean] = None,
       cutOff: Int = 0,
-      bZero: Boolean = false)
+      bZero: Boolean = false,
+      rv: Option[String] = None) // Some("l")/Some("h") → F10 column swap
 
   /** Default FK catalog (parent, child, key) — the subset of
     * mdstatrshipdet the analytic surface walks

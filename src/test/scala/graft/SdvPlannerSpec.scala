@@ -102,6 +102,19 @@ class SdvPlannerSpec extends AnyFunSuite {
     assert(got === Seq(Seq("100001", "Somewhat limited", 60.0)))
   }
 
+  test("F10: rv=low swaps the _r column for _l (:3776-3785)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val hzWithL = chorizon.withColumn("awc_l", col("awc_r") - lit(0.05))
+    val p = new SdvPlanner(tables + ("chorizon" -> hzWithL))
+    val att = SdvAttribute("AWS", "chorizon", "awc_r", "aws0100",
+      "Float", "Weighted Average", horzlevelattribflag = 1,
+      horzaggmeth = Some("Weighted Sum"))
+    val got = rowsOf(p.plan(att, SdvRequest(top = 0, bot = 100, rv = Some("l"))))
+    // c1: 25*.05+75*.15 = 12.5; c2: 50*.10 = 5
+    // mukey: (60*12.5 + 40*5)/100 = 9.5
+    assert(got.head.take(2) === Seq("100001", 9.5))
+  }
+
   test("cutOff pushes the comppct filter (F2)") {
     val att = SdvAttribute("Dwellings", "cointerp", "interphr", "rating",
       "Float", "Weighted Average", nasisrulename = Some("ENG - Dwellings"),

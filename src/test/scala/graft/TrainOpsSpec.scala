@@ -62,7 +62,7 @@ class TrainOpsSpec extends AnyFunSuite {
 
   test("minhash LSH recalls exact duplicates with jaccard 1.0") {
     val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      k = 16, bands = 4, shingleN = 3, threshold = 0.9)
+      k = 32, bands = 4, shingleN = 3, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got.contains((1L, 4L, 1.0)))
   }
