@@ -1,0 +1,29 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The parquet-lake shape for SSURGO at scale (SURVEY §1.5/§3 entry
+  * point 3): landed per-survey text → one parquet table partitioned by
+  * areasymbol. Partitioning by survey area is the unit of incremental
+  * ingest (WSS drops arrive per-SSA) and gives partition pruning for
+  * the area-scoped queries the reference runs per-survey. */
+object Lake {
+
+  def write(df: DataFrame, root: String, table: String,
+      partitionBy: Seq[String] = Seq("areasymbol")): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionBy: _*)
+      .parquet(s"$root/$table")
+
+  def read(spark: SparkSession, root: String, table: String): DataFrame =
+    spark.read.parquet(s"$root/$table")
+
+  /** Append one survey area's rows (idempotent per areasymbol via
+    * dynamic partition overwrite — re-landing a survey replaces only its
+    * partition, the MergeDatabases append semantic at lake scale). */
+  def appendSurvey(df: DataFrame, root: String, table: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("areasymbol")
+      .parquet(s"$root/$table")
+}

@@ -18,6 +18,16 @@ object ExtraQueries extends QuerySet {
 
   val all: Seq[Q] = Seq(
 
+    // T6 — BPE-ish subword pre-tokenization count (training-data
+    // mandate: "token counting (whitespace + a BPE-ish regex)").
+    Q("t06_bpe_token_count",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe")),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+             |FROM documents""".stripMargin)),
+
     // J7/J9 — four-level null-padded join chain (CreateRatingTable4S
     // :4560-4630 / CreateSoilMoistureTable :4632-4718): mapunit ⟕
     // component ⟕ month-carrier ⟕ leaf table.

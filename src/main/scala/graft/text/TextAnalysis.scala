@@ -60,4 +60,12 @@ object TextAnalysis {
     * set — robust to token order / duplication. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** BPE-ish subword segmentation count: alphabetic runs, digit runs,
+    * and single punctuation marks each count as one token (the
+    * pre-tokenization regex most BPE tokenizers apply). */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
 }

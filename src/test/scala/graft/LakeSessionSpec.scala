@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Lake, WssLayout}
+import graft.streaming.Sessionize
+
+/** Lake layout (partition pruning + per-survey overwrite) and
+  * sessionization tests. */
+class LakeSessionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val schema = StructType(Seq(
+    StructField("mukey", StringType), StructField("v", IntegerType),
+    StructField("areasymbol", StringType)))
+
+  test("lake: partitioned write prunes partitions on areasymbol filter") {
+    val root = Files.createTempDirectory("graft_lake").toString
+    val d = df(schema, Seq(Row("m1", 1, "NE109"), Row("m2", 2, "IA021"),
+      Row("m3", 3, "NE109")))
+    Lake.write(d, root, "mapunit")
+    val back = Lake.read(spark, root, "mapunit").filter(col("areasymbol") === "NE109")
+    assert(back.count() === 2)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("areasymbol"),
+      s"partition filter missing in:\n$plan")
+  }
+
+  test("lake: appendSurvey replaces only the re-landed survey partition") {
+    val root = Files.createTempDirectory("graft_lake2").toString
+    Lake.write(df(schema, Seq(Row("m1", 1, "NE109"), Row("m2", 2, "IA021"))),
+      root, "mapunit")
+    // re-land IA021 with a new row; NE109 must survive
+    Lake.appendSurvey(df(schema, Seq(Row("m2", 99, "IA021"))), root, "mapunit")
+    val got = rowsOf(Lake.read(spark, root, "mapunit").select("mukey", "v"))
+    assert(got === Seq(Seq("m1", 1), Seq("m2", 99)))
+  }
+
+  test("wss layout parses landed zip names") {
+    assert(WssLayout.parseZipName("wss_SSA_NE109_[2024-01-15].zip")
+      === Some(("NE109", "2024-01-15")))
+    assert(WssLayout.parseZipName("junk.zip") === None)
+    assert(WssLayout.tabularPath("/lake", "NE109", "comp")
+      === "/lake/soil_ne109/tabular/comp.txt")
+  }
+
+  test("sessionize fold: gap splits sessions, counts correct") {
+    val min = 60 * 1000L
+    val ts = Seq(0L, 5 * min, 10 * min, 60 * min, 65 * min)
+    val got = Sessionize.fold(7L, ts)
+    assert(got === Seq(
+      Sessionize.Session(7L, 0L, 10 * min, 3, closed = true),
+      Sessionize.Session(7L, 60 * min, 65 * min, 2, closed = true)))
+  }
+
+  test("sessionize batch: per-user gap-bounded sessions on real events") {
+    val ev = Sessionize.fromEvents(spark, Tables.events(spark, "/root/testdata/sf0.001"))
+    val sessions = Sessionize.sessionizeBatch(ev).collect()
+    assert(sessions.nonEmpty)
+    // invariants: sessions ordered and disjoint per user with gap > 30min
+    sessions.groupBy(_.user_id).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.start_ms)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.start_ms - a.end_ms > Sessionize.gapMs)
+        case _ => ()
+      }
+      sorted.foreach(s => assert(s.end_ms >= s.start_ms && s.n_events > 0))
+    }
+  }
+}
