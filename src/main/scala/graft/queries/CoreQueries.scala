@@ -42,8 +42,10 @@ object CoreQueries extends QuerySet {
     // F4 — horizon depth-slice overlap predicate + thickness
     // (gSSURGO_CreateSoilMap.py:10013-10022, 8398). Slice [0,100).
     Q("f04_depth_overlap",
+      // written as overlap>0 so graft.plans.DepthOverlapRule rewrites it
+      // into the pushable range conjunction (see PlansSpec)
       (s, dir) => Analog.hz(s, dir)
-        .filter(Exprs.overlaps(col("hzdept"), col("hzdepb"), lit(0), lit(100)))
+        .filter(Exprs.depthOverlap(col("hzdept"), col("hzdepb"), 0, 100) > 0)
         .select(col("mukey"), col("cokey"), col("hzdept"), col("hzdepb"),
           Exprs.depthOverlap(col("hzdept"), col("hzdepb"), 0, 100).as("hz_t")),
       Some(withCtes(

@@ -47,6 +47,32 @@ object ValidateQueries extends QuerySet {
           |       (SELECT count(DISTINCT mukey) FROM comp) = (SELECT count(*) FROM orders) AS ok""".stripMargin,
         compCte))),
 
+    // Stateful sessionization — batch twin of
+    // graft.streaming.Sessionize.sessionizeStream
+    // (flatMapGroupsWithState); 30-min gap sessions per user. The
+    // oracle expresses the same fold as lag + cumulative session ids.
+    Q("st02_sessionize",
+      (s, dir) => {
+        import graft.streaming.Sessionize
+        Sessionize.sessionizeBatch(
+          Sessionize.fromEvents(s, Tables.events(s, dir)))
+          .toDF().select(col("user_id"), col("start_ms"), col("end_ms"),
+            col("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+             |x AS (SELECT user_id, ts_ms,
+             |        CASE WHEN lag(ts_ms) OVER w IS NULL
+             |               OR ts_ms - lag(ts_ms) OVER w > 1800000
+             |             THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+             |y AS (SELECT user_id, ts_ms,
+             |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+             |          ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM x)
+             |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+             |       count(*) AS n_events
+             |FROM y GROUP BY user_id, sid""".stripMargin)),
+
     // Streaming ingestion rollup — batch twin of
     // graft.streaming.Ingest.streamHourlyRollup (same shared transform;
     // the watermarked streaming wrapper is exercised in the test suite).

@@ -80,7 +80,7 @@ object Sessionize {
   def fromEvents(spark: SparkSession, eventsDf: org.apache.spark.sql.DataFrame): Dataset[Event] = {
     import spark.implicits._
     eventsDf.select(col("user_id"),
-      (unix_micros(col("ts")) / 1000).cast("long").as("ts_ms"),
+      expr("unix_micros(ts) div 1000").as("ts_ms"),
       col("event_type")).as[Event]
   }
 }
