@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.{Lake, PipeCsv, WssLayout}
+import graft.schema.{SdvAttribute, SsurgoSchema}
+import graft.sdv.SdvPlanner
+import graft.sdv.SdvPlanner.SdvRequest
+
+/** The user-facing facade — the reference suite's workflows as a
+  * library (SURVEY §3 entry points):
+  *
+  *  1. acquisition/ingest: landed WSS text → schema'd DataFrames →
+  *     partitioned lake (SSURGO_Convert_to_Geodatabase /
+  *     MergeDatabases);
+  *  2. CreateSoilMap: sdvattribute catalog row + runtime params →
+  *     rating table (gSSURGO_CreateSoilMap);
+  *  3. batch soil maps merged wide
+  *     (gSSURGO_CreateSoilMaps + gSSURGO_MergeRatingTables).
+  */
+object Graft {
+
+  /** Read one survey area's tabular drop through the schema registry
+    * (explicit StructTypes — keys stay TEXT). Tables absent from the
+    * drop are skipped (partial drops are normal: not every survey ships
+    * every satellite table). */
+  def loadSurvey(spark: SparkSession, root: String, areasymbol: String): Map[String, DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    SsurgoSchema.all.flatMap { case (table, schema) =>
+      val path = new org.apache.hadoop.fs.Path(
+        WssLayout.tabularPath(root, areasymbol, table))
+      if (path.getFileSystem(conf).exists(path))
+        Some(table -> PipeCsv.read(spark, path.toString, schema))
+      else None
+    }
+  }
+
+  /** Union per-survey tables and land them in the areasymbol-partitioned
+    * lake (the gSSURGO bulk build). */
+  def landSurveys(surveys: Seq[Map[String, DataFrame]], lakeRoot: String): Unit =
+    surveys.flatten.groupBy(_._1).foreach { case (table, dfs) =>
+      Lake.write(dfs.map(_._2).reduce(_.unionByName(_)), lakeRoot, table,
+        partitionBy = Seq.empty)
+    }
+
+  /** One SDV soil-map query (CreateSoilMap). */
+  def soilMap(tables: Map[String, DataFrame],
+      domains: Map[String, Seq[String]] = Map.empty)(
+      att: SdvAttribute, req: SdvRequest = SdvRequest()): DataFrame =
+    new SdvPlanner(tables, domains).plan(att, req)
+
+  /** Batch soil maps merged wide on the mapunit universe
+    * (CreateSoilMaps loop + MergeRatingTables fold — each rating table
+    * contributes its resultcolumnname column). */
+  def soilMaps(tables: Map[String, DataFrame],
+      domains: Map[String, Seq[String]] = Map.empty)(
+      queries: Seq[(SdvAttribute, SdvRequest)]): DataFrame = {
+    val planner = new SdvPlanner(tables, domains)
+    val base = tables("mapunit").select(org.apache.spark.sql.functions.col("mukey"))
+    queries.foldLeft(base) { case (acc, (att, req)) =>
+      val rating = planner.plan(att, req)
+        .select("mukey", att.resultcolumnname)
+      acc.join(rating, Seq("mukey"), "left")
+    }
+  }
+}
