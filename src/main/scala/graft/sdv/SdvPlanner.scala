@@ -131,8 +131,11 @@ class SdvPlanner(
         case Some(v) if !isChoice => coalesce(ratingRaw, lit(v))
         case _ => ratingRaw
       }
+    // rating↔domain comparison is case-insensitive in the reference
+    // (dValues keyed by upper(); SURVEY §7 risk register)
     val ratingOrd: Column =
-      if (isChoice && domain.nonEmpty) Exprs.domainRank(rating, domain)
+      if (isChoice && domain.nonEmpty)
+        Exprs.domainRank(upper(rating), domain.map(_.toUpperCase))
       else if (isChoice) lit(0.0)
       else rating.cast("double")
 
