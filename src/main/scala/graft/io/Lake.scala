@@ -26,4 +26,17 @@ object Lake {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("areasymbol")
       .parquet(s"$root/$table")
+
+  /** Bucketed catalog table: co-locates the SSURGO join keys so the
+    * repeated mapunit⟕component⟕chorizon joins run with NO shuffle at
+    * all (both sides pre-hashed into the same bucket layout). This is
+    * the 100 TB answer to the reference re-joining the same hierarchy
+    * for every soil-map query. Requires the session catalog (bucketing
+    * metadata lives in the metastore). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -102,6 +102,17 @@ object Valu {
     cr.filter(col("reskind").isin(kinds: _*))
       .groupBy(col("cokey")).agg(min(col("resdept")).as("resdept"))
 
+  /** V6+V7 combined — the effective root-zone depth is the least of the
+    * horizon-rule depth (rzDepth) and the tabulated corestriction depth
+    * (the reference checks both within CalcRZDepth, :964-1060). */
+  def rzDepthWithRestrictions(hz: DataFrame, restricted: Column,
+      coRes: DataFrame, maxD: Int = 150): DataFrame =
+    rzDepth(hz, restricted, maxD)
+      .join(coRes, Seq("cokey"), "left")
+      .select(col("mukey"), col("cokey"), col("comppct"),
+        least(col("rzdepth"),
+          coalesce(col("resdept"), lit(maxD.toDouble))).as("rzdepth"))
+
   // -------------------------------------------------------------------
   // V8 — CalcRZAWS (gSSURGO_ValuTable.py:1150-1479): root-zone AWS.
   // Surface organic horizons are skipped until the first mineral horizon

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Salt
+import graft.io.Lake
+import graft.valu.Valu
+
+/** Scale-technique tests: salted joins preserve semantics; bucketed
+  * tables join without a shuffle; combined V6+V7 restriction depth. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("salted join == plain join (skew spread preserved semantics)") {
+    val factS = StructType(Seq(StructField("mukey", StringType),
+      StructField("cokey", LongType), StructField("v", DoubleType)))
+    // skew: one hot mukey carries most rows
+    val fact = df(factS, (1 to 500).map(i =>
+      Row(if (i <= 450) "HOT" else s"m$i", i.toLong, i.toDouble)))
+    val dimS = StructType(Seq(StructField("mukey", StringType),
+      StructField("name", StringType)))
+    val dim = df(dimS, Seq(Row("HOT", "hot"), Row("m460", "cold")))
+    val plain = fact.join(dim, Seq("mukey")).select("mukey", "cokey", "name")
+    val salted = Salt.saltedJoin(fact, dim, "mukey", 8, col("cokey"))
+      .select("mukey", "cokey", "name")
+    assert(rowsOf(salted) === rowsOf(plain))
+    assert(salted.count() === 451)
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    val s = StructType(Seq(StructField("mukey", LongType), StructField("v", IntegerType)))
+    val a = df(s, (1L to 200L).map(i => Row(i, i.toInt)))
+    val b = df(s, (1L to 200L).map(i => Row(i, -i.toInt)))
+    spark.sql("DROP TABLE IF EXISTS bt_a"); spark.sql("DROP TABLE IF EXISTS bt_b")
+    // a crashed prior run can leave the managed location behind
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("bt_a", "bt_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    Lake.writeBucketed(a, "bt_a", "mukey", 4)
+    Lake.writeBucketed(b, "bt_b", "mukey", 4)
+    // force a non-broadcast join so the bucket layout is what saves the
+    // shuffle (at real scale neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bt_a").join(spark.table("bt_b"), Seq("mukey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(joined.count() === 200)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("V6+V7: corestriction depth caps the horizon-rule root zone") {
+    val hzS = StructType(Seq(StructField("mukey", StringType),
+      StructField("cokey", StringType), StructField("comppct", DoubleType),
+      StructField("hzdept", DoubleType), StructField("hzdepb", DoubleType),
+      StructField("rating", DoubleType)))
+    val hz = df(hzS, Seq(
+      Row("m1", "c1", 100.0, 0.0, 200.0, 1.0), // no horizon restriction
+      Row("m1", "c2", 100.0, 0.0, 60.0, 1.0),
+      Row("m1", "c2", 100.0, 60.0, 200.0, 9.0))) // horizon restriction at 60
+    val crS = StructType(Seq(StructField("cokey", StringType),
+      StructField("resdept", DoubleType)))
+    val cr = df(crS, Seq(Row("c1", 80.0))) // bedrock at 80 for c1
+    val got = rowsOf(Valu.rzDepthWithRestrictions(hz, col("rating") >= 8, cr)
+      .select("cokey", "rzdepth"))
+    assert(got === Seq(Seq("c1", 80.0), Seq("c2", 60.0)))
+  }
+}
