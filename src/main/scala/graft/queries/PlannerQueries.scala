@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.Tables
+import graft.analog.Analog.withCtes
+import graft.schema.SdvAttribute
+import graft.sdv.SdvAgg
+import graft.sdv.SdvPlanner.SdvRequest
+
+/** The metadata-driven planner driven end-to-end through the driver
+  * gate: SSURGO-shaped tables (string keys!) are derived from the
+  * analog data, a catalog row goes in, a rating table comes out, and
+  * DuckDB mirrors the whole computation. Also R2-raster acreage. */
+object PlannerQueries extends QuerySet {
+
+  /** SSURGO-shaped mapunit/component/chorizon derived from TPC-H analog
+    * (keys become strings, like real SSURGO). */
+  private def ssurgoTables(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val o = Tables.load(s, dir, "orders")
+    val l = Tables.load(s, dir, "lineitem")
+    val mapunit = o.select(col("o_orderkey").cast("string").as("mukey"),
+      lit("M").as("musym"), lit("Mu name").as("muname"), lit("L1").as("lkey"))
+    val component = l.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("cokey"),
+      col("l_orderkey").cast("string").as("mukey"),
+      col("l_quantity").cast("int").as("comppct_r"),
+      lit("Alpha").as("compname"),
+      round(col("l_extendedprice") * 100, 0).as("price_cents"),
+      col("l_returnflag").as("flag"))
+    val chorizon = l.select(
+      (col("l_orderkey") * 100 + col("l_linenumber")).cast("string").as("chkey"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("cokey_unused"),
+      col("l_orderkey").cast("string").as("mukey_unused"))
+    Map("mapunit" -> mapunit, "component" -> component, "chorizon" -> chorizon)
+  }
+
+  private val ssurgoCte =
+    """sco AS (
+      |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
+      |         CAST(l_orderkey AS VARCHAR) AS mukey,
+      |         CAST(l_quantity AS INT) AS comppct_r,
+      |         round(l_extendedprice*100) AS price_cents,
+      |         l_returnflag AS flag
+      |  FROM lineitem)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Planner end-to-end: catalog row → component-level DCP with string
+    // keys, comppct cutoff, and the COKEY DESC (string-order) tiebreak.
+    Q("p01_planner_dcp",
+      (s, dir) => Graft.soilMap(ssurgoTables(s, dir))(
+        SdvAttribute("Price", "component", "price_cents", "rating",
+          "Float", "Dominant Component", complevelattribflag = 1),
+        SdvRequest(cutOff = 5)),
+      Some(withCtes(
+        """SELECT mukey, rating, comppct FROM (
+          |  SELECT mukey, price_cents AS rating, CAST(comppct_r AS DOUBLE) AS comppct,
+          |         row_number() OVER (PARTITION BY mukey
+          |           ORDER BY comppct_r DESC, price_cents ASC, cokey DESC) AS rn
+          |  FROM sco WHERE comppct_r >= 5) t WHERE rn = 1""".stripMargin, ssurgoCte))),
+
+    // Planner end-to-end: Choice rating ranked by a NON-alphabetical
+    // domain (R < A < N), Dominant Condition with the 50% trump.
+    Q("p02_planner_dcd_domain",
+      (s, dir) => Graft.soilMap(ssurgoTables(s, dir),
+        domains = Map("flags" -> Seq("R", "A", "N")))(
+        SdvAttribute("Flag", "component", "flag", "rating",
+          "Choice", "Dominant Condition", complevelattribflag = 1,
+          tiebreakdomainname = Some("flags"))),
+      Some(withCtes(
+        graft.analog.OracleSql.dcd("scord"), ssurgoCte,
+        """scord AS (SELECT mukey, cokey, CAST(comppct_r AS DOUBLE) AS comppct,
+          |                 flag AS rating,
+          |                 CASE flag WHEN 'R' THEN 1.0 WHEN 'A' THEN 2.0
+          |                           WHEN 'N' THEN 3.0 ELSE 4.0 END AS ord
+          |          FROM sco WHERE comppct_r >= 0)""".stripMargin,
+        graft.analog.OracleSql.dcdBr("scord")))),
+
+    // R2 raster-path acreage: cell counts × cell acres per rating class
+    // (gSSURGO_AcreageReport.py:186-243, raster branch).
+    Q("r03_raster_acreage",
+      (s, dir) => {
+        val cells = graft.analog.Analog.comp(s, dir)
+          .select(col("cokey").as("cellvalue"), col("mukey"))
+        val rating = SdvAgg.dominantComponent(graft.analog.Analog.compChoice(s, dir))
+          .select(col("mukey"), col("rating"))
+        cells.join(rating, Seq("mukey"))
+          .groupBy(col("rating"))
+          .agg(round(count(lit(1)) * 0.222, 2).as("acres"),
+            count(lit(1)).as("n_cells"))
+      },
+      Some(withCtes(
+        s"""SELECT d.rating, round(count(*) * 0.222, 2) AS acres,
+           |       count(*) AS n_cells
+           |FROM comp c JOIN dcp d ON c.mukey = d.mukey
+           |GROUP BY d.rating""".stripMargin,
+        graft.analog.Analog.compCte,
+        "compc AS (SELECT mukey, cokey, comppct, crating AS rating, cord AS ord FROM comp)",
+        s"dcp AS (${graft.analog.OracleSql.dcp("compc")})"))))
+}
