@@ -22,6 +22,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // multi-query batch session → reuse cached base tables, exactly the
+    // reference's CreateSoilMaps loop pattern (SURVEY §3)
+    Tables.enableCache()
 
     def runNoop(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

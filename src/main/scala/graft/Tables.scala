@@ -9,8 +9,23 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** With SPARK_GRAFT_CACHE=1, base tables are cached once per session —
+    * the multi-query batch-session pattern the reference itself uses
+    * (gSSURGO_CreateSoilMaps loops CreateSoilMap over one database;
+    * SURVEY §3 "cache candidate"). Off by default: single-query runs and
+    * correctness dumps should measure the cold path. */
+  @volatile private var cacheTables: Boolean =
+    sys.env.get("SPARK_GRAFT_CACHE").contains("1")
+  private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Turn on base-table caching for a multi-query session (Bench). */
+  def enableCache(): Unit = cacheTables = true
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (cacheTables)
+      cached.getOrElseUpdate((dir, name),
+        spark.read.parquet(s"$dir/$name.parquet").cache())
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet stores ts as TIMESTAMP(NANOS); with
     * spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
