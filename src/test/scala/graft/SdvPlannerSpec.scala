@@ -102,6 +102,24 @@ class SdvPlannerSpec extends AnyFunSuite {
     assert(got === Seq(Seq("100001", "Somewhat limited", 60.0)))
   }
 
+  test("horizon-level Minimum or Maximum: per-component slice mean, max across (A21)") {
+    val att = SdvAttribute("AWC max", "chorizon", "awc_r", "awcmax",
+      "Float", "Minimum or Maximum", horzlevelattribflag = 1,
+      tiebreakrule = 1) // high → max
+    val got = rowsOf(planner.plan(att, SdvRequest(top = 0, bot = 100)))
+    // c1 mean: (25*.10+75*.20)/100 = 0.175; c2 mean: (50*.15)/50 = 0.15
+    assert(got === Seq(Seq("100001", 0.175)))
+  }
+
+  test("Percent Present: whereclause-matching pct, zeros for the rest (A9)") {
+    val att = SdvAttribute("Hydric", "component", "comppct_r", "hydric_pct",
+      "Integer", "Percent Present", complevelattribflag = 1,
+      sqlwhereclause = Some("hydricrating = 'Yes'"))
+    val got = rowsOf(planner.plan(att))
+    // only c2 (40%) is hydric in mukey 100001; 100002 has none
+    assert(got === Seq(Seq("100001", 40.0), Seq("100002", 0.0)))
+  }
+
   test("F10: rv=low swaps the _r column for _l (:3776-3785)") {
     import org.apache.spark.sql.functions.{col, lit}
     val hzWithL = chorizon.withColumn("awc_l", col("awc_r") - lit(0.05))
