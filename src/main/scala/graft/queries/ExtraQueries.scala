@@ -28,6 +28,26 @@ object ExtraQueries extends QuerySet {
              |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
              |FROM documents""".stripMargin)),
 
+    // §5.1 count-reconciliation statistics (SSURGO_CheckgSSURGO
+    // GetSDMCount/GetGDBCount shape): exact distinct counts + median
+    // per group — the per-table tallies the reference validates against
+    // SDA, plus the summary stats a training pipeline reports.
+    Q("q2_group_stats",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"),
+          median(col("l_quantity")).as("med_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty")),
+      Some("""SELECT l_returnflag,
+             |       count(DISTINCT l_orderkey) AS n_orders,
+             |       count(*) AS n_rows,
+             |       median(l_quantity) AS med_qty,
+             |       min(l_quantity) AS min_qty,
+             |       max(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // J7/J9 — four-level null-padded join chain (CreateRatingTable4S
     // :4560-4630 / CreateSoilMoistureTable :4632-4718): mapunit ⟕
     // component ⟕ month-carrier ⟕ leaf table.
