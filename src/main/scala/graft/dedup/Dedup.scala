@@ -171,6 +171,35 @@ object Dedup {
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
   }
 
+  /** Duplicate-cluster assignment: connected components over near-dup
+    * pairs via iterative min-label propagation — the standard
+    * large-graph CC shape (one shuffle join per round, converges in
+    * O(component diameter) rounds; near-dup components are tiny, so a
+    * handful of rounds suffices even at corpus scale). Lineage is
+    * truncated per round with localCheckpoint so the plan stays flat.
+    * Returns (id, cluster) with cluster = min id in the component. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val prop = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") < col("o.cluster")).limit(1).count() > 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs over a bounded id slice (the
     * all-pairs verification shape; LSH/IVF blocking is the scale path —
     * see graft.ann.Ann). */

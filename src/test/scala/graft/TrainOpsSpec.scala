@@ -74,6 +74,15 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got.get((1L, 2L)).forall(_ <= 16))
   }
 
+  test("dup clusters: min-label propagation finds connected components") {
+    val pS = StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))
+    // chain 1-2-3 plus pair 8-9: clusters {1,2,3}→1, {8,9}→8
+    val pairs = df(pS, Seq(Row(1L, 2L), Row(2L, 3L), Row(8L, 9L)))
+    val got = rowsOf(Dedup.dupClusters(pairs))
+    assert(got === Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L),
+      Seq(8L, 8L), Seq(9L, 8L)))
+  }
+
   test("validate: horizon gaps and comppct bounds") {
     val hzS = StructType(Seq(StructField("cokey", StringType),
       StructField("hzdept", IntegerType), StructField("hzdepb", IntegerType)))
