@@ -169,6 +169,51 @@ object TrainQueries extends QuerySet {
               |      FROM eq, ec WHERE id_a < id_b)
               |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""".stripMargin)),
 
+    // D7 — the full curation pipeline: quality gate + language
+    // agreement + dedup-cluster survivor selection, composed from the
+    // individually-verified operators (graft.pipeline.Curation).
+    Q("d07_curation_pipeline",
+      (s, dir) => graft.pipeline.Curation.curate(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)),
+      Some {
+        val scoreCols = TextAnalysis.langs.map(l => s"${hitsSql(l)} AS s_$l").mkString(", ")
+        val langCase = TextAnalysis.langs
+          .map(l => s"WHEN mx > 0 AND s_$l = mx THEN '$l'").mkString(" ")
+        s"""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS t
+           |  FROM documents WHERE doc_id < 1000),
+           |b AS (SELECT doc_id, lang, text,
+           |        CAST(len(t) AS DOUBLE) AS nw,
+           |        CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS np,
+           |        CAST(${hitsSql("en")} AS DOUBLE) AS stp,
+           |        $scoreCols
+           |      FROM toks),
+           |scored AS (SELECT doc_id, lang,
+           |    round((least(nw, 100.0)/100.0)
+           |          * (1.0 - np/CAST(greatest(length(text), 1) AS DOUBLE))
+           |          * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)), 4) AS quality,
+           |    CASE $langCase ELSE 'und' END AS lang_pred
+           |  FROM (SELECT *, greatest(${TextAnalysis.langs.map("s_" + _).mkString(", ")}) AS mx FROM b) m),
+           |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+           |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pairs AS (SELECT id_a, id_b
+           |          FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+           |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
+           |          UNION
+           |          SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+           |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+           |SELECT s.doc_id, s.lang, s.quality
+           |FROM scored s LEFT JOIN cc ON s.doc_id = cc.id
+           |WHERE s.quality >= 0.3 AND s.lang_pred = s.lang
+           |  AND (cc.cluster IS NULL OR cc.cluster = s.doc_id)""".stripMargin
+      }),
+
     // N1 — brute-force cosine top-k (exact ANN baseline).
     Q("n01_ann_bruteforce",
       (s, dir) => {
