@@ -78,8 +78,11 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val sh = shingleRows(docs, idCol, textCol, shingleN)
-    val lanes = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
-    val sig = sh.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
+    // hash the (long) shingle string once; the k permutation lanes
+    // re-hash the 8-byte digest, not the string — halves the hash cost
+    val hashed = sh.select(col("did"), col("s"), xxhash64(col("s")).as("h0"))
+    val lanes = (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"mh$i"))
+    val sig = hashed.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
     val banded = sig.select(col("did"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("bkey"))): _*))
