@@ -81,6 +81,29 @@ object SsurgoSchema {
     "mdstatrshipdet" -> mdstatrshipdet, "mdstatdomdet" -> mdstatdomdet)
 }
 
+/** Catalog-row fixups applied at load time (the planner consumes
+  * corrected rows; the quirks stay out of the planner itself). */
+object SdvCatalog {
+
+  /** R8 — floodBandaid (gSSURGO_CreateSoilMap.py:166-203): national
+    * sdvattribute data lost the month-level flag on the flooding /
+    * ponding frequency attributes; restore it so the month join path
+    * and month-range filters engage. */
+  def floodBandaid(att: SdvAttribute): SdvAttribute =
+    if (att.attributename.toLowerCase.contains("flooding frequency") ||
+      att.attributename.toLowerCase.contains("ponding frequency"))
+      att.copy(cmonthlevelattribflag = 1)
+    else att
+
+  /** GetSDVAtts normalization (gSSURGO_CreateSoilMap.py:3741-3764):
+    * case-normalize the free-text whereclause's identifiers (our expr()
+    * resolution is case-insensitive, so lowercasing is sufficient) and
+    * apply the bandaids. */
+  def normalize(att: SdvAttribute): SdvAttribute =
+    floodBandaid(att).copy(
+      sqlwhereclause = att.sqlwhereclause.map(_.trim).filter(_.nonEmpty))
+}
+
 /** One row of the sdvattribute catalog — the *query spec* driving the
   * SDV planner (GetSDVAtts, gSSURGO_CreateSoilMap.py:3689-3819;
   * FIXTURES.md lists the full physical column set). */
