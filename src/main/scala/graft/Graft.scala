@@ -43,11 +43,12 @@ object Graft {
         partitionBy = Seq.empty)
     }
 
-  /** One SDV soil-map query (CreateSoilMap). */
+  /** One SDV soil-map query (CreateSoilMap). Catalog fixups
+    * (floodBandaid etc.) apply at entry, as in GetSDVAtts. */
   def soilMap(tables: Map[String, DataFrame],
       domains: Map[String, Seq[String]] = Map.empty)(
       att: SdvAttribute, req: SdvRequest = SdvRequest()): DataFrame =
-    new SdvPlanner(tables, domains).plan(att, req)
+    new SdvPlanner(tables, domains).plan(graft.schema.SdvCatalog.normalize(att), req)
 
   /** Batch soil maps merged wide on the mapunit universe
     * (CreateSoilMaps loop + MergeRatingTables fold — each rating table

@@ -25,20 +25,21 @@ object OracleSql {
 
   /** Mirror of SdvAgg.dominantCondition (needs dcdBr(src) in the CTE
     * list): class with max summed pct wins unless the dominant
-    * component's pct >= 50 (the DCD trump, :5768-5787). */
+    * component's pct >= 50 (the DCD trump, :5768-5787) — in which case
+    * the reported pct is the dominant COMPONENT's pct (:5778-5780). */
   def dcd(src: String, tieLow: Boolean = true): String =
-    s"""SELECT w.mukey, w.rating, round(100*b.sumpct/t.totalpct, 4) AS comppct
+    s"""SELECT w.mukey, w.rating, round(100*w.wpct/t.totalpct, 4) AS comppct
        |FROM (SELECT c.mukey,
-       |             CASE WHEN d.dcppct >= 50 THEN d.dcprating ELSE c.rating END AS rating
-       |      FROM (SELECT mukey, rating FROM (
-       |              SELECT mukey, rating, row_number() OVER (PARTITION BY mukey
+       |             CASE WHEN d.dcppct >= 50 THEN d.dcprating ELSE c.rating END AS rating,
+       |             CASE WHEN d.dcppct >= 50 THEN d.dcppct ELSE c.sumpct END AS wpct
+       |      FROM (SELECT mukey, rating, sumpct FROM (
+       |              SELECT mukey, rating, sumpct, row_number() OVER (PARTITION BY mukey
        |                ORDER BY sumpct DESC, ord ${dir(tieLow)}) AS rn
        |              FROM dcd_br) x WHERE rn = 1) c
        |      JOIN (SELECT mukey, rating AS dcprating, comppct AS dcppct FROM (
        |              SELECT mukey, rating, comppct, row_number() OVER (PARTITION BY mukey
        |                ORDER BY comppct DESC, ord ${dir(tieLow)}, cokey DESC) AS rn
        |              FROM $src) y WHERE rn = 1) d ON c.mukey = d.mukey) w
-       |JOIN dcd_br b ON b.mukey = w.mukey AND b.rating = w.rating
        |JOIN (SELECT mukey, sum(sumpct) AS totalpct FROM dcd_br GROUP BY mukey) t
        |  ON t.mukey = w.mukey""".stripMargin
 

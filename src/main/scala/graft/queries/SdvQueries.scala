@@ -42,43 +42,18 @@ object SdvQueries extends QuerySet {
     Q("a03_dominant_condition",
       (s, dir) => SdvAgg.dominantCondition(Analog.compNumeric(s, dir), tieLow = true),
       Some(withCtes(
-        """SELECT w.mukey, w.rating, round(100*b.sumpct/t.totalpct, 4) AS comppct
-          |FROM (SELECT c.mukey,
-          |             CASE WHEN d.dcppct >= 50 THEN d.dcprating ELSE c.rating END AS rating
-          |      FROM (SELECT mukey, rating FROM (
-          |              SELECT mukey, rating, row_number() OVER (PARTITION BY mukey
-          |                ORDER BY sumpct DESC, rating ASC) AS rn FROM br) x WHERE rn = 1) c
-          |      JOIN (SELECT mukey, rating AS dcprating, comppct AS dcppct FROM (
-          |              SELECT mukey, rating, comppct, row_number() OVER (PARTITION BY mukey
-      |                ORDER BY comppct DESC, rating ASC, cokey DESC) AS rn FROM comp) y
-          |            WHERE rn = 1) d ON c.mukey = d.mukey) w
-          |JOIN br b ON b.mukey = w.mukey AND b.rating = w.rating
-          |JOIN (SELECT mukey, sum(sumpct) AS totalpct FROM br GROUP BY mukey) t
-          |  ON t.mukey = w.mukey""".stripMargin,
-        compCte,
-        "br AS (SELECT mukey, rating, sum(comppct) AS sumpct FROM comp GROUP BY mukey, rating)"))),
+        graft.analog.OracleSql.dcd("compn"), compCte,
+        "compn AS (SELECT mukey, cokey, comppct, rating, rating AS ord FROM comp)",
+        graft.analog.OracleSql.dcdBr("compn")))),
 
     // A4 — Dominant Condition over a Choice domain, tiebreak HIGH
     // (AggregateCo_DCD_Domain, gSSURGO_CreateSoilMap.py:7339-7750).
     Q("a04_dominant_condition_domain",
       (s, dir) => SdvAgg.dominantCondition(Analog.compChoice(s, dir), tieLow = false),
       Some(withCtes(
-        """SELECT w.mukey, w.rating, round(100*b.sumpct/t.totalpct, 4) AS comppct
-          |FROM (SELECT c.mukey,
-          |             CASE WHEN d.dcppct >= 50 THEN d.dcprating ELSE c.rating END AS rating
-          |      FROM (SELECT mukey, rating FROM (
-          |              SELECT mukey, rating, row_number() OVER (PARTITION BY mukey
-          |                ORDER BY sumpct DESC, cord DESC) AS rn FROM br) x WHERE rn = 1) c
-          |      JOIN (SELECT mukey, crating AS dcprating, comppct AS dcppct FROM (
-          |              SELECT mukey, crating, comppct, row_number() OVER (PARTITION BY mukey
-          |                ORDER BY comppct DESC, cord DESC, cokey DESC) AS rn FROM comp) y
-          |            WHERE rn = 1) d ON c.mukey = d.mukey) w
-          |JOIN br b ON b.mukey = w.mukey AND b.rating = w.rating
-          |JOIN (SELECT mukey, sum(sumpct) AS totalpct FROM br GROUP BY mukey) t
-          |  ON t.mukey = w.mukey""".stripMargin,
-        compCte,
-        """br AS (SELECT mukey, crating AS rating, max(cord) AS cord,
-          |              sum(comppct) AS sumpct FROM comp GROUP BY mukey, crating)""".stripMargin))),
+        graft.analog.OracleSql.dcd("compc", tieLow = false), compCte,
+        "compc AS (SELECT mukey, cokey, comppct, crating AS rating, cord AS ord FROM comp)",
+        graft.analog.OracleSql.dcdBr("compc")))),
 
     // A5 — Dominant Component over a Choice domain
     // (AggregateCo_DCP_Domain, gSSURGO_CreateSoilMap.py:7752-7979).

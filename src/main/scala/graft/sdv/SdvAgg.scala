@@ -94,9 +94,12 @@ object SdvAgg {
       max_by(struct(col("rating").as("r"), col("sumpct").as("sp"), col("best.pct").as("pct")),
         struct(col("best.pct"), tie, col("best.cokey"))).as("dcp"),
       sum(col("sumpct")).as("totalpct"))
+    // When the trump fires, the reference reports the dominant
+    // COMPONENT's pct (dcpPct), not its rating-class sum
+    // (gSSURGO_CreateSoilMap.py:5778-5780: muPct = 100·dcpPct/totalPct).
     val win = trumpPct match {
       case Some(t) => when(col("dcp.pct") >= t,
-          struct(col("dcp.r").as("r"), col("dcp.sp").as("sp")))
+          struct(col("dcp.r").as("r"), col("dcp.pct").as("sp")))
         .otherwise(struct(col("cond.r").as("r"), col("cond.sp").as("sp")))
       case None => struct(col("cond.r").as("r"), col("cond.sp").as("sp"))
     }

@@ -59,6 +59,15 @@ class SdvAggSpec extends AnyFunSuite {
     assert(got === Seq(Seq("m1", "Severe", 50.0)))
   }
 
+  test("A3 DCD: trump reports the dominant COMPONENT's pct, not the class sum (:5778-5780)") {
+    // dominant comp 50% Severe trumps; another 30% comp is ALSO Severe
+    // (class sum 80) — the reference reports 100·dcpPct/totalPct = 50,
+    // not 80.
+    val d = df(rtSchema, Seq(row("m1", 1, 50, "Severe"),
+      row("m1", 2, 30, "Severe"), row("m1", 3, 20, "Slight")))
+    assert(rowsOf(SdvAgg.dominantCondition(d)) === Seq(Seq("m1", "Severe", 50.0)))
+  }
+
   test("A3 DCD: without trump the modal class wins, pct normalized") {
     // dominant comp 40% < 50; Slight sums to 60 → wins with 60%.
     val d = df(rtSchema, Seq(row("m1", 1, 40, "Severe"),
