@@ -59,7 +59,7 @@ object Graft {
     val planner = new SdvPlanner(tables, domains)
     val base = tables("mapunit").select(org.apache.spark.sql.functions.col("mukey"))
     queries.foldLeft(base) { case (acc, (att, req)) =>
-      val rating = planner.plan(att, req)
+      val rating = planner.plan(graft.schema.SdvCatalog.normalize(att), req)
         .select("mukey", att.resultcolumnname)
       acc.join(rating, Seq("mukey"), "left")
     }

@@ -7,18 +7,29 @@ object Names {
 
   /** ValidateName (gSSURGO_CreateSoilMap.py:3518-3557) + the
     * underscore-squeeze (:10590-10607): sanitize a user-facing
-    * attribute name into a physical table/column identifier. */
+    * attribute name into a physical table/column identifier. Like the
+    * reference, invalid characters are DROPPED (not substituted) and
+    * only ASCII [A-Za-z0-9_.] survive; spaces become single
+    * underscores; a leading digit is guarded; truncation cannot leave
+    * a trailing underscore. */
   def validateName(raw: String, maxLen: Int = 60): String = {
-    val cleaned = raw.map(c => if (c.isLetterOrDigit) c else '_')
-    val squeezed = "_+".r.replaceAllIn(cleaned, "_").stripPrefix("_").stripSuffix("_")
+    val spaced = raw.trim.replaceAll("\\s+", "_")
+    val cleaned = spaced.filter(c =>
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '.')
+    val squeezed = "_+".r.replaceAllIn(cleaned, "_")
+      .stripPrefix("_").stripSuffix("_")
     val headOk = if (squeezed.nonEmpty && squeezed.head.isDigit) "z" + squeezed else squeezed
-    headOk.take(maxLen)
+    headOk.take(maxLen).stripSuffix("_")
   }
 
   /** SQL IN-list rendering (tuple-building,
-    * gSSURGO_CreateSoilMap.py:10250): quotes and joins values. */
-  def inList(values: Seq[String]): String =
+    * gSSURGO_CreateSoilMap.py:10250): quotes and joins values. An empty
+    * selection is a caller bug (`IN ()` parses nowhere). */
+  def inList(values: Seq[String]): String = {
+    require(values.nonEmpty, "IN-list requires at least one value")
     values.map(v => "'" + v.replace("'", "''") + "'").mkString("(", ", ", ")")
+  }
 
   /** CreateJSONLegend semantic core (gSSURGO_CreateSoilMap.py:1495-2028):
     * ordered (class label, lower, upper) breaks → the JSON legend blob
@@ -29,8 +40,10 @@ object Names {
       case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    def num(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else d.toString
     val body = classes.map { case (label, lo, hi) =>
-      s"""{"label":"${esc(label)}","min":$lo,"max":$hi}"""
+      s"""{"label":"${esc(label)}","min":${num(lo)},"max":${num(hi)}}"""
     }.mkString("[", ",", "]")
     val json = s"""{"title":"${esc(title)}","classes":$body}"""
     require(json.length <= cap, s"legend blob exceeds $cap chars")

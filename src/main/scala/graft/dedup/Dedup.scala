@@ -54,10 +54,15 @@ object Dedup {
   }
 
   /** MinHash signature: k seeded-xxhash64 minima over the shingle set
-    * (array-expression form, used for ad-hoc column-level work). */
-  def minhashSignature(shingles: Column, k: Int): Column =
+    * (array-expression form, used for ad-hoc column-level work).
+    * Lane construction matches minhashLshPairs exactly — each shingle
+    * is digested once and the lanes re-hash the 64-bit digest — so
+    * signatures from the two APIs are band-compatible. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val digests = transform(shingles, sh => xxhash64(sh))
     transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingles, sh => xxhash64(s, sh))))
+      s => array_min(transform(digests, h => xxhash64(s, h))))
+  }
 
   /** MinHash + LSH near-dup pairs: signature → band keys → equi-join on
     * (band, bandkey) for candidates → exact Jaccard verification →

@@ -85,23 +85,47 @@ object SsurgoSchema {
   * corrected rows; the quirks stay out of the planner itself). */
 object SdvCatalog {
 
-  /** R8 — floodBandaid (gSSURGO_CreateSoilMap.py:166-203): national
-    * sdvattribute data lost the month-level flag on the flooding /
-    * ponding frequency attributes; restore it so the month join path
-    * and month-range filters engage. */
-  def floodBandaid(att: SdvAttribute): SdvAttribute =
-    if (att.attributename.toLowerCase.contains("flooding frequency") ||
-      att.attributename.toLowerCase.contains("ponding frequency"))
-      att.copy(cmonthlevelattribflag = 1)
-    else att
+  private val ecoParens =
+    "(coecoclass.ecoclasstypename = 'NRCS Rangeland Site' or coecoclass.ecoclasstypename = 'NRCS Forestland Site')"
+  private val reskindIn =
+    "corestrictions.reskind IN ('Densic bedrock', 'Paralithic bedrock', 'Lithic bedrock')"
 
-  /** GetSDVAtts normalization (gSSURGO_CreateSoilMap.py:3741-3764):
-    * case-normalize the free-text whereclause's identifiers (our expr()
-    * resolution is case-insensitive, so lowercasing is sufficient) and
-    * apply the bandaids. */
-  def normalize(att: SdvAttribute): SdvAttribute =
-    floodBandaid(att).copy(
-      sqlwhereclause = att.sqlwhereclause.map(_.trim).filter(_.nonEmpty))
+  /** R8 — floodBandaid (gSSURGO_CreateSoilMap.py:166-203), faithful:
+    * 1. flooding-frequency rows with a NULL tiebreakdomainname get
+    *    'flooding_frequency_class' (the reference keys on
+    *    attributekey=12; we key on the attribute name);
+    * 2. the two parenthesized whereclauses that break the reference's
+    *    SQL layer are rewritten to their paren-free forms. */
+  def floodBandaid(att: SdvAttribute): SdvAttribute = {
+    val a =
+      if (att.attributename.toLowerCase.contains("flooding frequency") &&
+        att.tiebreakdomainname.isEmpty)
+        att.copy(tiebreakdomainname = Some("flooding_frequency_class"))
+      else att
+    a.sqlwhereclause.map(_.trim) match {
+      case Some(`ecoParens`) => a.copy(sqlwhereclause = Some(
+        "coecoclass.ecoclasstypename = 'NRCS Rangeland Site' or coecoclass.ecoclasstypename = 'NRCS Forestland Site'"))
+      case Some(`reskindIn`) => a.copy(sqlwhereclause = Some(
+        "corestrictions.reskind = 'Densic bedrock' OR corestrictions.reskind = 'Paralithic bedrock' OR corestrictions.reskind = 'Lithic bedrock'"))
+      case _ => a
+    }
+  }
+
+  private val SimpleEq = """^\s*([\w.]+)\s*=\s*('(?:[^']|'')*')\s*$""".r
+
+  /** GetSDVAtts whereclause normalization
+    * (gSSURGO_CreateSoilMap.py:3741-3764): the reference rewrites
+    * `col = 'val'` to `UPPER("col") = 'VAL'`, making the VALUE
+    * comparison case-insensitive (identifier resolution already is in
+    * Spark). Emitted in Spark-expr flavor: `upper(col) = 'VAL'`. */
+  def normalize(att: SdvAttribute): SdvAttribute = {
+    val fixed = floodBandaid(att)
+    val wc = fixed.sqlwhereclause.map(_.trim).filter(_.nonEmpty).map {
+      case SimpleEq(lhs, lit) => s"upper($lhs) = ${lit.toUpperCase}"
+      case other => other
+    }
+    fixed.copy(sqlwhereclause = wc)
+  }
 }
 
 /** One row of the sdvattribute catalog — the *query spec* driving the
