@@ -54,7 +54,16 @@ class SdvPlanner(
     acc // top-down: (child, parent, key) starting nearest mapunit
   }
 
-  def plan(att: SdvAttribute, req: SdvRequest = SdvRequest()): DataFrame = {
+  def plan(att0: SdvAttribute, req: SdvRequest = SdvRequest()): DataFrame = {
+    // bFuzzy override (GetSDVAtts, gSSURGO_CreateSoilMap.py:3700-3740):
+    // rate an interpretation by its fuzzy value — the attribute column
+    // becomes INTERPHR (Float) and the aggregation a weighted average.
+    val att =
+      if (req.bFuzzy && att0.attributetablename == "cointerp")
+        att0.copy(attributecolumnname = "interphr",
+          attributelogicaldatatype = "Float",
+          algorithmname = "Weighted Average")
+      else att0
     val algorithm = req.aggMethod.getOrElse(att.algorithmname)
     val tieLow = req.tieLow.getOrElse(att.tiebreakrule == -1)
 
@@ -207,7 +216,8 @@ object SdvPlanner {
       tieLow: Option[Boolean] = None,
       cutOff: Int = 0,
       bZero: Boolean = false,
-      rv: Option[String] = None) // Some("l")/Some("h") → F10 column swap
+      rv: Option[String] = None, // Some("l")/Some("h") → F10 column swap
+      bFuzzy: Boolean = false) // rate interps by fuzzy value (INTERPHR)
 
   /** Default FK catalog (parent, child, key) — the subset of
     * mdstatrshipdet the analytic surface walks

@@ -62,6 +62,16 @@ class SdvPlannerSpec extends AnyFunSuite {
     assert(got === Seq(Seq("100001", "Somewhat limited", 60.0)))
   }
 
+  test("bFuzzy override: interp class attribute rated by fuzzy value via WA (:3700-3740)") {
+    val att = SdvAttribute("Dwellings", "cointerp", "interphrc", "rating",
+      "Choice", "Dominant Component", ruledesign = Some(1),
+      nasisrulename = Some("ENG - Dwellings"),
+      complevelattribflag = 1, tiebreakdomainname = Some("limits"))
+    val got = rowsOf(planner.plan(att, SdvRequest(bFuzzy = true)))
+    // forced onto interphr + WA: (60*0.9 + 40*0.2)/100 = 0.62
+    assert(got === Seq(Seq("100001", 0.62, 100.0)))
+  }
+
   test("interp rule filter keeps only the requested rule (F6)") {
     val att = SdvAttribute("Dwellings", "cointerp", "interphr", "rating",
       "Float", "Weighted Average", nasisrulename = Some("ENG - Dwellings"),
