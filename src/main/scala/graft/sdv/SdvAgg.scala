@@ -141,11 +141,14 @@ object SdvAgg {
   // ---------------------------------------------------------------------
   // A8 — Most / Least Limiting (AggregateCo_Limiting,
   // gSSURGO_CreateSoilMap.py:4988-5228; least :5093-5135, most
-  // :5140-5180). Convention here: the domain is ordered least→most
-  // limiting, so "most limiting" = max ratingOrd (suitability interps
-  // flip the domain upstream — ruledesign==2, :9942-9944). 'Not rated'
-  // loses to any rated class but wins when alone. Reports the summed
-  // comppct of the winning class.
+  // :5140-5180). `most=true` picks the MAX ratingOrd — callers choose
+  // the direction against their domain's order (NASIS interp domains
+  // are most-limiting-first, so the planner maps Most Limiting to
+  // most=false; suitability interps flip the domain upstream,
+  // ruledesign==2, :9942-9944). 'Not rated' loses to any rated class
+  // but wins when alone (:5168-5171 indexes[1] skip, here done
+  // position-independently via the rated-first flag). Reports the
+  // summed comppct of the winning class.
   def limiting(df: DataFrame, most: Boolean, notRatedOrd: Option[Double] = None): DataFrame = {
     val byRating = df.groupBy(m, col("rating"))
       .agg(sum(col("comppct")).as("comppct"), max(col("ratingOrd")).as("ratingOrd"))

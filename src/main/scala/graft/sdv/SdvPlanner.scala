@@ -195,8 +195,13 @@ class SdvPlanner(
         else if (isHz) SdvAgg.hzMaxMinWta(rt, most = !tieLow, req.top, req.bot)
         else if (isMonth) SdvAgg.moMaxMin(rt, most = !tieLow, notRatedOrd)
         else SdvAgg.maxMin(rt, most = !tieLow, notRatedOrd)
-      case "Most Limiting" => SdvAgg.limiting(rt, most = true, notRatedOrd)
-      case "Least Limiting" => SdvAgg.limiting(rt, most = false, notRatedOrd)
+      // NASIS interp-class domains are ordered most-limiting-first:
+      // Most Limiting takes the MIN index, Least Limiting the MAX
+      // (AggregateCo_Limiting, gSSURGO_CreateSoilMap.py:5166-5171 /
+      // :5128-5133; 'Not rated' handled positionally-independently by
+      // the rated-first flag in SdvAgg.limiting).
+      case "Most Limiting" => SdvAgg.limiting(rt, most = false, notRatedOrd)
+      case "Least Limiting" => SdvAgg.limiting(rt, most = true, notRatedOrd)
       case "Percent Present" =>
         SdvAgg.percentPresent(rt, tables("mapunit").select(col("mukey")), lit(true))
       case other =>

@@ -40,7 +40,8 @@ class SdvPlannerSpec extends AnyFunSuite {
     "mapunit" -> mapunit, "component" -> component,
     "chorizon" -> chorizon, "cointerp" -> cointerp)
 
-  private val limitedDomain = Seq("Not limited", "Somewhat limited", "Very limited")
+  // NASIS order: most limiting first (lower choicesequence = worse)
+  private val limitedDomain = Seq("Very limited", "Somewhat limited", "Not limited")
 
   private def planner = new SdvPlanner(tables,
     domains = Map("limits" -> limitedDomain))
@@ -100,15 +101,26 @@ class SdvPlannerSpec extends AnyFunSuite {
     assert(got === Seq(Seq("100001", 13.5), Seq("100002", null)))
   }
 
+  test("Most Limiting takes the min domain index (NASIS order, :5166-5171)") {
+    val att = SdvAttribute("Dwellings", "cointerp", "interphrc", "rating",
+      "Choice", "Most Limiting", ruledesign = Some(1),
+      nasisrulename = Some("ENG - Dwellings"),
+      complevelattribflag = 1, tiebreakdomainname = Some("limits"))
+    // Very limited(1) beats Somewhat limited(2): c2's rating wins
+    assert(rowsOf(planner.plan(att)) === Seq(Seq("100001", "Very limited", 40.0)))
+    val least = att.copy(algorithmname = "Least Limiting")
+    assert(rowsOf(planner.plan(least)) === Seq(Seq("100001", "Somewhat limited", 60.0)))
+  }
+
   test("suitability interp (ruledesign=2) reverses the domain (:9942-9944)") {
     val att = SdvAttribute("Dwellings", "cointerp", "interphrc", "rating",
       "Choice", "Most Limiting", ruledesign = Some(2),
       nasisrulename = Some("ENG - Dwellings"),
       complevelattribflag = 1, tiebreakdomainname = Some("limits"))
     val got = rowsOf(planner.plan(att))
-    // reversed domain: Very limited(1) < Somewhat limited(2) < Not
-    // limited(3); most limiting = max ord → 'Somewhat limited' (c1)
-    // [under design-1 it would be 'Very limited']
+    // reversed domain: Not limited(1) < Somewhat limited(2) < Very
+    // limited(3); most limiting = MIN ord among rated → 'Somewhat
+    // limited' (c1) [under design-1 it is 'Very limited']
     assert(got === Seq(Seq("100001", "Somewhat limited", 60.0)))
   }
 
