@@ -49,17 +49,19 @@ object HzMoQueries extends QuerySet {
           |        FROM mo)""".stripMargin,
         OracleSql.dcdBr("dd")))),
 
-    // A15 — AggregateCo_Mo_DCP_Domain (:6413-6649): per-component worst
-    // month by domain index, then Dominant Component.
+    // A15 — AggregateCo_Mo_DCP_Domain (:6413-6649): tiebreak High (the
+    // flooding/ponding default) → per-component MAX month index, then
+    // Dominant Component with the High tie.
     Q("a15_mo_domain_dcp",
-      (s, dir) => SdvAgg.moDomainDominantComponent(moChoice(s, dir)),
-      Some(withCtes(OracleSql.dcp("pc"), moCte, OracleSql.moWorstCte("pc")))),
+      (s, dir) => SdvAgg.moDomainDominantComponent(moChoice(s, dir), tieLow = false),
+      Some(withCtes(OracleSql.dcp("pc", tieLow = false), moCte,
+        OracleSql.moWorstCte("pc")))),
 
-    // A16 — AggregateCo_Mo_DCD_Domain (:6651-7055): worst month per
-    // component, then Dominant Condition.
+    // A16 — AggregateCo_Mo_DCD_Domain (:6651-7055): same pre-step, then
+    // Dominant Condition.
     Q("a16_mo_domain_dcd",
-      (s, dir) => SdvAgg.moDomainDominantCondition(moChoice(s, dir)),
-      Some(withCtes(OracleSql.dcd("pc"), moCte,
+      (s, dir) => SdvAgg.moDomainDominantCondition(moChoice(s, dir), tieLow = false),
+      Some(withCtes(OracleSql.dcd("pc", tieLow = false), moCte,
         OracleSql.moWorstCte("pc"), OracleSql.dcdBr("pc")))),
 
     // A17 — AggregateCo_Mo_WTA (:7057-7207): per-component max over

@@ -191,13 +191,17 @@ object SdvAgg {
       .withColumn("ratingOrd", col("rating"))
   }
 
-  /** Per-component worst month by domain ordinal — the flooding/ponding
-    * pre-step (A15/A16; AggregateCo_Mo_DCP_Domain,
-    * gSSURGO_CreateSoilMap.py:6413-6649). */
-  def perComponentMonthlyWorst(df: DataFrame): DataFrame =
+  /** Per-component extreme month by domain ordinal — the
+    * flooding/ponding pre-step (A15/A16; AggregateCo_Mo_DCP_Domain,
+    * gSSURGO_CreateSoilMap.py:6556-6567). The direction follows the
+    * tiebreaker: High (the flooding/ponding default) takes the MAX
+    * domain index per component, Low the MIN. */
+  def perComponentMonthlyWorst(df: DataFrame, most: Boolean = true): DataFrame =
     df.groupBy(m, col("cokey"), col("comppct"))
-      .agg(max_by(col("rating"), col("ratingOrd")).as("rating"),
-        max(col("ratingOrd")).as("ratingOrd"))
+      .agg(
+        (if (most) max_by(col("rating"), col("ratingOrd"))
+         else min_by(col("rating"), col("ratingOrd"))).as("rating"),
+        (if (most) max(col("ratingOrd")) else min(col("ratingOrd"))).as("ratingOrd"))
 
   // A10 — monthly extreme then Dominant Component (:5894-5981).
   def moDominantComponent(df: DataFrame, most: Boolean,
@@ -227,14 +231,15 @@ object SdvAgg {
     dominantCondition(
       df.dropDuplicates("mukey", "cokey", "rating"), tieLow, trumpPct)
 
-  // A15 — per-component worst month (domain) then DCP (:6413-6649).
+  // A15 — per-component extreme month (domain) then DCP (:6413-6649);
+  // the tiebreaker drives both levels (month direction + DCP tie).
   def moDomainDominantComponent(df: DataFrame, tieLow: Boolean = true): DataFrame =
-    dominantComponent(perComponentMonthlyWorst(df), tieLow)
+    dominantComponent(perComponentMonthlyWorst(df, most = !tieLow), tieLow)
 
-  // A16 — per-component worst month (domain) then DCD (:6651-7055).
+  // A16 — per-component extreme month (domain) then DCD (:6651-7055).
   def moDomainDominantCondition(df: DataFrame, tieLow: Boolean = true,
       trumpPct: Option[Double] = Some(50.0)): DataFrame =
-    dominantCondition(perComponentMonthlyWorst(df), tieLow, trumpPct)
+    dominantCondition(perComponentMonthlyWorst(df, most = !tieLow), tieLow, trumpPct)
 
   // A17 — per-component monthly extreme then WTA (AggregateCo_Mo_WTA,
   // :7057-7207).
