@@ -169,17 +169,16 @@ object ExtraQueries extends QuerySet {
           |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) <= 152 AS droughty
           |FROM pcz GROUP BY mukey)""".stripMargin,
         s"soc AS (SELECT mukey, ${socCols.mkString(", ")} FROM hzv GROUP BY mukey)",
-        """den AS (SELECT mukey, sum(comppct) AS sumpct
-          |FROM (SELECT DISTINCT mukey, cokey, comppct FROM hzv) c GROUP BY mukey)""".stripMargin,
+        "den AS (SELECT mukey, pctearthmc AS sumpct FROM sp)",
         """num AS (SELECT mukey,
           |  sum(CASE WHEN crating = 'A' THEN rating*1000*comppct END) AS na,
           |  sum(CASE WHEN crating = 'N' THEN rating*1000*comppct END) AS nn,
           |  sum(CASE WHEN crating = 'R' THEN rating*1000*comppct END) AS nr
           |FROM hzv GROUP BY mukey)""".stripMargin,
         """nccpi AS (SELECT n.mukey,
-          |  round(na/d.sumpct/10000.0, 6) AS nccpi_a,
-          |  round(nn/d.sumpct/10000.0, 6) AS nccpi_n,
-          |  round(nr/d.sumpct/10000.0, 6) AS nccpi_r
+          |  round(CASE WHEN d.sumpct > 0 THEN na/d.sumpct/10000.0 END, 6) AS nccpi_a,
+          |  round(CASE WHEN d.sumpct > 0 THEN nn/d.sumpct/10000.0 END, 6) AS nccpi_n,
+          |  round(CASE WHEN d.sumpct > 0 THEN nr/d.sumpct/10000.0 END, 6) AS nccpi_r
           |FROM num n JOIN den d ON n.mukey = d.mukey)""".stripMargin,
         """pwsl AS (SELECT mukey,
           |  CASE WHEN coalesce(sum(CASE WHEN crating = 'N' THEN comppct END), 0.0) >= 80

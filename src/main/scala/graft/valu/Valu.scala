@@ -161,20 +161,28 @@ object Valu {
 
   // -------------------------------------------------------------------
   // V12 — CalcNCCPI2/3 (gSSURGO_ValuTable.py:2097-2477): per mapunit,
-  // Σ(fuzzy·comppct) per rule ÷ Σ(comppct over distinct components),
-  // pivoted to one fixed column per submodel rule (accum :2347-2399,
-  // divide :2436-2452). `fuzzy` is in exact 1e-4 units (cents of a
-  // percent); the /10000 rescale happens after the division.
-  def nccpi(interp: DataFrame, rules: Seq[(String, String)], scale: Int = 6): DataFrame = {
-    val den = interp.select(m, col("cokey"), col("comppct")).distinct()
-      .groupBy(m).agg(sum(col("comppct")).as("sumpct"))
+  // Σ(fuzzy·comppct) per rule ÷ the major-earthy pct sum (divide
+  // :2434: `sumPct = dPct[mukey][2]` from GetSumPct), pivoted to one
+  // fixed column per submodel rule (accum :2347-2399). Pass `denom` =
+  // (mukey, sumpct) for the faithful divisor; the default falls back
+  // to the pct sum of the distinct components present in the interp
+  // table (equal whenever every major-earthy component has interp
+  // rows). `fuzzy` is in exact 1e-4 units (cents of a percent); the
+  // /10000 rescale happens after the division.
+  def nccpi(interp: DataFrame, rules: Seq[(String, String)],
+      denom: Option[DataFrame] = None, scale: Int = 6): DataFrame = {
+    val den = denom.getOrElse(
+      interp.select(m, col("cokey"), col("comppct")).distinct()
+        .groupBy(m).agg(sum(col("comppct")).as("sumpct")))
     val numAggs = rules.map { case (r, c) =>
       sum(when(col("rule") === r, col("fuzzy") * col("comppct"))).as(s"num_$c")
     }
     val num = interp.groupBy(m).agg(numAggs.head, numAggs.tail: _*)
+    // zero major-earthy pct → null rating (the reference skips the row,
+    // :2456 "Miscellaneous map unit encountered")
     num.join(den, "mukey").select(
       m +: rules.map { case (_, c) =>
-        round(col(s"num_$c") / col("sumpct") / 10000.0, scale).as(c)
+        round(when(col("sumpct") > 0, col(s"num_$c") / col("sumpct") / 10000.0), scale).as(c)
       }: _*)
   }
 

@@ -1,6 +1,7 @@
 package graft.valu
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 
 /** V14 — CreateValuTable (gSSURGO_ValuTable.py:2992-3271): the Valu1
   * assembly DAG. Each Calc* stage is an independent aggregation over the
@@ -36,7 +37,10 @@ object ValuTable {
     val rz = Valu.rzDepth(cached, restricted)
     val rzaws = Valu.rzAws(cached, organic, rz)
     val soc = Valu.calcSoc(cached, socSlices)
-    val nccpi = Valu.nccpi(interp, nccpiRules)
+    // NCCPI divides by the major-earthy pct sum from GetSumPct
+    // (gSSURGO_ValuTable.py:2434)
+    val nccpi = Valu.nccpi(interp, nccpiRules,
+      denom = Some(sumpct.select(col("mukey"), col("pctearthmc").as("sumpct"))))
     val pwsl = Valu.pwsl(comp, water, hydric)
     assemble(base, Seq(sumpct, aws, rzaws, soc, nccpi, pwsl))
   }
