@@ -26,6 +26,12 @@ import graft.core.{Exprs, Ranked}
   * Scale notes: every combinator is groupBy/agg-shaped (map-side partial
   * aggregation, AQE-friendly) — no row_number windows over the full fact
   * table, no driver-side state. References cite /root/reference.
+  *
+  * ANSI note: weighted-average shapes divide by Σ comppct of rated
+  * rows; callers must exclude zero-weight components (the reference's
+  * comppct cutoff does this — the planner applies it as F2). A group
+  * whose rated weights sum to exactly 0 would raise under Spark's ANSI
+  * mode rather than silently emit Inf/NaN.
   */
 object SdvAgg {
 
