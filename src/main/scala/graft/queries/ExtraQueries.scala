@@ -181,9 +181,9 @@ object ExtraQueries extends QuerySet {
           |  round(CASE WHEN d.sumpct > 0 THEN nr/d.sumpct/10000.0 END, 6) AS nccpi_r
           |FROM num n JOIN den d ON n.mukey = d.mukey)""".stripMargin,
         """pwsl AS (SELECT mukey,
-          |  CASE WHEN coalesce(sum(CASE WHEN crating = 'N' THEN comppct END), 0.0) >= 80
+          |  CASE WHEN max(CASE WHEN crating = 'N' AND comppct >= 80 THEN 1 ELSE 0 END) = 1
           |       THEN 999.0
-          |       ELSE coalesce(sum(CASE WHEN comppct >= 40 THEN comppct END), 0.0)
+          |       ELSE coalesce(sum(CASE WHEN crating = 'N' OR comppct >= 40 THEN comppct END), 0.0)
           |  END AS pwsl1pomu
           |FROM cmp GROUP BY mukey)""".stripMargin))
     }))

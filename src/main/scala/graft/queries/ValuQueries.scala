@@ -216,9 +216,10 @@ object ValuQueries extends QuerySet {
         hydric = col("crating") === "A" || col("comppct") >= 40),
       Some(withCtes(
         """SELECT mukey,
-          |  CASE WHEN coalesce(sum(CASE WHEN crating = 'N' THEN comppct END), 0.0) >= 80
+          |  CASE WHEN max(CASE WHEN crating = 'N' AND comppct >= 80 THEN 1 ELSE 0 END) = 1
           |       THEN 999.0
-          |       ELSE coalesce(sum(CASE WHEN crating = 'A' OR comppct >= 40 THEN comppct END), 0.0)
+          |       ELSE coalesce(sum(CASE WHEN crating = 'N' OR crating = 'A' OR comppct >= 40
+          |                          THEN comppct END), 0.0)
           |  END AS pwsl1pomu
           |FROM comp GROUP BY mukey""".stripMargin, compCte))))
 }

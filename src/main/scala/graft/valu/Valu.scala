@@ -188,14 +188,17 @@ object Valu {
 
   // -------------------------------------------------------------------
   // V13 — CalcPWSL (gSSURGO_ValuTable.py:2479-2664): potential wet soil
-  // landscape. If the summed pct of water components >= 80 the mapunit
-  // takes the 999 sentinel; otherwise Σ comppct of hydric-criteria
-  // components (criteria :2500-2560).
+  // landscape. A SINGLE water-named component with comppct >= 80 flags
+  // the mapunit 999 (:2537-2545); otherwise the rating is Σ comppct of
+  // water components (any pct, :2552-2557) plus hydric-criteria
+  // components (hydricrating/drainage/phase rules, :2559-2620 —
+  // `hydric` must encode them, including the hydricrating='No'
+  // exclusion).
   def pwsl(comp: DataFrame, water: Column, hydric: Column): DataFrame =
     comp.groupBy(m).agg(
-      sum(when(water, col("comppct"))).as("waterpct"),
-      sum(when(hydric, col("comppct"))).as("hydricpct"))
+      max(when(water && col("comppct") >= 80, lit(1)).otherwise(lit(0))).as("iswater"),
+      sum(when(water || hydric, col("comppct"))).as("critpct"))
       .select(m,
-        when(coalesce(col("waterpct"), lit(0.0)) >= 80, lit(999.0))
-          .otherwise(coalesce(col("hydricpct"), lit(0.0))).as("pwsl1pomu"))
+        when(col("iswater") === 1, lit(999.0))
+          .otherwise(coalesce(col("critpct"), lit(0.0))).as("pwsl1pomu"))
 }

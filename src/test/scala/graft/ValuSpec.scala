@@ -91,15 +91,17 @@ class ValuSpec extends AnyFunSuite {
     assert(got === Seq(Seq("h1", 100.0), Seq("h2", 30.0)))
   }
 
-  test("V13 PWSL: water >= 80% takes the 999 sentinel (:2539-2560)") {
+  test("V13 PWSL: a single water comp >= 80% flags 999; lesser water comps count toward the sum (:2537-2557)") {
     val s = StructType(Seq(StructField("mukey", StringType), StructField("cokey", LongType),
       StructField("comppct", DoubleType), StructField("water", BooleanType),
       StructField("hydric", BooleanType)))
     val d = df(s, Seq(
       Row("m1", 1L, 85.0, true, false), Row("m1", 2L, 15.0, false, true),
-      Row("m2", 3L, 30.0, true, false), Row("m2", 4L, 40.0, false, true)))
+      // two water comps 50+40: no single one >= 80 → NOT 999; both count
+      Row("m2", 3L, 30.0, true, false), Row("m2", 4L, 40.0, false, true),
+      Row("m3", 5L, 50.0, true, false), Row("m3", 6L, 40.0, true, false)))
     val got = rowsOf(Valu.pwsl(d, water = col("water"), hydric = col("hydric")))
-    assert(got === Seq(Seq("m1", 999.0), Seq("m2", 40.0)))
+    assert(got === Seq(Seq("m1", 999.0), Seq("m2", 70.0), Seq("m3", 90.0)))
   }
 
   test("V1 sum pct: four conditional sums (:1953-2013)") {
