@@ -87,9 +87,13 @@ object Valu {
 
   // -------------------------------------------------------------------
   // V6 — CalcRZDepth (gSSURGO_ValuTable.py:895-1103): per component, the
-  // depth of the first (shallowest) restrictive horizon within maxD cm
-  // (rules :1007-1060: dense layer, pH ≤ 3.5, EC ≥ 16, or a bedrock /
-  // pan restriction), defaulting to maxD.
+  // depth of the first (shallowest) restrictive horizon within maxD cm,
+  // defaulting to maxD. The `restricted` predicate must encode the
+  // reference's guards (:1006-1037): organic horizons skip every
+  // horizon-property check; pH ≤ 3.5 only for non-Histosol/non-histic;
+  // EC ≥ 16; dense layer per isDense. The top-down walk-stop equals
+  // min-over-flagged because the first restriction hit is the
+  // shallowest.
   def rzDepth(hz: DataFrame, restricted: Column, maxD: Int = 150): DataFrame =
     hz.groupBy(m, col("cokey"), col("comppct"))
       .agg(coalesce(min(when(restricted && col("hzdept") < maxD, col("hzdept"))),
