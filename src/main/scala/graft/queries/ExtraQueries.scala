@@ -106,8 +106,10 @@ object ExtraQueries extends QuerySet {
           col("comppct").as("fragvol"))
         val cmp = h.groupBy(col("mukey"), col("cokey"), col("comppct"))
           .agg(max(col("crating")).as("crating"))
-        val interp = h.select(col("mukey"), col("cokey"), col("comppct"),
-          col("crating").as("rule"), (col("rating") * 1000).as("fuzzy"))
+        // J12 restricts the NCCPI query table to major components
+        val interp = h.filter(col("crating") =!= "N")
+          .select(col("mukey"), col("cokey"), col("comppct"),
+            col("crating").as("rule"), (col("rating") * 1000).as("fuzzy"))
         val base = Tables.load(s, dir, "customer").select(col("c_custkey").as("mukey"))
         ValuTable.build(base, h, cmp,
           major = col("crating") =!= "N", earthy = col("comppct") >= 10,
@@ -155,26 +157,27 @@ object ExtraQueries extends QuerySet {
         """rz AS (SELECT cokey,
           |  coalesce(min(CASE WHEN rating >= 8 AND hzdept < 150 THEN hzdept END), 150.0) AS rzdepth
           |FROM hzv GROUP BY cokey)""".stripMargin,
+        "hzme AS (SELECT * FROM hzv WHERE crating <> 'N' AND comppct >= 10)",
         """fm AS (SELECT cokey,
           |  coalesce(min(CASE WHEN NOT (crating = 'A') THEN hzdept END), 999.0) AS fmdept
-          |FROM hzv GROUP BY cokey)""".stripMargin,
+          |FROM hzme GROUP BY cokey)""".stripMargin,
         """pcz AS (SELECT h.mukey, h.cokey, h.comppct,
           |  sum(CASE WHEN h.rating IS NOT NULL
           |        THEN greatest(0.0, least(h.hzdepb, r.rzdepth) - greatest(h.hzdept, f.fmdept)) * h.rating
           |      END) AS awsum
-          |FROM hzv h JOIN rz r ON h.cokey = r.cokey JOIN fm f ON h.cokey = f.cokey
+          |FROM hzme h JOIN rz r ON h.cokey = r.cokey JOIN fm f ON h.cokey = f.cokey
           |GROUP BY h.mukey, h.cokey, h.comppct)""".stripMargin,
         """rzaws AS (SELECT mukey,
           |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) AS rootznaws,
           |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) <= 152 AS droughty
           |FROM pcz GROUP BY mukey)""".stripMargin,
         s"soc AS (SELECT mukey, ${socCols.mkString(", ")} FROM hzv GROUP BY mukey)",
-        "den AS (SELECT mukey, pctearthmc AS sumpct FROM sp)",
+        "den AS (SELECT mukey, musumcpcta AS sumpct FROM sp)",
         """num AS (SELECT mukey,
           |  sum(CASE WHEN crating = 'A' THEN rating*1000*comppct END) AS na,
           |  sum(CASE WHEN crating = 'N' THEN rating*1000*comppct END) AS nn,
           |  sum(CASE WHEN crating = 'R' THEN rating*1000*comppct END) AS nr
-          |FROM hzv GROUP BY mukey)""".stripMargin,
+          |FROM hzv WHERE crating <> 'N' GROUP BY mukey)""".stripMargin,
         """nccpi AS (SELECT n.mukey,
           |  round(CASE WHEN d.sumpct > 0 THEN na/d.sumpct/10000.0 END, 6) AS nccpi_a,
           |  round(CASE WHEN d.sumpct > 0 THEN nn/d.sumpct/10000.0 END, 6) AS nccpi_n,

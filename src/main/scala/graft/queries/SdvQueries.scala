@@ -87,8 +87,11 @@ object SdvQueries extends QuerySet {
           |                'Not rated') AS rating
           |FROM compnr GROUP BY mukey""".stripMargin, compCte, compNrCte))),
 
-    // A8 — Most Limiting with winning-class comppct
-    // (AggregateCo_Limiting, gSSURGO_CreateSoilMap.py:4988-5228).
+    // A8 — Limiting with winning-class comppct (AggregateCo_Limiting,
+    // gSSURGO_CreateSoilMap.py:4988-5228). Exercises the MAX-index
+    // direction of the combinator (under the NASIS most-limiting-first
+    // domain convention that is 'Least Limiting'; the planner maps the
+    // directions — SdvPlannerSpec pins both).
     Q("a08_most_limiting",
       (s, dir) => SdvAgg.limiting(Analog.compNotRated(s, dir), most = true,
         notRatedOrd = Some(Analog.notRatedOrd)),

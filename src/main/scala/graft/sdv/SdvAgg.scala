@@ -163,8 +163,11 @@ object SdvAgg {
       case None    => lit(1)
     }
     val orient = if (most) col("ratingOrd") else -col("ratingOrd")
+    // final tiebreak on the rating value itself: ordinal ties only occur
+    // for degenerate/no-domain inputs, where the pick must still be
+    // deterministic across partitionings
     Ranked.argmax(byRating, Seq("mukey"),
-      Seq(ratedFlag, orient),
+      Seq(ratedFlag, orient, col("rating")),
       Seq("rating" -> col("rating"), "comppct" -> col("comppct")))
   }
 

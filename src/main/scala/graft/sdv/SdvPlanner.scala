@@ -55,14 +55,15 @@ class SdvPlanner(
   }
 
   def plan(att0: SdvAttribute, req: SdvRequest = SdvRequest()): DataFrame = {
-    // bFuzzy override (GetSDVAtts, gSSURGO_CreateSoilMap.py:3700-3740):
-    // rate an interpretation by its fuzzy value — the attribute column
-    // becomes INTERPHR (Float) and the aggregation a weighted average.
+    // bFuzzy override (GetSDVAtts, gSSURGO_CreateSoilMap.py:3719-3740):
+    // rate an interpretation by its fuzzy value — ONLY the attribute
+    // column (INTERPHR) and logical type change; the aggregation method
+    // stays the attribute/request default (the reference dispatch runs
+    // e.g. DCP over fuzzy values, :10839-10855).
     val att =
       if (req.bFuzzy && att0.attributetablename == "cointerp")
         att0.copy(attributecolumnname = "interphr",
-          attributelogicaldatatype = "Float",
-          algorithmname = "Weighted Average")
+          attributelogicaldatatype = "Float")
       else att0
     val algorithm = req.aggMethod.getOrElse(att.algorithmname)
     val tieLow = req.tieLow.getOrElse(att.tiebreakrule == -1)

@@ -20,7 +20,12 @@ object ValuTable {
   /** The full pipeline over a standardized horizon table (columns:
     * mukey, cokey, comppct, hzdept, hzdepb, rating=awc, om, db3i,
     * fragvol) + component table (mukey, cokey, comppct + flag columns).
-    * Mirrors the stage order of the reference main (:3083-3160). */
+    * Mirrors the stage order of the reference main (:3083-3160).
+    *
+    * `major`/`earthy` must be evaluable on BOTH comp and hz (they gate
+    * the sumPct tallies and the RZAWS component filter). `interp` must
+    * already be restricted to major components (the NCCPI query table
+    * J12 filters majcompflag='Yes', gSSURGO_ValuTable.py:2058-2069). */
   def build(
       base: DataFrame,
       hz: DataFrame,
@@ -35,12 +40,14 @@ object ValuTable {
     val sumpct = Valu.sumPct(comp, major, earthy)
     val aws = Valu.calcAws(cached)
     val rz = Valu.rzDepth(cached, restricted)
-    val rzaws = Valu.rzAws(cached, organic, rz)
+    // RZAWS runs over major-earthy components only (:1224-1227)
+    val rzaws = Valu.rzAws(cached.filter(major && earthy), organic, rz)
     val soc = Valu.calcSoc(cached, socSlices)
-    // NCCPI divides by the major-earthy pct sum from GetSumPct
-    // (gSSURGO_ValuTable.py:2434)
+    // NCCPI divides by the ALL-MAJOR pct sum — dPct[mukey][2] per
+    // GetSumPct's tuple order (gSSURGO_ValuTable.py:1956-1959, :2434;
+    // the reference's inline "major-earthy" comment there is wrong)
     val nccpi = Valu.nccpi(interp, nccpiRules,
-      denom = Some(sumpct.select(col("mukey"), col("pctearthmc").as("sumpct"))))
+      denom = Some(sumpct.select(col("mukey"), col("musumcpcta").as("sumpct"))))
     val pwsl = Valu.pwsl(comp, water, hydric)
     assemble(base, Seq(sumpct, aws, rzaws, soc, nccpi, pwsl))
   }

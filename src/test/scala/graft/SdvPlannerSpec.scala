@@ -63,14 +63,18 @@ class SdvPlannerSpec extends AnyFunSuite {
     assert(got === Seq(Seq("100001", "Somewhat limited", 60.0)))
   }
 
-  test("bFuzzy override: interp class attribute rated by fuzzy value via WA (:3700-3740)") {
+  test("bFuzzy override swaps onto interphr but keeps the aggregation method (:3719-3740)") {
     val att = SdvAttribute("Dwellings", "cointerp", "interphrc", "rating",
       "Choice", "Dominant Component", ruledesign = Some(1),
       nasisrulename = Some("ENG - Dwellings"),
       complevelattribflag = 1, tiebreakdomainname = Some("limits"))
-    val got = rowsOf(planner.plan(att, SdvRequest(bFuzzy = true)))
-    // forced onto interphr + WA: (60*0.9 + 40*0.2)/100 = 0.62
-    assert(got === Seq(Seq("100001", 0.62, 100.0)))
+    // DCP runs over the fuzzy values: dominant c1 (60%) → 0.9
+    assert(rowsOf(planner.plan(att, SdvRequest(bFuzzy = true)))
+      === Seq(Seq("100001", 0.9, 60.0)))
+    // an explicit WA request still averages: (60*0.9 + 40*0.2)/100
+    assert(rowsOf(planner.plan(att,
+      SdvRequest(bFuzzy = true, aggMethod = Some("Weighted Average"))))
+      === Seq(Seq("100001", 0.62, 100.0)))
   }
 
   test("interp rule filter keeps only the requested rule (F6)") {
