@@ -40,14 +40,13 @@ object HzMoQueries extends QuerySet {
       (s, dir) => SdvAgg.moMaxMin(moNumeric(s, dir), most = true),
       Some(withCtes("SELECT mukey, max(rating) AS rating FROM mo GROUP BY mukey", moCte))),
 
-    // A14 — AggregateCo_Mo_DCD (:6289-6411): comppct counted once per
-    // (component, rating) — the "12X" de-dup (:6298) — then DCD.
+    // A14 — AggregateCo_Mo_DCD (:6289-6411): per-component
+    // tiebreak-directed extreme over months (the "12X" de-dup fix),
+    // then dominant component with raw (comppct, rating). High tie.
     Q("a14_mo_dcd_dedup",
-      (s, dir) => SdvAgg.moDominantConditionDedup(moChoice(s, dir)),
-      Some(withCtes(OracleSql.dcd("dd"), moCte,
-        """dd AS (SELECT DISTINCT mukey, cokey, comppct, crating AS rating, cord AS ord
-          |        FROM mo)""".stripMargin,
-        OracleSql.dcdBr("dd")))),
+      (s, dir) => SdvAgg.moDominantConditionDedup(moChoice(s, dir), tieLow = false),
+      Some(withCtes(OracleSql.dcp("pc", tieLow = false), moCte,
+        OracleSql.moWorstCte("pc")))),
 
     // A15 — AggregateCo_Mo_DCP_Domain (:6413-6649): tiebreak High (the
     // flooding/ponding default) → per-component MAX month index, then

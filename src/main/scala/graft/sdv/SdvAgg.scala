@@ -232,13 +232,22 @@ object SdvAgg {
   def moMaxMin(df: DataFrame, most: Boolean, notRatedOrd: Option[Double] = None): DataFrame =
     maxMin(df, most, notRatedOrd)
 
-  // A14 — month-expanded Dominant Condition (AggregateCo_Mo_DCD,
-  // :6289-6411): each component's pct counts once per rating value (the
-  // "12X" de-dup, :6298), then DCD.
-  def moDominantConditionDedup(df: DataFrame, tieLow: Boolean = true,
-      trumpPct: Option[Double] = Some(50.0)): DataFrame =
-    dominantCondition(
-      df.dropDuplicates("mukey", "cokey", "rating"), tieLow, trumpPct)
+  // A14 — AggregateCo_Mo_DCD (:6289-6411). Despite its name, the
+  // reference's current implementation is NOT a condition-sum: each
+  // component takes its tiebreak-directed extreme over months with
+  // null months dropped (:6353-6366, fixing the "12X" comppct bug
+  // noted at :6297), and the mapunit reports the dominant component's
+  // raw (comppct, rating) with no normalization (:6374-6386). The
+  // extreme direction follows ratingOrd (the reference compares raw
+  // values; supply a lexical/domain ordinal accordingly).
+  def moDominantConditionDedup(df: DataFrame, tieLow: Boolean = true): DataFrame = {
+    val rated = df.filter(col("rating").isNotNull)
+    val pc = rated.groupBy(m, col("cokey"), col("comppct")).agg(
+      (if (tieLow) min_by(col("rating"), col("ratingOrd"))
+       else max_by(col("rating"), col("ratingOrd"))).as("rating"),
+      (if (tieLow) min(col("ratingOrd")) else max(col("ratingOrd"))).as("ratingOrd"))
+    dominantComponent(pc, tieLow)
+  }
 
   // A15 — per-component extreme month (domain) then DCP (:6413-6649);
   // the tiebreaker drives both levels (month direction + DCP tie).

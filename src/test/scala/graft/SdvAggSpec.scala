@@ -136,14 +136,19 @@ class SdvAggSpec extends AnyFunSuite {
     assert(mx.collect()(0).getDouble(3) === 201.0)
   }
 
-  test("A14 Mo-DCD: component pct counted once per rating (the 12X de-dup, :6298)") {
-    // one component rated Severe in 12 months: without dedup Severe sums
-    // to 12*pct; with dedup its class pct is just 60 and normalization
-    // yields 60%.
+  test("A14 Mo-DCD: 12 month rows collapse to one extreme per component (the 12X fix, :6297, :6353-6386)") {
+    // one component rated Severe in 12 months: the per-component
+    // extreme collapses them (comppct counted once, not 12X), then the
+    // dominant component's raw pct/rating is reported.
     val rows12 = (1 to 12).map(_ => row("m1", 1, 60, "Severe")) :+ row("m1", 2, 40, "Slight")
     val d = df(rtSchema, rows12)
-    val got = rowsOf(SdvAgg.moDominantConditionDedup(d, tieLow = true, trumpPct = None))
-    assert(got === Seq(Seq("m1", "Severe", 60.0)))
+    assert(rowsOf(SdvAgg.moDominantConditionDedup(d, tieLow = false))
+      === Seq(Seq("m1", "Severe", 60.0)))
+    // mixed months: tiebreak high takes the worst month per component
+    val mixed = Seq(row("m2", 3, 70, "Slight"), row("m2", 3, 70, "Severe"),
+      row("m2", 4, 30, "Moderate"))
+    assert(rowsOf(SdvAgg.moDominantConditionDedup(df(rtSchema, mixed), tieLow = false))
+      === Seq(Seq("m2", "Severe", 70.0)))
   }
 
   private val hzSchema = StructType(Seq(
