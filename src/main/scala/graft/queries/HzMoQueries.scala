@@ -34,11 +34,18 @@ object HzMoQueries extends QuerySet {
       (s, dir) => SdvAgg.moWeightedAverage(moNumeric(s, dir), most = false, sentinel),
       Some(withCtes(OracleSql.wta("pc"), moCte, OracleSql.moExtremeCte("pc", most = false)))),
 
-    // A13 — AggregateCo_Mo_MaxMin (:6109-6287): extreme over all
-    // (component, month) rows directly.
+    // A13 — AggregateCo_Mo_MaxMin (:6109-6287): per-component monthly
+    // extreme, class pct sums, mapunit takes the extreme rating with
+    // its class pct.
     Q("a13_mo_maxmin",
       (s, dir) => SdvAgg.moMaxMin(moNumeric(s, dir), most = true),
-      Some(withCtes("SELECT mukey, max(rating) AS rating FROM mo GROUP BY mukey", moCte))),
+      Some(withCtes(
+        """SELECT mukey, rating, comppct FROM (
+          |  SELECT mukey, rating, comppct,
+          |         row_number() OVER (PARTITION BY mukey ORDER BY rating DESC) AS rn
+          |  FROM (SELECT mukey, rating, sum(comppct) AS comppct
+          |        FROM pc GROUP BY mukey, rating) br) t WHERE rn = 1""".stripMargin,
+        moCte, OracleSql.moExtremeCte("pc", most = true)))),
 
     // A14 — AggregateCo_Mo_DCD (:6289-6411): per-component
     // tiebreak-directed extreme over months (the "12X" de-dup fix),

@@ -228,9 +228,18 @@ object SdvAgg {
     weightedAverage(perComponentMonthlyExtreme(df, most, sentinel), scale)
 
   // A13 — month-expanded Min/Max (AggregateCo_Mo_MaxMin, :6109-6287):
-  // the extreme over all (component, month) rows directly.
-  def moMaxMin(df: DataFrame, most: Boolean, notRatedOrd: Option[Double] = None): DataFrame =
-    maxMin(df, most, notRatedOrd)
+  // per-component extreme over months (0-pct components included,
+  // :6115-6116), comppct summed per extreme-rating class (:6210-6228),
+  // and the mapunit takes the extreme rating with its class pct
+  // (:6230-6248).
+  def moMaxMin(df: DataFrame, most: Boolean): DataFrame = {
+    val pc = perComponentMonthlyExtreme(df, most, None)
+    val byRating = pc.groupBy(m, col("rating"))
+      .agg(sum(col("comppct")).as("comppct"), max(col("ratingOrd")).as("ratingOrd"))
+    Ranked.argmax(byRating, Seq("mukey"),
+      Seq(if (most) col("ratingOrd") else -col("ratingOrd")),
+      Seq("rating" -> col("rating"), "comppct" -> col("comppct")))
+  }
 
   // A14 — AggregateCo_Mo_DCD (:6289-6411). Despite its name, the
   // reference's current implementation is NOT a condition-sum: each

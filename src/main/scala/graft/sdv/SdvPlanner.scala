@@ -194,7 +194,7 @@ class SdvPlanner(
       case "Minimum or Maximum" =>
         if (isHz && isChoice) SdvAgg.hzMaxMinDcp(rt, req.top, req.bot, tieLow)
         else if (isHz) SdvAgg.hzMaxMinWta(rt, most = !tieLow, req.top, req.bot)
-        else if (isMonth) SdvAgg.moMaxMin(rt, most = !tieLow, notRatedOrd)
+        else if (isMonth) SdvAgg.moMaxMin(rt, most = !tieLow)
         else SdvAgg.maxMin(rt, most = !tieLow, notRatedOrd)
       // NASIS interp-class domains are ordered most-limiting-first:
       // Most Limiting takes the MIN index, Least Limiting the MAX
