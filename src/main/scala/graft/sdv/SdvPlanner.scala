@@ -95,10 +95,6 @@ class SdvPlanner(
       .join(tables("component"), Seq("mukey"), "left")
       .filter(col("comppct_r") >= req.cutOff && !upper(col("compname")).eqNullSafe("NOTCOM"))
 
-    // interp semijoin F6: restrict cointerp to the requested rule
-    // (GetRuleKey :3821-3863 — we filter by rulename/ruledepth directly,
-    // the rulekey list being its precomputed equivalent)
-    val isInterp = att.attributetablename == "cointerp"
 
     var joined: DataFrame = att.attributetablename match {
       case "component" => comp

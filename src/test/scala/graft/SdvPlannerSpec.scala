@@ -96,6 +96,17 @@ class SdvPlannerSpec extends AnyFunSuite {
     assert(got === Seq(Seq("100001", 13.5, 80.0)))
   }
 
+  test("horizon-level Min/Max over a Choice attribute dispatches to worst-horizon DCP (A23, K-factor)") {
+    val kDomain = Seq(".17", ".24", ".32") // erodibility ascending
+    val p = new SdvPlanner(tables, domains = Map("kffact" -> kDomain))
+    val att = SdvAttribute("Kf", "chorizon", "kffact", "kf",
+      "Choice", "Minimum or Maximum", horzlevelattribflag = 1,
+      tiebreakrule = 1, tiebreakdomainname = Some("kffact"))
+    val got = rowsOf(p.plan(att, SdvRequest(top = 0, bot = 100)))
+    // worst horizon per comp: c1 → .32, c2 → .17; DCP → c1 (60%) → .32
+    assert(got === Seq(Seq("100001", ".32", 60.0)))
+  }
+
   test("mapunit-level passthrough (muaggatt path, A1)") {
     val muagg = df(SsurgoSchema.muaggatt, Seq(Row("100001", 13.5, "Well drained", 150.0)))
     val p = new SdvPlanner(tables + ("muaggatt" -> muagg))
