@@ -171,7 +171,11 @@ object ExtraQueries extends QuerySet {
           |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) AS rootznaws,
           |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) <= 152 AS droughty
           |FROM pcz GROUP BY mukey)""".stripMargin,
-        s"soc AS (SELECT mukey, ${socCols.mkString(", ")} FROM hzv GROUP BY mukey)",
+        """hzsoc AS (SELECT h.mukey, h.hzdept,
+          |  least(h.hzdepb, coalesce(r.rzdepth, h.hzdepb)) AS hzdepb,
+          |  h.comppct, h.om, h.db3i, h.fragvol
+          |FROM hzv h LEFT JOIN rz r ON h.cokey = r.cokey)""".stripMargin,
+        s"soc AS (SELECT mukey, ${socCols.mkString(", ")} FROM hzsoc GROUP BY mukey)",
         "den AS (SELECT mukey, musumcpcta AS sumpct FROM sp)",
         """num AS (SELECT mukey,
           |  sum(CASE WHEN crating = 'A' THEN rating*1000*comppct END) AS na,

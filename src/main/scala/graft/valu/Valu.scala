@@ -150,17 +150,28 @@ object Valu {
   // -------------------------------------------------------------------
   // V10 — CalcSOC (gSSURGO_ValuTable.py:1675-1908, formula :1793):
   // soc = hzT·(om/1.724·db3)/100·((100−fragvol)/100)·(comppct·100),
-  // summed component→mapunit per slice. db3i = bulk density in
-  // decigrams (10·db3) keeps every term integral; the single constant
-  // divisor 1.724·10·100·100/100 = 1724 is applied after the sum.
-  def calcSoc(hz: DataFrame, slices: Seq[(Int, Int)], scale: Int = 4): DataFrame = {
+  // summed component→mapunit per slice. SOC is never counted below the
+  // component's root-zone restriction: each horizon's effective bottom
+  // is min(hzdepb, restriction depth) (:1765-1776 `cBot = min(rz,
+  // bot)`). Pass `rz` = (cokey, rzdepth) to engage the cap. db3i =
+  // bulk density in decigrams (10·db3) keeps every term integral; the
+  // single constant divisor 1.724·10·100·100/100 = 1724 is applied
+  // after the sum.
+  def calcSoc(hz: DataFrame, slices: Seq[(Int, Int)],
+      rz: Option[DataFrame] = None, scale: Int = 4): DataFrame = {
+    val capped = rz match {
+      case Some(r) => hz.join(r.select(col("cokey"), col("rzdepth")), Seq("cokey"), "left")
+        .withColumn("hzdepb", least(col("hzdepb"),
+          coalesce(col("rzdepth"), col("hzdepb"))))
+      case None => hz
+    }
     val rated = col("om").isNotNull
     val aggs = slices.map { case (t, b) =>
       val ov = Exprs.depthOverlap(col("hzdept"), col("hzdepb"), t, b)
       val term = ov * col("om") * col("db3i") * (lit(100.0) - col("fragvol")) * col("comppct")
       round(sum(when(rated, term)) / 1724.0, scale).as(s"soc${t}_$b")
     }
-    hz.groupBy(m).agg(aggs.head, aggs.tail: _*)
+    capped.groupBy(m).agg(aggs.head, aggs.tail: _*)
   }
 
   // -------------------------------------------------------------------

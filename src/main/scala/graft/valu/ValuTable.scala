@@ -42,7 +42,8 @@ object ValuTable {
     val rz = Valu.rzDepth(cached, restricted)
     // RZAWS runs over major-earthy components only (:1224-1227)
     val rzaws = Valu.rzAws(cached.filter(major && earthy), organic, rz)
-    val soc = Valu.calcSoc(cached, socSlices)
+    // SOC stops at the root-zone restriction (:1765-1776)
+    val soc = Valu.calcSoc(cached, socSlices, rz = Some(rz))
     // NCCPI divides by the ALL-MAJOR pct sum — dPct[mukey][2] per
     // GetSumPct's tuple order (gSSURGO_ValuTable.py:1956-1959, :2434;
     // the reference's inline "major-earthy" comment there is wrong)

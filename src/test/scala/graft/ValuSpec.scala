@@ -104,6 +104,21 @@ class ValuSpec extends AnyFunSuite {
     assert(got === Seq(Seq("m1", 999.0), Seq("m2", 70.0), Seq("m3", 90.0)))
   }
 
+  test("V10 SOC: restriction depth caps the counted thickness (:1765-1776)") {
+    val s = StructType(Seq(StructField("mukey", StringType), StructField("cokey", StringType),
+      StructField("comppct", DoubleType), StructField("hzdept", DoubleType),
+      StructField("hzdepb", DoubleType), StructField("om", DoubleType),
+      StructField("db3i", DoubleType), StructField("fragvol", DoubleType)))
+    val hz = df(s, Seq(Row("m1", "c1", 100.0, 0.0, 100.0, 2.0, 13.0, 0.0)))
+    val rzS = StructType(Seq(StructField("cokey", StringType), StructField("rzdepth", DoubleType)))
+    val rz = df(rzS, Seq(Row("c1", 50.0)))
+    val free = Valu.calcSoc(hz, Seq((0, 100))).collect()(0).getDouble(1)
+    val capped = Valu.calcSoc(hz, Seq((0, 100)), rz = Some(rz)).collect()(0).getDouble(1)
+    // capping at 50cm halves the counted thickness (tolerance for the
+    // scale-4 output rounding)
+    assert(math.abs(capped - free / 2) < 0.001, s"capped=$capped free=$free")
+  }
+
   test("V1 sum pct: four conditional sums (:1953-2013)") {
     val s = StructType(Seq(StructField("mukey", StringType), StructField("comppct", DoubleType),
       StructField("major", BooleanType), StructField("earthy", BooleanType)))
