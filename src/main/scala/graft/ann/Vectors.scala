@@ -20,4 +20,17 @@ object Vectors {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-group element-wise mean vectors (centroids): explode to
+    * (group, dim, value) rows, average per dimension, reassemble in
+    * dimension order. One shuffle on (group, dim) — scales with
+    * n·d rows, never materializing per-group vector lists. */
+  def centroids(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      vecCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(avg(col("v").cast("double")).as("mv"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("pairs"))
+      .select(col(groupCol), transform(col("pairs"), p => p("mv")).as("centroid"))
 }

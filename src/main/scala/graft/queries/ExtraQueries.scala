@@ -95,6 +95,33 @@ object ExtraQueries extends QuerySet {
         "SELECT min(rating) AS rating_min, max(rating) AS rating_max FROM comp",
         compCte))),
 
+    // N3 — labeled-embedding quality: per-label centroid cohesion
+    // (mean member→centroid cosine) — the training-data sanity check
+    // for labeled embedding sets. Centroids via dimension-exploded
+    // averaging (graft.ann.Vectors.centroids).
+    Q("n03_label_cohesion",
+      (s, dir) => {
+        import graft.ann.Vectors
+        val e = Tables.load(s, dir, "embeddings")
+        val cent = Vectors.centroids(e, "label", "embedding")
+        e.join(cent, "label")
+          .select(col("label"), Vectors.cosine(col("embedding"), col("centroid")).as("cos"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), round(avg(col("cos")), 4).as("cohesion"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |ex AS (SELECT label, i AS dim, v[i] AS val
+             |       FROM e, (SELECT unnest(generate_series(1, 64)) AS i) s),
+             |cent AS (SELECT label, dim, avg(val) AS mv FROM ex GROUP BY 1, 2),
+             |centv AS (SELECT label, list(mv ORDER BY dim) AS c FROM cent GROUP BY label),
+             |m AS (SELECT e.label,
+             |        list_dot_product(e.v, c)
+             |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c, c))) AS cos
+             |      FROM e JOIN centv USING (label))
+             |SELECT label, count(*) AS n, round(avg(cos), 4) AS cohesion
+             |FROM m GROUP BY label""".stripMargin)),
+
     // V14 — CreateValuTable: the full Valu1 wide assembly
     // (gSSURGO_ValuTable.py:2992-3271) — sumpct + 11-slice AWS + RZAWS +
     // SOC + NCCPI + PWSL left-joined wide on the mapunit universe.
