@@ -46,4 +46,23 @@ object Ingest {
       .start()
     q.awaitTermination()
   }
+
+  /** Incremental survey ingestion (SURVEY §1.5): each micro-batch of
+    * landed rows is upserted into the lake by survey-area partition
+    * (foreachBatch + dynamic partition overwrite) — the streaming form
+    * of the MergeDatabases append, idempotent per re-landed survey. */
+  def streamIntoLake(spark: SparkSession, dropDir: String, schema: StructType,
+      lakeRoot: String, table: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(dropDir)
+      .writeStream
+      // checkpoint carries the processed-file log → re-landed drops are
+      // picked up exactly once across restarts
+      .option("checkpointLocation", s"$lakeRoot/_checkpoints/$table")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        graft.io.Lake.appendSurvey(batch.toDF(), lakeRoot, table)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

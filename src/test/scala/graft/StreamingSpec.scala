@@ -11,6 +11,32 @@ import graft.streaming.Ingest
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("streamIntoLake upserts survey partitions incrementally (foreachBatch)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("mukey", StringType),
+      StructField("v", IntegerType), StructField("areasymbol", StringType)))
+    val drop = Files.createTempDirectory("graft_drop").toString
+    val lake = Files.createTempDirectory("graft_lake_s").toString
+    // the file-stream source watches flat files in the drop dir
+    def land(rows: Seq[Row], file: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_land").toString
+      TestSpark.df(schema, rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$drop/$file.parquet"))
+    }
+    // first drop: two surveys
+    land(Seq(Row("m1", 1, "NE109"), Row("m2", 1, "IA021")), "d1")
+    Ingest.streamIntoLake(spark, drop, schema, lake, "mapunit")
+    assert(graft.io.Lake.read(spark, lake, "mapunit").count() === 2)
+    // second drop: IA021 re-landed with new content; NE109 untouched
+    land(Seq(Row("m2", 99, "IA021")), "d2")
+    Ingest.streamIntoLake(spark, drop, schema, lake, "mapunit")
+    val got = rowsOf(graft.io.Lake.read(spark, lake, "mapunit").select("mukey", "v"))
+    assert(got === Seq(Seq("m1", 1), Seq("m2", 99)))
+  }
+
   test("streamHourlyRollup over a parquet drop == batch hourlyRollup") {
     val src = "/root/testdata/sf0.001/events.parquet"
     val dropDir = Files.createTempDirectory("graft_stream_drop")
