@@ -14,7 +14,10 @@ import graft.valu.{Valu, ValuTable}
 object ExtraQueries extends QuerySet {
 
   private val socSlices = Seq((0, 30), (0, 100), (0, 999))
-  private val nccpiRules = Seq("A" -> "nccpi_a", "N" -> "nccpi_n", "R" -> "nccpi_r")
+  // rule key derived from depth, NOT from the major-flag column, so all
+  // three NCCPI columns carry real (non-vacuous) coverage
+  private val nccpiRules = Seq("corn" -> "nccpi_corn", "soy" -> "nccpi_soy",
+    "cotton" -> "nccpi_cotton")
 
   val all: Seq[Q] = Seq(
 
@@ -104,21 +107,24 @@ object ExtraQueries extends QuerySet {
         import graft.ann.Vectors
         val e = Tables.load(s, dir, "embeddings")
         val cent = Vectors.centroids(e, "label", "embedding")
-        e.join(cent, "label")
+        // left join: a label whose vectors are all empty has no centroid
+        // (posexplode yields no rows) but must still report a row
+        e.join(cent, Seq("label"), "left")
           .select(col("label"), Vectors.cosine(col("embedding"), col("centroid")).as("cos"))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"), round(avg(col("cos")), 4).as("cohesion"))
       },
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
              |           FROM embeddings),
-             |ex AS (SELECT label, i AS dim, v[i] AS val
-             |       FROM e, (SELECT unnest(generate_series(1, 64)) AS i) s),
+             |ex AS (SELECT label, unnest(generate_series(1, len(v))) AS dim,
+             |              unnest(v) AS val
+             |       FROM e),
              |cent AS (SELECT label, dim, avg(val) AS mv FROM ex GROUP BY 1, 2),
              |centv AS (SELECT label, list(mv ORDER BY dim) AS c FROM cent GROUP BY label),
              |m AS (SELECT e.label,
              |        list_dot_product(e.v, c)
              |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c, c))) AS cos
-             |      FROM e JOIN centv USING (label))
+             |      FROM e LEFT JOIN centv USING (label))
              |SELECT label, count(*) AS n, round(avg(cos), 4) AS cohesion
              |FROM m GROUP BY label""".stripMargin)),
 
@@ -136,7 +142,9 @@ object ExtraQueries extends QuerySet {
         // J12 restricts the NCCPI query table to major components
         val interp = h.filter(col("crating") =!= "N")
           .select(col("mukey"), col("cokey"), col("comppct"),
-            col("crating").as("rule"), (col("rating") * 1000).as("fuzzy"))
+            when(col("hzdept") === 0, "corn").when(col("hzdept") === 30, "soy")
+              .otherwise("cotton").as("rule"),
+            (col("rating") * 1000).as("fuzzy"))
         val base = Tables.load(s, dir, "customer").select(col("c_custkey").as("mukey"))
         ValuTable.build(base, h, cmp,
           major = col("crating") =!= "N", earthy = col("comppct") >= 10,
@@ -205,14 +213,14 @@ object ExtraQueries extends QuerySet {
         s"soc AS (SELECT mukey, ${socCols.mkString(", ")} FROM hzsoc GROUP BY mukey)",
         "den AS (SELECT mukey, musumcpcta AS sumpct FROM sp)",
         """num AS (SELECT mukey,
-          |  sum(CASE WHEN crating = 'A' THEN rating*1000*comppct END) AS na,
-          |  sum(CASE WHEN crating = 'N' THEN rating*1000*comppct END) AS nn,
-          |  sum(CASE WHEN crating = 'R' THEN rating*1000*comppct END) AS nr
+          |  sum(CASE WHEN hzdept = 0 THEN rating*1000*comppct END) AS ncorn,
+          |  sum(CASE WHEN hzdept = 30 THEN rating*1000*comppct END) AS nsoy,
+          |  sum(CASE WHEN hzdept >= 60 THEN rating*1000*comppct END) AS ncot
           |FROM hzv WHERE crating <> 'N' GROUP BY mukey)""".stripMargin,
         """nccpi AS (SELECT n.mukey,
-          |  round(CASE WHEN d.sumpct > 0 THEN na/d.sumpct/10000.0 END, 6) AS nccpi_a,
-          |  round(CASE WHEN d.sumpct > 0 THEN nn/d.sumpct/10000.0 END, 6) AS nccpi_n,
-          |  round(CASE WHEN d.sumpct > 0 THEN nr/d.sumpct/10000.0 END, 6) AS nccpi_r
+          |  round(CASE WHEN d.sumpct > 0 THEN ncorn/d.sumpct/10000.0 END, 6) AS nccpi_corn,
+          |  round(CASE WHEN d.sumpct > 0 THEN nsoy/d.sumpct/10000.0 END, 6) AS nccpi_soy,
+          |  round(CASE WHEN d.sumpct > 0 THEN ncot/d.sumpct/10000.0 END, 6) AS nccpi_cotton
           |FROM num n JOIN den d ON n.mukey = d.mukey)""".stripMargin,
         """pwsl AS (SELECT mukey,
           |  CASE WHEN max(CASE WHEN crating = 'N' AND comppct >= 80 THEN 1 ELSE 0 END) = 1

@@ -231,9 +231,10 @@ object SdvAgg {
   // per-component extreme over months (0-pct components included,
   // :6115-6116), comppct summed per extreme-rating class (:6210-6228),
   // and the mapunit takes the extreme rating with its class pct
-  // (:6230-6248).
+  // (:6230-6248). All ordering is by ratingOrd (numeric), so Choice
+  // attributes keep their domain ranking.
   def moMaxMin(df: DataFrame, most: Boolean): DataFrame = {
-    val pc = perComponentMonthlyExtreme(df, most, None)
+    val pc = perComponentMonthlyWorst(df, most)
     val byRating = pc.groupBy(m, col("rating"))
       .agg(sum(col("comppct")).as("comppct"), max(col("ratingOrd")).as("ratingOrd"))
     Ranked.argmax(byRating, Seq("mukey"),
@@ -242,16 +243,23 @@ object SdvAgg {
   }
 
   // A14 — AggregateCo_Mo_DCD (:6289-6411). Despite its name, the
-  // reference's current implementation is NOT a condition-sum: each
-  // component takes its tiebreak-directed extreme over months with
-  // null months dropped (:6353-6366, fixing the "12X" comppct bug
-  // noted at :6297), and the mapunit reports the dominant component's
-  // raw (comppct, rating) with no normalization (:6374-6386). The
-  // extreme direction follows ratingOrd (the reference compares raw
-  // values; supply a lexical/domain ordinal accordingly).
-  def moDominantConditionDedup(df: DataFrame, tieLow: Boolean = true): DataFrame = {
-    val rated = df.filter(col("rating").isNotNull)
-    val pc = rated.groupBy(m, col("cokey"), col("comppct")).agg(
+  // reference's current implementation is NOT a condition-sum: null
+  // months take the nullratingreplacement sentinel FIRST (:6341-6342 —
+  // so a sentinel month can win under tiebreak-high), each component
+  // takes its tiebreak-directed extreme over months (fixing the "12X"
+  // comppct bug noted at :6297), and the mapunit reports the dominant
+  // component's raw (comppct, rating) with no normalization
+  // (:6374-6386). Without a sentinel, null months drop. The extreme
+  // direction follows ratingOrd.
+  def moDominantConditionDedup(df: DataFrame, tieLow: Boolean = true,
+      sentinel: Option[Double] = None): DataFrame = {
+    val withSentinel = sentinel match {
+      case Some(s) => df
+        .withColumn("rating", coalesce(col("rating"), lit(s)))
+        .withColumn("ratingOrd", coalesce(col("ratingOrd"), lit(s)))
+      case None => df.filter(col("rating").isNotNull)
+    }
+    val pc = withSentinel.groupBy(m, col("cokey"), col("comppct")).agg(
       (if (tieLow) min_by(col("rating"), col("ratingOrd"))
        else max_by(col("rating"), col("ratingOrd"))).as("rating"),
       (if (tieLow) min(col("ratingOrd")) else max(col("ratingOrd"))).as("ratingOrd"))

@@ -50,7 +50,14 @@ object Ingest {
   /** Incremental survey ingestion (SURVEY §1.5): each micro-batch of
     * landed rows is upserted into the lake by survey-area partition
     * (foreachBatch + dynamic partition overwrite) — the streaming form
-    * of the MergeDatabases append, idempotent per re-landed survey. */
+    * of the MergeDatabases append, idempotent per re-landed survey.
+    *
+    * CONTRACT: a survey's files must land atomically as a complete
+    * snapshot (true of WSS drops — one zip = one whole survey): the
+    * partition overwrite replaces a survey with whatever the batch
+    * holds. Trigger.Once processes everything available as ONE batch so
+    * a multi-file survey cannot be split across micro-batches within a
+    * run. */
   def streamIntoLake(spark: SparkSession, dropDir: String, schema: StructType,
       lakeRoot: String, table: String): Unit = {
     val q = spark.readStream.schema(schema).parquet(dropDir)
@@ -61,7 +68,7 @@ object Ingest {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         graft.io.Lake.appendSurvey(batch.toDF(), lakeRoot, table)
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(Trigger.Once())
       .start()
     q.awaitTermination()
   }

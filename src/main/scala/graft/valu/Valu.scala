@@ -176,12 +176,14 @@ object Valu {
 
   // -------------------------------------------------------------------
   // V12 — CalcNCCPI2/3 (gSSURGO_ValuTable.py:2097-2477): per mapunit,
-  // Σ(fuzzy·comppct) per rule ÷ the major-earthy pct sum (divide
-  // :2434: `sumPct = dPct[mukey][2]` from GetSumPct), pivoted to one
-  // fixed column per submodel rule (accum :2347-2399). Pass `denom` =
-  // (mukey, sumpct) for the faithful divisor; the default falls back
-  // to the pct sum of the distinct components present in the interp
-  // table (equal whenever every major-earthy component has interp
+  // Σ(fuzzy·comppct) per rule ÷ the ALL-MAJOR pct sum (divide :2434:
+  // `sumPct = dPct[mukey][2]`, which per GetSumPct's tuple order
+  // :1956-1959 is the all-major sum — musumcpcta here; the reference's
+  // own inline "major-earthy" comment at :2434 is wrong). Pivoted to
+  // one fixed column per submodel rule (accum :2347-2399). Pass
+  // `denom` = (mukey, sumpct) for the faithful divisor; the default
+  // falls back to the pct sum of the distinct components present in
+  // the interp table (equal whenever every major component has interp
   // rows). `fuzzy` is in exact 1e-4 units (cents of a percent); the
   // /10000 rescale happens after the division.
   def nccpi(interp: DataFrame, rules: Seq[(String, String)],
@@ -193,7 +195,7 @@ object Valu {
       sum(when(col("rule") === r, col("fuzzy") * col("comppct"))).as(s"num_$c")
     }
     val num = interp.groupBy(m).agg(numAggs.head, numAggs.tail: _*)
-    // zero major-earthy pct → null rating (the reference skips the row,
+    // zero divisor pct → null rating (the reference skips the row,
     // :2456 "Miscellaneous map unit encountered")
     num.join(den, "mukey").select(
       m +: rules.map { case (_, c) =>

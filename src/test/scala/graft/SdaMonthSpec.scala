@@ -28,6 +28,28 @@ class SdaMonthSpec extends AnyFunSuite {
     assert(rowsOf(got) === Seq(Seq("100001", "abcd"), Seq("100002", "efgh")))
   }
 
+  test("month-level Choice Min/Max ranks by domain, not lexically (A13 regression guard)") {
+    import org.apache.spark.sql.types._
+    val mapunit = df(SsurgoSchema.mapunit, Seq(Row("100001", "AaB", "Alpha", "L1")))
+    val component = df(SsurgoSchema.component, Seq(
+      Row("c1", "100001", 60, "Alpha", "Series", "Yes", null, null, null, null, null, null),
+      Row("c2", "100001", 40, "Beta", "Series", "No", null, null, null, null, null, null)))
+    val comonthS = StructType(SsurgoSchema.comonth.fields :+
+      StructField("flodfreqcl", StringType))
+    val comonth = df(comonthS, Seq(
+      Row("cm1", "c1", 4, "None"), Row("cm2", "c1", 5, "Frequent"),
+      Row("cm3", "c2", 4, "Rare")))
+    val p = new SdvPlanner(
+      Map("mapunit" -> mapunit, "component" -> component, "comonth" -> comonth),
+      domains = Map("flood" -> Seq("None", "Rare", "Occasional", "Frequent")))
+    val att = SdvAttribute("Flooding Frequency", "comonth", "flodfreqcl",
+      "rating", "Choice", "Minimum or Maximum", cmonthlevelattribflag = 1,
+      tiebreakrule = 1, tiebreakdomainname = Some("flood"))
+    // worst month per comp by DOMAIN rank: c1 → Frequent (lexical max
+    // would wrongly give 'Rare' the win via 'R' > 'F'); class pct 60.
+    assert(rowsOf(p.plan(att)) === Seq(Seq("100001", "Frequent", 60.0)))
+  }
+
   test("planner month path: comonth→cosoilmoist FK walk with DTWT sentinel") {
     val mapunit = df(SsurgoSchema.mapunit, Seq(Row("100001", "AaB", "Alpha", "L1")))
     val component = df(SsurgoSchema.component, Seq(
