@@ -64,11 +64,18 @@ object HzMoQueries extends QuerySet {
         OracleSql.moWorstCte("pc")))),
 
     // A16 — AggregateCo_Mo_DCD_Domain (:6651-7055): same pre-step, then
-    // Dominant Condition.
+    // class pct sums and the (sumpct, index-desc) winner with its RAW
+    // class sum — no trump, no normalization.
     Q("a16_mo_domain_dcd",
       (s, dir) => SdvAgg.moDomainDominantCondition(moChoice(s, dir), tieLow = false),
-      Some(withCtes(OracleSql.dcd("pc", tieLow = false), moCte,
-        OracleSql.moWorstCte("pc"), OracleSql.dcdBr("pc")))),
+      Some(withCtes(
+        """SELECT mukey, rating, comppct FROM (
+          |  SELECT mukey, rating, sumpct AS comppct,
+          |         row_number() OVER (PARTITION BY mukey
+          |           ORDER BY sumpct DESC, ord DESC) AS rn
+          |  FROM (SELECT mukey, rating, max(ord) AS ord, sum(comppct) AS sumpct
+          |        FROM pc GROUP BY mukey, rating) br) t WHERE rn = 1""".stripMargin,
+        moCte, OracleSql.moWorstCte("pc")))),
 
     // A17 — AggregateCo_Mo_WTA (:7057-7207): per-component max over
     // months, then weighted average.

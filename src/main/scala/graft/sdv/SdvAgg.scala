@@ -271,10 +271,21 @@ object SdvAgg {
   def moDomainDominantComponent(df: DataFrame, tieLow: Boolean = true): DataFrame =
     dominantComponent(perComponentMonthlyWorst(df, most = !tieLow), tieLow)
 
-  // A16 — per-component extreme month (domain) then DCD (:6651-7055).
-  def moDomainDominantCondition(df: DataFrame, tieLow: Boolean = true,
-      trumpPct: Option[Double] = Some(50.0)): DataFrame =
-    dominantCondition(perComponentMonthlyWorst(df, most = !tieLow), tieLow, trumpPct)
+  // A16 — AggregateCo_Mo_DCD_Domain (:6651-7055): per-component extreme
+  // month by domain, class pct sums, winner by (sumpct, tiebreak-
+  // directed index) reporting the RAW class sum — no 50%-trump and no
+  // normalization (:6977-6990), unlike the component-level DCD. The
+  // reference's acknowledged 12X cokey duplication (":6963 each cokey
+  // could be listed 12X") is fixed by aggregating one extreme row per
+  // component, as its own A14 fix does.
+  def moDomainDominantCondition(df: DataFrame, tieLow: Boolean = true): DataFrame = {
+    val pc = perComponentMonthlyWorst(df, most = !tieLow)
+    val byRating = pc.groupBy(m, col("rating"))
+      .agg(sum(col("comppct")).as("comppct"), max(col("ratingOrd")).as("ratingOrd"))
+    Ranked.argmax(byRating, Seq("mukey"),
+      Seq(col("comppct"), tieCol(tieLow)),
+      Seq("rating" -> col("rating"), "comppct" -> col("comppct")))
+  }
 
   // A17 — per-component monthly extreme then WTA (AggregateCo_Mo_WTA,
   // :7057-7207).
