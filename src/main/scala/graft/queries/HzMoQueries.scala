@@ -22,11 +22,18 @@ object HzMoQueries extends QuerySet {
       (s, dir) => SdvAgg.moDominantComponent(moNumeric(s, dir), most = true, sentinel),
       Some(withCtes(OracleSql.dcp("pc"), moCte, OracleSql.moExtremeCte("pc", most = true)))),
 
-    // A11 — AggregateCo_DCD_DTWT (:5983-6107): same pre-step, then DCD.
+    // A11 — AggregateCo_DCD_DTWT (:5983-6107): monthly extreme per
+    // component, class pct sums, max-sum class with its raw pct.
     Q("a11_mo_dcd_dtwt",
       (s, dir) => SdvAgg.moDominantCondition(moNumeric(s, dir), most = true, sentinel),
-      Some(withCtes(OracleSql.dcd("pc"), moCte,
-        OracleSql.moExtremeCte("pc", most = true), OracleSql.dcdBr("pc")))),
+      Some(withCtes(
+        """SELECT mukey, rating, comppct FROM (
+          |  SELECT mukey, rating, sumpct AS comppct,
+          |         row_number() OVER (PARTITION BY mukey
+          |           ORDER BY sumpct DESC, rating ASC) AS rn
+          |  FROM (SELECT mukey, rating, sum(comppct) AS sumpct
+          |        FROM pc GROUP BY mukey, rating) br) t WHERE rn = 1""".stripMargin,
+        moCte, OracleSql.moExtremeCte("pc", most = true)))),
 
     // A12 — AggregateCo_WTA_DTWT (:7209-7337): per-component min over
     // months with the null sentinel, then comppct-weighted average.

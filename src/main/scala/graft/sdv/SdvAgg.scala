@@ -217,10 +217,21 @@ object SdvAgg {
       sentinel: Option[Double] = None, tieLow: Boolean = true): DataFrame =
     dominantComponent(perComponentMonthlyExtreme(df, most, sentinel), tieLow)
 
-  // A11 — monthly extreme then Dominant Condition (:5983-6107).
+  // A11 — AggregateCo_DCD_DTWT (:5983-6107): sentinel for null months,
+  // per-component tiebreak-directed monthly extreme, class pct sums,
+  // winner = the class with the max sum reporting its RAW pct
+  // (:6061-6082) — no 50%-trump and no normalization, unlike the
+  // component-level DCD. Ties broken by rating order for determinism
+  // (the reference's dict iteration is partition-order luck).
   def moDominantCondition(df: DataFrame, most: Boolean,
-      sentinel: Option[Double] = None, tieLow: Boolean = true): DataFrame =
-    dominantCondition(perComponentMonthlyExtreme(df, most, sentinel), tieLow)
+      sentinel: Option[Double] = None, tieLow: Boolean = true): DataFrame = {
+    val pc = perComponentMonthlyExtreme(df, most, sentinel)
+    val byRating = pc.groupBy(m, col("rating"))
+      .agg(sum(col("comppct")).as("comppct"), max(col("ratingOrd")).as("ratingOrd"))
+    Ranked.argmax(byRating, Seq("mukey"),
+      Seq(col("comppct"), tieCol(tieLow)),
+      Seq("rating" -> col("rating"), "comppct" -> col("comppct")))
+  }
 
   // A12 — monthly extreme then WTA (AggregateCo_WTA_DTWT, :7209-7337).
   def moWeightedAverage(df: DataFrame, most: Boolean,
