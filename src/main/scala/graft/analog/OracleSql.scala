@@ -43,6 +43,18 @@ object OracleSql {
        |JOIN (SELECT mukey, sum(sumpct) AS totalpct FROM dcd_br GROUP BY mukey) t
        |  ON t.mukey = w.mukey""".stripMargin
 
+  /** Mirror of SdvAgg's raw class-sum winner (A11/A16,
+    * rawDominantCondition): class pct sums over a per-component table,
+    * max sum wins with its RAW pct (no trump, no normalization); ties
+    * by ord (tie direction) then rating DESC. */
+  def rawDcd(src: String, tieLow: Boolean = true): String =
+    s"""SELECT mukey, rating, comppct FROM (
+       |  SELECT mukey, rating, sumpct AS comppct,
+       |         row_number() OVER (PARTITION BY mukey
+       |           ORDER BY sumpct DESC, ord ${dir(tieLow)}, rating DESC) AS rn
+       |  FROM (SELECT mukey, rating, max(ord) AS ord, sum(comppct) AS sumpct
+       |        FROM $src GROUP BY mukey, rating) br) t WHERE rn = 1""".stripMargin
+
   /** Mirror of SdvAgg.weightedAverage. */
   def wta(src: String): String =
     s"""SELECT mukey, round(sum(comppct*rating)/sum(comppct), 4) AS rating,

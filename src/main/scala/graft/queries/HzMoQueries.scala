@@ -26,13 +26,7 @@ object HzMoQueries extends QuerySet {
     // component, class pct sums, max-sum class with its raw pct.
     Q("a11_mo_dcd_dtwt",
       (s, dir) => SdvAgg.moDominantCondition(moNumeric(s, dir), most = true, sentinel),
-      Some(withCtes(
-        """SELECT mukey, rating, comppct FROM (
-          |  SELECT mukey, rating, sumpct AS comppct,
-          |         row_number() OVER (PARTITION BY mukey
-          |           ORDER BY sumpct DESC, rating ASC) AS rn
-          |  FROM (SELECT mukey, rating, sum(comppct) AS sumpct
-          |        FROM pc GROUP BY mukey, rating) br) t WHERE rn = 1""".stripMargin,
+      Some(withCtes(OracleSql.rawDcd("pc", tieLow = true),
         moCte, OracleSql.moExtremeCte("pc", most = true)))),
 
     // A12 — AggregateCo_WTA_DTWT (:7209-7337): per-component min over
@@ -75,13 +69,7 @@ object HzMoQueries extends QuerySet {
     // class sum — no trump, no normalization.
     Q("a16_mo_domain_dcd",
       (s, dir) => SdvAgg.moDomainDominantCondition(moChoice(s, dir), tieLow = false),
-      Some(withCtes(
-        """SELECT mukey, rating, comppct FROM (
-          |  SELECT mukey, rating, sumpct AS comppct,
-          |         row_number() OVER (PARTITION BY mukey
-          |           ORDER BY sumpct DESC, ord DESC) AS rn
-          |  FROM (SELECT mukey, rating, max(ord) AS ord, sum(comppct) AS sumpct
-          |        FROM pc GROUP BY mukey, rating) br) t WHERE rn = 1""".stripMargin,
+      Some(withCtes(OracleSql.rawDcd("pc", tieLow = false),
         moCte, OracleSql.moWorstCte("pc")))),
 
     // A17 — AggregateCo_Mo_WTA (:7057-7207): per-component max over

@@ -217,21 +217,26 @@ object SdvAgg {
       sentinel: Option[Double] = None, tieLow: Boolean = true): DataFrame =
     dominantComponent(perComponentMonthlyExtreme(df, most, sentinel), tieLow)
 
-  // A11 — AggregateCo_DCD_DTWT (:5983-6107): sentinel for null months,
-  // per-component tiebreak-directed monthly extreme, class pct sums,
-  // winner = the class with the max sum reporting its RAW pct
-  // (:6061-6082) — no 50%-trump and no normalization, unlike the
-  // component-level DCD. Ties broken by rating order for determinism
-  // (the reference's dict iteration is partition-order luck).
-  def moDominantCondition(df: DataFrame, most: Boolean,
-      sentinel: Option[Double] = None, tieLow: Boolean = true): DataFrame = {
-    val pc = perComponentMonthlyExtreme(df, most, sentinel)
+  /** Shared month-family final step (A11/A16): class pct sums over
+    * per-component extremes, winner = max class sum with its RAW pct —
+    * no 50%-trump, no normalization, unlike the component-level DCD.
+    * Ties break by ratingOrd then the rating value itself (the
+    * reference's dict iteration is partition-order luck; the pick must
+    * be deterministic across partitionings). */
+  private def rawDominantCondition(pc: DataFrame, tieLow: Boolean): DataFrame = {
     val byRating = pc.groupBy(m, col("rating"))
       .agg(sum(col("comppct")).as("comppct"), max(col("ratingOrd")).as("ratingOrd"))
     Ranked.argmax(byRating, Seq("mukey"),
-      Seq(col("comppct"), tieCol(tieLow)),
+      Seq(col("comppct"), tieCol(tieLow), col("rating")),
       Seq("rating" -> col("rating"), "comppct" -> col("comppct")))
   }
+
+  // A11 — AggregateCo_DCD_DTWT (:5983-6107): sentinel for null months,
+  // per-component tiebreak-directed monthly extreme, then the raw
+  // class-sum winner (:6061-6082).
+  def moDominantCondition(df: DataFrame, most: Boolean,
+      sentinel: Option[Double] = None, tieLow: Boolean = true): DataFrame =
+    rawDominantCondition(perComponentMonthlyExtreme(df, most, sentinel), tieLow)
 
   // A12 — monthly extreme then WTA (AggregateCo_WTA_DTWT, :7209-7337).
   def moWeightedAverage(df: DataFrame, most: Boolean,
@@ -283,20 +288,14 @@ object SdvAgg {
     dominantComponent(perComponentMonthlyWorst(df, most = !tieLow), tieLow)
 
   // A16 — AggregateCo_Mo_DCD_Domain (:6651-7055): per-component extreme
-  // month by domain, class pct sums, winner by (sumpct, tiebreak-
-  // directed index) reporting the RAW class sum — no 50%-trump and no
-  // normalization (:6977-6990), unlike the component-level DCD. The
+  // month by domain, then the raw class-sum winner (:6977-6990). The
   // reference's acknowledged 12X cokey duplication (":6963 each cokey
   // could be listed 12X") is fixed by aggregating one extreme row per
-  // component, as its own A14 fix does.
-  def moDomainDominantCondition(df: DataFrame, tieLow: Boolean = true): DataFrame = {
-    val pc = perComponentMonthlyWorst(df, most = !tieLow)
-    val byRating = pc.groupBy(m, col("rating"))
-      .agg(sum(col("comppct")).as("comppct"), max(col("ratingOrd")).as("ratingOrd"))
-    Ranked.argmax(byRating, Seq("mukey"),
-      Seq(col("comppct"), tieCol(tieLow)),
-      Seq("rating" -> col("rating"), "comppct" -> col("comppct")))
-  }
+  // component, as its own A14 fix does. Off-domain month values must be
+  // filtered upstream (the reference KeyError-skips them; the planner
+  // does this for month-level Choice attributes).
+  def moDomainDominantCondition(df: DataFrame, tieLow: Boolean = true): DataFrame =
+    rawDominantCondition(perComponentMonthlyWorst(df, most = !tieLow), tieLow)
 
   // A17 — per-component monthly extreme then WTA (AggregateCo_Mo_WTA,
   // :7057-7207).

@@ -153,6 +153,11 @@ class SdvPlanner(
 
     // month-level inputs keep the month column for the A10-A17 pre-steps
     val isMonth = att.cmonthlevelattribflag == 1
+    // the month-domain aggregates skip month rows whose rating is not in
+    // the domain (the reference's dValues KeyError → pass, e.g. obsolete
+    // 'Common' ponding class, gSSURGO_CreateSoilMap.py:6887-6890)
+    if (isMonth && isChoice && domain.nonEmpty)
+      rt = rt.filter(col("ratingOrd") <= domain.size)
     val isHz = att.horzlevelattribflag == 1 && !isMonth
     if (isHz)
       rt = joined.select(col("mukey"), col("cokey"),

@@ -136,6 +136,24 @@ class SdvAggSpec extends AnyFunSuite {
     assert(mx.collect()(0).getDouble(3) === 201.0)
   }
 
+  test("A11 raw DCD: max-sum class wins with RAW pct — no trump, no normalization (:6061-6082)") {
+    // dominant comp 50 'Severe-valued' (would trump in component DCD);
+    // the 60-sum class must win and report 60, not 100*60/110.
+    val d = df(numSchema, Seq(
+      Row("m1", 1L, 50.0, 90.0, 90.0),
+      Row("m1", 2L, 30.0, 10.0, 10.0), Row("m1", 3L, 30.0, 10.0, 10.0)))
+    assert(rowsOf(SdvAgg.moDominantCondition(d, most = true))
+      === Seq(Seq("m1", 10.0, 60.0)))
+  }
+
+  test("A16 raw domain DCD: class sum raw, domain ordinal breaks sum ties (:6977-6990)") {
+    val d = df(rtSchema, Seq(
+      row("m1", 1, 50, "Severe"), row("m1", 2, 50, "Slight"))) // sum tie 50-50
+    // tieLow=false → higher domain ordinal wins the tie → Severe, raw 50
+    assert(rowsOf(SdvAgg.moDomainDominantCondition(d, tieLow = false))
+      === Seq(Seq("m1", "Severe", 50.0)))
+  }
+
   test("A14 Mo-DCD: 12 month rows collapse to one extreme per component (the 12X fix, :6297, :6353-6386)") {
     // one component rated Severe in 12 months: the per-component
     // extreme collapses them (comppct counted once, not 12X), then the
