@@ -128,11 +128,13 @@ object HzMoQueries extends QuerySet {
         hzCte, OracleSql.hzSliceCte("pc", 0, 100)))),
 
     // A22 — AggregateHz_MaxMin_DCD (:9052-9199, K-factor): per-component
-    // worst horizon rating in slice, then Dominant Condition.
+    // worst horizon rating in slice, then the max-comppct component's
+    // raw pct and class win (SortData(muVals,0,0) :9165-9169 — NOT a
+    // condition sum, despite the reference function's name).
     Q("a22_hz_maxmin_dcd",
       (s, dir) => SdvAgg.hzMaxMinDcd(hzChoice(s, dir), 0, 100),
-      Some(withCtes(OracleSql.dcd("pc"), hzCte,
-        OracleSql.hzWorstCte("pc", 0, 100), OracleSql.dcdBr("pc")))),
+      Some(withCtes(OracleSql.dcp("pc"), hzCte,
+        OracleSql.hzWorstCte("pc", 0, 100)))),
 
     // A23 — AggregateHz_MaxMin_DCP (:9201-9346): per-component worst
     // horizon rating, then Dominant Component.

@@ -44,10 +44,14 @@ object SdvAgg {
 
   // ---------------------------------------------------------------------
   // A1 — No Aggregation Necessary (Aggregate1,
-  // gSSURGO_CreateSoilMap.py:4720-4808): mapunit-level passthrough with
-  // precision rounding. Input: (mukey, rating).
-  def noAggregation(df: DataFrame, scale: Int = 2): DataFrame =
-    df.select(m, round(col("rating"), scale).as("rating"))
+  // gSSURGO_CreateSoilMap.py:4720-4808): mapunit-level passthrough.
+  // Precision rounding applies only to numeric ratings (:4765 rounds
+  // inside the float branch); Choice/String ratings pass through
+  // unchanged — rounding them would force a string→double cast that
+  // throws under Spark 4's ANSI mode.
+  def noAggregation(df: DataFrame, scale: Int = 2, numeric: Boolean = true): DataFrame =
+    if (numeric) df.select(m, round(col("rating"), scale).as("rating"))
+    else df.select(m, col("rating"))
 
   /** The legend side-output every aggregate computes (outputValues,
     * e.g. gSSURGO_CreateSoilMap.py:4766-4776): global [min,max] of the
@@ -133,9 +137,14 @@ object SdvAgg {
   // components. 'Not rated' rows (ratingOrd == notRatedOrd) are skipped
   // unless no rated row exists (:5415-5422).
   def maxMin(df: DataFrame, most: Boolean, notRatedOrd: Option[Double] = None): DataFrame = {
+    // rating value as the final tiebreak: for no-domain Choice inputs the
+    // planner sets ratingOrd = 0 on every row, so ordering on ratingOrd
+    // alone would leave the winner partition-dependent (same degenerate
+    // case limiting() tie-breaks explicitly).
+    val key = struct(col("ratingOrd"), col("rating"))
     val ratedOrd = notRatedOrd match {
-      case Some(o) => when(col("ratingOrd") =!= o, col("ratingOrd"))
-      case None    => col("ratingOrd")
+      case Some(o) => when(col("ratingOrd") =!= o, key)
+      case None    => key
     }
     val extreme =
       if (most) max_by(col("rating"), ratedOrd) else min_by(col("rating"), ratedOrd)
@@ -362,6 +371,27 @@ object SdvAgg {
       (if (most) max(col("compmean")) else min(col("compmean"))).as("rating"))
   }
 
+  /** Collapse a horizon-level rating table to one row per component by
+    * the tiebreak-directed extreme RAW rating value. Mirrors what the
+    * Co_* aggregations actually do when the dispatch feeds them
+    * horizon-level rows (Surface / non-K-Factor hz attributes,
+    * :10762-10772, :10780-10810): the cursor sorts by the attribute
+    * column (ASC under tiebreak-Low, :5595-5599) and `dComp[cokey] = …`
+    * keeps the LAST row, i.e. the max (Low) / min (High) rating per
+    * component. For Surface attributes the input already has one row
+    * per component and this is a no-op. (The reference also
+    * double-appends cokeys into dMapunit for multi-horizon input,
+    * double-counting comppct — a cursor artifact on a path its own
+    * comments call untested; we deliberately do not reproduce it.) */
+  def perComponentExtreme(df: DataFrame, most: Boolean): DataFrame = {
+    val pick = struct(col("rating").as("r"), col("ratingOrd").as("o"))
+    df.filter(col("rating").isNotNull)
+      .groupBy(m, col("cokey"), col("comppct"))
+      .agg((if (most) max(pick) else min(pick)).as("p"))
+      .select(m, col("cokey"), col("comppct"),
+        col("p.r").as("rating"), col("p.o").as("ratingOrd"))
+  }
+
   /** Per-component worst horizon rating inside the slice (K-factor
     * pre-step for A22/A23; :9052-9346). Requires ratingOrd. */
   private def perComponentWorstHorizon(df: DataFrame, top: Int, bot: Int): DataFrame =
@@ -371,11 +401,16 @@ object SdvAgg {
       .agg(max_by(col("rating"), col("ratingOrd")).as("rating"),
         max(col("ratingOrd")).as("ratingOrd"))
 
-  // A22 — AggregateHz_MaxMin_DCD (:9052-9199): per-component worst
-  // horizon rating, then Dominant Condition.
-  def hzMaxMinDcd(df: DataFrame, top: Int, bot: Int, tieLow: Boolean = true,
-      trumpPct: Option[Double] = Some(50.0)): DataFrame =
-    dominantCondition(perComponentWorstHorizon(df, top, bot), tieLow, trumpPct)
+  // A22 — AggregateHz_MaxMin_DCD (:9052-9199, K-factor): despite the
+  // name, NOT a condition sum. Per component: the worst (max domain
+  // index) rating over overlapping horizons (:9121-9141). Per mapunit:
+  // SortData(muVals, 0, 0, True, True) (:9165-9169) — a comppct-only
+  // descending sort, i.e. the dominant COMPONENT wins and reports its
+  // RAW comppct; no 50% trump, no class pct sums, no normalization.
+  // Reference ties are cursor-order-arbitrary; we tie-break
+  // deterministically the same way as A23 (rating order, then cokey).
+  def hzMaxMinDcd(df: DataFrame, top: Int, bot: Int, tieLow: Boolean = true): DataFrame =
+    dominantComponent(perComponentWorstHorizon(df, top, bot), tieLow)
 
   // A23 — AggregateHz_MaxMin_DCP (:9201-9346): per-component worst
   // horizon rating, then Dominant Component.

@@ -85,7 +85,9 @@ class SdvPlanner(
         if (att.attributetablename == "mapunit") tables("mapunit")
         else tables("mapunit").join(tables(att.attributetablename), Seq("mukey"), "left")
       val base = src.select(col("mukey"), col(attColName).as("rating"))
-      return SdvAgg.noAggregation(base)
+      val muNumeric = att.attributelogicaldatatype != "Choice" &&
+        att.attributelogicaldatatype != "String"
+      return SdvAgg.noAggregation(base, numeric = muNumeric)
         .withColumnRenamed("rating", att.resultcolumnname)
     }
 
@@ -170,17 +172,30 @@ class SdvPlanner(
     val notRatedOrd =
       if (domain.nonEmpty) Some(domain.size + 1.0) else None
 
+    // K Factor is the ONLY family the reference routes to the
+    // Hz_MaxMin_* aggregations (:10734-10741); every other hz attribute
+    // under DCP/DCD/MaxMin falls through to the component-level Co_*
+    // functions (:10762-10772, :10780-10810), which — fed horizon rows —
+    // effectively collapse each component to its tiebreak-directed
+    // extreme rating first (see SdvAgg.perComponentExtreme).
+    val isKFactor = att.attributename.startsWith("K Factor")
+    def coHz(df: DataFrame): DataFrame =
+      if (isHz) SdvAgg.perComponentExtreme(df, most = tieLow) else df
+
     // --- stage 5: aggregation dispatch (:10612-10918) ------------------
     val out = algorithm match {
-      case "No Aggregation Necessary" => SdvAgg.noAggregation(rt)
+      case "No Aggregation Necessary" => SdvAgg.noAggregation(rt, numeric = !isChoice)
       case "Dominant Component" =>
-        if (isHz) SdvAgg.hzDcpWta(rt, req.top, req.bot)
+        if (isHz && isKFactor) SdvAgg.hzMaxMinDcp(rt, req.top, req.bot, tieLow)
+        else if (isHz && isChoice) SdvAgg.dominantComponent(coHz(rt), tieLow) // Surface/choice → Co_DCP (:10762-10772)
+        else if (isHz) SdvAgg.hzDcpWta(rt, req.top, req.bot) // numeric, horzaggmeth WTA (:10774-10776)
         else if (isMonth && isChoice) SdvAgg.moDomainDominantComponent(rt, tieLow)
         else if (isMonth) SdvAgg.moDominantComponent(rt,
           most = !tieLow, att.nullratingreplacementvalue, tieLow)
         else SdvAgg.dominantComponent(rt, tieLow)
       case "Dominant Condition" =>
-        if (isHz) SdvAgg.hzMaxMinDcd(rt, req.top, req.bot, tieLow)
+        if (isHz && isKFactor) SdvAgg.hzMaxMinDcd(rt, req.top, req.bot, tieLow)
+        else if (isHz) SdvAgg.dominantCondition(coHz(rt), tieLow) // Surface choice → Co_DCD_Domain, numeric → Co_DCD (:10780-10805)
         else if (isMonth && isChoice) SdvAgg.moDomainDominantCondition(rt, tieLow)
         else if (isMonth) SdvAgg.moDominantCondition(rt,
           most = !tieLow, att.nullratingreplacementvalue, tieLow)
@@ -193,7 +208,9 @@ class SdvPlanner(
           most = !tieLow, att.nullratingreplacementvalue)
         else SdvAgg.weightedAverage(rt)
       case "Minimum or Maximum" =>
-        if (isHz && isChoice) SdvAgg.hzMaxMinDcp(rt, req.top, req.bot, tieLow)
+        // hz choice → Co_MaxMin, the mapunit-wide extreme (:10807-10810);
+        // hz numeric → Hz_MaxMin_WTA (:10812-10813)
+        if (isHz && isChoice) SdvAgg.maxMin(coHz(rt), most = !tieLow, notRatedOrd)
         else if (isHz) SdvAgg.hzMaxMinWta(rt, most = !tieLow, req.top, req.bot)
         else if (isMonth) SdvAgg.moMaxMin(rt, most = !tieLow)
         else SdvAgg.maxMin(rt, most = !tieLow, notRatedOrd)

@@ -123,7 +123,9 @@ object Valu {
   // (buried organics below it count); each horizon contributes
   // thickness between greatest(hzdept, firstMineral) and
   // least(hzdepb, rzdepth) times awc; mapunit = pct-weighted rollup;
-  // droughty = rootznaws <= 152 (:1436-1440).
+  // droughty = round(rootznaws, 0) <= 152 (:1433-1440 — the reference
+  // rounds to an integer BEFORE comparing, so 152.0 < x < 152.5 is
+  // still droughty).
   // `hz` should be pre-filtered to major-earthy components (:1246);
   // `rz` = (cokey, rzdepth) from rzDepth over the full horizon table.
   def rzAws(hz: DataFrame, organic: Column, rz: DataFrame, scale: Int = 4): DataFrame = {
@@ -137,7 +139,7 @@ object Valu {
     perCo.groupBy(m).agg(
       round(sum(col("comppct") * col("awsum")) / sum(col("comppct")) / 10.0, scale)
         .as("rootznaws"))
-      .withColumn("droughty", col("rootznaws") <= 152)
+      .withColumn("droughty", round(col("rootznaws"), 0) <= 152)
   }
 
   // -------------------------------------------------------------------

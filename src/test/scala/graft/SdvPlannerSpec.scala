@@ -96,15 +96,32 @@ class SdvPlannerSpec extends AnyFunSuite {
     assert(got === Seq(Seq("100001", 13.5, 80.0)))
   }
 
-  test("horizon-level Min/Max over a Choice attribute dispatches to worst-horizon DCP (A23, K-factor)") {
+  test("horizon-level Min/Max over a Choice attribute dispatches to Co_MaxMin (:10807-10810 minimax)") {
     val kDomain = Seq(".17", ".24", ".32") // erodibility ascending
     val p = new SdvPlanner(tables, domains = Map("kffact" -> kDomain))
     val att = SdvAttribute("Kf", "chorizon", "kffact", "kf",
       "Choice", "Minimum or Maximum", horzlevelattribflag = 1,
       tiebreakrule = 1, tiebreakdomainname = Some("kffact"))
     val got = rowsOf(p.plan(att, SdvRequest(top = 0, bot = 100)))
+    // tieHigh: the Co_MaxMin cursor keeps each component's MIN rating
+    // (ORDER BY rating DESC + last-wins dict), then the mapunit takes
+    // the MAX across components: c1 → .24, c2 → .17 → .24
+    assert(got === Seq(Seq("100001", ".24")))
+  }
+
+  test("K Factor DCP/DCD route to the Hz_MaxMin_* worst-horizon family (:10734-10741)") {
+    val kDomain = Seq(".17", ".24", ".32")
+    val p = new SdvPlanner(tables, domains = Map("kffact" -> kDomain))
+    val att = SdvAttribute("K Factor, Whole Soil", "chorizon", "kffact", "kf",
+      "Choice", "Dominant Component", horzlevelattribflag = 1,
+      tiebreakrule = 1, tiebreakdomainname = Some("kffact"))
     // worst horizon per comp: c1 → .32, c2 → .17; DCP → c1 (60%) → .32
-    assert(got === Seq(Seq("100001", ".32", 60.0)))
+    assert(rowsOf(p.plan(att, SdvRequest(top = 0, bot = 100)))
+      === Seq(Seq("100001", ".32", 60.0)))
+    // A22 is the same dominant-component pick (raw pct, no trump)
+    val dcd = att.copy(algorithmname = "Dominant Condition")
+    assert(rowsOf(p.plan(dcd, SdvRequest(top = 0, bot = 100)))
+      === Seq(Seq("100001", ".32", 60.0)))
   }
 
   test("mapunit-level passthrough (muaggatt path, A1)") {
