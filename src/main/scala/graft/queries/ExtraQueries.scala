@@ -13,7 +13,7 @@ import graft.valu.{Valu, ValuTable}
   * of A1-A23), and the full Valu1 wide assembly (V14). */
 object ExtraQueries extends QuerySet {
 
-  private val socSlices = Seq((0, 30), (0, 100), (0, 999))
+  private val socSlices = graft.valu.Valu.valu1Slices
   // rule key derived from depth, NOT from the major-flag column, so all
   // three NCCPI columns carry real (non-vacuous) coverage
   private val nccpiRules = Seq("corn" -> "nccpi_corn", "soy" -> "nccpi_soy",
@@ -158,13 +158,17 @@ object ExtraQueries extends QuerySet {
           s"round(sum(CASE WHEN rating IS NOT NULL THEN comppct*$ov*rating END)/10.0, 4) AS aws${t}_$b",
           s"round(sum(CASE WHEN rating IS NOT NULL THEN comppct*$ov END)/100.0, 4) AS tk${t}_${b}a")
       }
-      val socCols = socSlices.map { case (t, b) =>
+      val socCols = socSlices.flatMap { case (t, b) =>
         val ov = graft.analog.OracleSql.ovExpr(t, b)
-        s"round(sum(CASE WHEN om IS NOT NULL THEN $ov*om*db3i*(100.0-fragvol)*comppct END)/1724.0, 4) AS soc${t}_$b"
+        val gate = "om IS NOT NULL AND db3i IS NOT NULL"
+        Seq(
+          s"round(sum(CASE WHEN $gate THEN $ov*om*db3i*(100.0-fragvol)*comppct END)/1724.0, 4) AS soc${t}_$b",
+          s"round(sum(CASE WHEN $gate THEN $ov*comppct END)/100.0, 4) AS tk${t}_${b}s")
       }
       val selCols = Seq("musumcpct", "musumcpcta", "musumcpcts", "pctearthmc") ++
         Valu.valu1Slices.flatMap { case (t, b) => Seq(s"aws${t}_$b", s"tk${t}_${b}a") } ++
-        Seq("rootznaws", "droughty") ++ socSlices.map { case (t, b) => s"soc${t}_$b" } ++
+        Seq("rootznaws", "rootznemc", "droughty") ++
+        socSlices.flatMap { case (t, b) => Seq(s"soc${t}_$b", s"tk${t}_${b}s") } ++
         nccpiRules.map(_._2) :+ "pwsl1pomu"
       Some(withCtes(
         s"""SELECT b.mukey, ${selCols.mkString(", ")}
@@ -199,12 +203,14 @@ object ExtraQueries extends QuerySet {
         """pcz AS (SELECT h.mukey, h.cokey, h.comppct,
           |  sum(CASE WHEN h.rating IS NOT NULL
           |        THEN greatest(0.0, least(h.hzdepb, r.rzdepth) - greatest(h.hzdept, f.fmdept)) * h.rating
-          |      END) AS awsum
+          |      END) AS awsum,
+          |  sum(greatest(0.0, least(h.hzdepb, r.rzdepth) - greatest(h.hzdept, f.fmdept))) AS hzt
           |FROM hzme h JOIN rz r ON h.cokey = r.cokey JOIN fm f ON h.cokey = f.cokey
           |GROUP BY h.mukey, h.cokey, h.comppct)""".stripMargin,
         """rzaws AS (SELECT mukey,
           |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) AS rootznaws,
-          |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) <= 152 AS droughty
+          |  round(least(sum(comppct*hzt)/sum(comppct), 150.0), 0) AS rootznemc,
+          |  round(round(sum(comppct*awsum)/sum(comppct)/10.0, 4), 0) <= 152 AS droughty
           |FROM pcz GROUP BY mukey)""".stripMargin,
         """hzsoc AS (SELECT h.mukey, h.hzdept,
           |  least(h.hzdepb, coalesce(r.rzdepth, h.hzdepb)) AS hzdepb,

@@ -119,7 +119,9 @@ object ValuQueries extends QuerySet {
       Some(withCtes(
         """SELECT mukey,
           |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) AS rootznaws,
-          |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) <= 152 AS droughty
+          |  round(least(sum(comppct*hzt)/sum(comppct), 150.0), 0) AS rootznemc,
+          |  sum(comppct) AS pctearthmc,
+          |  round(round(sum(comppct*awsum)/sum(comppct)/10.0, 4), 0) <= 152 AS droughty
           |FROM pc GROUP BY mukey""".stripMargin,
         hzCte,
         "hzme AS (SELECT * FROM hz WHERE crating <> 'N')",
@@ -132,7 +134,8 @@ object ValuQueries extends QuerySet {
         """pc AS (SELECT h.mukey, h.cokey, h.comppct,
           |  sum(CASE WHEN h.rating IS NOT NULL
           |        THEN greatest(0.0, least(h.hzdepb, r.rzdepth) - greatest(h.hzdept, f.fmdept)) * h.rating
-          |      END) AS awsum
+          |      END) AS awsum,
+          |  sum(greatest(0.0, least(h.hzdepb, r.rzdepth) - greatest(h.hzdept, f.fmdept))) AS hzt
           |FROM hzme h JOIN rz r ON h.cokey = r.cokey JOIN fm f ON h.cokey = f.cokey
           |GROUP BY h.mukey, h.cokey, h.comppct)""".stripMargin))),
 
@@ -150,9 +153,12 @@ object ValuQueries extends QuerySet {
         col("rating").as("om"), (col("cokey") % 5 + 10).cast("double").as("db3i"),
         col("comppct").as("fragvol")),
       socSlices), {
-      val cols = socSlices.map { case (t, b) =>
+      val cols = socSlices.flatMap { case (t, b) =>
         val ov = OracleSql.ovExpr(t, b)
-        s"round(sum(CASE WHEN om IS NOT NULL THEN $ov*om*db3i*(100.0-fragvol)*comppct END)/1724.0, 4) AS soc${t}_$b"
+        val gate = "om IS NOT NULL AND db3i IS NOT NULL"
+        Seq(
+          s"round(sum(CASE WHEN $gate THEN $ov*om*db3i*(100.0-fragvol)*comppct END)/1724.0, 4) AS soc${t}_$b",
+          s"round(sum(CASE WHEN $gate THEN $ov*comppct END)/100.0, 4) AS tk${t}_${b}s")
       }
       Some(withCtes(
         s"""SELECT mukey,\n  ${cols.mkString(",\n  ")}

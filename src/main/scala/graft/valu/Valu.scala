@@ -128,6 +128,13 @@ object Valu {
   // still droughty).
   // `hz` should be pre-filtered to major-earthy components (:1246);
   // `rz` = (cokey, rzdepth) from rzDepth over the full horizon table.
+  // Also emits, per mapunit (the Valu1 columns written alongside
+  // rootznaws, :1386-1434):
+  //   rootznemc  = pct-weighted mean usable root-zone thickness,
+  //                capped at 150 then rounded to an integer (:1428-1434;
+  //                thickness counts even where awc is null — the
+  //                reference zero-fills awc but still adds hzT, :1263)
+  //   pctearthmc = the major-earthy comppct sum used as the divisor
   def rzAws(hz: DataFrame, organic: Column, rz: DataFrame, scale: Int = 4): DataFrame = {
     val fm = hz.groupBy(col("cokey"))
       .agg(coalesce(min(when(!organic, col("hzdept"))), lit(999.0)).as("fmdept"))
@@ -135,10 +142,14 @@ object Valu {
       least(col("hzdepb"), col("rzdepth")) - greatest(col("hzdept"), col("fmdept")))
     val perCo = hz.join(fm, "cokey").join(rz.select("cokey", "rzdepth"), "cokey")
       .groupBy(m, col("cokey"), col("comppct"))
-      .agg(sum(when(col("rating").isNotNull, t * col("rating"))).as("awsum"))
+      .agg(sum(when(col("rating").isNotNull, t * col("rating"))).as("awsum"),
+        sum(t).as("hzt"))
     perCo.groupBy(m).agg(
       round(sum(col("comppct") * col("awsum")) / sum(col("comppct")) / 10.0, scale)
-        .as("rootznaws"))
+        .as("rootznaws"),
+      round(least(sum(col("comppct") * col("hzt")) / sum(col("comppct")), lit(150.0)), 0)
+        .as("rootznemc"),
+      sum(col("comppct")).as("pctearthmc"))
       .withColumn("droughty", round(col("rootznaws"), 0) <= 152)
   }
 
@@ -159,7 +170,11 @@ object Valu {
   // bulk density in decigrams (10·db3) keeps every term integral; the
   // single constant divisor 1.724·10·100·100/100 = 1724 is applied
   // after the sum.
-  def calcSoc(hz: DataFrame, slices: Seq[(Int, Int)],
+  // Each slice also emits tk{t}_{b}s — the comppct-weighted counted
+  // thickness Σ(hzT·comppct)/100 (:1855-1857 `hzT·compPct/100`, mapunit
+  // sum :1871-1891) — under the same om AND db3 non-null gate as the
+  // SOC term itself (:1752).
+  def calcSoc(hz: DataFrame, slices: Seq[(Int, Int)] = valu1Slices,
       rz: Option[DataFrame] = None, scale: Int = 4): DataFrame = {
     val capped = rz match {
       case Some(r) => hz.join(r.select(col("cokey"), col("rzdepth")), Seq("cokey"), "left")
@@ -167,11 +182,13 @@ object Valu {
           coalesce(col("rzdepth"), col("hzdepb"))))
       case None => hz
     }
-    val rated = col("om").isNotNull
-    val aggs = slices.map { case (t, b) =>
+    val rated = col("om").isNotNull && col("db3i").isNotNull
+    val aggs = slices.flatMap { case (t, b) =>
       val ov = Exprs.depthOverlap(col("hzdept"), col("hzdepb"), t, b)
       val term = ov * col("om") * col("db3i") * (lit(100.0) - col("fragvol")) * col("comppct")
-      round(sum(when(rated, term)) / 1724.0, scale).as(s"soc${t}_$b")
+      Seq(
+        round(sum(when(rated, term)) / 1724.0, scale).as(s"soc${t}_$b"),
+        round(sum(when(rated, ov * col("comppct"))) / 100.0, scale).as(s"tk${t}_${b}s"))
     }
     capped.groupBy(m).agg(aggs.head, aggs.tail: _*)
   }
@@ -188,6 +205,37 @@ object Valu {
   // the interp table (equal whenever every major component has interp
   // rows). `fuzzy` is in exact 1e-4 units (cents of a percent); the
   // /10000 rescale happens after the division.
+  /** The rule→column sets of the two published NCCPI model versions.
+    * V2 (CalcNCCPI2, gSSURGO_ValuTable.py:2097-2280): corn+soybeans
+    * combined (cs), small grains (sg), cotton (co), overall (the
+    * ruledepth-0 main rule row → all). V3 (CalcNCCPI3, :2282-2477):
+    * corn / soy / cotton / small grains / overall. */
+  val nccpi2Rules: Seq[(String, String)] = Seq(
+    "NCCPI - NCCPI Corn and Soybeans Submodel (II)" -> "nccpi2cs",
+    "NCCPI - NCCPI Small Grains Submodel (II)" -> "nccpi2sg",
+    "NCCPI - NCCPI Cotton Submodel (II)" -> "nccpi2co",
+    "NCCPI - National Commodity Crop Productivity Index (Ver 2.0)" -> "nccpi2all")
+  val nccpi3Rules: Seq[(String, String)] = Seq(
+    "NCCPI - NCCPI Corn Submodel (I)" -> "nccpi3corn",
+    "NCCPI - NCCPI Soybeans Submodel (I)" -> "nccpi3soy",
+    "NCCPI - NCCPI Cotton Submodel (II)" -> "nccpi3cot",
+    "NCCPI - NCCPI Small Grains Submodel (II)" -> "nccpi3sg",
+    "NCCPI - National Commodity Crop Productivity Index (Ver 3.0)" -> "nccpi3all")
+
+  /** NCCPI version sniff (gSSURGO_ValuTable.py:3040-3050): among the
+    * distinct NCCPI main-rule names present in the interp metadata,
+    * prefer Ver 3.0, else fall back to Ver 2.0. */
+  def detectNccpiRules(ruleNames: Seq[String]): Seq[(String, String)] =
+    if (ruleNames.exists(_.contains("(Ver 3.0)"))) nccpi3Rules else nccpi2Rules
+
+  /** DataFrame overload: sniff from a rule-name column (distinterpmd /
+    * sdvattribute.nasisrulename). A driver-side metadata lookup — the
+    * same tiny dict the reference materializes (:3030-3050). */
+  def detectNccpiRules(meta: DataFrame, ruleCol: String): Seq[(String, String)] =
+    detectNccpiRules(
+      meta.select(col(ruleCol)).distinct().collect().map(_.getString(0)).toSeq
+        .filter(_ != null))
+
   def nccpi(interp: DataFrame, rules: Seq[(String, String)],
       denom: Option[DataFrame] = None, scale: Int = 6): DataFrame = {
     val den = denom.getOrElse(

@@ -34,14 +34,17 @@ object ValuTable {
       restricted: Column,
       water: Column, hydric: Column,
       interp: DataFrame, nccpiRules: Seq[(String, String)],
-      socSlices: Seq[(Int, Int)] = Seq((0, 30), (0, 100), (0, 999))): DataFrame = {
+      socSlices: Seq[(Int, Int)] = Valu.valu1Slices): DataFrame = {
 
     val cached = hz.cache()
     val sumpct = Valu.sumPct(comp, major, earthy)
     val aws = Valu.calcAws(cached)
     val rz = Valu.rzDepth(cached, restricted)
-    // RZAWS runs over major-earthy components only (:1224-1227)
+    // RZAWS runs over major-earthy components only (:1224-1227). The
+    // wide table keeps GetSumPct's pctearthmc (sumPct stage) — drop the
+    // stage-local divisor copy to avoid a duplicate column.
     val rzaws = Valu.rzAws(cached.filter(major && earthy), organic, rz)
+      .drop("pctearthmc")
     // SOC stops at the root-zone restriction (:1765-1776)
     val soc = Valu.calcSoc(cached, socSlices, rz = Some(rz))
     // NCCPI divides by the ALL-MAJOR pct sum — dPct[mukey][2] per

@@ -76,12 +76,17 @@ class ValuSpec extends AnyFunSuite {
       Row("m1", 1L, 100.0, 20.0, 100.0, 0.10, false),
       Row("m1", 1L, 100.0, 100.0, 120.0, 0.20, true)))
     val rz = Valu.rzDepth(d, restricted = lit(false)) // no restriction → 150
-    val got = Valu.rzAws(d, organic = col("organic"), rz = rz).collect()(0)
+    val out = Valu.rzAws(d, organic = col("organic"), rz = rz)
+    val got = out.collect()(0)
+    def at(name: String) = got.get(out.columns.indexOf(name))
     // aws = (80*.10 + 20*.20)*10/10 ... rzAws: sum(t*rating)/pct-weight/10
     // = (80*0.1 + 20*0.2) = 12 → /10? formula: Σ(pct*awsum)/Σpct/10
     // = (100*12)/100/10 = 1.2
-    assert(got.getDouble(1) === 1.2)
-    assert(got.getBoolean(2)) // droughty: 1.2 <= 152
+    assert(at("rootznaws") === 1.2)
+    assert(at("droughty") === true) // droughty: 1.2 <= 152
+    // usable thickness: 0 (surface organic) + 80 + 20 (buried organic)
+    assert(at("rootznemc") === 100.0)
+    assert(at("pctearthmc") === 100.0)
   }
 
   test("V9 fragvol: negatives clamped, sum capped at 100 (:1910-1951)") {
@@ -129,5 +134,18 @@ class ValuSpec extends AnyFunSuite {
     assert(got.getDouble(2) === 80.0)  // major
     assert(got.getDouble(3) === 70.0)  // earthy
     assert(got.getDouble(4) === 50.0)  // major & earthy
+  }
+
+  test("V12 NCCPI version sniff prefers Ver 3.0, else 2.0 (gSSURGO_ValuTable.py:3040-3050)") {
+    val v3 = Seq("NCCPI - National Commodity Crop Productivity Index (Ver 3.0)",
+      "NCCPI - NCCPI Corn Submodel (I)")
+    val v2 = Seq("NCCPI - National Commodity Crop Productivity Index (Ver 2.0)")
+    assert(Valu.detectNccpiRules(v3) === Valu.nccpi3Rules)
+    assert(Valu.detectNccpiRules(v2) === Valu.nccpi2Rules)
+    assert(Valu.detectNccpiRules(v2 ++ v3) === Valu.nccpi3Rules) // both present → v3
+    // DataFrame overload: sniff from a metadata rule-name column
+    val s = StructType(Seq(StructField("nasisrulename", StringType)))
+    val meta = df(s, (v2 ++ v3).map(Row(_)))
+    assert(Valu.detectNccpiRules(meta, "nasisrulename") === Valu.nccpi3Rules)
   }
 }
