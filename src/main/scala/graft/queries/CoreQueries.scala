@@ -141,14 +141,18 @@ object CoreQueries extends QuerySet {
         compCte, baseMuCte))),
 
     // J16/§5 — anti-join: keys with no children (validation's "mapunits
-    // with no component", gSSURGO_ValidateData.py:536-541).
+    // with no component", gSSURGO_ValidateData.py:536-541). The child
+    // side is restricted to a key slice so genuine orphans exist at
+    // every SF — an unfiltered orders table leaves no customer
+    // orderless and the anti-join would be vacuously 0 = 0.
     Q("j16_anti_no_children",
       (s, dir) => {
         val c = Tables.load(s, dir, "customer")
-        val o = Tables.load(s, dir, "orders")
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_mktsegment"))
       },
       Some("""SELECT c_custkey, c_mktsegment FROM customer c
-             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)))
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 3 = 0)""".stripMargin)))
 }

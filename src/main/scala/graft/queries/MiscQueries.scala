@@ -40,15 +40,15 @@ object MiscQueries extends QuerySet {
       Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")),
 
     // S7 — mukey→int rasterization lookup (SSURGO_ExportMuRaster.py:
-    // 1252-1357): dense-rank the key domain into CELLVALUE ints. The
-    // lookup is mapunit-cardinality (a dimension), so the global-order
-    // window is acceptable; at fact-table scale this would be a
-    // sorted zipWithIndex instead.
+    // 1252-1357): dense ids over the key domain into CELLVALUE ints,
+    // via range-partitioned sorted zipWithIndex (graft.core.DenseId) —
+    // no global-order window, no single-partition exchange.
     Q("s07_mukey_lookup",
-      (s, dir) => Tables.load(s, dir, "orders")
-        .select(col("o_orderkey").as("mukey"))
-        .withColumn("cellvalue",
-          dense_rank().over(Window.orderBy(col("mukey"))).cast("long")),
+      (s, dir) => {
+        val keys = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("mukey"))
+        keys.join(graft.core.DenseId.lookup(keys, "mukey"), Seq("mukey"))
+      },
       Some("""SELECT o_orderkey AS mukey,
              |       CAST(dense_rank() OVER (ORDER BY o_orderkey) AS BIGINT) AS cellvalue
              |FROM orders""".stripMargin)),

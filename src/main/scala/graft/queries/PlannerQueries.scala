@@ -79,6 +79,29 @@ object PlannerQueries extends QuerySet {
           |          FROM sco WHERE comppct_r >= 0)""".stripMargin,
         graft.analog.OracleSql.dcdBr("scord")))),
 
+    // Planner end-to-end over a mapunit-level 1:N satellite
+    // (CreateRatingTable1S, gSSURGO_CreateSoilMap.py:4146-4194):
+    // mucropyld crop yields, metadata whereclause slicing one crop,
+    // mapunits without a matching row null-padded.
+    Q("p03_planner_mucropyld",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val mucropyld = l.select(
+          col("l_orderkey").cast("string").as("mukey"),
+          when(col("l_linenumber") <= 2, "Corn").otherwise("Soybeans").as("cropname"),
+          col("l_quantity").cast("double").as("nonirryield_r"))
+        Graft.soilMap(ssurgoTables(s, dir) + ("mucropyld" -> mucropyld))(
+          SdvAttribute("Crop yield", "mucropyld", "nonirryield_r", "nonirryield",
+            "Float", "No Aggregation Necessary",
+            sqlwhereclause = Some("cropname = 'Corn'")))
+      },
+      Some(
+        """SELECT m.mukey, round(c.nonirryield_r, 2) AS nonirryield
+          |FROM (SELECT CAST(o_orderkey AS VARCHAR) AS mukey FROM orders) m
+          |LEFT JOIN (SELECT CAST(l_orderkey AS VARCHAR) AS mukey,
+          |                  CAST(l_quantity AS DOUBLE) AS nonirryield_r
+          |           FROM lineitem WHERE l_linenumber <= 2) c ON m.mukey = c.mukey""".stripMargin)),
+
     // R2 raster-path acreage: cell counts × cell acres per rating class
     // (gSSURGO_AcreageReport.py:186-243, raster branch).
     Q("r03_raster_acreage",

@@ -194,8 +194,11 @@ object TrainQueries extends QuerySet {
            |          * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)), 4) AS quality,
            |    CASE $langCase ELSE 'und' END AS lang_pred
            |  FROM (SELECT *, greatest(${TextAnalysis.langs.map("s_" + _).mkString(", ")}) AS mx FROM b) m),
-           |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
-           |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
+           |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+           |sh AS (SELECT DISTINCT doc_id, s FROM (
+           |         SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0
+           |         UNION ALL
+           |         SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3)),
            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
            |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
            |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),

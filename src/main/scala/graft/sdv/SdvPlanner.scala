@@ -77,13 +77,30 @@ class SdvPlanner(
     }
 
     // --- stage 2: join tree -------------------------------------------
+    // Mapunit-level: the attribute table is mapunit itself or a direct
+    // mukey satellite — 1:1 (muaggatt) or 1:N (mucropyld crop yields,
+    // mutext notes). CreateRatingTable1S (:4146-4194) emits one output
+    // row per satellite row, null-padded for mapunits with none; the
+    // metadata whereclause (e.g. cropname = 'Corn') selects the slice.
     val isMapunitLevel = att.mapunitlevelattribflag == 1 ||
-      att.attributetablename == "mapunit" || att.attributetablename == "muaggatt"
+      att.attributetablename == "mapunit" ||
+      (att.attributetablename != "component" &&
+        parentOf.get(att.attributetablename).exists(_._1 == "mapunit"))
 
     if (isMapunitLevel) {
+      // the whereclause restricts the SATELLITE side before the left
+      // join — mapunits with no (matching) satellite rows still emit
+      // one null-padded row (dMissing, :4181-4187)
       val src =
-        if (att.attributetablename == "mapunit") tables("mapunit")
-        else tables("mapunit").join(tables(att.attributetablename), Seq("mukey"), "left")
+        if (att.attributetablename == "mapunit") {
+          var mu = tables("mapunit")
+          att.sqlwhereclause.foreach(w => mu = mu.filter(expr(w)))
+          mu
+        } else {
+          var sat = tables(att.attributetablename)
+          att.sqlwhereclause.foreach(w => sat = sat.filter(expr(w)))
+          tables("mapunit").join(sat, Seq("mukey"), "left")
+        }
       val base = src.select(col("mukey"), col(attColName).as("rating"))
       val muNumeric = att.attributelogicaldatatype != "Choice" &&
         att.attributelogicaldatatype != "String"
@@ -103,6 +120,16 @@ class SdvPlanner(
       case "cointerp" =>
         val ci0 = tables("cointerp").filter(col("ruledepth") === 0)
         val ci = att.nasisrulename match {
+          // F6 — GetRuleKey (:3821-3863): when the distinterpmd catalog
+          // is present, resolve the rule name to its RULEKEY set there
+          // and broadcast-semi-join cointerp on MRULEKEY — the
+          // reference's single biggest measured win (4min → seconds,
+          // :10164-10175) and string-equality-free on the fact side.
+          case Some(r) if tables.contains("distinterpmd") =>
+            val keys = tables("distinterpmd")
+              .filter(col("rulename") === r)
+              .select(col("rulekey").as("mrulekey")).distinct()
+            ci0.join(broadcast(keys), Seq("mrulekey"), "left_semi")
           case Some(r) => ci0.filter(col("rulename") === r)
           case None => ci0
         }
@@ -250,6 +277,8 @@ object SdvPlanner {
   val defaultFks: Seq[(String, String, String)] = Seq(
     ("mapunit", "component", "mukey"),
     ("mapunit", "muaggatt", "mukey"),
+    ("mapunit", "mucropyld", "mukey"),
+    ("mapunit", "mutext", "mukey"),
     ("component", "chorizon", "cokey"),
     ("component", "cointerp", "cokey"),
     ("component", "comonth", "cokey"),

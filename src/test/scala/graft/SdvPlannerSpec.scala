@@ -77,6 +77,23 @@ class SdvPlannerSpec extends AnyFunSuite {
       === Seq(Seq("100001", 0.62, 100.0)))
   }
 
+  test("F6: distinterpmd rulekey semijoin replaces the rulename filter in the cointerp branch (:3821-3863)") {
+    val dimS = StructType(Seq(
+      StructField("rulekey", StringType), StructField("rulename", StringType)))
+    val dim = df(dimS, Seq(Row("mr1", "ENG - Dwellings"), Row("mr2", "Other rule")))
+    val p = new SdvPlanner(tables + ("distinterpmd" -> dim))
+    val att = SdvAttribute("Dwellings", "cointerp", "interphr", "rating",
+      "Float", "Weighted Average", nasisrulename = Some("ENG - Dwellings"),
+      complevelattribflag = 1)
+    val out = p.plan(att)
+    // same rows as the rulename-equality path
+    assert(rowsOf(out) === Seq(Seq("100001", 0.62, 100.0)))
+    // and the physical plan carries the broadcast LeftSemi on mrulekey
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"), phys.linesIterator.take(20).mkString("\n"))
+    assert(phys.contains("Broadcast"))
+  }
+
   test("interp rule filter keeps only the requested rule (F6)") {
     val att = SdvAttribute("Dwellings", "cointerp", "interphr", "rating",
       "Float", "Weighted Average", nasisrulename = Some("ENG - Dwellings"),
@@ -122,6 +139,21 @@ class SdvPlannerSpec extends AnyFunSuite {
     val dcd = att.copy(algorithmname = "Dominant Condition")
     assert(rowsOf(p.plan(dcd, SdvRequest(top = 0, bot = 100)))
       === Seq(Seq("100001", ".32", 60.0)))
+  }
+
+  test("mapunit-level 1:N satellite (mucropyld): whereclause slices the crop, missing mapunits null-pad (:4146-4194)") {
+    val cropS = StructType(Seq(StructField("mukey", StringType),
+      StructField("cropname", StringType), StructField("nonirryield_r", DoubleType)))
+    val crop = df(cropS, Seq(
+      Row("100001", "Corn", 120.0), Row("100001", "Corn", 110.0), // 1:N
+      Row("100001", "Soybeans", 40.0)))                           // filtered out
+    val p = new SdvPlanner(tables + ("mucropyld" -> crop))
+    val att = SdvAttribute("Corn yield", "mucropyld", "nonirryield_r", "yield",
+      "Float", "No Aggregation Necessary",
+      sqlwhereclause = Some("cropname = 'Corn'"))
+    val got = rowsOf(p.plan(att))
+    // both Corn rows for 100001; 100002 has no crop rows → null-padded
+    assert(got === Seq(Seq("100001", 110.0), Seq("100001", 120.0), Seq("100002", null)))
   }
 
   test("mapunit-level passthrough (muaggatt path, A1)") {
