@@ -34,15 +34,23 @@ object ExtraQueries extends QuerySet {
     // §5.1 count-reconciliation statistics (SSURGO_CheckgSSURGO
     // GetSDMCount/GetGDBCount shape): exact distinct counts + median
     // per group — the per-table tallies the reference validates against
-    // SDA, plus the summary stats a training pipeline reports.
+    // SDA, plus the summary stats a training pipeline reports. The
+    // median is exact but computed from per-(group, value) counts
+    // (graft.core.Stats.groupedMedian) — no per-group row sort, so the
+    // plan survives fact-table scale.
     Q("q2_group_stats",
-      (s, dir) => Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_rows"),
-          median(col("l_quantity")).as("med_qty"),
-          min(col("l_quantity")).as("min_qty"),
-          max(col("l_quantity")).as("max_qty")),
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_rows"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .join(graft.core.Stats.groupedMedian(l, "l_returnflag", "l_quantity", "med_qty"),
+            Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_orders"), col("n_rows"),
+            col("med_qty"), col("min_qty"), col("max_qty"))
+      },
       Some("""SELECT l_returnflag,
              |       count(DISTINCT l_orderkey) AS n_orders,
              |       count(*) AS n_rows,

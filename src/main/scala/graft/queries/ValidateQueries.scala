@@ -47,6 +47,32 @@ object ValidateQueries extends QuerySet {
           |       (SELECT count(DISTINCT mukey) FROM comp) = (SELECT count(*) FROM orders) AS ok""".stripMargin,
         compCte))),
 
+    // §5.1 — count reconciliation vs an authority snapshot
+    // (SSURGO_CheckgSSURGO.py:449-1489). region/nation are
+    // SF-invariant (authoritative 5/25); events carries a deliberately
+    // wrong expectation and supplier none, so all three ok-outcomes are
+    // exercised at every scale factor.
+    Q("val04_count_reconcile",
+      (s, dir) => Validate.countReconcile(
+        Map(
+          "region" -> Tables.load(s, dir, "region"),
+          "nation" -> Tables.load(s, dir, "nation"),
+          "events" -> Tables.events(s, dir),
+          "supplier" -> Tables.load(s, dir, "supplier")),
+        Map("region" -> 5L, "nation" -> 25L, "events" -> 0L)),
+      Some(
+        """SELECT 'events' AS tbl, (SELECT count(*) FROM events) AS n_actual,
+          |       CAST(0 AS BIGINT) AS n_expected, (SELECT count(*) FROM events) = 0 AS ok
+          |UNION ALL
+          |SELECT 'nation', (SELECT count(*) FROM nation),
+          |       CAST(25 AS BIGINT), (SELECT count(*) FROM nation) = 25
+          |UNION ALL
+          |SELECT 'region', (SELECT count(*) FROM region),
+          |       CAST(5 AS BIGINT), (SELECT count(*) FROM region) = 5
+          |UNION ALL
+          |SELECT 'supplier', (SELECT count(*) FROM supplier),
+          |       CAST(NULL AS BIGINT), false""".stripMargin)),
+
     // Stateful sessionization — batch twin of
     // graft.streaming.Sessionize.sessionizeStream
     // (flatMapGroupsWithState); 30-min gap sessions per user. The

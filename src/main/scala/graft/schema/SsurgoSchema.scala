@@ -150,4 +150,5 @@ case class SdvAttribute(
     notratedphrase: Option[String] = None,
     nullratingreplacementvalue: Option[Double] = None,
     interpnullsaszeroflag: Boolean = false,
-    sqlwhereclause: Option[String] = None)
+    sqlwhereclause: Option[String] = None,
+    attributeprecision: Option[Int] = None) // fldPrecision (:4765, max(0, ·))

@@ -104,7 +104,8 @@ class SdvPlanner(
       val base = src.select(col("mukey"), col(attColName).as("rating"))
       val muNumeric = att.attributelogicaldatatype != "Choice" &&
         att.attributelogicaldatatype != "String"
-      return SdvAgg.noAggregation(base, numeric = muNumeric)
+      val muScale = att.attributeprecision.map(math.max(0, _)).getOrElse(2)
+      return SdvAgg.noAggregation(base, scale = muScale, numeric = muNumeric)
         .withColumnRenamed("rating", att.resultcolumnname)
     }
 
@@ -209,13 +210,20 @@ class SdvPlanner(
     def coHz(df: DataFrame): DataFrame =
       if (isHz) SdvAgg.perComponentExtreme(df, most = tieLow) else df
 
+    // per-attribute precision (fldPrecision = max(0, attributeprecision),
+    // e.g. :4765): metadata-driven when the catalog row carries it,
+    // otherwise the engine defaults (2 for passthrough, 4 for means)
+    val prec = att.attributeprecision.map(math.max(0, _))
+    def p(default: Int): Int = prec.getOrElse(default)
+
     // --- stage 5: aggregation dispatch (:10612-10918) ------------------
     val out = algorithm match {
-      case "No Aggregation Necessary" => SdvAgg.noAggregation(rt, numeric = !isChoice)
+      case "No Aggregation Necessary" =>
+        SdvAgg.noAggregation(rt, scale = p(2), numeric = !isChoice)
       case "Dominant Component" =>
         if (isHz && isKFactor) SdvAgg.hzMaxMinDcp(rt, req.top, req.bot, tieLow)
         else if (isHz && isChoice) SdvAgg.dominantComponent(coHz(rt), tieLow) // Surface/choice → Co_DCP (:10762-10772)
-        else if (isHz) SdvAgg.hzDcpWta(rt, req.top, req.bot) // numeric, horzaggmeth WTA (:10774-10776)
+        else if (isHz) SdvAgg.hzDcpWta(rt, req.top, req.bot, scale = p(4)) // numeric, horzaggmeth WTA (:10774-10776)
         else if (isMonth && isChoice) SdvAgg.moDomainDominantComponent(rt, tieLow)
         else if (isMonth) SdvAgg.moDominantComponent(rt,
           most = !tieLow, att.nullratingreplacementvalue, tieLow)
@@ -229,16 +237,16 @@ class SdvPlanner(
         else SdvAgg.dominantCondition(rt, tieLow)
       case "Weighted Average" =>
         if (isHz && att.horzaggmeth.contains("Weighted Sum"))
-          SdvAgg.hzWtaSum(rt, req.top, req.bot)
-        else if (isHz) SdvAgg.hzWtaWta(rt, req.top, req.bot)
+          SdvAgg.hzWtaSum(rt, req.top, req.bot, scale = p(4))
+        else if (isHz) SdvAgg.hzWtaWta(rt, req.top, req.bot, scale = p(4))
         else if (isMonth) SdvAgg.moWeightedAverage(rt,
           most = !tieLow, att.nullratingreplacementvalue)
-        else SdvAgg.weightedAverage(rt)
+        else SdvAgg.weightedAverage(rt, scale = p(4))
       case "Minimum or Maximum" =>
         // hz choice → Co_MaxMin, the mapunit-wide extreme (:10807-10810);
         // hz numeric → Hz_MaxMin_WTA (:10812-10813)
         if (isHz && isChoice) SdvAgg.maxMin(coHz(rt), most = !tieLow, notRatedOrd)
-        else if (isHz) SdvAgg.hzMaxMinWta(rt, most = !tieLow, req.top, req.bot)
+        else if (isHz) SdvAgg.hzMaxMinWta(rt, most = !tieLow, req.top, req.bot, scale = p(4))
         else if (isMonth) SdvAgg.moMaxMin(rt, most = !tieLow)
         else SdvAgg.maxMin(rt, most = !tieLow, notRatedOrd)
       // NASIS interp-class domains are ordered most-limiting-first:
@@ -268,7 +276,28 @@ object SdvPlanner {
       cutOff: Int = 0,
       bZero: Boolean = false,
       rv: Option[String] = None, // Some("l")/Some("h") → F10 column swap
-      bFuzzy: Boolean = false) // rate interps by fuzzy value (INTERPHR)
+      bFuzzy: Boolean = false) { // rate interps by fuzzy value (INTERPHR)
+
+    /** Month span by NAME — the dialog's vocabulary. `months("April",
+      * "October")` ≡ MONTHSEQ ∈ [4, 10] (the reference builds the
+      * filter from ListMonths indexes, :10209-10222; no wraparound —
+      * a Nov–Feb request is the user's error there too). */
+    def months(beg: String, end: String): SdvRequest =
+      copy(begMonth = Some(monthSeq(beg)), endMonth = Some(monthSeq(end)))
+  }
+
+  /** ListMonths (gSSURGO_CreateSoilMap.py:3613-3622): January = 1 …
+    * December = 12 (index 0 is the reference's 'NULL' placeholder).
+    * Flooding/ponding are annual ratings — omitting the span keeps the
+    * default full year, matching the dialog's January–December. */
+  val monthNames: Seq[String] = Seq("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November", "December")
+
+  def monthSeq(name: String): Int = {
+    val i = monthNames.indexWhere(_.equalsIgnoreCase(name))
+    require(i >= 0, s"unknown month name: $name")
+    i + 1
+  }
 
   /** Default FK catalog (parent, child, key) — the subset of
     * mdstatrshipdet the analytic surface walks

@@ -29,6 +29,25 @@ object Validate {
   def orphans(parent: DataFrame, child: DataFrame, key: String): DataFrame =
     parent.join(child, Seq(key), "left_anti")
 
+  /** §5.1 — count reconciliation (SSURGO_CheckgSSURGO.py:449-1489: the
+    * ~55 per-table row counts compared against an authority snapshot).
+    * `tables` is name → DataFrame; `expected` name → authoritative
+    * count (unlisted tables report a null expectation and ok = false).
+    * One union-all of single-row aggregates — each count is a pruned
+    * parquet scan, no shuffles, and the result is table-cardinality. */
+  def countReconcile(tables: Map[String, DataFrame],
+      expected: Map[String, Long]): DataFrame = {
+    val rows = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      val exp = expected.get(name)
+      df.agg(count(lit(1)).as("n_actual"))
+        .select(lit(name).as("tbl"), col("n_actual"),
+          exp.map(lit(_)).getOrElse(lit(null)).cast("long").as("n_expected"))
+    }
+    rows.reduce(_ unionByName _)
+      .withColumn("ok", col("n_expected").isNotNull &&
+        col("n_actual") === col("n_expected"))
+  }
+
   /** R7 — BadTable cardinality check
     * (gSSURGO_CreateSoilMap.py:433-454): a rating table must carry
     * exactly one row per mapunit. Returns a single (n_rating, n_mapunit,

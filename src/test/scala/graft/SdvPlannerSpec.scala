@@ -163,6 +163,10 @@ class SdvPlannerSpec extends AnyFunSuite {
       "Float", "No Aggregation Necessary", mapunitlevelattribflag = 1)
     val got = rowsOf(p.plan(att))
     assert(got === Seq(Seq("100001", 13.5), Seq("100002", null)))
+    // metadata-driven precision: attributeprecision overrides the
+    // engine default (fldPrecision = max(0, ·), :4765)
+    val precise = att.copy(attributeprecision = Some(0))
+    assert(rowsOf(p.plan(precise)) === Seq(Seq("100001", 14.0), Seq("100002", null)))
   }
 
   test("Most Limiting takes the min domain index (NASIS order, :5166-5171)") {

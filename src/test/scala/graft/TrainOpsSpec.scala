@@ -83,6 +83,40 @@ class TrainOpsSpec extends AnyFunSuite {
       Seq(8L, 8L), Seq(9L, 8L)))
   }
 
+  test("Stats.groupedMedian: interpolated even-count median, exact odd-count (no per-group sort)") {
+    import graft.core.Stats
+    val s = StructType(Seq(StructField("g", StringType), StructField("v", DoubleType)))
+    val d = df(s, Seq(
+      Row("odd", 1.0), Row("odd", 5.0), Row("odd", 9.0),           // median 5
+      Row("even", 1.0), Row("even", 3.0), Row("even", 7.0), Row("even", 9.0), // (3+7)/2
+      Row("dups", 2.0), Row("dups", 2.0), Row("dups", 8.0),        // median 2
+      Row("nulls", 4.0), Row("nulls", null)))                      // null ignored → 4
+    val got = rowsOf(Stats.groupedMedian(d, "g", "v"))
+    assert(got === Seq(Seq("dups", 2.0), Seq("even", 5.0), Seq("nulls", 4.0), Seq("odd", 5.0)))
+  }
+
+  test("countReconcile: match, mismatch, and missing expectation (SSURGO_CheckgSSURGO shape)") {
+    val s = StructType(Seq(StructField("x", IntegerType)))
+    val t2 = df(s, Seq(Row(1), Row(2)))
+    val t3 = df(s, Seq(Row(1), Row(2), Row(3)))
+    val got = rowsOf(Validate.countReconcile(
+      Map("b_two" -> t2, "a_three" -> t3, "c_unknown" -> t2),
+      Map("b_two" -> 2L, "a_three" -> 99L)))
+    assert(got === Seq(
+      Seq("a_three", 3L, 99L, false),
+      Seq("b_two", 2L, 2L, true),
+      Seq("c_unknown", 2L, null, false)))
+  }
+
+  test("month-name lookup: ListMonths order, case-insensitive, span helper") {
+    import graft.sdv.SdvPlanner
+    assert(SdvPlanner.monthSeq("January") === 1)
+    assert(SdvPlanner.monthSeq("december") === 12)
+    val req = SdvPlanner.SdvRequest().months("April", "October")
+    assert(req.begMonth === Some(4) && req.endMonth === Some(10))
+    intercept[IllegalArgumentException](SdvPlanner.monthSeq("Smarch"))
+  }
+
   test("validate: horizon gaps and comppct bounds") {
     val hzS = StructType(Seq(StructField("cokey", StringType),
       StructField("hzdept", IntegerType), StructField("hzdepb", IntegerType)))
