@@ -182,6 +182,8 @@ object ExtraQueries extends QuerySet {
         s"""SELECT b.mukey, ${selCols.mkString(", ")}
            |FROM (SELECT c_custkey AS mukey FROM customer) b
            |LEFT JOIN sp ON b.mukey = sp.mukey
+           |LEFT JOIN awspct ON b.mukey = awspct.mukey
+           |LEFT JOIN socpct ON b.mukey = socpct.mukey
            |LEFT JOIN aws ON b.mukey = aws.mukey
            |LEFT JOIN rzaws ON b.mukey = rzaws.mukey
            |LEFT JOIN soc ON b.mukey = soc.mukey
@@ -196,14 +198,22 @@ object ExtraQueries extends QuerySet {
           |        FROM hzv GROUP BY mukey, cokey, comppct)""".stripMargin,
         """sp AS (SELECT mukey,
           |  coalesce(sum(comppct), 0.0) AS musumcpct,
-          |  coalesce(sum(CASE WHEN crating <> 'N' THEN comppct END), 0.0) AS musumcpcta,
-          |  coalesce(sum(CASE WHEN comppct >= 10 THEN comppct END), 0.0) AS musumcpcts,
           |  coalesce(sum(CASE WHEN crating <> 'N' AND comppct >= 10 THEN comppct END), 0.0) AS pctearthmc
           |FROM cmp GROUP BY mukey)""".stripMargin,
         s"aws AS (SELECT mukey, ${awsCols.mkString(", ")} FROM hzv GROUP BY mukey)",
         """rz AS (SELECT cokey,
           |  coalesce(min(CASE WHEN rating >= 8 AND hzdept < 150 THEN hzdept END), 150.0) AS rzdepth
           |FROM hzv GROUP BY cokey)""".stripMargin,
+        """awspct AS (SELECT mukey, sum(comppct) AS musumcpcta
+          |FROM (SELECT DISTINCT mukey, cokey, comppct FROM hzv
+          |      WHERE rating IS NOT NULL AND hzdepb > hzdept)
+          |GROUP BY mukey)""".stripMargin,
+        """socpct AS (SELECT mukey, sum(comppct) AS musumcpcts
+          |FROM (SELECT DISTINCT h.mukey, h.cokey, h.comppct
+          |      FROM hzv h LEFT JOIN rz r ON h.cokey = r.cokey
+          |      WHERE h.om IS NOT NULL AND h.db3i IS NOT NULL
+          |        AND least(h.hzdepb, coalesce(r.rzdepth, h.hzdepb)) > h.hzdept)
+          |GROUP BY mukey)""".stripMargin,
         "hzme AS (SELECT * FROM hzv WHERE crating <> 'N' AND comppct >= 10)",
         """fm AS (SELECT cokey,
           |  coalesce(min(CASE WHEN NOT (crating = 'A') THEN hzdept END), 999.0) AS fmdept
@@ -225,7 +235,9 @@ object ExtraQueries extends QuerySet {
           |  h.comppct, h.om, h.db3i, h.fragvol
           |FROM hzv h LEFT JOIN rz r ON h.cokey = r.cokey)""".stripMargin,
         s"soc AS (SELECT mukey, ${socCols.mkString(", ")} FROM hzsoc GROUP BY mukey)",
-        "den AS (SELECT mukey, musumcpcta AS sumpct FROM sp)",
+        """den AS (SELECT mukey,
+          |  coalesce(sum(CASE WHEN crating <> 'N' THEN comppct END), 0.0) AS sumpct
+          |FROM cmp GROUP BY mukey)""".stripMargin,
         """num AS (SELECT mukey,
           |  sum(CASE WHEN hzdept = 0 THEN rating*1000*comppct END) AS ncorn,
           |  sum(CASE WHEN hzdept = 30 THEN rating*1000*comppct END) AS nsoy,

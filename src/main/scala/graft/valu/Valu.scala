@@ -30,6 +30,18 @@ object Valu {
       coalesce(sum(when(earthy, col("comppct"))), lit(0.0)).as("musumcpcts"),
       coalesce(sum(when(major && earthy, col("comppct"))), lit(0.0)).as("pctearthmc"))
 
+  /** Per-mapunit Σ comppct of the components that actually contributed
+    * rows to a rated pass — what CalcAWS/CalcSOC write back as
+    * MUSUMCPCTA / MUSUMCPCTS (gSSURGO_ValuTable.py:1652-1656 /
+    * :1871-1891: dMu accumulates compPct once per contributing
+    * component; the column keeps the LAST depth pass, 0-999 cm ≡ "has
+    * any data"). Distinct (mukey, cokey) first so a component counts
+    * once regardless of horizon count. */
+  def contributingPct(hz: DataFrame, contributes: Column, as: String): DataFrame =
+    hz.filter(contributes)
+      .select(m, col("cokey"), col("comppct")).distinct()
+      .groupBy(m).agg(sum(col("comppct")).as(as))
+
   // -------------------------------------------------------------------
   // V2+V3 — CalcAWS over the fixed depth-slice list
   // (gSSURGO_ValuTable.py:1481-1673, formula :1556; slice list :3092).

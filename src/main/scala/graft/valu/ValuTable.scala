@@ -1,7 +1,7 @@
 package graft.valu
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, least}
 
 /** V14 — CreateValuTable (gSSURGO_ValuTable.py:2992-3271): the Valu1
   * assembly DAG. Each Calc* stage is an independent aggregation over the
@@ -37,9 +37,21 @@ object ValuTable {
       socSlices: Seq[(Int, Int)] = Valu.valu1Slices): DataFrame = {
 
     val cached = hz.cache()
-    val sumpct = Valu.sumPct(comp, major, earthy)
-    val aws = Valu.calcAws(cached)
+    val gsum = Valu.sumPct(comp, major, earthy)
+    // GetSumPct supplies musumcpct (all components, the table-creation
+    // fill :611-625) and pctearthmc; musumcpcta/musumcpcts are NOT
+    // GetSumPct values — the AWS and SOC passes write back their own
+    // contributing-component pct sums (:1652-1656, :1871-1891).
+    val sumpct = gsum.select(col("mukey"), col("musumcpct"), col("pctearthmc"))
     val rz = Valu.rzDepth(cached, restricted)
+    val awsPct = Valu.contributingPct(cached,
+      col("rating").isNotNull && col("hzdepb") > col("hzdept"), "musumcpcta")
+    val socPct = Valu.contributingPct(
+      cached.join(rz.select(col("cokey"), col("rzdepth")), Seq("cokey"), "left"),
+      col("om").isNotNull && col("db3i").isNotNull &&
+        least(col("hzdepb"), coalesce(col("rzdepth"), col("hzdepb"))) > col("hzdept"),
+      "musumcpcts")
+    val aws = Valu.calcAws(cached)
     // RZAWS runs over major-earthy components only (:1224-1227). The
     // wide table keeps GetSumPct's pctearthmc (sumPct stage) — drop the
     // stage-local divisor copy to avoid a duplicate column.
@@ -51,8 +63,8 @@ object ValuTable {
     // GetSumPct's tuple order (gSSURGO_ValuTable.py:1956-1959, :2434;
     // the reference's inline "major-earthy" comment there is wrong)
     val nccpi = Valu.nccpi(interp, nccpiRules,
-      denom = Some(sumpct.select(col("mukey"), col("musumcpcta").as("sumpct"))))
+      denom = Some(gsum.select(col("mukey"), col("musumcpcta").as("sumpct"))))
     val pwsl = Valu.pwsl(comp, water, hydric)
-    assemble(base, Seq(sumpct, aws, rzaws, soc, nccpi, pwsl))
+    assemble(base, Seq(sumpct, awsPct, socPct, aws, rzaws, soc, nccpi, pwsl))
   }
 }
