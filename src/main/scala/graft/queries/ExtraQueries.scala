@@ -46,8 +46,10 @@ object ExtraQueries extends QuerySet {
             count(lit(1)).as("n_rows"),
             min(col("l_quantity")).as("min_qty"),
             max(col("l_quantity")).as("max_qty"))
+          // left join: a group whose values are all NULL still reports
+          // its counts with a null median, matching median() semantics
           .join(graft.core.Stats.groupedMedian(l, "l_returnflag", "l_quantity", "med_qty"),
-            Seq("l_returnflag"))
+            Seq("l_returnflag"), "left")
           .select(col("l_returnflag"), col("n_orders"), col("n_rows"),
             col("med_qty"), col("min_qty"), col("max_qty"))
       },

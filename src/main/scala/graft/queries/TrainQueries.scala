@@ -172,6 +172,13 @@ object TrainQueries extends QuerySet {
     // D7 — the full curation pipeline: quality gate + language
     // agreement + dedup-cluster survivor selection, composed from the
     // individually-verified operators (graft.pipeline.Curation).
+    // The Spark side generates candidates with LSH while the oracle
+    // computes exact all-pairs Jaccard; equality holds because the
+    // synthetic corpus's pair-similarity distribution is bimodal —
+    // planted near-dups sit at J≈1 (band collision certain) and
+    // unrelated docs at J≈0 — so banding recall is exactly 1 at the
+    // 0.5 threshold. A corpus dense in borderline-J pairs would need
+    // the exactPairs twin for a hash-exact gate.
     Q("d07_curation_pipeline",
       (s, dir) => graft.pipeline.Curation.curate(
         Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)),

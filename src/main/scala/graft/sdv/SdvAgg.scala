@@ -409,8 +409,11 @@ object SdvAgg {
   // RAW comppct; no 50% trump, no class pct sums, no normalization.
   // Reference ties are cursor-order-arbitrary; we tie-break
   // deterministically the same way as A23 (rating order, then cokey).
+  // Implemented as the A23 pipeline — after removing A22's dead "DCD"
+  // scaffolding both reduce to dominant-component-of-worst-horizon, and
+  // a single body keeps them from drifting apart.
   def hzMaxMinDcd(df: DataFrame, top: Int, bot: Int, tieLow: Boolean = true): DataFrame =
-    dominantComponent(perComponentWorstHorizon(df, top, bot), tieLow)
+    hzMaxMinDcp(df, top, bot, tieLow)
 
   // A23 — AggregateHz_MaxMin_DCP (:9201-9346): per-component worst
   // horizon rating, then Dominant Component.

@@ -207,6 +207,11 @@ class SdvPlanner(
     // effectively collapse each component to its tiebreak-directed
     // extreme rating first (see SdvAgg.perComponentExtreme).
     val isKFactor = att.attributename.startsWith("K Factor")
+    // Surface-named attributes route to the component-level Co_ path
+    // regardless of datatype (:10762-10767) — their rating table is
+    // already one (surface-horizon) row per component.
+    val isSurface = att.attributename.startsWith("Surface") ||
+      att.attributename.endsWith("(Surface)")
     def coHz(df: DataFrame): DataFrame =
       if (isHz) SdvAgg.perComponentExtreme(df, most = tieLow) else df
 
@@ -222,7 +227,7 @@ class SdvPlanner(
         SdvAgg.noAggregation(rt, scale = p(2), numeric = !isChoice)
       case "Dominant Component" =>
         if (isHz && isKFactor) SdvAgg.hzMaxMinDcp(rt, req.top, req.bot, tieLow)
-        else if (isHz && isChoice) SdvAgg.dominantComponent(coHz(rt), tieLow) // Surface/choice → Co_DCP (:10762-10772)
+        else if (isHz && (isChoice || isSurface)) SdvAgg.dominantComponent(coHz(rt), tieLow) // Surface (any type) / choice → Co_DCP (:10762-10772)
         else if (isHz) SdvAgg.hzDcpWta(rt, req.top, req.bot, scale = p(4)) // numeric, horzaggmeth WTA (:10774-10776)
         else if (isMonth && isChoice) SdvAgg.moDomainDominantComponent(rt, tieLow)
         else if (isMonth) SdvAgg.moDominantComponent(rt,

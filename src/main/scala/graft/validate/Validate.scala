@@ -37,6 +37,7 @@ object Validate {
     * parquet scan, no shuffles, and the result is table-cardinality. */
   def countReconcile(tables: Map[String, DataFrame],
       expected: Map[String, Long]): DataFrame = {
+    require(tables.nonEmpty, "countReconcile needs at least one table")
     val rows = tables.toSeq.sortBy(_._1).map { case (name, df) =>
       val exp = expected.get(name)
       df.agg(count(lit(1)).as("n_actual"))
