@@ -208,9 +208,53 @@ object Dedup {
     labels
   }
 
+  /** Random-hyperplane LSH near-dup pairs — the scale path for
+    * embeddingCosinePairs. Each of `bands`×`bits` Rademacher
+    * hyperplanes is derived deterministically from xxhash64(plane,
+    * dim) → ±1 (no stored plane matrix, no UDF: zip_with + aggregate
+    * expression trees); a vector's bit is the sign of its projection.
+    * Vectors agreeing on every bit of a band share a bucket; exact
+    * cosine runs on bucket-mates only, so the corpus is never
+    * cross-joined. Per-band collision probability for angle θ is
+    * (1−θ/π)^bits — recall is tunable, not exact: pairs barely at the
+    * threshold can be missed (the exact twin is the oracle shape).
+    * Bucket count per band is 2^bits — raise `bits` with corpus size
+    * (8 → 256 buckets suits ~10⁴-10⁵ vectors; 16 for ~10⁷+); more
+    * `bands` buys recall back at linear cost. */
+  def embeddingCosinePairsLsh(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8, bands: Int = 8): DataFrame = {
+    val v = col(vecCol)
+    def bit(p: Int): Column = {
+      val signed = zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * when(pmod(xxhash64(lit(p), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+      val proj = aggregate(signed, lit(0.0), (acc, x) => acc + x)
+      (proj >= 0).cast("long")
+    }
+    val bandCols = (0 until bands).map { b =>
+      val word = (0 until bits).map(i => bit(b * bits + i) * (1L << i))
+        .reduce(_ + _)
+      word.as(s"bk$b")
+    }
+    val keyed = embs.select(
+      (col(idCol).as("did") +: v.as("__v") +: bandCols): _*)
+    val banded = keyed.select(col("did"), col("__v"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"bk$b").as("bkey"))): _*)).as("bb"))
+      .select(col("did"), col("__v"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        col("a.__v").as("va"), col("b.__v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    cand.select(col("id_a"), col("id_b"),
+        round(Vectors.cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs over a bounded id slice (the
     * all-pairs verification shape; LSH/IVF blocking is the scale path —
-    * see graft.ann.Ann). */
+    * embeddingCosinePairsLsh). */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("va"))

@@ -169,6 +169,39 @@ object TrainQueries extends QuerySet {
               |      FROM eq, ec WHERE id_a < id_b)
               |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""".stripMargin)),
 
+    // D8 — random-hyperplane LSH embedding near-dup over the full
+    // embeddings table (the d05 scale path: banding replaces the cross
+    // join). The synthetic table's ambient pairwise cosine tops out
+    // ~0.51, so a slice is replanted as additive-perturbed copies
+    // (cos ≈ 0.9999 to its source) — the planted pairs sit far above
+    // the 0.95 bar and ambient pairs far below, so 8-bit × 16-band
+    // recall is 1 − 1e-23 ≈ exact and the DuckDB all-pairs oracle
+    // hash-matches (at a low "similar-ish" bar like d05's 0.35 the
+    // hyperplane s-curve could not support an exact oracle).
+    Q("d08_embed_lsh_dup",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val planted = e.filter(col("vec_id") < 200)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+        Dedup.embeddingCosinePairsLsh(
+          e.select(col("vec_id"), col("embedding")).unionByName(planted),
+          "vec_id", "embedding", threshold = 0.95, bands = 16)
+      },
+      Some(s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |            FROM embeddings),
+              |e AS (SELECT vec_id, v FROM e0
+              |      UNION ALL
+              |      SELECT vec_id + 1000000,
+              |             list_transform(CAST(embedding AS FLOAT[]),
+              |                            x -> CAST(x + CAST(0.001 AS FLOAT) AS DOUBLE))
+              |      FROM embeddings WHERE vec_id < 200),
+              |eq AS (SELECT vec_id AS id_a, v AS qv FROM e),
+              |ec AS (SELECT vec_id AS id_b, v FROM e),
+              |p AS (SELECT id_a, id_b, round($cosSql, 4) AS cosine
+              |      FROM eq, ec WHERE id_a < id_b)
+              |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95""".stripMargin)),
+
     // D7 — the full curation pipeline: quality gate + language
     // agreement + dedup-cluster survivor selection, composed from the
     // individually-verified operators (graft.pipeline.Curation).

@@ -57,6 +57,20 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("DenseId: ids match the global sorted order, plan has no single-partition exchange") {
+    val s = StructType(Seq(StructField("k", LongType)))
+    // deliberately unsorted, duplicated, multi-partition input
+    val d = df(s, Seq(9L, 3L, 7L, 3L, 1L, 9L, 5L).map(Row(_))).repartition(4)
+    val lk = graft.core.DenseId.lookup(d, "k")
+    assert(rowsOf(lk.orderBy("k")) ===
+      Seq(Seq(1L, 1L), Seq(3L, 2L), Seq(5L, 3L), Seq(7L, 4L), Seq(9L, 5L)))
+    // the sort feeding zipWithIndex is range-partitioned — the plan
+    // must not collapse to a single partition the way a global-order
+    // window (dense_rank over no partition) does
+    val plan = lk.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
+  }
+
   test("V6+V7: corestriction depth caps the horizon-rule root zone") {
     val hzS = StructType(Seq(StructField("mukey", StringType),
       StructField("cokey", StringType), StructField("comppct", DoubleType),

@@ -83,6 +83,24 @@ class TrainOpsSpec extends AnyFunSuite {
       Seq(8L, 8L), Seq(9L, 8L)))
   }
 
+  test("embedding LSH near-dup: pairs match the exact cross-join twin on high-margin vectors") {
+    val s = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    def vec(base: Seq[Double], eps: Double): Seq[Double] = base.map(_ + eps)
+    val a = Seq(1.0, 0.2, -0.5, 0.8, -0.1, 0.4, 0.9, -0.3)
+    val b = Seq(-0.7, 0.9, 0.1, -0.4, 0.6, -0.8, 0.2, 0.5)
+    val d = df(s, Seq(
+      Row(1L, vec(a, 0.0)), Row(2L, vec(a, 0.01)), // planted near-dup pair
+      Row(3L, vec(b, 0.0)), Row(4L, vec(b, -0.02)), // second cluster
+      Row(5L, Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)))) // unrelated
+    val exact = rowsOf(Dedup.embeddingCosinePairs(d, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b"))
+    val lsh = rowsOf(Dedup.embeddingCosinePairsLsh(d, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b"))
+    assert(exact === Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    assert(lsh === exact) // full recall at high cosine margin
+  }
+
   test("Stats.groupedMedian: interpolated even-count median, exact odd-count (no per-group sort)") {
     import graft.core.Stats
     val s = StructType(Seq(StructField("g", StringType), StructField("v", DoubleType)))
