@@ -211,43 +211,51 @@ object Dedup {
   /** Random-hyperplane LSH near-dup pairs — the scale path for
     * embeddingCosinePairs. Each of `bands`×`bits` Rademacher
     * hyperplanes is derived deterministically from xxhash64(plane,
-    * dim) → ±1 (no stored plane matrix, no UDF: zip_with + aggregate
-    * expression trees); a vector's bit is the sign of its projection.
+    * dim) → ±1 (no stored plane matrix, no UDF); a vector's bit is the
+    * sign of its projection. The whole signature stage is
+    * codegen-clean: (vector element × plane) contributions are
+    * generated as rows — posexplode the vector, explode the plane
+    * range — and summed by one partial-aggregating shuffle keyed
+    * (did, plane), then bits fold into per-band bucket keys with a
+    * second tiny aggregation. (Higher-order functions like
+    * zip_with/aggregate are CodegenFallback, and a single agg with
+    * bands×bits sum lanes trips spark.sql.codegen.maxFields — both
+    * interpreted-mode shapes measured ~5-10× slower than this one.)
     * Vectors agreeing on every bit of a band share a bucket; exact
-    * cosine runs on bucket-mates only, so the corpus is never
-    * cross-joined. Per-band collision probability for angle θ is
-    * (1−θ/π)^bits — recall is tunable, not exact: pairs barely at the
-    * threshold can be missed (the exact twin is the oracle shape).
-    * Bucket count per band is 2^bits — raise `bits` with corpus size
-    * (8 → 256 buckets suits ~10⁴-10⁵ vectors; 16 for ~10⁷+); more
-    * `bands` buys recall back at linear cost. */
+    * cosine runs on bucket-mates only — vectors are joined back onto
+    * the (small) candidate set rather than carried through the
+    * banding, so neither the corpus cross-join nor vector-wide
+    * shuffle rows ever exist. Per-band collision probability for
+    * angle θ is (1−θ/π)^bits — recall is tunable, not exact: pairs
+    * barely at the threshold can be missed (the exact twin is the
+    * oracle shape). Bucket count per band is 2^bits — raise `bits`
+    * with corpus size (8 → 256 buckets suits ~10⁴-10⁵ vectors; 16
+    * for ~10⁷+); more `bands` buys recall back at linear cost. */
   def embeddingCosinePairsLsh(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 8, bands: Int = 8): DataFrame = {
-    val v = col(vecCol)
-    def bit(p: Int): Column = {
-      val signed = zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x * when(pmod(xxhash64(lit(p), i), lit(2)) === 0, 1.0).otherwise(-1.0))
-      val proj = aggregate(signed, lit(0.0), (acc, x) => acc + x)
-      (proj >= 0).cast("long")
-    }
-    val bandCols = (0 until bands).map { b =>
-      val word = (0 until bits).map(i => bit(b * bits + i) * (1L << i))
-        .reduce(_ + _)
-      word.as(s"bk$b")
-    }
-    val keyed = embs.select(
-      (col(idCol).as("did") +: v.as("__v") +: bandCols): _*)
-    val banded = keyed.select(col("did"), col("__v"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), col(s"bk$b").as("bkey"))): _*)).as("bb"))
-      .select(col("did"), col("__v"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val nPlanes = bits * bands
+    val base = embs.select(col(idCol).as("did"), col(vecCol).as("__v"))
+    val contrib = base
+      .select(col("did"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .select(col("did"), col("pos"), col("x"),
+        explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
+      .select(col("did"), col("p"),
+        (col("x") * when(pmod(xxhash64(col("p"), col("pos")), lit(2)) === 0, 1.0)
+          .otherwise(-1.0)).as("c"))
+    val proj = contrib.groupBy(col("did"), col("p")).agg(sum(col("c")).as("proj"))
+    val banded = proj
+      .select(col("did"), (col("p") / lit(bits)).cast("int").as("band"),
+        expr(s"shiftleft(CAST(proj >= 0 AS BIGINT), CAST(p % $bits AS INT))").as("w"))
+      .groupBy(col("did"), col("band")).agg(sum(col("w")).as("bkey"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.did") < col("b.did"))
-      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
-        col("a.__v").as("va"), col("b.__v").as("vb"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
+    cand
+      .join(base.select(col("did").as("id_a"), col("__v").as("va")), "id_a")
+      .join(base.select(col("did").as("id_b"), col("__v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
         round(Vectors.cosine(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -174,10 +174,14 @@ object TrainQueries extends QuerySet {
     // join). The synthetic table's ambient pairwise cosine tops out
     // ~0.51, so a slice is replanted as additive-perturbed copies
     // (cos ≈ 0.9999 to its source) — the planted pairs sit far above
-    // the 0.95 bar and ambient pairs far below, so 8-bit × 16-band
-    // recall is 1 − 1e-23 ≈ exact and the DuckDB all-pairs oracle
+    // the 0.95 bar and ambient pairs far below, so 16-bit × 8-band
+    // recall is 1 − 2e-11 ≈ exact and the DuckDB all-pairs oracle
     // hash-matches (at a low "similar-ish" bar like d05's 0.35 the
-    // hyperplane s-curve could not support an exact oracle).
+    // hyperplane s-curve could not support an exact oracle). 16 bits,
+    // not 8: ambient ~0.5-cosine cluster-mates collide in a 256-bucket
+    // band ~4% of the time, which at 2.4M possible pairs regenerates
+    // half the cross join as "candidates"; 65536 buckets cuts the
+    // expected candidate set ~25× at the same plane count.
     Q("d08_embed_lsh_dup",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -186,7 +190,7 @@ object TrainQueries extends QuerySet {
             transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
         Dedup.embeddingCosinePairsLsh(
           e.select(col("vec_id"), col("embedding")).unionByName(planted),
-          "vec_id", "embedding", threshold = 0.95, bands = 16)
+          "vec_id", "embedding", threshold = 0.95, bits = 16, bands = 8)
       },
       Some(s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               |            FROM embeddings),
