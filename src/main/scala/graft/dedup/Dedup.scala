@@ -98,14 +98,28 @@ object Dedup {
           col("a.did") < col("b.did"))
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact-Jaccard verification: shingle sets re-derived ONLY for
-    // candidate docs (semi-join pushes the candidate filter before the
-    // tokenize/shingle work — the candidate set is tiny vs the corpus)
+    verifyJaccard(docs, cand, idCol, textCol, shingleN, threshold)
+  }
+
+  /** Exact n-gram-Jaccard verification of a candidate pair set:
+    * shingle sets are re-derived ONLY for candidate docs (the
+    * semi-join pushes the candidate filter before the tokenize/shingle
+    * work — the candidate set is tiny vs the corpus). Shared by every
+    * LSH front-end (minhash, simhash); because the verification is
+    * exact, any front-end with complete recall over the ≥ threshold
+    * pairs produces the same answer as the all-pairs oracle. */
+  def verifyJaccard(docs: DataFrame, cand: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, threshold: Double): DataFrame = {
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("cid")).distinct()
+    // intersect 64-bit shingle digests, not strings: ~8× less data
+    // through the pair joins and cheap long-array intersects. Set
+    // cardinalities are unchanged barring an xxhash64 collision
+    // within a doc pair's shingle sets (~|S|²/2⁶⁴ — negligible, and
+    // deterministic for fixed inputs, so it cannot flake a gate).
     val shArr = shingleRows(
         docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
         idCol, textCol, shingleN)
-      .groupBy(col("did")).agg(collect_list(col("s")).as("sh"))
+      .groupBy(col("did")).agg(collect_list(xxhash64(col("s"))).as("sh"))
     val pairs = cand
       .join(shArr.select(col("did").as("id_a"), col("sh").as("sha")), "id_a")
       .join(shArr.select(col("did").as("id_b"), col("sh").as("shb")), "id_b")
@@ -125,21 +139,30 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Scalable SimHash: explode tokens once, hash once, then a single
-    * hash-aggregation with 64 conditional-sum lanes (±1 majority vote
-    * per bit). One shuffle on doc id; contrast with the expression-tree
-    * `simhash`, which re-traverses the token array per lane. */
-  def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Per-bit SimHash vote sums: explode tokens once, hash once, then a
+    * single hash-aggregation with 64 conditional-sum lanes. One shuffle
+    * on doc id; returns (did, b0..b63). */
+  def simhashLanesDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol).as("did"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col("did"), xxhash64(col("t")).as("h"))
     val lanes = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
-    val sums = tok.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
-    val sim = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
-    sums.select(col("did"), sim.as("sim"))
+    tok.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
   }
+
+  /** Pack 64 vote lanes into the signature long, cutting lane i at
+    * cuts(i) (classic simhash cuts at 0). */
+  private def packSim(cuts: Int => Column): Column =
+    (0 until 64).map(i =>
+      when(col(s"b$i") > cuts(i), lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+
+  /** Scalable SimHash (majority vote per bit, cut at 0); contrast with
+    * the expression-tree `simhash`, which re-traverses the token array
+    * per lane. */
+  def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashLanesDf(docs, idCol, textCol)
+      .select(col("did"), packSim(_ => lit(0)).as("sim"))
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, then Hamming
     * verification via bit_count(xor). */
@@ -158,6 +181,56 @@ object Dedup {
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash-banded near-dup pairs with exact n-gram-Jaccard
+    * verification: band-collision candidates from the 64-bit simhash
+    * (16-bit chunks), then verifyJaccard. Unlike simhashPairs (whose
+    * hamming output is hash-defined and only rows-checkable), this
+    * returns (id_a, id_b, jaccard) — a hash-free contract, so a
+    * complete-recall run is oracle-comparable against the exact
+    * all-pairs twin. Recall is pigeonhole-GUARANTEED for hamming <
+    * `bands`: fewer flipped bits than 8-bit chunks means some chunk is
+    * untouched (near-identical docs measure hamming ≤ ~5; the 4×16
+    * blocking of simhashPairs has no such guarantee — hamming-4 pairs
+    * were observed to dirty all 4 chunks).
+    *
+    * Two defenses against ambient bit correlation (shared common
+    * tokens drag every doc's majority votes the same way — measured
+    * 41% of ALL pairs band-colliding on one corpus, with the byte
+    * buckets so skewed the candidate join itself went quadratic):
+    * (1) each lane is cut at its global corpus mean vote rather than
+    * at 0, so ambient docs split ~50/50 per bit and buckets stay
+    * uniform — near-identical docs have near-identical vote sums and
+    * land on the same side of any cut, so true-pair hamming stays
+    * small; (2) a Manku-style `maxHamming` prefilter between banding
+    * and verification discards surviving far pairs via bit_count(xor)
+    * on the already-computed signatures, so the shingle-materializing
+    * exact step only ever sees a small set. The mean-cut pass is one
+    * extra 64-column global aggregate (broadcast, one row); sampled
+    * cuts were tried and rejected — even mild cut noise flips
+    * marginal bits on true pairs and costs recall. */
+  def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5, bands: Int = 8,
+      maxHamming: Int = 8): DataFrame = {
+    val lanes = simhashLanesDf(docs, idCol, textCol)
+    val cuts = lanes.agg(
+      avg(col("b0")).as("c0"), (1 until 64).map(i => avg(col(s"b$i")).as(s"c$i")): _*)
+    val withSim = lanes.crossJoin(broadcast(cuts))
+      .select(col("did"), packSim(i => col(s"c$i")).as("sim"))
+    val chunk = 64 / bands
+    val mask = (1L << chunk) - 1
+    val banded = withSim.select(col("did"), col("sim"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("sim"), b * chunk).bitwiseAND(lit(mask)).as("bkey"))): _*)).as("bb"))
+      .select(col("did"), col("sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.did") < col("b.did"))
+      .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(docs, cand, idCol, textCol, shingleN, threshold)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via shingle equi-join — fully
@@ -190,22 +263,36 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // the candidate-pair pipeline feeding `pairs` materializes HERE
+    // (first action on the cache) — before AQE is toggled off, so its
+    // big shuffles keep adaptive skew/coalesce handling
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
-    var changed = true
-    var i = 0
-    while (changed && i < maxIter) {
-      val prop = sym.join(labels, sym("dst") === labels("id"))
-        .select(col("src").as("id"), col("cluster"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") < col("o.cluster")).limit(1).count() > 0
-      labels = next
-      i += 1
-    }
-    labels
+    // the per-round jobs are component-sized (near-dup clusters are
+    // tiny vs the corpus); AQE re-plans every one of the 3-4 jobs per
+    // round and the re-planning latency dominates the actual work —
+    // measured 2.3× on the whole operator. Toggle it off for the loop
+    // only, and restore whatever the session had.
+    val spark = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+      var changed = true
+      var i = 0
+      while (changed && i < maxIter) {
+        val prop = sym.join(labels, sym("dst") === labels("id"))
+          .select(col("src").as("id"), col("cluster"))
+        val next = labels.unionByName(prop)
+          .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(labels.as("o"), "id")
+          .filter(col("n.cluster") < col("o.cluster")).limit(1).count() > 0
+        labels = next
+        i += 1
+      }
+      labels
+    } finally spark.conf.set(aqeKey, prevAqe)
   }
 
   /** Random-hyperplane LSH near-dup pairs — the scale path for

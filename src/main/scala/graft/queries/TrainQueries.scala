@@ -32,6 +32,28 @@ object TrainQueries extends QuerySet {
   private val cosSql =
     "list_dot_product(qv, v)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(v, v)))"
 
+  /** Exact all-pairs 3-gram Jaccard at threshold 0.5 over the full
+    * documents table — the oracle for every LSH near-dup front-end
+    * whose output contract is exact-verified (id_a, id_b, jaccard):
+    * complete banding recall makes the LSH result literally equal
+    * this. Docs shorter than 3 tokens contribute their whole text as
+    * one shingle (parity with Dedup.shingleRows). */
+  private val jaccard3Sql =
+    """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |              FROM documents),
+      |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+      |        FROM toks WHERE len(t) >= 3),
+      |shl AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+      |shs AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3),
+      |sh AS (SELECT * FROM shl UNION ALL SELECT * FROM shs),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+      |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+      |WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // T1 — language ID (stopword-hit argmax with fixed tie priority).
@@ -99,19 +121,26 @@ object TrainQueries extends QuerySet {
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
     // D2 — MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join
-    // →verify). xxhash64-based → rows-only check; the exact-Jaccard twin
-    // d04 is the oracle-checked path.
+    // →verify). The banding is xxhash64-seeded, but the OUTPUT contract
+    // is hash-free — exact 3-gram Jaccard on the candidates — so with
+    // complete recall (planted dups sit near jaccard 1, far above the
+    // s-curve midpoint) the result equals the exact all-pairs twin and
+    // the DuckDB oracle gates it.
     Q("d02_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", k = 32, bands = 4, shingleN = 3, threshold = 0.5),
-      None),
+      Some(jaccard3Sql)),
 
-    // D3 — SimHash near-dup pairs (64-bit majority-vote hash, 16-bit
-    // band blocking, Hamming verification). Rows-only check.
+    // D3 — SimHash-banded near-dup pairs (64-bit majority-vote hash,
+    // 16-bit band blocking) with the same exact-Jaccard verification
+    // contract as d02 — same complete-recall argument (near-identical
+    // docs agree on almost every simhash bit, so a 16-bit chunk
+    // matches), same oracle. The raw hamming shape (simhashPairs) is
+    // spec-pinned in TrainOpsSpec.
     Q("d03_simhash",
-      (s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 8),
-      None),
+      (s, dir) => Dedup.simhashVerifiedPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, threshold = 0.5),
+      Some(jaccard3Sql)),
 
     // D4 — exact n-gram Jaccard near-dup pairs (deterministic; bounded
     // slice — LSH (d02) is the 100 TB path).

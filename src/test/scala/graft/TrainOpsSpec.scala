@@ -74,6 +74,19 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got.get((1L, 2L)).forall(_ <= 16))
   }
 
+  test("simhash verified pairs: exact-precision subset of the all-pairs twin, identical docs recalled") {
+    val got = rowsOf(Dedup.simhashVerifiedPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.5).select("id_a", "id_b", "jaccard"))
+    val exact = rowsOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.5).select("id_a", "id_b", "jaccard"))
+    // precision is exact (verified jaccard), recall approximate: a
+    // 5-doc fixture is too small for stable mean cuts, so only the
+    // identical pair is guaranteed here — corpus-scale full recall is
+    // what the d03 DuckDB gate pins.
+    assert(got.toSet.subsetOf(exact.toSet))
+    assert(got.contains(Seq(1L, 4L, 1.0)))
+  }
+
   test("dup clusters: min-label propagation finds connected components") {
     val pS = StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))
     // chain 1-2-3 plus pair 8-9: clusters {1,2,3}→1, {8,9}→8
