@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   * action first pays JIT/classloading so per-query numbers are
   * comparable. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  /** The benchmark session configuration — shared with
+    * graft.tools.TimeOne so single-query timings predict full-bench
+    * timings (same extensions, shuffle partitions, AQE, timezone). */
+  def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -25,17 +27,25 @@ object Bench {
     // multi-query batch session → reuse cached base tables, exactly the
     // reference's CreateSoilMaps loop pattern (SURVEY §3)
     Tables.enableCache()
+    spark
+  }
 
-    def runNoop(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+  /** Full evaluation of a registered query through the noop sink. */
+  def runNoop(spark: SparkSession, sfDir: String, name: String): Unit =
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = session(cpus)
 
     // warmup: JIT + parquet footers
-    try runNoop("q1_agg") catch { case _: Throwable => () }
+    try runNoop(spark, sfDir, "q1_agg") catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try runNoop(name) catch { case _: Throwable => () }
+      try runNoop(spark, sfDir, name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

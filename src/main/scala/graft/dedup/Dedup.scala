@@ -71,14 +71,19 @@ object Dedup {
     * Physical shape: shingles are exploded ONCE and the k minhash lanes
     * are k min() aggregates in a single hash aggregation (no nested
     * array re-traversal); band keys are xxhash64 over the lane columns.
-    * Defaults k=32/bands=4 → 8 rows per band: on low-diversity corpora
-    * (shared common shingles) fewer rows per band makes whole buckets
-    * collide and the candidate join quadratic — r=8 keeps the
-    * false-candidate probability ~p^8. The LSH s-curve midpoint is
-    * (1/b)^(1/r) ≈ 0.84, tuned for true near-dup mining; lower
-    * `threshold` only widens the final filter, not the banding recall. */
+    * Defaults k=32/bands=8 → r=4 rows per band: s-curve midpoint
+    * (1/b)^(1/r) ≈ 0.595, so pairs at jaccard ≥ ~0.77 (the observed
+    * floor of true pairs on the test corpora) miss a band 8-in-1000
+    * per band⁴ → all-bands ~4e-4 — r=8's midpoint 0.84 left ~0.89
+    * pairs with a 14% miss chance and the oracle gate green by luck.
+    * The r=4 false-candidate rate ~p⁴ per band needs shingleN ≥ 3:
+    * common word BIGRAMS are so shared that whole buckets collide and
+    * the candidate join goes quadratic (measured; see the pitfalls
+    * note in the repo docs). Lower `threshold` only widens the final
+    * filter, not the banding recall — LSH recall is probabilistic in
+    * general; the oracle-exactness claim is verified per-corpus. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 4, shingleN: Int = 3,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
@@ -124,9 +129,13 @@ object Dedup {
       .join(shArr.select(col("did").as("id_a"), col("sh").as("sha")), "id_a")
       .join(shArr.select(col("did").as("id_b"), col("sh").as("shb")), "id_b")
     val common = size(array_intersect(col("sha"), col("shb"))).cast("double")
-    pairs.select(col("id_a"), col("id_b"),
+    // threshold on the UNROUNDED ratio (matching ngramJaccardPairs and
+    // the SQL oracles); rounding first would admit boundary pairs in
+    // [threshold - 5e-5, threshold) that the exact twin excludes
+    pairs
+      .filter(common / (size(col("sha")) + size(col("shb")) - common) >= threshold)
+      .select(col("id_a"), col("id_b"),
         round(common / (size(col("sha")) + size(col("shb")) - common), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over the token multiset: majority vote per bit of
@@ -167,7 +176,7 @@ object Dedup {
   /** SimHash near-dup pairs: 4×16-bit band blocking, then Hamming
     * verification via bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 10): DataFrame = {
     val withSim = simhashDf(docs, idCol, textCol)
     // band key = the b-th 16-bit chunk of the 64-bit simhash
     val banded = withSim.select(col("did"), col("sim"),
@@ -212,7 +221,7 @@ object Dedup {
     * marginal bits on true pairs and costs recall. */
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5, bands: Int = 8,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 10): DataFrame = {
     val lanes = simhashLanesDf(docs, idCol, textCol)
     val cuts = lanes.agg(
       avg(col("b0")).as("c0"), (1 until 64).map(i => avg(col(s"b$i")).as(s"c$i")): _*)

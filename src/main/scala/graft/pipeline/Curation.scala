@@ -25,7 +25,7 @@ object Curation {
     * on raw shingles. `exactPairs = true` swaps in the all-shingle
     * self-join (`ngramJaccardPairs`) as the bounded-slice oracle twin;
     * both paths emit identical pairs whenever the LSH bands reach full
-    * recall at the threshold (k=32/bands=4 measured 25/25 planted dups
+    * recall at the threshold (k=32/bands=8 measured 25/25 planted dups
     * on the test corpora). Default shingleN = 3: 2-shingles are too
     * low-diversity for banding — common word bigrams dominate the
     * minhash lanes and band buckets go quadratic. */

@@ -35,9 +35,10 @@ object TrainQueries extends QuerySet {
   /** Exact all-pairs 3-gram Jaccard at threshold 0.5 over the full
     * documents table — the oracle for every LSH near-dup front-end
     * whose output contract is exact-verified (id_a, id_b, jaccard):
-    * complete banding recall makes the LSH result literally equal
-    * this. Docs shorter than 3 tokens contribute their whole text as
-    * one shingle (parity with Dedup.shingleRows). */
+    * when banding recall is complete (verified on the gated corpora,
+    * see d02/d03 notes) the LSH result literally equals this. Docs
+    * shorter than 3 tokens contribute their whole text as one shingle
+    * (parity with Dedup.shingleRows). */
   private val jaccard3Sql =
     """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       |              FROM documents),
@@ -122,20 +123,26 @@ object TrainQueries extends QuerySet {
 
     // D2 — MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join
     // →verify). The banding is xxhash64-seeded, but the OUTPUT contract
-    // is hash-free — exact 3-gram Jaccard on the candidates — so with
-    // complete recall (planted dups sit near jaccard 1, far above the
-    // s-curve midpoint) the result equals the exact all-pairs twin and
-    // the DuckDB oracle gates it.
+    // is hash-free — exact 3-gram Jaccard on the candidates — so
+    // whenever banding recall is complete the result equals the exact
+    // all-pairs twin and the DuckDB oracle gates it. True pairs on the
+    // test corpora go as low as jaccard ~0.77 (NOT a clean
+    // planted-near-1 margin), hence r=4 banding: the weakest pair's
+    // all-bands miss probability is ~4e-4 vs 14% at r=8. Recall was
+    // verified complete on the gated corpora; it is probabilistic in
+    // general and an oracle mismatch on regenerated data means a
+    // borderline pair lost the banding dice roll, not an engine bug.
     Q("d02_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", k = 32, bands = 4, shingleN = 3, threshold = 0.5),
+        "doc_id", "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5),
       Some(jaccard3Sql)),
 
-    // D3 — SimHash-banded near-dup pairs (64-bit majority-vote hash,
-    // 16-bit band blocking) with the same exact-Jaccard verification
-    // contract as d02 — same complete-recall argument (near-identical
-    // docs agree on almost every simhash bit, so a 16-bit chunk
-    // matches), same oracle. The raw hamming shape (simhashPairs) is
+    // D3 — SimHash-banded near-dup pairs (64-bit mean-debiased
+    // majority-vote hash, 8×8-bit band blocking, maxHamming=10
+    // prefilter) with the same exact-Jaccard verification contract and
+    // oracle as d02. Recall is pigeonhole-guaranteed below hamming 8
+    // and probabilistic above (true pairs measured at hamming ≤ 5 on
+    // the gated corpora). The raw hamming shape (simhashPairs) is
     // spec-pinned in TrainOpsSpec.
     Q("d03_simhash",
       (s, dir) => Dedup.simhashVerifiedPairs(Tables.load(s, dir, "documents"),

@@ -1,10 +1,8 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Single-query timing main: runs the named queries through the noop
-  * sink (same harness shape as graft.Bench) so one query can be
-  * iterated on without paying the full suite. Args: query names;
+  * sink in graft.Bench's exact session configuration, so one query can
+  * be iterated on without paying the full suite. Args: query names;
   * each runs `SPARK_GRAFT_REPS` times (default 2 — first run pays
   * JIT/planning, later runs show steady state). */
 object TimeOne {
@@ -12,21 +10,10 @@ object TimeOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.Tables.enableCache()
+    val spark = graft.Bench.session(cpus)
     for (name <- args; r <- 1 to reps) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      graft.Bench.runNoop(spark, sfDir, name)
       println(f"[timeone] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -80,7 +80,7 @@ class TrainOpsSpec extends AnyFunSuite {
     val exact = rowsOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       shingleN = 2, threshold = 0.5).select("id_a", "id_b", "jaccard"))
     // precision is exact (verified jaccard), recall approximate: a
-    // 5-doc fixture is too small for stable mean cuts, so only the
+    // 4-doc fixture is too small for stable mean cuts, so only the
     // identical pair is guaranteed here — corpus-scale full recall is
     // what the d03 DuckDB gate pins.
     assert(got.toSet.subsetOf(exact.toSet))
