@@ -327,6 +327,56 @@ object TrainQueries extends QuerySet {
       },
       None),
 
+    // N4 — IVF with a provable top-1: queries are additive-perturbed
+    // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient
+    // tops out ~0.51), restricted to queries whose top-2 centroid
+    // margin exceeds 0.02 — far more than the perturbation can move an
+    // assignment (without the margin filter, 2 of 100 queries sit on a
+    // centroid boundary and flip buckets away from their source). For
+    // the surviving queries the probed bucket provably contains the
+    // global winner, so IVF top-1 equals brute force, which the DuckDB
+    // all-pairs oracle computes. Perturbation is done in DOUBLE on
+    // both sides — at round-6 output precision a float add here vs a
+    // double add in the oracle differs by an ulp on a few rows (d08
+    // hides the same effect under its coarser round-4). This is the
+    // recall demonstration n02 (k=3, genuinely approximate at the
+    // bucket boundary) cannot make.
+    Q("n04_ann_ivf_top1",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val qs = e.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 1000000).as("qid"),
+            transform(col("embedding"), x => x.cast("double") + lit(0.001d)).as("qvec"))
+        val stable = qs.crossJoin(broadcast(cents))
+          .select(col("qid"), graft.ann.Vectors.cosine(col("qvec"), col("cvec")).as("cc"))
+          .groupBy(col("qid"))
+          .agg(sort_array(collect_list(col("cc")), asc = false).as("cs"))
+          .filter(element_at(col("cs"), 1) - element_at(col("cs"), 2) > 0.02)
+          .select(col("qid"))
+        Ann.ivfSearch(qs.join(stable, Seq("qid"), "left_semi"),
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")),
+          cents, k = 1)
+      },
+      Some(s"""WITH $embCte,
+              |q AS (SELECT vec_id + 1000000 AS qid,
+              |             list_transform(CAST(embedding AS DOUBLE[]),
+              |                            x -> x + 0.001) AS qv
+              |      FROM embeddings WHERE vec_id < 100),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |qc AS (SELECT qid, list_dot_product(qv, cv)
+              |         /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))) AS cc
+              |       FROM q, c),
+              |qm AS (SELECT qid, list_sort(list(cc), 'DESC') AS cs FROM qc GROUP BY qid),
+              |qstable AS (SELECT qid FROM qm WHERE cs[1] - cs[2] > 0.02),
+              |sc AS (SELECT q.qid, e.vec_id AS neighbor_id, round($cosSql, 6) AS cosine
+              |       FROM q JOIN qstable USING (qid), e)
+              |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
+              |WHERE rn <= 1""".stripMargin)),
+
     // MM1 — multimodal binary-column plumbing: partition-batched typed
     // feature extraction with a clearly-marked deterministic stub
     // decode (real codecs absent in this container).
