@@ -109,5 +109,18 @@ object ValidateQueries extends QuerySet {
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
              |       event_type, count(*) AS n_events,
              |       round(sum(round(value*100))/100.0, 2) AS sum_value
-             |FROM events GROUP BY 1, 2""".stripMargin)))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Streaming ingestion dedup — batch twin of
+    // graft.streaming.Ingest.streamDedup (watermark-bounded
+    // dropDuplicatesWithinWatermark; the streaming wrapper's key-set
+    // equivalence is exercised in StreamingSpec). First-arrival time
+    // and duplicate count are the deterministic summary the stream's
+    // surviving-payload choice cannot provide.
+    Q("st03_stream_dedup",
+      (s, dir) => Ingest.firstArrival(Tables.events(s, dir)),
+      Some("""SELECT user_id, event_type, round(value*100) AS value_cents,
+             |       min(CAST(epoch_ms(ts) AS BIGINT)) AS first_ms,
+             |       count(*) AS n_dups
+             |FROM events GROUP BY 1, 2, 3""".stripMargin)))
 }

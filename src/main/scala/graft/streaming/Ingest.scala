@@ -36,6 +36,33 @@ object Ingest {
       .agg(count(lit(1)).as("n_events"),
         round(sum(Exprs.cents(col("value"))) / 100.0, 2).as("sum_value"))
 
+  /** Batch twin of streaming ingestion dedup: one row per logical
+    * event key with the first-arrival time and the duplicate count
+    * (at-least-once delivery collapses to exactly-once content).
+    * Value participates in the key as exact cents so the group-by is
+    * float-safe. */
+  def firstArrival(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"),
+        Exprs.cents(col("value")).as("value_cents"))
+      .agg(unix_millis(min(col("ts"))).as("first_ms"),
+        count(lit(1)).as("n_dups"))
+
+  /** Streaming twin: watermark-bounded stateful dedup over the drop
+    * directory — dropDuplicatesWithinWatermark keeps one row per key
+    * and EXPIRES key state older than the watermark, so state is
+    * bounded by the duplicate-arrival horizon rather than the full
+    * history (the property that makes streaming ingestion dedup
+    * viable at corpus scale). Emits the surviving keys; which
+    * duplicate's payload survives is processing-order-dependent, so
+    * the deterministic contract (and the oracle) lives on the batch
+    * twin. */
+  def streamDedup(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+      .select(col("user_id"), col("event_type"), Exprs.cents(col("value")).as("value_cents"))
+
   /** Drive a streaming DataFrame to a memory sink until all available
     * input is processed; returns the result table name. Test harness
     * for local verification of the streaming path. */

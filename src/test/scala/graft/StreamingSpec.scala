@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq(Seq("m1", 1), Seq("m2", 99)))
   }
 
+  test("streamDedup over a parquet drop: surviving key set == batch firstArrival keys") {
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dropDir = Files.createTempDirectory("graft_dedup_drop")
+    Files.copy(Paths.get(src), dropDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = spark.read.parquet(src).schema
+    // append mode: dropDuplicatesWithinWatermark emits each surviving
+    // key once
+    val q = Ingest.streamDedup(spark, dropDir.toString, schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val stream = rowsOf(spark.sql(
+      "SELECT user_id, event_type, value_cents FROM dedup_out"))
+    val batch = rowsOf(Ingest.firstArrival(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select("user_id", "event_type", "value_cents"))
+    assert(stream === batch) // one survivor per key, same key set
+    assert(stream.nonEmpty)
+  }
+
   test("streamHourlyRollup over a parquet drop == batch hourlyRollup") {
     val src = "/root/testdata/sf0.001/events.parquet"
     val dropDir = Files.createTempDirectory("graft_stream_drop")
