@@ -246,9 +246,9 @@ object ExtraQueries extends QuerySet {
           |  sum(CASE WHEN hzdept >= 60 THEN rating*1000*comppct END) AS ncot
           |FROM hzv WHERE crating <> 'N' GROUP BY mukey)""".stripMargin,
         """nccpi AS (SELECT n.mukey,
-          |  round(CASE WHEN d.sumpct > 0 THEN ncorn/d.sumpct/10000.0 END, 6) AS nccpi_corn,
-          |  round(CASE WHEN d.sumpct > 0 THEN nsoy/d.sumpct/10000.0 END, 6) AS nccpi_soy,
-          |  round(CASE WHEN d.sumpct > 0 THEN ncot/d.sumpct/10000.0 END, 6) AS nccpi_cotton
+          |  floor((CASE WHEN d.sumpct > 0 THEN ncorn/d.sumpct/10000.0 END)*1e6 + 0.5)/1e6 AS nccpi_corn,
+          |  floor((CASE WHEN d.sumpct > 0 THEN nsoy/d.sumpct/10000.0 END)*1e6 + 0.5)/1e6 AS nccpi_soy,
+          |  floor((CASE WHEN d.sumpct > 0 THEN ncot/d.sumpct/10000.0 END)*1e6 + 0.5)/1e6 AS nccpi_cotton
           |FROM num n JOIN den d ON n.mukey = d.mukey)""".stripMargin,
         """pwsl AS (SELECT mukey,
           |  CASE WHEN max(CASE WHEN crating = 'N' AND comppct >= 80 THEN 1 ELSE 0 END) = 1

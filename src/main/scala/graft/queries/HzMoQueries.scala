@@ -96,10 +96,10 @@ object HzMoQueries extends QuerySet {
       (s, dir) => SdvAgg.hzWtaWta(hzNumeric(s, dir), 0, 100),
       Some(withCtes(
         """SELECT mukey,
-          |  round(sum(CASE WHEN rating IS NOT NULL THEN comppct*rating END)
-          |    / sum(CASE WHEN rating IS NOT NULL THEN comppct END), 4) AS rating,
-          |  sum(CASE WHEN rating IS NOT NULL THEN comppct END) AS comppct
-          |FROM (SELECT mukey, comppct, compval/thick AS rating FROM pc) w
+          |  floor(sum(CASE WHEN rE8 IS NOT NULL THEN comppct*rE8 END)
+          |    / sum(CASE WHEN rE8 IS NOT NULL THEN comppct END) / 1e8 * 1e4 + 0.5)/1e4 AS rating,
+          |  sum(CASE WHEN rE8 IS NOT NULL THEN comppct END) AS comppct
+          |FROM (SELECT mukey, comppct, round(compval/thick * 1e8) AS rE8 FROM pc) w
           |GROUP BY mukey""".stripMargin,
         hzCte, OracleSql.hzSliceCte("pc", 0, 100)))),
 

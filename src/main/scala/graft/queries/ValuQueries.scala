@@ -208,10 +208,10 @@ object ValuQueries extends QuerySet {
              |  sum(CASE WHEN rule='signup' THEN fuzzy*comppct END) AS n4
              |  FROM interp GROUP BY mukey)
              |SELECT n.mukey,
-             |  round(n1/d.sumpct/10000.0, 6) AS nccpi_click,
-             |  round(n2/d.sumpct/10000.0, 6) AS nccpi_view,
-             |  round(n3/d.sumpct/10000.0, 6) AS nccpi_purchase,
-             |  round(n4/d.sumpct/10000.0, 6) AS nccpi_signup
+             |  floor(n1/d.sumpct/10000.0*1e6 + 0.5)/1e6 AS nccpi_click,
+             |  floor(n2/d.sumpct/10000.0*1e6 + 0.5)/1e6 AS nccpi_view,
+             |  floor(n3/d.sumpct/10000.0*1e6 + 0.5)/1e6 AS nccpi_purchase,
+             |  floor(n4/d.sumpct/10000.0*1e6 + 0.5)/1e6 AS nccpi_signup
              |FROM num n JOIN den d ON n.mukey = d.mukey""".stripMargin)),
 
     // V13 — CalcPWSL (gSSURGO_ValuTable.py:2479-2664): water sentinel

@@ -345,10 +345,27 @@ object SdvAgg {
   // depth-weighted mean Σ(hzT·val)/Σ(hzT) (:8553, divisor :8593-8600),
   // then comppct-weighted average across components.
   def hzWtaWta(df: DataFrame, top: Int, bot: Int, scale: Int = 4): DataFrame = {
+    // the per-component depth-weighted mean is a ratio of integer-exact
+    // sums (bit-identical in any engine), but comppct-weighting those
+    // NON-integer ratios makes the outer sum order-dependent in the
+    // last ulp — enough to flip the scale-4 rounding on a boundary row
+    // (observed once at sf0.1). Quantizing each ratio to an integer at
+    // 1e-8 (far below the output precision) restores order-independent
+    // integer-valued sums; the oracle mirrors the same quantization.
     val perCo = perComponentSliceSums(df, top, bot)
-      .select(m, col("cokey"), col("comppct"),
-        (col("compval") / col("thick")).as("rating"))
-    weightedAverage(perCo, scale)
+      .select(m, col("comppct"),
+        round(col("compval") / col("thick") * 1e8, 0).as("rE8"))
+    // final rounding in floor(x·10^s+0.5)/10^s form: the ratio itself
+    // is bit-identical cross-engine, but Spark's BigDecimal round()
+    // and DuckDB's scaled-double round() disagree when the decimal
+    // expansion sits on a .5 boundary (observed at sf0.1); the floor
+    // form is plain double arithmetic and matches anywhere.
+    val p = math.pow(10, scale)
+    val rated = col("rE8").isNotNull
+    perCo.groupBy(m).agg(
+      (floor(sum(when(rated, col("comppct") * col("rE8")))
+        / sum(when(rated, col("comppct"))) / 1e8 * p + 0.5) / p).as("rating"),
+      sum(when(rated, col("comppct"))).as("comppct"))
   }
 
   // A20 — AggregateHz_DCP_WTA (:8639-8893): all components tied for max

@@ -258,10 +258,17 @@ object Valu {
     }
     val num = interp.groupBy(m).agg(numAggs.head, numAggs.tail: _*)
     // zero divisor pct → null rating (the reference skips the row,
-    // :2456 "Miscellaneous map unit encountered")
+    // :2456 "Miscellaneous map unit encountered"). Rounding is
+    // floor(x·10^s + 0.5)/10^s rather than round(): the ratio of exact
+    // integer sums is bit-identical in any engine, but engines round
+    // the SAME double differently at a decimal .5 boundary (Spark goes
+    // through BigDecimal's exact decimal expansion, DuckDB through
+    // scaled-double math — observed one flipped 6th decimal at sf0.1);
+    // the floor form is plain double arithmetic and matches anywhere.
+    val p = math.pow(10, scale)
     num.join(den, "mukey").select(
       m +: rules.map { case (_, c) =>
-        round(when(col("sumpct") > 0, col(s"num_$c") / col("sumpct") / 10000.0), scale).as(c)
+        (floor(when(col("sumpct") > 0, col(s"num_$c") / col("sumpct") / 10000.0) * p + 0.5) / p).as(c)
       }: _*)
   }
 
