@@ -57,6 +57,25 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LSH near-dup plans never cross-join the corpus") {
+    val docS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = df(docS, (1L to 20L).map(i => Row(i, s"alpha beta gamma delta doc $i")))
+    val embS = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val embs = df(embS, (1L to 20L).map(i => Row(i, Seq(i.toDouble, 1.0, -1.0, 0.5))))
+    // candidate generation must be an equi-join on band keys: the only
+    // nested-loop joins allowed are broadcast singletons (the simhash
+    // mean-cut row), never a corpus×corpus CartesianProduct
+    for (p <- Seq(
+        graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+        graft.dedup.Dedup.simhashVerifiedPairs(docs, "doc_id", "text"),
+        graft.dedup.Dedup.embeddingCosinePairsLsh(embs, "vec_id", "embedding", 0.9))) {
+      val plan = p.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"corpus cross join:\n$plan")
+    }
+  }
+
   test("DenseId: ids match the global sorted order, plan has no single-partition exchange") {
     val s = StructType(Seq(StructField("k", LongType)))
     // deliberately unsorted, duplicated, multi-partition input
