@@ -25,7 +25,7 @@ object Ann {
     val scored = queries.crossJoin(corpus)
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid").as("neighbor_id"),
-        round(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+        graft.core.Exprs.roundHalfUp(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -54,7 +54,7 @@ object Ann {
     val scored = queriesAssigned.join(corpusAssigned, "cid")
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid").as("neighbor_id"),
-        round(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+        graft.core.Exprs.roundHalfUp(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

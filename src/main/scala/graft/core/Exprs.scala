@@ -57,4 +57,17 @@ object Exprs {
     * double becomes an integral double so downstream sums are exact in
     * IEEE754 and hash-comparable across engines. */
   def cents(c: Column): Column = round(c * 100, 0)
+
+  /** Cross-engine-stable half-up rounding: floor(x·10^s + 0.5)/10^s.
+    * Spark's round() goes through BigDecimal's exact decimal expansion
+    * of the double while DuckDB's scales in double math — they disagree
+    * when the expansion sits on a decimal .5 boundary. The floor form
+    * is plain double arithmetic and produces the same bits in any
+    * engine evaluating the same double. Use for OUTPUT rounding of
+    * non-negative ratios whose operands are already engine-identical;
+    * the SQL mirror is `floor((x)*1e<s> + 0.5)/1e<s>`. */
+  def roundHalfUp(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p + 0.5) / p
+  }
 }

@@ -222,6 +222,8 @@ object Dedup {
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5, bands: Int = 8,
       maxHamming: Int = 10): DataFrame = {
+    require(64 % bands == 0,
+      "bands must divide 64 — a remainder would leave high signature bits unbanded")
     val lanes = simhashLanesDf(docs, idCol, textCol)
     val cuts = lanes.agg(
       avg(col("b0")).as("c0"), (1 until 64).map(i => avg(col(s"b$i")).as(s"c$i")): _*)

@@ -307,7 +307,7 @@ object TrainQueries extends QuerySet {
       },
       Some(s"""WITH $embCte,
               |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-              |sc AS (SELECT qid, e.vec_id AS neighbor_id, round($cosSql, 6) AS cosine
+              |sc AS (SELECT qid, e.vec_id AS neighbor_id, floor(($cosSql)*1e6 + 0.5)/1e6 AS cosine
               |       FROM q, e WHERE e.vec_id <> qid)
               |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
               |FROM (SELECT *, row_number() OVER (PARTITION BY qid
@@ -370,7 +370,7 @@ object TrainQueries extends QuerySet {
               |       FROM q, c),
               |qm AS (SELECT qid, list_sort(list(cc), 'DESC') AS cs FROM qc GROUP BY qid),
               |qstable AS (SELECT qid FROM qm WHERE cs[1] - cs[2] > 0.02),
-              |sc AS (SELECT q.qid, e.vec_id AS neighbor_id, round($cosSql, 6) AS cosine
+              |sc AS (SELECT q.qid, e.vec_id AS neighbor_id, floor(($cosSql)*1e6 + 0.5)/1e6 AS cosine
               |       FROM q JOIN qstable USING (qid), e)
               |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
               |FROM (SELECT *, row_number() OVER (PARTITION BY qid

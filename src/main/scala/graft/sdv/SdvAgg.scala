@@ -352,6 +352,10 @@ object SdvAgg {
     // (observed once at sf0.1). Quantizing each ratio to an integer at
     // 1e-8 (far below the output precision) restores order-independent
     // integer-valued sums; the oracle mirrors the same quantization.
+    // CAVEAT: exactness needs comppct·rE8 < 2^53, i.e. |rating| below
+    // ~1e6 at this quantum — true of every SSURGO hz attribute (AWC,
+    // Db, OM, K are all < 1e3); a larger-magnitude attribute would
+    // need a coarser quantum.
     val perCo = perComponentSliceSums(df, top, bot)
       .select(m, col("comppct"),
         round(col("compval") / col("thick") * 1e8, 0).as("rE8"))

@@ -59,9 +59,13 @@ object Ingest {
   def streamDedup(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // dedup on the SAME exact-cents key the batch twin groups by —
+      // keying on the raw double would keep two events whose distinct
+      // raw values round to the same cents, breaking twin equivalence
+      .withColumn("value_cents", Exprs.cents(col("value")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
-      .select(col("user_id"), col("event_type"), Exprs.cents(col("value")).as("value_cents"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value_cents")
+      .select(col("user_id"), col("event_type"), col("value_cents"))
 
   /** Drive a streaming DataFrame to a memory sink until all available
     * input is processed; returns the result table name. Test harness

@@ -8,7 +8,7 @@ package graft.tools
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") // same default as Bench.main
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val spark = graft.Bench.session(cpus)
     for (name <- args; r <- 1 to reps) {
