@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.PrefixSum
+import graft.text.TextAnalysis
+
+/** Deterministic corpus partitioning for training pipelines: hashed
+  * train/val/test splits and token-budget sequence packing. Both are
+  * pure integer arithmetic — reproducible across runs, engines, and
+  * partitionings, and expressible in ANSI SQL for the oracle gate. */
+object Sampling {
+
+  /** Knuth multiplicative hash of an integral id, folded to [0, 100).
+    * Plain BIGINT arithmetic (id·2654435761 mod 2³²) — unlike
+    * xxhash64, any engine reproduces it exactly, so split membership
+    * is portable, not implementation-defined. */
+  def hashBucket(id: Column): Column =
+    pmod(pmod(id.cast("long") * lit(2654435761L), lit(4294967296L)), lit(100))
+
+  /** Deterministic train/val/test split: `pcts` are cumulative
+    * percentage bounds, e.g. Seq(("train", 80), ("val", 90)) with the
+    * last split taking the remainder. */
+  def split(df: DataFrame, idCol: String,
+      pcts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90),
+      rest: String = "test"): DataFrame = {
+    val b = hashBucket(col(idCol))
+    val branch = pcts.foldRight(lit(rest)) { case ((name, bound), other) =>
+      when(b < bound, lit(name)).otherwise(other)
+    }
+    df.withColumn("split", branch)
+  }
+
+  /** Contiguous token-budget packing: documents in ascending id order
+    * are assigned to bins of ~`budget` tokens by their exclusive
+    * token-prefix sum (bin = prefix div budget) — the deterministic,
+    * shuffle-light packing used to build fixed-length training
+    * sequences. Uses the distributed [[PrefixSum]] scan, never a
+    * global-order window. */
+  def packBins(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    val withTokens = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    PrefixSum.exclusive(withTokens, idCol, "n_tokens")
+      .withColumn("bin", floor(col("prefix") / budget.toDouble).cast("long"))
+  }
+}

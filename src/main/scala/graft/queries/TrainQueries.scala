@@ -114,6 +114,45 @@ object TrainQueries extends QuerySet {
       },
       None),
 
+    // T7 — deterministic train/val/test split via a Knuth
+    // multiplicative hash (plain BIGINT arithmetic, so membership is
+    // engine-portable and the oracle recomputes it exactly — xxhash64
+    // would be implementation-defined).
+    Q("t07_train_split",
+      (s, dir) => graft.pipeline.Sampling.split(
+        Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN (doc_id*2654435761) % 4294967296 % 100 < 80 THEN 'train'
+             |       WHEN (doc_id*2654435761) % 4294967296 % 100 < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents""".stripMargin)),
+
+    // T8 — corpus vocabulary top-k (count desc, token asc —
+    // deterministic; TakeOrderedAndProject, no global vocabulary sort).
+    Q("t08_vocab_topk",
+      (s, dir) => TextAnalysis.vocabTopK(Tables.load(s, dir, "documents"), "text", 50),
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT unnest(t) AS token FROM toks)
+              |SELECT token, count(*) AS n FROM tok GROUP BY token
+              |ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    // T9 — contiguous token-budget sequence packing: bin = exclusive
+    // token-prefix-sum div budget, computed with the distributed
+    // two-pass PrefixSum scan (the only single-partition window runs
+    // over one row per partition); the oracle's single-node window
+    // cumsum is the semantic twin.
+    Q("t09_seq_pack",
+      (s, dir) => graft.pipeline.Sampling.packBins(
+        Tables.load(s, dir, "documents"), "doc_id", "text", budget = 8192),
+      Some(s"""WITH $toksCte,
+              |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+              |p AS (SELECT doc_id, n_tokens,
+              |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+              |      FROM n)
+              |SELECT doc_id, n_tokens, prefix,
+              |       CAST(floor(prefix/8192.0) AS BIGINT) AS bin FROM p""".stripMargin)),
+
     // D1 — exact dedup by content hash.
     Q("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text"),

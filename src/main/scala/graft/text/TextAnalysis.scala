@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -68,4 +68,14 @@ object TextAnalysis {
 
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
+
+  /** Corpus vocabulary: top-k tokens by frequency (count desc, token
+    * asc tiebreak — fully deterministic). The plan is explode → one
+    * partial-aggregating hash shuffle → TakeOrderedAndProject: the k
+    * winners are merged per-partition, never a global sort of the
+    * vocabulary. */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
 }

@@ -114,6 +114,41 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(lsh === exact) // full recall at high cosine margin
   }
 
+  test("PrefixSum.exclusive == single-node window cumsum on unsorted multi-partition input") {
+    import org.apache.spark.sql.expressions.Window
+    val s = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    val d = df(s, Seq(9L -> 4L, 3L -> 1L, 7L -> 2L, 1L -> 10L, 5L -> 3L, 2L -> 7L)
+      .map { case (k, v) => Row(k, v) }).repartition(4)
+    val got = rowsOf(graft.core.PrefixSum.exclusive(d, "k", "v").orderBy("k")
+      .select("k", "v", "prefix"))
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    val expect = rowsOf(d.withColumn("prefix", coalesce(sum("v").over(w), lit(0L)))
+      .orderBy("k").select("k", "v", "prefix"))
+    assert(got === expect)
+    assert(got.head === Seq(1L, 10L, 0L)) // first row: empty prefix
+  }
+
+  test("Sampling.split is the Knuth-hash bucket rule, engine-reproducible") {
+    val s = StructType(Seq(StructField("doc_id", LongType)))
+    val ids = (0L to 99L).toSeq
+    val d = df(s, ids.map(Row(_)))
+    val got = graft.pipeline.Sampling.split(d, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(id: Long) = ((id * 2654435761L) % 4294967296L) % 100
+    ids.foreach { id =>
+      val expect = if (bucket(id) < 80) "train" else if (bucket(id) < 90) "val" else "test"
+      assert(got(id) === expect, s"id $id bucket ${bucket(id)}")
+    }
+    assert(got.values.toSet === Set("train", "val", "test")) // all splits hit
+  }
+
+  test("vocabTopK: frequency order with token-asc tiebreak") {
+    val d = df(docSchema, Seq(
+      Row(1L, "b b b a a c"), Row(2L, "a c d")))
+    val got = rowsOf(TextAnalysis.vocabTopK(d, "text", 3))
+    assert(got === Seq(Seq("a", 3L), Seq("b", 3L), Seq("c", 2L)))
+  }
+
   test("Stats.groupedMedian: interpolated even-count median, exact odd-count (no per-group sort)") {
     import graft.core.Stats
     val s = StructType(Seq(StructField("g", StringType), StructField("v", DoubleType)))
