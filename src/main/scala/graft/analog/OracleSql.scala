@@ -28,7 +28,7 @@ object OracleSql {
     * component's pct >= 50 (the DCD trump, :5768-5787) — in which case
     * the reported pct is the dominant COMPONENT's pct (:5778-5780). */
   def dcd(src: String, tieLow: Boolean = true): String =
-    s"""SELECT w.mukey, w.rating, round(100*w.wpct/t.totalpct, 4) AS comppct
+    s"""SELECT w.mukey, w.rating, floor((100*w.wpct/t.totalpct)*1e4 + 0.5)/1e4 AS comppct
        |FROM (SELECT c.mukey,
        |             CASE WHEN d.dcppct >= 50 THEN d.dcprating ELSE c.rating END AS rating,
        |             CASE WHEN d.dcppct >= 50 THEN d.dcppct ELSE c.sumpct END AS wpct
@@ -57,7 +57,7 @@ object OracleSql {
 
   /** Mirror of SdvAgg.weightedAverage. */
   def wta(src: String): String =
-    s"""SELECT mukey, round(sum(comppct*rating)/sum(comppct), 4) AS rating,
+    s"""SELECT mukey, floor((sum(comppct*rating)/sum(comppct))*1e4 + 0.5)/1e4 AS rating,
        |       sum(comppct) AS comppct
        |FROM $src GROUP BY mukey""".stripMargin
 

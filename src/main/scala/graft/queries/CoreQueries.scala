@@ -134,7 +134,7 @@ object CoreQueries extends QuerySet {
       Some(withCtes(
         """SELECT b.mukey, w.wta_rating, coalesce(p.pp_pct, 0.0) AS pp_pct
           |FROM basemu b
-          |LEFT JOIN (SELECT mukey, round(sum(comppct*rating)/sum(comppct), 4) AS wta_rating
+          |LEFT JOIN (SELECT mukey, floor((sum(comppct*rating)/sum(comppct))*1e4 + 0.5)/1e4 AS wta_rating
           |           FROM comp GROUP BY mukey) w ON b.mukey = w.mukey
           |LEFT JOIN (SELECT mukey, sum(comppct) AS pp_pct
           |           FROM comp WHERE crating = 'R' GROUP BY mukey) p ON b.mukey = p.mukey""".stripMargin,

@@ -119,10 +119,18 @@ object ExtraQueries extends QuerySet {
         val cent = Vectors.centroids(e, "label", "embedding")
         // left join: a label whose vectors are all empty has no centroid
         // (posexplode yields no rows) but must still report a row
+        // each member cosine is quantized to an integer at 1e-6 before
+        // averaging: integer-valued doubles sum exactly in any order
+        // (partition-independent) and the final floor-form rounding is
+        // engine-stable — avg over raw doubles is order-dependent in
+        // the last ulp and round() disagrees cross-engine at decimal
+        // .5 boundaries
         e.join(cent, Seq("label"), "left")
-          .select(col("label"), Vectors.cosine(col("embedding"), col("centroid")).as("cos"))
+          .select(col("label"),
+            floor(Vectors.cosine(col("embedding"), col("centroid")) * 1e6 + 0.5).as("cos_e6"))
           .groupBy(col("label"))
-          .agg(count(lit(1)).as("n"), round(avg(col("cos")), 4).as("cohesion"))
+          .agg(count(lit(1)).as("n"),
+            (floor(avg(col("cos_e6")) / 100.0 + 0.5) / 1e4).as("cohesion"))
       },
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
              |           FROM embeddings),
@@ -132,10 +140,10 @@ object ExtraQueries extends QuerySet {
              |cent AS (SELECT label, dim, avg(val) AS mv FROM ex GROUP BY 1, 2),
              |centv AS (SELECT label, list(mv ORDER BY dim) AS c FROM cent GROUP BY label),
              |m AS (SELECT e.label,
-             |        list_dot_product(e.v, c)
-             |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c, c))) AS cos
+             |        floor((list_dot_product(e.v, c)
+             |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c, c))))*1e6 + 0.5) AS cos_e6
              |      FROM e LEFT JOIN centv USING (label))
-             |SELECT label, count(*) AS n, round(avg(cos), 4) AS cohesion
+             |SELECT label, count(*) AS n, floor(avg(cos_e6)/100.0 + 0.5)/1e4 AS cohesion
              |FROM m GROUP BY label""".stripMargin)),
 
     // V14 — CreateValuTable: the full Valu1 wide assembly
@@ -172,7 +180,7 @@ object ExtraQueries extends QuerySet {
         val ov = graft.analog.OracleSql.ovExpr(t, b)
         val gate = "om IS NOT NULL AND db3i IS NOT NULL"
         Seq(
-          s"round(sum(CASE WHEN $gate THEN $ov*om*db3i*(100.0-fragvol)*comppct END)/1724.0, 4) AS soc${t}_$b",
+          s"floor((sum(CASE WHEN $gate THEN $ov*om*db3i*(100.0-fragvol)*comppct END)/1724.0)*1e4 + 0.5)/1e4 AS soc${t}_$b",
           s"round(sum(CASE WHEN $gate THEN $ov*comppct END)/100.0, 4) AS tk${t}_${b}s")
       }
       val selCols = Seq("musumcpct", "musumcpcta", "musumcpcts", "pctearthmc") ++
@@ -228,9 +236,9 @@ object ExtraQueries extends QuerySet {
           |FROM hzme h JOIN rz r ON h.cokey = r.cokey JOIN fm f ON h.cokey = f.cokey
           |GROUP BY h.mukey, h.cokey, h.comppct)""".stripMargin,
         """rzaws AS (SELECT mukey,
-          |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) AS rootznaws,
-          |  round(least(sum(comppct*hzt)/sum(comppct), 150.0), 0) AS rootznemc,
-          |  round(round(sum(comppct*awsum)/sum(comppct)/10.0, 4), 0) <= 152 AS droughty
+          |  floor((sum(comppct*awsum)/sum(comppct)/10.0)*1e4 + 0.5)/1e4 AS rootznaws,
+          |  floor(least(sum(comppct*hzt)/sum(comppct), 150.0) + 0.5) AS rootznemc,
+          |  floor(floor((sum(comppct*awsum)/sum(comppct)/10.0)*1e4 + 0.5)/1e4 + 0.5) <= 152 AS droughty
           |FROM pcz GROUP BY mukey)""".stripMargin,
         """hzsoc AS (SELECT h.mukey, h.hzdept,
           |  least(h.hzdepb, coalesce(r.rzdepth, h.hzdepb)) AS hzdepb,

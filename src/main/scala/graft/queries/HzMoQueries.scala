@@ -83,10 +83,10 @@ object HzMoQueries extends QuerySet {
       (s, dir) => SdvAgg.hzWtaSum(hzNumeric(s, dir), 0, 100),
       Some(withCtes(
         """SELECT mukey,
-          |  round(sum(CASE WHEN compval IS NOT NULL THEN comppct*compval END)
-          |    / sum(CASE WHEN compval IS NOT NULL THEN comppct END), 4) AS rating,
-          |  round(sum(CASE WHEN compval IS NOT NULL THEN comppct*thick END)
-          |    / sum(CASE WHEN compval IS NOT NULL THEN comppct END), 4) AS thickness
+          |  floor((sum(CASE WHEN compval IS NOT NULL THEN comppct*compval END)
+          |    / sum(CASE WHEN compval IS NOT NULL THEN comppct END))*1e4 + 0.5)/1e4 AS rating,
+          |  floor((sum(CASE WHEN compval IS NOT NULL THEN comppct*thick END)
+          |    / sum(CASE WHEN compval IS NOT NULL THEN comppct END))*1e4 + 0.5)/1e4 AS thickness
           |FROM pc GROUP BY mukey""".stripMargin,
         hzCte, OracleSql.hzSliceCte("pc", 0, 100)))),
 
@@ -99,7 +99,7 @@ object HzMoQueries extends QuerySet {
           |  floor(sum(CASE WHEN rE8 IS NOT NULL THEN comppct*rE8 END)
           |    / sum(CASE WHEN rE8 IS NOT NULL THEN comppct END) / 1e8 * 1e4 + 0.5)/1e4 AS rating,
           |  sum(CASE WHEN rE8 IS NOT NULL THEN comppct END) AS comppct
-          |FROM (SELECT mukey, comppct, round(compval/thick * 1e8) AS rE8 FROM pc) w
+          |FROM (SELECT mukey, comppct, floor(compval/thick * 1e8 + 0.5) AS rE8 FROM pc) w
           |GROUP BY mukey""".stripMargin,
         hzCte, OracleSql.hzSliceCte("pc", 0, 100)))),
 
@@ -110,10 +110,10 @@ object HzMoQueries extends QuerySet {
       (s, dir) => SdvAgg.hzDcpWta(hzNumeric(s, dir), 0, 100),
       Some(withCtes(
         s"""SELECT mukey,
-           |  round(sum(CASE WHEN rating IS NOT NULL AND ${OracleSql.ovExpr(0, 100)} > 0
+           |  floor((sum(CASE WHEN rating IS NOT NULL AND ${OracleSql.ovExpr(0, 100)} > 0
            |              THEN ${OracleSql.ovExpr(0, 100)}*rating END)
            |    / sum(CASE WHEN rating IS NOT NULL AND ${OracleSql.ovExpr(0, 100)} > 0
-           |              THEN ${OracleSql.ovExpr(0, 100)} END), 4) AS rating
+           |              THEN ${OracleSql.ovExpr(0, 100)} END))*1e4 + 0.5)/1e4 AS rating
            |FROM dom GROUP BY mukey""".stripMargin,
         hzCte,
         "mx AS (SELECT mukey, max(comppct) AS mxpct FROM hz GROUP BY mukey)",
@@ -124,7 +124,7 @@ object HzMoQueries extends QuerySet {
     Q("a21_hz_maxmin_wta",
       (s, dir) => SdvAgg.hzMaxMinWta(hzNumeric(s, dir), most = true, 0, 100),
       Some(withCtes(
-        "SELECT mukey, max(round(compval/thick, 4)) AS rating FROM pc GROUP BY mukey",
+        "SELECT mukey, max(floor((compval/thick)*1e4 + 0.5)/1e4) AS rating FROM pc GROUP BY mukey",
         hzCte, OracleSql.hzSliceCte("pc", 0, 100)))),
 
     // A22 — AggregateHz_MaxMin_DCD (:9052-9199, K-factor): per-component

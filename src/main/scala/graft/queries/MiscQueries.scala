@@ -63,7 +63,7 @@ object MiscQueries extends QuerySet {
       },
       Some(withCtes(
         """SELECT c.cokey AS cellvalue, w.rating
-          |FROM comp c JOIN (SELECT mukey, round(sum(comppct*rating)/sum(comppct), 4) AS rating,
+          |FROM comp c JOIN (SELECT mukey, floor((sum(comppct*rating)/sum(comppct))*1e4 + 0.5)/1e4 AS rating,
           |                         sum(comppct) AS comppct
           |                  FROM comp GROUP BY mukey) w ON c.mukey = w.mukey""".stripMargin,
         compCte))),
@@ -91,7 +91,7 @@ object MiscQueries extends QuerySet {
       },
       Some(withCtes(
         """SELECT coalesce(d.rating, 'Not rated') AS rating,
-          |       round(sum(a.area)*0.000247105/100, 2) AS acres,
+          |       floor((sum(a.area)*0.000247105/100)*1e2 + 0.5)/1e2 AS acres,
           |       CASE coalesce(d.rating, 'Not rated')
           |         WHEN 'A' THEN 1.0 WHEN 'N' THEN 2.0 WHEN 'R' THEN 3.0
           |         ELSE 4.0 END AS rank

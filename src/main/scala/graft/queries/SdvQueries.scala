@@ -71,7 +71,7 @@ object SdvQueries extends QuerySet {
     Q("a06_weighted_average",
       (s, dir) => SdvAgg.weightedAverage(Analog.compNumeric(s, dir)),
       Some(withCtes(
-        """SELECT mukey, round(sum(comppct*rating)/sum(comppct), 4) AS rating,
+        """SELECT mukey, floor((sum(comppct*rating)/sum(comppct))*1e4 + 0.5)/1e4 AS rating,
           |       sum(comppct) AS comppct
           |FROM comp GROUP BY mukey""".stripMargin, compCte))),
 

@@ -51,7 +51,7 @@ object TrainQueries extends QuerySet {
       |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |       GROUP BY 1, 2)
-      |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+      |SELECT id_a, id_b, floor((CAST(c AS DOUBLE)/(na.n + nb.n - c))*1e4 + 0.5)/1e4 AS jaccard
       |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
       |WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""".stripMargin
 
@@ -83,9 +83,9 @@ object TrainQueries extends QuerySet {
               |        CAST(${hitsSql("en")} AS DOUBLE) AS stp
               |      FROM toks)
               |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, CAST(np AS BIGINT) AS n_punct,
-              |  round((least(nw, 100.0)/100.0)
+              |  floor(((least(nw, 100.0)/100.0)
               |        * (1.0 - np/CAST(greatest(length(text), 1) AS DOUBLE))
-              |        * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)), 4) AS quality
+              |        * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)))*1e4 + 0.5)/1e4 AS quality
               |FROM b""".stripMargin)),
 
     // T3 — token counting.
@@ -203,7 +203,7 @@ object TrainQueries extends QuerySet {
              |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
              |       GROUP BY 1, 2)
              |SELECT id_a, id_b,
-             |       round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+             |       floor((CAST(c AS DOUBLE)/(na.n + nb.n - c))*1e4 + 0.5)/1e4 AS jaccard
              |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
              |WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""".stripMargin)),
 
@@ -240,7 +240,7 @@ object TrainQueries extends QuerySet {
       Some(s"""WITH $embCte,
               |eq AS (SELECT vec_id AS id_a, v AS qv FROM e WHERE vec_id < 300),
               |ec AS (SELECT vec_id AS id_b, v FROM e WHERE vec_id < 300),
-              |p AS (SELECT id_a, id_b, round($cosSql, 4) AS cosine
+              |p AS (SELECT id_a, id_b, floor(($cosSql)*1e4 + 0.5)/1e4 AS cosine
               |      FROM eq, ec WHERE id_a < id_b)
               |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""".stripMargin)),
 
@@ -277,7 +277,7 @@ object TrainQueries extends QuerySet {
               |      FROM embeddings WHERE vec_id < 200),
               |eq AS (SELECT vec_id AS id_a, v AS qv FROM e),
               |ec AS (SELECT vec_id AS id_b, v FROM e),
-              |p AS (SELECT id_a, id_b, round($cosSql, 4) AS cosine
+              |p AS (SELECT id_a, id_b, floor(($cosSql)*1e4 + 0.5)/1e4 AS cosine
               |      FROM eq, ec WHERE id_a < id_b)
               |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95""".stripMargin)),
 
@@ -308,9 +308,9 @@ object TrainQueries extends QuerySet {
            |        $scoreCols
            |      FROM toks),
            |scored AS (SELECT doc_id, lang,
-           |    round((least(nw, 100.0)/100.0)
+           |    floor(((least(nw, 100.0)/100.0)
            |          * (1.0 - np/CAST(greatest(length(text), 1) AS DOUBLE))
-           |          * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)), 4) AS quality,
+           |          * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)))*1e4 + 0.5)/1e4 AS quality,
            |    CASE $langCase ELSE 'und' END AS lang_pred
            |  FROM (SELECT *, greatest(${TextAnalysis.langs.map("s_" + _).mkString(", ")}) AS mx FROM b) m),
            |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),

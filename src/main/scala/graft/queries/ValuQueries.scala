@@ -118,10 +118,10 @@ object ValuQueries extends QuerySet {
       },
       Some(withCtes(
         """SELECT mukey,
-          |  round(sum(comppct*awsum)/sum(comppct)/10.0, 4) AS rootznaws,
-          |  round(least(sum(comppct*hzt)/sum(comppct), 150.0), 0) AS rootznemc,
+          |  floor((sum(comppct*awsum)/sum(comppct)/10.0)*1e4 + 0.5)/1e4 AS rootznaws,
+          |  floor(least(sum(comppct*hzt)/sum(comppct), 150.0) + 0.5) AS rootznemc,
           |  sum(comppct) AS pctearthmc,
-          |  round(round(sum(comppct*awsum)/sum(comppct)/10.0, 4), 0) <= 152 AS droughty
+          |  floor(floor((sum(comppct*awsum)/sum(comppct)/10.0)*1e4 + 0.5)/1e4 + 0.5) <= 152 AS droughty
           |FROM pc GROUP BY mukey""".stripMargin,
         hzCte,
         "hzme AS (SELECT * FROM hz WHERE crating <> 'N')",
@@ -157,7 +157,7 @@ object ValuQueries extends QuerySet {
         val ov = OracleSql.ovExpr(t, b)
         val gate = "om IS NOT NULL AND db3i IS NOT NULL"
         Seq(
-          s"round(sum(CASE WHEN $gate THEN $ov*om*db3i*(100.0-fragvol)*comppct END)/1724.0, 4) AS soc${t}_$b",
+          s"floor((sum(CASE WHEN $gate THEN $ov*om*db3i*(100.0-fragvol)*comppct END)/1724.0)*1e4 + 0.5)/1e4 AS soc${t}_$b",
           s"round(sum(CASE WHEN $gate THEN $ov*comppct END)/100.0, 4) AS tk${t}_${b}s")
       }
       Some(withCtes(

@@ -22,6 +22,6 @@ object Reports {
       domain: Seq[String], scale: Int = 2): DataFrame =
     rating.join(areas, "mukey")
       .groupBy(coalesce(col("rating"), lit("Not rated")).as("rating"))
-      .agg(round(sum(col("area")) * lit(conv) / lit(100), scale).as("acres"))
+      .agg(Exprs.roundHalfUp(sum(col("area")) * lit(conv) / lit(100), scale).as("acres"))
       .withColumn("rank", Exprs.domainRank(col("rating"), domain))
 }

@@ -115,7 +115,7 @@ object SdvAgg {
     }
     condTot.select(m, win.as("win"), col("totalpct"))
       .select(m, col("win.r").as("rating"),
-        round(lit(100) * col("win.sp") / col("totalpct"), scale).as("comppct"))
+        Exprs.roundHalfUp(lit(100) * col("win.sp") / col("totalpct"), scale).as("comppct"))
   }
 
   // ---------------------------------------------------------------------
@@ -126,7 +126,7 @@ object SdvAgg {
   def weightedAverage(df: DataFrame, scale: Int = 4): DataFrame = {
     val rated = col("rating").isNotNull
     df.groupBy(m).agg(
-      round(sum(when(rated, col("comppct") * col("rating")))
+      Exprs.roundHalfUp(sum(when(rated, col("comppct") * col("rating")))
         / sum(when(rated, col("comppct"))), scale).as("rating"),
       sum(when(rated, col("comppct"))).as("comppct"))
   }
@@ -335,9 +335,9 @@ object SdvAgg {
     val perCo = perComponentSliceSums(df, top, bot)
     val ok = col("compval").isNotNull
     perCo.groupBy(m).agg(
-      round(sum(when(ok, col("comppct") * col("compval")))
+      Exprs.roundHalfUp(sum(when(ok, col("comppct") * col("compval")))
         / sum(when(ok, col("comppct"))), scale).as("rating"),
-      round(sum(when(ok, col("comppct") * col("thick")))
+      Exprs.roundHalfUp(sum(when(ok, col("comppct") * col("thick")))
         / sum(when(ok, col("comppct"))), scale).as("thickness"))
   }
 
@@ -358,7 +358,7 @@ object SdvAgg {
     // need a coarser quantum.
     val perCo = perComponentSliceSums(df, top, bot)
       .select(m, col("comppct"),
-        round(col("compval") / col("thick") * 1e8, 0).as("rE8"))
+        floor(col("compval") / col("thick") * 1e8 + 0.5).as("rE8"))
     // final rounding in floor(x·10^s+0.5)/10^s form: the ratio itself
     // is bit-identical cross-engine, but Spark's BigDecimal round()
     // and DuckDB's scaled-double round() disagree when the decimal
@@ -379,7 +379,7 @@ object SdvAgg {
     val dom = Ranked.keepTies(df, Seq("mukey"), "comppct")
     val rated = col("rating").isNotNull && hzT(top, bot) > 0
     dom.groupBy(m).agg(
-      round(sum(when(rated, hzT(top, bot) * col("rating")))
+      Exprs.roundHalfUp(sum(when(rated, hzT(top, bot) * col("rating")))
         / sum(when(rated, hzT(top, bot))), scale).as("rating"))
   }
 
@@ -387,7 +387,7 @@ object SdvAgg {
   // depth-weighted mean over the slice, then min/max across components.
   def hzMaxMinWta(df: DataFrame, most: Boolean, top: Int, bot: Int, scale: Int = 4): DataFrame = {
     val perCo = perComponentSliceSums(df, top, bot)
-      .select(m, round(col("compval") / col("thick"), scale).as("compmean"))
+      .select(m, Exprs.roundHalfUp(col("compval") / col("thick"), scale).as("compmean"))
     perCo.groupBy(m).agg(
       (if (most) max(col("compmean")) else min(col("compmean"))).as("rating"))
   }

@@ -53,7 +53,7 @@ object TextAnalysis {
     val lenCredit = least(nw, lit(100.0)) / 100.0
     val punctPenalty = lit(1.0) - np / greatest(length(text), lit(1)).cast("double")
     val stopCredit = lit(0.5) + lit(0.5) * least(stop * 5.0 / greatest(nw, lit(1.0)), lit(1.0))
-    round(lenCredit * punctPenalty * stopCredit, 4)
+    floor(lenCredit * punctPenalty * stopCredit * 1e4 + 0.5) / 1e4
   }
 
   /** Canonical content fingerprint: md5 over the sorted distinct token

@@ -157,12 +157,12 @@ object Valu {
       .agg(sum(when(col("rating").isNotNull, t * col("rating"))).as("awsum"),
         sum(t).as("hzt"))
     perCo.groupBy(m).agg(
-      round(sum(col("comppct") * col("awsum")) / sum(col("comppct")) / 10.0, scale)
+      Exprs.roundHalfUp(sum(col("comppct") * col("awsum")) / sum(col("comppct")) / 10.0, scale)
         .as("rootznaws"),
-      round(least(sum(col("comppct") * col("hzt")) / sum(col("comppct")), lit(150.0)), 0)
+      Exprs.roundHalfUp(least(sum(col("comppct") * col("hzt")) / sum(col("comppct")), lit(150.0)), 0)
         .as("rootznemc"),
       sum(col("comppct")).as("pctearthmc"))
-      .withColumn("droughty", round(col("rootznaws"), 0) <= 152)
+      .withColumn("droughty", Exprs.roundHalfUp(col("rootznaws"), 0) <= 152)
   }
 
   // -------------------------------------------------------------------
@@ -199,7 +199,7 @@ object Valu {
       val ov = Exprs.depthOverlap(col("hzdept"), col("hzdepb"), t, b)
       val term = ov * col("om") * col("db3i") * (lit(100.0) - col("fragvol")) * col("comppct")
       Seq(
-        round(sum(when(rated, term)) / 1724.0, scale).as(s"soc${t}_$b"),
+        Exprs.roundHalfUp(sum(when(rated, term)) / 1724.0, scale).as(s"soc${t}_$b"),
         round(sum(when(rated, ov * col("comppct"))) / 100.0, scale).as(s"tk${t}_${b}s"))
     }
     capped.groupBy(m).agg(aggs.head, aggs.tail: _*)
