@@ -112,11 +112,11 @@ object PlannerQueries extends QuerySet {
           .select(col("mukey"), col("rating"))
         cells.join(rating, Seq("mukey"))
           .groupBy(col("rating"))
-          .agg(round(count(lit(1)) * 0.222, 2).as("acres"),
+          .agg((floor(count(lit(1)) * 0.222 * 1e2 + 0.5) / 1e2).as("acres"),
             count(lit(1)).as("n_cells"))
       },
       Some(withCtes(
-        s"""SELECT d.rating, round(count(*) * 0.222, 2) AS acres,
+        s"""SELECT d.rating, floor((count(*) * 0.222)*1e2 + 0.5)/1e2 AS acres,
            |       count(*) AS n_cells
            |FROM comp c JOIN dcp d ON c.mukey = d.mukey
            |GROUP BY d.rating""".stripMargin,
