@@ -19,7 +19,12 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen'd [[org.apache.spark.sql.graft.CosineSim]]
+    * expression — the HOF form (dot/norm above) is CodegenFallback
+    * and interprets three lambda folds per row. Same left-to-right
+    * accumulation, bit-identical results. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSim.ofColumns(a, b)
 
   /** Per-group element-wise mean vectors (centroids): explode to
     * (group, dim, value) rows, average per dimension, reassemble in

@@ -1,0 +1,93 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.ExpressionUtils
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Cosine similarity of two double arrays as a native Catalyst
+  * expression WITH codegen — the hot-path primitive behind every
+  * similarity/dedup query. The higher-order-function formulation
+  * (zip_with + aggregate) is CodegenFallback: each call interprets
+  * three lambda folds and allocates an intermediate array per row.
+  * This single fused loop stays inside whole-stage codegen.
+  *
+  * Semantics match the HOF form bit-for-bit on well-formed input:
+  * elements accumulate left-to-right in doubles (deterministic across
+  * engines/partitionings — the DuckDB oracle parity relies on it),
+  * and a null element or length mismatch yields null (zip_with pads
+  * with null, which the fold then propagates). A zero norm yields
+  * null rather than the fold's NaN — NaN can never hash-match an
+  * oracle, so no gated result depends on it. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("bad")
+      s"""int $n = $l.numElements();
+         |boolean $bad = ($n != $r.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($l.isNullAt($i) || $r.isNullAt($i)) { $bad = true; break; }
+         |  double $x = $l.getDouble($i);
+         |  double $y = $r.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |if ($bad || $denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / $denom;
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry — hosted in a org.apache.spark.sql subpackage
+  * because both ExpressionUtils (Expression↔Column bridging, the
+  * Spark 4 replacement for the removed `new Column(expr)`) and
+  * AbstractDataType are private[sql]. */
+object CosineSim {
+  def ofColumns(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
