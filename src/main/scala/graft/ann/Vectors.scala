@@ -20,9 +20,13 @@ object Vectors {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine via the native codegen'd [[org.apache.spark.sql.graft.CosineSim]]
-    * expression — the HOF form (dot/norm above) is CodegenFallback
-    * and interprets three lambda folds per row. Same left-to-right
-    * accumulation, bit-identical results. */
+    * expression — composing dot/norm above would run three
+    * CodegenFallback lambda folds per row. Same left-to-right
+    * accumulation, bit-identical results on well-formed input; zero
+    * norms yield null instead of an ANSI divide-by-zero error (see
+    * the expression's scaladoc). dot/norm remain as the ad-hoc
+    * column-combinator forms for uses where a composite expression
+    * tree is preferred over the fused native loop. */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.CosineSim.ofColumns(a, b)
 

@@ -135,7 +135,8 @@ object Dedup {
     pairs
       .filter(common / (size(col("sha")) + size(col("shb")) - common) >= threshold)
       .select(col("id_a"), col("id_b"),
-        (floor(common / (size(col("sha")) + size(col("shb")) - common) * 1e4 + 0.5) / 1e4).as("jaccard"))
+        graft.core.Exprs.roundHalfUp(
+          common / (size(col("sha")) + size(col("shb")) - common), 4).as("jaccard"))
   }
 
   /** 64-bit SimHash over the token multiset: majority vote per bit of
@@ -260,7 +261,8 @@ object Dedup {
       .join(cnt.select(col("did").as("id_b"), col("n").as("nb")), "id_b")
       .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= threshold)
       .select(col("id_a"), col("id_b"),
-        (floor(col("c").cast("double") / (col("na") + col("nb") - col("c")) * 1e4 + 0.5) / 1e4).as("jaccard"))
+        graft.core.Exprs.roundHalfUp(
+          col("c").cast("double") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
   }
 
   /** Duplicate-cluster assignment: connected components over near-dup
@@ -354,7 +356,7 @@ object Dedup {
       .join(base.select(col("did").as("id_a"), col("__v").as("va")), "id_a")
       .join(base.select(col("did").as("id_b"), col("__v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (floor(Vectors.cosine(col("va"), col("vb")) * 1e4 + 0.5) / 1e4).as("cosine"))
+        graft.core.Exprs.roundHalfUp(Vectors.cosine(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -367,7 +369,7 @@ object Dedup {
     val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (floor(Vectors.cosine(col("va"), col("vb")) * 1e4 + 0.5) / 1e4).as("cosine"))
+        graft.core.Exprs.roundHalfUp(Vectors.cosine(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -9,6 +9,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => org.apache.spark.sql.graft.CosineSim(exprs.head, exprs(1)), "built-in")
+      "cosine_sim", exprs => {
+        require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.graft.CosineSim(exprs.head, exprs(1))
+      }, "built-in")
   }
 }

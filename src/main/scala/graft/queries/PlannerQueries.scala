@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Graft
 import graft.Tables
 import graft.analog.Analog.withCtes
+import graft.core.Exprs
 import graft.schema.SdvAttribute
 import graft.sdv.SdvAgg
 import graft.sdv.SdvPlanner.SdvRequest
@@ -112,7 +113,7 @@ object PlannerQueries extends QuerySet {
           .select(col("mukey"), col("rating"))
         cells.join(rating, Seq("mukey"))
           .groupBy(col("rating"))
-          .agg((floor(count(lit(1)) * 0.222 * 1e2 + 0.5) / 1e2).as("acres"),
+          .agg(Exprs.roundHalfUp(count(lit(1)) * 0.222, 2).as("acres"),
             count(lit(1)).as("n_cells"))
       },
       Some(withCtes(

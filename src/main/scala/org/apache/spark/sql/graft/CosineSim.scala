@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * elements accumulate left-to-right in doubles (deterministic across
   * engines/partitionings — the DuckDB oracle parity relies on it),
   * and a null element or length mismatch yields null (zip_with pads
-  * with null, which the fold then propagates). A zero norm yields
-  * null rather than the fold's NaN — NaN can never hash-match an
-  * oracle, so no gated result depends on it. */
+  * with null, which the fold then propagates). DELIBERATE CHANGE: a
+  * zero-norm vector yields null — the HOF form's division raised
+  * DIVIDE_BY_ZERO under Spark 4's ANSI default, crashing the whole
+  * query on one degenerate row; a null row drops out of threshold
+  * filters and aggregates instead. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 

@@ -114,6 +114,34 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(lsh === exact) // full recall at high cosine margin
   }
 
+  test("CosineSim: codegen path == interpreted eval; nulls on mismatch/zero-norm/null-element") {
+    import org.apache.spark.sql.graft.CosineSim
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val s = StructType(Seq(StructField("a", ArrayType(DoubleType)),
+      StructField("b", ArrayType(DoubleType))))
+    val rows = Seq(
+      Row(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),    // identical → 1.0
+      Row(Seq(1.0, 0.0), Seq(0.0, 1.0)),              // orthogonal → 0.0
+      Row(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),         // length mismatch → null
+      Row(Seq(0.0, 0.0), Seq(1.0, 2.0)),              // zero norm → null (no ANSI error)
+      Row(Seq(1.0, null), Seq(1.0, 2.0)),             // null element → null
+      Row(null, Seq(1.0)))                            // null array → null
+    // DataFrame path (whole-stage codegen)
+    val got = df(s, rows)
+      .select(graft.ann.Vectors.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(got(0) === 1.0)
+    assert(math.abs(got(1).asInstanceOf[Double]) < 1e-15)
+    assert(got.drop(2) === Seq(null, null, null, null))
+    // interpreted eval agrees on the non-null-input rows
+    def arr(xs: Double*) = ArrayData.toArrayData(xs.toArray)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = CosineSim(Literal(1), Literal(1))
+    assert(e.nullSafeEval(arr(1.0, 2.0, 3.0), arr(1.0, 2.0, 3.0)) === 1.0)
+    assert(e.nullSafeEval(arr(1.0, 2.0), arr(1.0, 2.0, 3.0)) === null)
+    assert(e.nullSafeEval(arr(0.0, 0.0), arr(1.0, 2.0)) === null)
+  }
+
   test("PrefixSum.exclusive == single-node window cumsum on unsorted multi-partition input") {
     import org.apache.spark.sql.expressions.Window
     val s = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
