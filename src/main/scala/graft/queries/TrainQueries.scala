@@ -188,6 +188,22 @@ object TrainQueries extends QuerySet {
         "doc_id", "text", shingleN = 3, threshold = 0.5),
       Some(jaccard3Sql)),
 
+    // D9 — incremental dedup: the id >= 300 slice plays the arriving
+    // batch, the rest the indexed corpus; output = every near-dup pair
+    // involving a batch doc (batch×corpus + batch×batch — 13 + 5 true
+    // pairs at sf0.01), corpus×corpus never re-paired. Same banding
+    // and exact-verification contract as d02, so the oracle is the
+    // exact all-pairs twin restricted to pairs touching the batch.
+    Q("d09_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.minhashLshPairsIncremental(
+          docs.filter(col("doc_id") >= 300), docs.filter(col("doc_id") < 300),
+          "doc_id", "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      },
+      Some(jaccard3Sql.replace("WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5",
+        "WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5 AND id_b >= 300"))),
+
     // D4 — exact n-gram Jaccard near-dup pairs (deterministic; bounded
     // slice — LSH (d02) is the 100 TB path).
     Q("d04_ngram_jaccard",

@@ -67,6 +67,16 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 4L, 1.0)))
   }
 
+  test("incremental minhash: batch pairs only, corpus never re-paired") {
+    val got = Dedup.minhashLshPairsIncremental(
+      docs.filter(col("doc_id") === 4), docs.filter(col("doc_id") < 4),
+      "doc_id", "text", shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // doc 4 duplicates 1 and near-dups 2; pair (1,2) predates the
+    // batch and must NOT be re-emitted
+    assert(got === Seq((1L, 4L), (2L, 4L)))
+  }
+
   test("simhash of identical docs has hamming 0; near-dups small hamming") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
