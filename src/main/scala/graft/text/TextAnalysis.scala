@@ -24,9 +24,12 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Occurrences of any of `stops` in the token array. */
+  /** Occurrences of any of `stops` in the token array — the native
+    * codegen'd [[org.apache.spark.sql.graft.StopwordHits]] expression
+    * (the size/filter/array_contains HOF composition it replaces is
+    * CodegenFallback and interprets three lambdas per row). */
   def stopwordHits(toks: Column, stops: Seq[String]): Column =
-    size(filter(toks, t => array_contains(lit(stops.toArray), t)))
+    org.apache.spark.sql.graft.StopwordHits.ofColumns(toks, stops)
 
   /** Language ID: argmax of stopword hits with fixed priority on ties;
     * 'und' when nothing matches. */
