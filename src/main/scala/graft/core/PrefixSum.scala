@@ -22,7 +22,10 @@ object PrefixSum {
   /** Adds `out` = sum of `valueCol` over all rows strictly before the
     * row in ascending `orderCol` order. `orderCol` values must be
     * UNIQUE (a tie spans no deterministic "before"); `valueCol` should
-    * be integral so sums are exact and partitioning-independent. */
+    * be integral so sums are exact and partitioning-independent.
+    * Values may be negative — partition totals are `sum(valueCol)`,
+    * not the max of the running sum (which only coincides with the
+    * total when values are non-negative). */
   def exclusive(df: DataFrame, orderCol: String, valueCol: String,
       out: String = "prefix", partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -34,7 +37,7 @@ object PrefixSum {
     val local = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val summed = withPid.withColumn("__incl", sum(col(valueCol)).over(local))
-    val offsets = summed.groupBy(col("__pid")).agg(max(col("__incl")).as("__tot"))
+    val offsets = withPid.groupBy(col("__pid")).agg(sum(col(valueCol)).as("__tot"))
       .withColumn("__off",
         coalesce(sum(col("__tot")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),

@@ -265,7 +265,11 @@ object Dedup {
       maxHamming: Int = 10): DataFrame = {
     require(64 % bands == 0,
       "bands must divide 64 — a remainder would leave high signature bits unbanded")
-    val lanes = simhashLanesDf(docs, idCol, textCol)
+    // The lanes table feeds BOTH the mean-cuts aggregate and signature
+    // packing; without materialization the tokenize→explode→64-lane
+    // aggregation (the dominant cost) runs twice. localCheckpoint
+    // truncates lineage and computes it once, mirroring dupClusters.
+    val lanes = simhashLanesDf(docs, idCol, textCol).localCheckpoint()
     val cuts = lanes.agg(
       avg(col("b0")).as("c0"), (1 until 64).map(i => avg(col(s"b$i")).as(s"c$i")): _*)
     val withSim = lanes.crossJoin(broadcast(cuts))

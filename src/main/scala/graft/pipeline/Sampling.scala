@@ -15,9 +15,32 @@ object Sampling {
   /** Knuth multiplicative hash of an integral id, folded to [0, 100).
     * Plain BIGINT arithmetic (id·2654435761 mod 2³²) — unlike
     * xxhash64, any engine reproduces it exactly, so split membership
-    * is portable, not implementation-defined. */
-  def hashBucket(id: Column): Column =
-    pmod(pmod(id.cast("long") * lit(2654435761L), lit(4294967296L)), lit(100))
+    * is portable, not implementation-defined.
+    *
+    * The multiply is done as split 16-bit limbs: a direct
+    * `id * 2654435761` overflows Int64 for id ≥ ~3.47e9 (ANSI mode
+    * throws, and the DuckDB twin errors at the same ids). With
+    * x = id mod 2³² = hi·2¹⁶ + lo,
+    * (x·C) mod 2³² = ((hi·C mod 2¹⁶)·2¹⁶ + lo·C) mod 2³², and every
+    * intermediate stays below 2⁴⁸ — the whole non-negative int64 id
+    * domain is valid. Negative ids are not supported (Spark's pmod
+    * and SQL's % disagree on them). */
+  def hashBucket(id: Column): Column = {
+    val x = pmod(id.cast("long"), lit(4294967296L))
+    val lo = x % lit(65536L)
+    val hi = ((x - lo) / lit(65536L)).cast("long")
+    val h = pmod((hi * lit(2654435761L)) % lit(65536L) * lit(65536L)
+      + lo * lit(2654435761L), lit(4294967296L))
+    pmod(h, lit(100L))
+  }
+
+  /** The exact SQL twin of [[hashBucket]] (DuckDB `//` integer
+    * division) — oracles must splice THIS, never re-derive the
+    * formula, so both sides change together. */
+  def hashBucketSql(c: String): String = {
+    val x = s"($c % 4294967296)"
+    s"((((($x // 65536) * 2654435761) % 65536) * 65536 + ($x % 65536) * 2654435761) % 4294967296) % 100"
+  }
 
   /** Deterministic train/val/test split: `pcts` are cumulative
     * percentage bounds, e.g. Seq(("train", 80), ("val", 90)) with the

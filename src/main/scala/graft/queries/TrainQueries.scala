@@ -121,11 +121,14 @@ object TrainQueries extends QuerySet {
     Q("t07_train_split",
       (s, dir) => graft.pipeline.Sampling.split(
         Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id"),
-      Some("""SELECT doc_id,
-             |  CASE WHEN (doc_id*2654435761) % 4294967296 % 100 < 80 THEN 'train'
-             |       WHEN (doc_id*2654435761) % 4294967296 % 100 < 90 THEN 'val'
-             |       ELSE 'test' END AS split
-             |FROM documents""".stripMargin)),
+      Some {
+        val hb = graft.pipeline.Sampling.hashBucketSql("doc_id")
+        s"""SELECT doc_id,
+           |  CASE WHEN $hb < 80 THEN 'train'
+           |       WHEN $hb < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin
+      }),
 
     // T8 — corpus vocabulary top-k (count desc, token asc —
     // deterministic; TakeOrderedAndProject, no global vocabulary sort).

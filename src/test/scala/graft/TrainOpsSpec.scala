@@ -172,12 +172,39 @@ class TrainOpsSpec extends AnyFunSuite {
     val d = df(s, ids.map(Row(_)))
     val got = graft.pipeline.Sampling.split(d, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    def bucket(id: Long) = ((id * 2654435761L) % 4294967296L) % 100
+    // reference computed in BigInt — the limb-split implementation must
+    // equal true (id mod 2^32)·C mod 2^32 arithmetic
+    def bucket(id: Long) =
+      ((BigInt(id).mod(BigInt(2).pow(32)) * 2654435761L).mod(BigInt(2).pow(32)) % 100).toLong
     ids.foreach { id =>
       val expect = if (bucket(id) < 80) "train" else if (bucket(id) < 90) "val" else "test"
       assert(got(id) === expect, s"id $id bucket ${bucket(id)}")
     }
     assert(got.values.toSet === Set("train", "val", "test")) // all splits hit
+  }
+
+  test("Sampling.hashBucket survives the full non-negative int64 domain (no ANSI overflow)") {
+    val s = StructType(Seq(StructField("doc_id", LongType)))
+    // ids at and beyond the ~3.47e9 overflow point of a naive id*C
+    val ids = Seq(0L, 1L, 3470000000L, 4294967295L, 4294967296L,
+      1234567890123456789L, Long.MaxValue)
+    val d = df(s, ids.map(Row(_)))
+    val got = d.select(col("doc_id"),
+        graft.pipeline.Sampling.hashBucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(id: Long) =
+      ((BigInt(id).mod(BigInt(2).pow(32)) * 2654435761L).mod(BigInt(2).pow(32)) % 100).toLong
+    ids.foreach(id => assert(got(id) === ref(id), s"id $id"))
+  }
+
+  test("PrefixSum.exclusive handles negative values (partition totals are sums, not maxes)") {
+    val s = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    val rows = Seq(1L -> 5L, 2L -> -8L, 3L -> 3L, 4L -> -1L, 5L -> 10L, 6L -> -20L, 7L -> 4L)
+    val d = df(s, rows.map { case (k, v) => Row(k, v) }).repartition(4)
+    val got = rowsOf(graft.core.PrefixSum.exclusive(d, "k", "v", partitions = 3)
+      .orderBy("k").select("k", "prefix"))
+    val expect = rows.map(_._2).scanLeft(0L)(_ + _).init
+    assert(got.map(_(1)) === expect)
   }
 
   test("vocabTopK: frequency order with token-asc tiebreak") {
