@@ -55,6 +55,22 @@ object Sampling {
     df.withColumn("split", branch)
   }
 
+  /** Deterministic domain-mixture downsampling: keep a row iff its id's
+    * hash bucket falls below the domain's keep-rate (percent, 0–100).
+    * The standard way to hit per-domain mixture weights in a training
+    * corpus without a shuffle or an RNG: pure per-row arithmetic on the
+    * same engine-portable [[hashBucket]], so the sampled set is
+    * reproducible across runs, engines, and partitionings, and
+    * independent draws per domain keep exact expected proportions.
+    * Domains absent from `rates` keep `defaultRate`. */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Int], defaultRate: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
+
   /** Contiguous token-budget packing: documents in ascending id order
     * are assigned to bins of ~`budget` tokens by their exclusive
     * token-prefix sum (bin = prefix div budget) — the deterministic,

@@ -156,6 +156,59 @@ object TrainQueries extends QuerySet {
               |SELECT doc_id, n_tokens, prefix,
               |       CAST(floor(prefix/8192.0) AS BIGINT) AS bin FROM p""".stripMargin)),
 
+    // T10 — benchmark decontamination: corpus docs sharing any distinct
+    // 3-gram with the eval slice (doc_id % 97). The eval shingle set is
+    // broadcast, so the corpus never shuffles for the probe.
+    Q("t10_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.pipeline.Decontam.contaminated(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |              FROM documents),
+             |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+             |        FROM toks WHERE len(t) >= 3),
+             |shl AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+             |shs AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3),
+             |sh AS (SELECT * FROM shl UNION ALL SELECT * FROM shs),
+             |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+             |co AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT doc_id, count(*) AS n_shared
+             |FROM co JOIN ev USING (s) GROUP BY doc_id""".stripMargin)),
+
+    // T11 — Gopher-style repetition metrics (duplicate-token and
+    // top-token fractions): explode once, two partial-agg shuffles.
+    Q("t11_repetition",
+      (s, dir) => TextAnalysis.repetitionMetrics(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT doc_id, unnest(t) AS t FROM toks),
+              |pc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+              |m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |        count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_n
+              |      FROM pc GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, n_distinct, top_n,
+              |  floor((1.0 - CAST(n_distinct AS DOUBLE)/n_tokens)*1e4 + 0.5)/1e4 AS dup_frac,
+              |  floor((CAST(top_n AS DOUBLE)/n_tokens)*1e4 + 0.5)/1e4 AS top_frac
+              |FROM m""".stripMargin)),
+
+    // T12 — deterministic domain-mixture downsampling: per-language
+    // keep-rates via the engine-portable hash bucket (no RNG, no
+    // shuffle — pure per-row arithmetic, reproducible everywhere).
+    Q("t12_mixture_sample",
+      (s, dir) => graft.pipeline.Sampling.mixtureSample(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 60, "zh" -> 25)),
+      Some {
+        val hb = graft.pipeline.Sampling.hashBucketSql("doc_id")
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE $hb < CASE WHEN lang = 'en' THEN 60
+           |                 WHEN lang = 'zh' THEN 25 ELSE 100 END""".stripMargin
+      }),
+
     // D1 — exact dedup by content hash.
     Q("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text"),

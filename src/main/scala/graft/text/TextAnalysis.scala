@@ -81,4 +81,27 @@ object TextAnalysis {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)
+
+  /** Gopher-style repetition metrics per document: token count,
+    * distinct-token count, duplicate-token fraction
+    * (1 − distinct/total) and top-token fraction (mode count / total) —
+    * the standard "excessive repetition" quality filters. Plan: explode
+    * once, two partial-aggregating shuffles ((id, token) then id) —
+    * never a per-document array traversal in interpreted HOFs, never a
+    * sort. Fractions are integer ratios rounded half-up at scale 4 on
+    * both engine sides. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    perTok.groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_n"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"), col("top_n"),
+        graft.core.Exprs.roundHalfUp(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4).as("dup_frac"),
+        graft.core.Exprs.roundHalfUp(
+          col("top_n").cast("double") / col("n_tokens"), 4).as("top_frac"))
+  }
 }

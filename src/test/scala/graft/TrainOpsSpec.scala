@@ -207,6 +207,43 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got.map(_(1)) === expect)
   }
 
+  test("Decontam.contaminated: distinct shared 3-grams with eval, clean docs absent") {
+    val d = df(docSchema, Seq(
+      Row(1L, "alpha beta gamma delta"),        // 2 shingles, both in eval
+      Row(2L, "totally different words here now"), // clean
+      Row(3L, "x y"),                           // short doc: whole-text shingle
+      Row(97L, "alpha beta gamma delta"),       // eval
+      Row(194L, "x y")))                        // eval (short)
+    val got = rowsOf(graft.pipeline.Decontam.contaminated(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text").orderBy("doc_id"))
+    assert(got === Seq(Seq(1L, 2L), Seq(3L, 1L)))
+  }
+
+  test("repetitionMetrics: dup-token and top-token fractions") {
+    val d = df(docSchema, Seq(Row(1L, "a a a b"), Row(2L, "a b c d")))
+    val got = rowsOf(TextAnalysis.repetitionMetrics(d, "doc_id", "text").orderBy("doc_id"))
+    assert(got === Seq(
+      Seq(1L, 4L, 2L, 3L, 0.5, 0.75),
+      Seq(2L, 4L, 4L, 1L, 0.0, 0.25)))
+  }
+
+  test("mixtureSample keeps exactly the ids whose hash bucket clears the domain rate") {
+    val s = StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType)))
+    val rows = (0L until 200L).map(i => Row(i, if (i % 2 == 0) "en" else "de"))
+    val rates = Map("en" -> 40)
+    val got = graft.pipeline.Sampling.mixtureSample(
+      df(s, rows), "doc_id", "lang", rates)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    def bucket(id: Long) =
+      ((BigInt(id).mod(BigInt(2).pow(32)) * 2654435761L).mod(BigInt(2).pow(32)) % 100).toLong
+    val expect = (0L until 200L).filter { i =>
+      bucket(i) < (if (i % 2 == 0) 40 else 100)
+    }
+    assert(got === expect)
+    assert(got.size < 200 && got.size > 100) // en thinned, de intact
+  }
+
   test("vocabTopK: frequency order with token-asc tiebreak") {
     val d = df(docSchema, Seq(
       Row(1L, "b b b a a c"), Row(2L, "a c d")))
