@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered query sets, one per SURVEY.md §2 family. */
   def sets: Seq[QuerySet] =
     Seq(CoreQueries, SdvQueries, HzMoQueries, ValuQueries, MiscQueries,
-      TrainQueries, ValidateQueries, ExtraQueries, PlannerQueries)
+      TrainQueries, ValidateQueries, ExtraQueries, PlannerQueries,
+      EventQueries)
 
   private lazy val allQ: Seq[Q] = sets.flatMap(_.all)
 

@@ -1,0 +1,64 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators Spark lacks as built-ins, expressed in the
+  * shapes that scale: the as-of (backward) join and time-range rolling
+  * aggregates. Both shuffle once on the partition key and never sort
+  * or join beyond that key's partition — no global windows, no range
+  * cross-joins.
+  *
+  * (The reference's tabular pipeline has no temporal operators; these
+  * cover the builder's event/training-pipeline mandate alongside
+  * graft.streaming.) */
+object EventOps {
+
+  /** Backward as-of join: each left row picks the payload of the most
+    * recent right row with the same `key` and `ts` ≤ its own (at equal
+    * `ts` the right row is visible — standard backward semantics).
+    *
+    * Physical shape: union the two sides tagged, one shuffle on `key`,
+    * and a running `last(payload, ignoreNulls)` over the per-key order
+    * — the classic union-scan formulation. A join-based as-of would
+    * either range-cross-join or re-shuffle per bucket; this is one
+    * exchange and one sort, both bounded by the key's partition.
+    *
+    * Total order inside a key is (`ts`, side, `tie`): right rows sort
+    * before left rows at equal `ts`, and `tie` must be unique within
+    * the right side at a single `ts` (which right row "wins" a tie is
+    * otherwise undefined). Left rows keep all their columns; the
+    * payload lands as `out`, null when no right row precedes. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      tie: String, payload: String, out: String = "asof"): DataFrame = {
+    val pType = right.schema(payload).dataType
+    val leftCols = left.columns.map(col).toSeq
+    val lt = left.select(col(key), col(ts), lit(1).as("__side"),
+      lit(null).cast(pType).as("__p"), lit(null).cast("long").as("__tie"),
+      struct(leftCols: _*).as("__row"))
+    val rt = right.select(col(key), col(ts), lit(0).as("__side"),
+      col(payload).as("__p"), col(tie).cast("long").as("__tie"),
+      lit(null).cast(lt.schema("__row").dataType).as("__row"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.unionByName(rt)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__row.*"), col("__asof").as(out))
+  }
+
+  /** Per-key rolling aggregates over a trailing time range: for every
+    * row, `aggs` evaluated over the key's rows with order-value in
+    * `[ord − rangeBack, ord]`. RANGE framing is value-based, so rows
+    * sharing an order value see identical frames — deterministic even
+    * under timestamp ties. One shuffle on `key`; the frame never
+    * leaves the key's partition. */
+  def rollingRange(df: DataFrame, key: String, ord: String, rangeBack: Long,
+      aggs: Seq[(Column, String)]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+      .rangeBetween(-rangeBack, Window.currentRow)
+    aggs.foldLeft(df) { case (d, (a, name)) => d.withColumn(name, a.over(w)) }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.events.EventOps
+
+/** Fixture semantics for the temporal event operators. */
+class EventOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val leftSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("ts_ms", LongType)))
+  private val rightSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts_ms", LongType),
+    StructField("event_id", LongType), StructField("p", LongType)))
+
+  test("asOfJoin: backward pick, equal-ts visible, tie broken by tie column, null before any") {
+    val clicks = df(leftSchema, Seq(
+      Row(100L, 1L, 5L),    // before any view → null
+      Row(101L, 1L, 15L),   // after view@10 → 100
+      Row(102L, 1L, 20L),   // equal ts to view@20 → 200 (≤ semantics)
+      Row(103L, 1L, 25L),   // two views at ts 22 → higher tie (8) wins → 300
+      Row(104L, 2L, 50L)))  // other user, no views → null
+    val views = df(rightSchema, Seq(
+      Row(1L, 10L, 5L, 100L),
+      Row(1L, 20L, 6L, 200L),
+      Row(1L, 22L, 7L, 250L),
+      Row(1L, 22L, 8L, 300L)))
+    val got = EventOps.asOfJoin(clicks, views, "user_id", "ts_ms",
+        tie = "event_id", payload = "p", out = "asof")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    assert(got === Map(100L -> null, 101L -> 100L, 102L -> 200L,
+      103L -> 300L, 104L -> null))
+  }
+
+  test("rollingRange: trailing range frame, value-based (ties share a frame)") {
+    val s = StructType(Seq(StructField("k", LongType),
+      StructField("t", LongType), StructField("v", LongType)))
+    val d = df(s, Seq(
+      Row(1L, 0L, 1L), Row(1L, 500L, 2L), Row(1L, 500L, 4L), Row(1L, 2000L, 8L),
+      Row(2L, 0L, 16L)))
+    val got = EventOps.rollingRange(d, "k", "t", 1000L,
+        Seq(count(lit(1)) -> "n", sum(col("v")) -> "sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // ties at t=500 both see {0,500,500}; t=2000 sees only itself (range 1000)
+    assert(got((1L, 500L, 2L)) === (3L, 7L))
+    assert(got((1L, 500L, 4L)) === (3L, 7L))
+    assert(got((1L, 2000L, 8L)) === (1L, 8L))
+    assert(got((2L, 0L, 16L)) === (1L, 16L))
+  }
+}
