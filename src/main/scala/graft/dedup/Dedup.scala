@@ -267,9 +267,13 @@ object Dedup {
       "bands must divide 64 — a remainder would leave high signature bits unbanded")
     // The lanes table feeds BOTH the mean-cuts aggregate and signature
     // packing; without materialization the tokenize→explode→64-lane
-    // aggregation (the dominant cost) runs twice. localCheckpoint
-    // truncates lineage and computes it once, mirroring dupClusters.
-    val lanes = simhashLanesDf(docs, idCol, textCol).localCheckpoint()
+    // aggregation (the dominant cost) runs twice. A LAZY localCheckpoint
+    // computes it once at first action (constructing the DataFrame stays
+    // free) and truncates lineage, mirroring dupClusters. Tradeoff,
+    // deliberate: checkpoint blocks are executor-local — an executor
+    // loss mid-job fails the job instead of recomputing (same contract
+    // as dupClusters; acceptable for a single-stage materialization).
+    val lanes = simhashLanesDf(docs, idCol, textCol).localCheckpoint(eager = false)
     val cuts = lanes.agg(
       avg(col("b0")).as("c0"), (1 until 64).map(i => avg(col(s"b$i")).as(s"c$i")): _*)
     val withSim = lanes.crossJoin(broadcast(cuts))

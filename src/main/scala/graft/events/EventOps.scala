@@ -17,36 +17,52 @@ object EventOps {
 
   /** Backward as-of join: each left row picks the payload of the most
     * recent right row with the same `key` and `ts` ≤ its own (at equal
-    * `ts` the right row is visible — standard backward semantics).
+    * `ts` the right row is visible — standard backward semantics). The
+    * matched row's payload is returned even when it is null — `out` is
+    * null only when NO right row precedes (the marker wraps the payload
+    * in a struct, so a null payload never falls through to an older
+    * row).
+    *
+    * Join-style null semantics: right rows with a null `key` or null
+    * `ts` are dropped (they can match nothing deterministically); left
+    * rows always survive, and get a null `out` when their `key`/`ts` is
+    * null (a null key partitions with only left rows, and a null ts
+    * sorts NULLS FIRST — before every right row).
     *
     * Physical shape: union the two sides tagged, one shuffle on `key`,
-    * and a running `last(payload, ignoreNulls)` over the per-key order
+    * and a running `last(marker, ignoreNulls)` over the per-key order
     * — the classic union-scan formulation. A join-based as-of would
     * either range-cross-join or re-shuffle per bucket; this is one
     * exchange and one sort, both bounded by the key's partition.
     *
     * Total order inside a key is (`ts`, side, `tie`): right rows sort
-    * before left rows at equal `ts`, and `tie` must be unique within
-    * the right side at a single `ts` (which right row "wins" a tie is
-    * otherwise undefined). Left rows keep all their columns; the
-    * payload lands as `out`, null when no right row precedes. */
+    * before left rows at equal `ts`, and `tie` (kept at its own type —
+    * any orderable column) must be unique within the right side at a
+    * single `ts` (which right row "wins" a tie is otherwise
+    * undefined). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       tie: String, payload: String, out: String = "asof"): DataFrame = {
     val pType = right.schema(payload).dataType
+    val tieType = right.schema(tie).dataType
     val leftCols = left.columns.map(col).toSeq
     val lt = left.select(col(key), col(ts), lit(1).as("__side"),
-      lit(null).cast(pType).as("__p"), lit(null).cast("long").as("__tie"),
+      lit(null).cast(pType).as("__p"), lit(null).cast(tieType).as("__tie"),
       struct(leftCols: _*).as("__row"))
-    val rt = right.select(col(key), col(ts), lit(0).as("__side"),
-      col(payload).as("__p"), col(tie).cast("long").as("__tie"),
-      lit(null).cast(lt.schema("__row").dataType).as("__row"))
+    val rt = right.filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key), col(ts), lit(0).as("__side"),
+        col(payload).as("__p"), col(tie).as("__tie"),
+        lit(null).cast(lt.schema("__row").dataType).as("__row"))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"), col("__tie"))
+      .orderBy(col(ts).asc_nulls_first, col("__side"), col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // marker is non-null for every right row (even a null payload), so
+    // last(ignoreNulls) finds the most recent right ROW, not the most
+    // recent non-null payload
+    val marker = when(col("__side") === 0, struct(col("__p")))
     lt.unionByName(rt)
-      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(marker, ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__row.*"), col("__asof").as(out))
+      .select(col("__row.*"), col("__m.__p").as(out))
   }
 
   /** Per-key rolling aggregates over a trailing time range: for every

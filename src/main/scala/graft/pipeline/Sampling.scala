@@ -62,13 +62,18 @@ object Sampling {
     * same engine-portable [[hashBucket]], so the sampled set is
     * reproducible across runs, engines, and partitionings, and
     * independent draws per domain keep exact expected proportions.
-    * Domains absent from `rates` keep `defaultRate`. */
+    * Domains absent from `rates` keep `defaultRate`. Rates must be in
+    * [0, 100]. Rows with a null id have no hash bucket: they survive
+    * only in keep-everything (rate 100) domains and are dropped in
+    * thinned ones — a full-keep domain never loses rows. */
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
       rates: Map[String, Int], defaultRate: Int = 100): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 100, s"keep-rate $r outside [0, 100]"))
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(domainCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter(hashBucket(col(idCol)) < rate)
+    df.filter(rate === 100 || hashBucket(col(idCol)) < rate)
   }
 
   /** Contiguous token-budget packing: documents in ascending id order

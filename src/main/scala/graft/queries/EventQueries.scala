@@ -11,6 +11,14 @@ import graft.events.EventOps
   * BIGINTs; money as exact cents. */
 object EventQueries extends QuerySet {
 
+  /** Shared events projection: truncated epoch-ms + the repo's
+    * exact-cents encoding (Exprs.cents — single source of the money
+    * rule, same as streaming/Ingest). */
+  private def evts(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_millis(col("ts")).as("ts_ms"),
+      graft.core.Exprs.cents(col("value")).cast("long").as("value_cents"))
+
   private val eCte =
     """e AS (SELECT event_id, user_id, event_type,
       |             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
@@ -24,9 +32,7 @@ object EventQueries extends QuerySet {
     // on user_id, a running last(ignoreNulls); never a range cross-join.
     Q("e01_asof_join",
       (s, dir) => {
-        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
-          col("event_type"), unix_millis(col("ts")).as("ts_ms"),
-          round(col("value") * 100).cast("long").as("value_cents"))
+        val e = evts(s, dir)
         val clicks = e.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts_ms")
         val views = e.filter(col("event_type") === "view")
@@ -42,11 +48,13 @@ object EventQueries extends QuerySet {
               |  UNION ALL
               |  SELECT event_id, user_id, ts_ms, 0, value_cents, event_id
               |  FROM e WHERE event_type = 'view'),
-              |x AS (SELECT *, last_value(p IGNORE NULLS) OVER (
-              |        PARTITION BY user_id ORDER BY ts_ms, side, tie
-              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_cents
+              |x AS (SELECT *, last_value(CASE WHEN side = 0 THEN struct_pack(v := p) END
+              |          IGNORE NULLS) OVER (
+              |        PARTITION BY user_id
+              |        ORDER BY ts_ms NULLS FIRST, side, tie NULLS FIRST
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
               |      FROM u)
-              |SELECT event_id, user_id, ts_ms, last_view_cents
+              |SELECT event_id, user_id, ts_ms, struct_extract(m, 'v') AS last_view_cents
               |FROM x WHERE side = 1""".stripMargin)),
 
     // E2 — per-user trailing-1h rolling count and value sum. RANGE
@@ -54,9 +62,7 @@ object EventQueries extends QuerySet {
     // deterministic; cents keep the sum integer-exact.
     Q("e02_rolling_window",
       (s, dir) => {
-        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("ts_ms"),
-          round(col("value") * 100).cast("long").as("value_cents"))
+        val e = evts(s, dir).drop("event_type")
         EventOps.rollingRange(e, "user_id", "ts_ms", 3600000L, Seq(
             count(lit(1)) -> "n_1h",
             sum(col("value_cents")) -> "sum_cents_1h"))

@@ -32,21 +32,27 @@ object TrainQueries extends QuerySet {
   private val cosSql =
     "list_dot_product(qv, v)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(v, v)))"
 
-  /** Exact all-pairs 3-gram Jaccard at threshold 0.5 over the full
-    * documents table — the oracle for every LSH near-dup front-end
-    * whose output contract is exact-verified (id_a, id_b, jaccard):
-    * when banding recall is complete (verified on the gated corpora,
-    * see d02/d03 notes) the LSH result literally equals this. Docs
-    * shorter than 3 tokens contribute their whole text as one shingle
-    * (parity with Dedup.shingleRows). */
-  private val jaccard3Sql =
-    """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  /** Shared 3-gram shingle CTE chain (toks→sh): distinct word 3-grams
+    * per doc, docs shorter than 3 tokens contributing their whole text
+    * as one shingle — the SINGLE SQL twin of Dedup.shingleRows /
+    * Dedup.wordShingles at n=3. Oracles splice this; never re-derive
+    * it (same lockstep rule as Sampling.hashBucketSql). */
+  private val shingle3Ctes =
+    """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       |              FROM documents),
       |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
       |        FROM toks WHERE len(t) >= 3),
       |shl AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
       |shs AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3),
-      |sh AS (SELECT * FROM shl UNION ALL SELECT * FROM shs),
+      |sh AS (SELECT * FROM shl UNION ALL SELECT * FROM shs)""".stripMargin
+
+  /** Exact all-pairs 3-gram Jaccard at threshold 0.5 over the full
+    * documents table — the oracle for every LSH near-dup front-end
+    * whose output contract is exact-verified (id_a, id_b, jaccard):
+    * when banding recall is complete (verified on the gated corpora,
+    * see d02/d03 notes) the LSH result literally equals this. */
+  private val jaccard3Sql =
+    s"""WITH $shingle3Ctes,
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -167,13 +173,7 @@ object TrainQueries extends QuerySet {
           docs.filter(col("doc_id") % 97 === 0),
           "doc_id", "text", n = 3)
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-             |              FROM documents),
-             |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
-             |        FROM toks WHERE len(t) >= 3),
-             |shl AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
-             |shs AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3),
-             |sh AS (SELECT * FROM shl UNION ALL SELECT * FROM shs),
+      Some(s"""WITH $shingle3Ctes,
              |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
              |co AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
              |SELECT doc_id, count(*) AS n_shared

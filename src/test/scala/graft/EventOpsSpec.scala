@@ -37,6 +37,27 @@ class EventOpsSpec extends AnyFunSuite {
       103L -> 300L, 104L -> null))
   }
 
+  test("asOfJoin: a matched row's NULL payload is returned, not an older non-null one") {
+    val clicks = df(leftSchema, Seq(Row(100L, 1L, 30L)))
+    val views = df(rightSchema, Seq(
+      Row(1L, 10L, 5L, 500L),
+      Row(1L, 20L, 6L, null)))   // most recent view has a null payload
+    val got = EventOps.asOfJoin(clicks, views, "user_id", "ts_ms",
+      tie = "event_id", payload = "p", out = "asof").collect()
+    assert(got.length === 1 && got.head.isNullAt(3)) // NOT 500
+  }
+
+  test("asOfJoin: null keys never match (join semantics), null-key left rows survive with null") {
+    val clicks = df(leftSchema, Seq(Row(100L, null, 30L), Row(101L, 1L, 30L)))
+    val views = df(rightSchema, Seq(
+      Row(null, 10L, 5L, 500L),  // null-key right row: dropped
+      Row(1L, 10L, 6L, 700L)))
+    val got = EventOps.asOfJoin(clicks, views, "user_id", "ts_ms",
+        tie = "event_id", payload = "p", out = "asof")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    assert(got === Map(100L -> null, 101L -> 700L))
+  }
+
   test("rollingRange: trailing range frame, value-based (ties share a frame)") {
     val s = StructType(Seq(StructField("k", LongType),
       StructField("t", LongType), StructField("v", LongType)))

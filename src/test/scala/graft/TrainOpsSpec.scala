@@ -244,6 +244,16 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got.size < 200 && got.size > 100) // en thinned, de intact
   }
 
+  test("mixtureSample: null ids survive only keep-everything domains; bad rates rejected") {
+    val s = StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType)))
+    val d = df(s, Seq(Row(null, "en"), Row(null, "de"), Row(1L, "de")))
+    val got = rowsOf(graft.pipeline.Sampling.mixtureSample(
+      d, "doc_id", "lang", Map("en" -> 40)))
+    assert(got.map(_(1)) === Seq("de", "de")) // null-id en row dropped, de (rate 100) kept
+    intercept[IllegalArgumentException](
+      graft.pipeline.Sampling.mixtureSample(d, "doc_id", "lang", Map("en" -> 150)))
+  }
+
   test("vocabTopK: frequency order with token-asc tiebreak") {
     val d = df(docSchema, Seq(
       Row(1L, "b b b a a c"), Row(2L, "a c d")))
