@@ -61,6 +61,29 @@ object ExtraQueries extends QuerySet {
              |       max(l_quantity) AS max_qty
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Tail quantiles for the same report: exact nearest-rank p90/p99
+    // from per-(group, value) counts (Stats.groupedQuantile) — integer
+    // rank arithmetic, no per-group row sort, no interpolation floats;
+    // the oracle mirrors the same formula rather than relying on an
+    // engine quantile definition.
+    Q("q3_group_quantile",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        graft.core.Stats.groupedQuantile(l, "l_returnflag", "l_quantity", 90, "p90_qty")
+          .join(graft.core.Stats.groupedQuantile(l, "l_returnflag", "l_quantity", 99, "p99_qty"),
+            Seq("l_returnflag"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
+             |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+             |x AS (SELECT l_returnflag, l_quantity,
+             |        sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+             |        sum(c) OVER (PARTITION BY l_returnflag) AS n
+             |      FROM c)
+             |SELECT l_returnflag,
+             |  min(CASE WHEN cum >= (n*90 + 99) // 100 THEN l_quantity END) AS p90_qty,
+             |  min(CASE WHEN cum >= (n*99 + 99) // 100 THEN l_quantity END) AS p99_qty
+             |FROM x GROUP BY 1""".stripMargin)),
+
     // J7/J9 — four-level null-padded join chain (CreateRatingTable4S
     // :4560-4630 / CreateSoilMoistureTable :4632-4718): mapunit ⟕
     // component ⟕ month-carrier ⟕ leaf table.

@@ -209,6 +209,25 @@ object TrainQueries extends QuerySet {
            |                 WHEN lang = 'zh' THEN 25 ELSE 100 END""".stripMargin
       }),
 
+    // T13 — per-doc top-3 TF-IDF terms (integer-scaled linear idf, so
+    // both engines compute the identical score; log idf would diverge
+    // on libm rounding).
+    Q("t13_tfidf_topk",
+      (s, dir) => TextAnalysis.tfIdfTopK(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |tot AS (SELECT count(*) AS n_total FROM documents),
+              |sc AS (SELECT doc_id, term, tf, df,
+              |         tf * ((n_total * 10000) // df) AS score
+              |       FROM tf JOIN dfq USING (term), tot)
+              |SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              |        ORDER BY score DESC, term) AS rn FROM sc) z
+              |WHERE rn <= 3""".stripMargin)),
+
     // D1 — exact dedup by content hash.
     Q("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text"),

@@ -82,6 +82,30 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)
 
+  /** Per-document top-k TF-IDF terms — the keyword-extraction /
+    * salient-term primitive of a corpus pipeline. IDF is the
+    * integer-scaled linear variant idf_q = (N·10⁴) div df (BIGINT
+    * division, bit-identical in any engine; a log() idf would hash-gate
+    * on libm rounding). score = tf · idf_q; rank is (score desc, term
+    * asc) — fully deterministic. Plan: explode → (doc, term) partial
+    * agg → term-keyed doc-frequency agg → join back → per-doc top-k
+    * window (partitioned by doc id, never a global sort; the one-row
+    * corpus count is a broadcast). */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(total))
+      .withColumn("score", col("tf") * expr("(n_total * 10000) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
   /** Gopher-style repetition metrics per document: token count,
     * distinct-token count, duplicate-token fraction
     * (1 − distinct/total) and top-token fraction (mode count / total) —

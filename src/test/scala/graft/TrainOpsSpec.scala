@@ -273,6 +273,37 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got === Seq(Seq("dups", 2.0), Seq("even", 5.0), Seq("nulls", 4.0), Seq("odd", 5.0)))
   }
 
+  test("groupedQuantile: nearest-rank (p100=max, p50=lower median, p1=min), nulls ignored") {
+    import graft.core.Stats
+    val s = StructType(Seq(StructField("g", StringType), StructField("v", DoubleType)))
+    val d = df(s, Seq(
+      Row("a", 10.0), Row("a", 20.0), Row("a", 30.0), Row("a", 40.0), Row("a", null),
+      Row("b", 5.0)))
+    // group a, n=4: p90 rank=ceil(3.6)=4 → 40; p50 rank=2 → 20; p1 rank=1 → 10
+    assert(rowsOf(Stats.groupedQuantile(d, "g", "v", 90)) ===
+      Seq(Seq("a", 40.0), Seq("b", 5.0)))
+    assert(rowsOf(Stats.groupedQuantile(d, "g", "v", 50)) ===
+      Seq(Seq("a", 20.0), Seq("b", 5.0)))
+    assert(rowsOf(Stats.groupedQuantile(d, "g", "v", 1)) ===
+      Seq(Seq("a", 10.0), Seq("b", 5.0)))
+    assert(rowsOf(Stats.groupedQuantile(d, "g", "v", 100)) ===
+      Seq(Seq("a", 40.0), Seq("b", 5.0)))
+    intercept[IllegalArgumentException](Stats.groupedQuantile(d, "g", "v", 0))
+  }
+
+  test("tfIdfTopK: rare terms outrank common ones, term-asc tiebreak, integer scores") {
+    val d = df(docSchema, Seq(
+      Row(1L, "common rare common"),   // tf(common)=2 df=2; tf(rare)=1 df=1
+      Row(2L, "common other")))
+    val got = rowsOf(TextAnalysis.tfIdfTopK(d, "doc_id", "text", k = 2))
+      .map(r => (r.head, r(1), r(4), r(5)))
+    // N=2: idf(common)=(2*1e4)//2=1e4, idf(rare)=2e4
+    // doc1: common 2*1e4=2e4, rare 1*2e4=2e4 → tie → term asc: common rank1
+    assert(got === Seq(
+      (1L, "common", 20000L, 1L), (1L, "rare", 20000L, 2L),
+      (2L, "common", 10000L, 2L), (2L, "other", 20000L, 1L)))
+  }
+
   test("countReconcile: match, mismatch, and missing expectation (SSURGO_CheckgSSURGO shape)") {
     val s = StructType(Seq(StructField("x", IntegerType)))
     val t2 = df(s, Seq(Row(1), Row(2)))
