@@ -65,6 +65,44 @@ object EventOps {
       .select(col("__row.*"), col("__m.__p").as(out))
   }
 
+  /** Interval (range) join: all (left, right) pairs with equal `key`
+    * and right timestamp in `(leftTs − lookback, leftTs]` — the
+    * candidate-generation shape behind attribution windows and
+    * feature-lookback joins. Plain equi-join on `key` with the range
+    * as a join residual: one shuffle per side, no range cross-join.
+    * Timestamp columns must be distinct names; the duplicate key
+    * column is dropped from the right side. `leftTs`/`rightTs` and
+    * `lookback` share one unit (use microseconds to stay exactly
+    * equivalent to the streaming twin's INTERVAL arithmetic). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lookback: Long): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        right(rightTs) > left(leftTs) - lookback &&
+        right(rightTs) <= left(leftTs))
+      .drop(right(key))
+
+  /** Streaming twin of [[intervalJoin]]: stream-stream inner join with
+    * watermarks on BOTH sides, so join state is bounded by
+    * watermark + interval instead of growing forever — the property
+    * that makes a stream-stream join viable at all. The time condition
+    * uses TimestampType INTERVAL arithmetic; at microsecond precision
+    * it is exactly the batch twin's `(leftTs − lookback, leftTs]` (the
+    * equivalence StreamingSpec pins). Inner-join matches are emitted
+    * as soon as both sides arrive; `delay` must cover the maximum
+    * cross-stream arrival skew. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, interval: String,
+      delay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay).alias("__l")
+    val r = right.withWatermark(rightTs, delay).alias("__r")
+    l.join(r, expr(
+        s"""__l.$key = __r.$key AND
+           |__r.$rightTs > __l.$leftTs - INTERVAL $interval AND
+           |__r.$rightTs <= __l.$leftTs""".stripMargin))
+      .drop(r(key))
+  }
+
   /** Per-key rolling aggregates over a trailing time range: for every
     * row, `aggs` evaluated over the key's rows with order-value in
     * `[ord − rangeBack, ord]`. RANGE framing is value-based, so rows

@@ -57,6 +57,38 @@ object EventQueries extends QuerySet {
               |SELECT event_id, user_id, ts_ms, struct_extract(m, 'v') AS last_view_cents
               |FROM x WHERE side = 1""".stripMargin)),
 
+    // E3 — attribution interval join: every (click, view) pair of the
+    // same user with the view in the click's trailing hour. Joined in
+    // MICROSECONDS so the batch result is bit-equivalent to the
+    // streaming twin's INTERVAL arithmetic (StreamingSpec pins it).
+    Q("e03_interval_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          graft.core.Exprs.cents(col("value")).cast("long").as("value_cents"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("click_us"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts_us").as("view_us"), col("value_cents"))
+        EventOps.intervalJoin(clicks, views, "user_id",
+            "click_us", "view_us", lookback = 3600000000L)
+          .select(col("click_id"), col("user_id"), col("click_us"),
+            col("view_id"), col("view_us"), col("value_cents"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             |             CAST(round(value*100) AS BIGINT) AS value_cents
+             |           FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+             |      FROM e WHERE event_type = 'click'),
+             |v AS (SELECT event_id AS view_id, user_id, ts_us AS view_us, value_cents
+             |      FROM e WHERE event_type = 'view')
+             |SELECT click_id, c.user_id, click_us, view_id, view_us, value_cents
+             |FROM c JOIN v ON c.user_id = v.user_id
+             | AND view_us > click_us - 3600000000 AND view_us <= click_us""".stripMargin)),
+
     // E2 — per-user trailing-1h rolling count and value sum. RANGE
     // framing is value-based, so timestamp ties see identical frames —
     // deterministic; cents keep the sum integer-exact.

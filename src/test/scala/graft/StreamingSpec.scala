@@ -61,6 +61,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("streamIntervalJoin (stream-stream, watermarked both sides) == batch intervalJoin") {
+    import org.apache.spark.sql.functions._
+    import graft.events.EventOps
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dropDir = Files.createTempDirectory("graft_ij_drop")
+    Files.copy(Paths.get(src), dropDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(src).schema
+
+    def sides(e: org.apache.spark.sql.DataFrame) = (
+      e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts")),
+      e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts")))
+
+    val stream = spark.readStream.schema(schema).parquet(dropDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (sc, sv) = sides(stream)
+    val q = EventOps.streamIntervalJoin(sc, sv, "user_id", "c_ts", "v_ts",
+        interval = "1 HOUR", delay = "2 hours")
+      .select(col("click_id"), col("user_id"), col("view_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ij_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val (bc, bv) = sides(Tables.events(spark, "/root/testdata/sf0.001"))
+    val batch = EventOps.intervalJoin(
+        bc.withColumn("c_us", unix_micros(col("c_ts"))).drop("c_ts"),
+        bv.withColumn("v_us", unix_micros(col("v_ts"))).drop("v_ts"),
+        "user_id", "c_us", "v_us", lookback = 3600000000L)
+      .select(col("click_id"), col("user_id"), col("view_id"))
+    assert(rowsOf(spark.sql("SELECT * FROM ij_out")) === rowsOf(batch))
+    assert(rowsOf(batch).nonEmpty)
+  }
+
   test("streamHourlyRollup over a parquet drop == batch hourlyRollup") {
     val src = "/root/testdata/sf0.001/events.parquet"
     val dropDir = Files.createTempDirectory("graft_stream_drop")
