@@ -89,6 +89,24 @@ object EventQueries extends QuerySet {
              |FROM c JOIN v ON c.user_id = v.user_id
              | AND view_us > click_us - 3600000000 AND view_us <= click_us""".stripMargin)),
 
+    // E4 — semi-structured extraction: pull a typed field out of the
+    // JSON props column (get_json_object — Catalyst's native JSON path,
+    // no UDF) and aggregate it per event type. Extraction stays inside
+    // whole-stage codegen; sums are exact integers.
+    Q("e04_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""SELECT event_type,
+             |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // E2 — per-user trailing-1h rolling count and value sum. RANGE
     // framing is value-based, so timestamp ties see identical frames —
     // deterministic; cents keep the sum integer-exact.

@@ -209,6 +209,44 @@ object TrainQueries extends QuerySet {
            |                 WHEN lang = 'zh' THEN 25 ELSE 100 END""".stripMargin
       }),
 
+    // T14 — PII-signal triage over the corpus plus PLANTED positives
+    // (the synthetic corpus contains none — without planting, the
+    // detector columns would be all-zero and the gate vacuous; the
+    // ambient rows still pin the zero/no-false-positive side).
+    Q("t14_pii_signals",
+      (s, dir) => {
+        import s.implicits._
+        val planted = Seq(
+          (1000001L, "contact bob@example.com for info"),
+          (1000002L, "see https://example.org/docs now"),
+          (1000003L, "call 555-123-4567 today"),
+          (1000004L, "clean text nothing here")).toDF("doc_id", "text")
+        TextAnalysis.piiSignals(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+            .unionByName(planted),
+          "doc_id", "text")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+             |           UNION ALL
+             |           SELECT * FROM (VALUES
+             |             (1000001, 'contact bob@example.com for info'),
+             |             (1000002, 'see https://example.org/docs now'),
+             |             (1000003, 'call 555-123-4567 today'),
+             |             (1000004, 'clean text nothing here')) p(doc_id, text)),
+             |tok AS (SELECT doc_id,
+             |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             |        FROM d)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN t LIKE '%@%' AND t LIKE '%.%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+             |  CAST(sum(CASE WHEN t LIKE 'http%' THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+             |  CAST(sum(CASE WHEN length(regexp_replace(t, '[^0-9]', '', 'g')) >= 7
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+             |  (sum(CASE WHEN t LIKE '%@%' AND t LIKE '%.%' THEN 1 ELSE 0 END)
+             |   + sum(CASE WHEN t LIKE 'http%' THEN 1 ELSE 0 END)
+             |   + sum(CASE WHEN length(regexp_replace(t, '[^0-9]', '', 'g')) >= 7
+             |         THEN 1 ELSE 0 END)) > 0 AS has_pii
+             |FROM tok GROUP BY doc_id""".stripMargin)),
+
     // T13 — per-doc top-3 TF-IDF terms (integer-scaled linear idf, so
     // both engines compute the identical score; log idf would diverge
     // on libm rounding).

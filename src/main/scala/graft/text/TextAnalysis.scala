@@ -82,6 +82,24 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)
 
+  /** Per-document PII signal counts — the scrubbing/redaction triage
+    * stage of a corpus pipeline: email-shaped tokens (@ and .),
+    * URL-shaped tokens (http prefix), phone-shaped tokens (≥ 7 digit
+    * characters). Token-level heuristics kept to operations with
+    * identical semantics in any engine (substring containment, prefix,
+    * digit-class strip) — deliberately NOT a full RFC-address regex,
+    * whose dialect varies by engine. Plan: explode once, conditional
+    * sums in one partial-aggregating shuffle on doc id. */
+  def piiSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol)).agg(
+        sum(when(col("t").contains("@") && col("t").contains("."), 1L)
+          .otherwise(0L)).as("n_email"),
+        sum(when(col("t").startsWith("http"), 1L).otherwise(0L)).as("n_url"),
+        sum(when(length(regexp_replace(col("t"), "[^0-9]", "")) >= 7, 1L)
+          .otherwise(0L)).as("n_phone"))
+      .withColumn("has_pii", col("n_email") + col("n_url") + col("n_phone") > 0)
+
   /** Per-document top-k TF-IDF terms — the keyword-extraction /
     * salient-term primitive of a corpus pipeline. IDF is the
     * integer-scaled linear variant idf_q = (N·10⁴) div df (BIGINT

@@ -304,6 +304,20 @@ class TrainOpsSpec extends AnyFunSuite {
       (2L, "common", 10000L, 2L), (2L, "other", 20000L, 1L)))
   }
 
+  test("piiSignals: email/url/phone token heuristics, clean docs all-zero") {
+    val d = df(docSchema, Seq(
+      Row(1L, "mail a@b.com or c@d.org x"),       // 2 emails
+      Row(2L, "go to https://x.y and http://z.w"),// 2 urls (also contain . but no @)
+      Row(3L, "call 555-123-4567 or 5551234567"), // 2 phones
+      Row(4L, "nothing here at all 123")))        // clean (3 digits < 7)
+    val got = rowsOf(TextAnalysis.piiSignals(d, "doc_id", "text"))
+    assert(got === Seq(
+      Seq(1L, 2L, 0L, 0L, true),
+      Seq(2L, 0L, 2L, 0L, true),
+      Seq(3L, 0L, 0L, 2L, true),
+      Seq(4L, 0L, 0L, 0L, false)))
+  }
+
   test("countReconcile: match, mismatch, and missing expectation (SSURGO_CheckgSSURGO shape)") {
     val s = StructType(Seq(StructField("x", IntegerType)))
     val t2 = df(s, Seq(Row(1), Row(2)))
