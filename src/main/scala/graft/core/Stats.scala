@@ -7,25 +7,34 @@ import org.apache.spark.sql.functions._
 /** Scale-safe summary statistics. */
 object Stats {
 
-  /** Exact per-group median for LOW-CARDINALITY value domains (enum-ish
-    * measures like quantities, ratings, scores).
-    *
-    * `median()` sorts every row of each group; this instead counts by
-    * (group, value) — a partial-aggregating hash shuffle that carries
-    * one row per distinct pair — and interpolates the median from the
-    * tiny per-group distribution (the cumulative-count window runs over
-    * distinct values, not fact rows). Exact-equal to `median()` for any
-    * input; the win requires |distinct values| ≪ |rows|, which is what
-    * the reconciliation-report measures here look like. */
-  def groupedMedian(df: DataFrame, groupCol: String, valueCol: String,
-      out: String = "median"): DataFrame = {
+  /** Shared per-(group, value) cumulative-count shape: one row per
+    * distinct (group, value) pair with its count `c`, running count
+    * `cum` in value order, and group total `n`. The partial-aggregating
+    * hash shuffle carries distinct pairs, not fact rows; the windows
+    * run over the tiny per-group distribution. Nulls are ignored (a
+    * group that is all-null disappears — callers left-join if they
+    * need it back). */
+  private def cumCounts(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("c"))
     val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val all = Window.partitionBy(col(groupCol))
-    val cum = counts
+    counts
       .withColumn("cum", sum(col("c")).over(byVal))
       .withColumn("n", sum(col("c")).over(all))
+  }
+
+  /** Exact per-group median for LOW-CARDINALITY value domains (enum-ish
+    * measures like quantities, ratings, scores).
+    *
+    * `median()` sorts every row of each group; this instead counts by
+    * (group, value) — see [[cumCounts]] — and interpolates the median
+    * from the tiny per-group distribution. Exact-equal to `median()`
+    * for any input; the win requires |distinct values| ≪ |rows|, which
+    * is what the reconciliation-report measures here look like. */
+  def groupedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      out: String = "median"): DataFrame = {
+    val cum = cumCounts(df, groupCol, valueCol)
     // interpolated median: mean of the values at 1-based positions
     // floor((n+1)/2) and floor(n/2)+1 (equal when n is odd)
     val loPos = (col("n") + 1) / 2
@@ -35,26 +44,27 @@ object Stats {
         min(when(col("cum") >= floor(hiPos), col(valueCol)))) / 2.0).as(out))
   }
 
-  /** Exact per-group nearest-rank quantile (inverse CDF: the smallest
-    * value whose cumulative count reaches ceil(n·p/100)) over the same
-    * per-(group, value) count shape as [[groupedMedian]] — no per-group
-    * row sort, survives fact-table scale for low-cardinality value
-    * domains. The rank is pure integer arithmetic
-    * ((n·pPct + 99) div 100), so results are engine-portable with no
-    * interpolation float math. pPct ∈ [1, 100]; 100 = max, 50 = lower
+  /** Exact per-group nearest-rank quantiles (inverse CDF: the smallest
+    * value whose cumulative count reaches ceil(n·p/100)) — several
+    * percentiles in ONE pass over the [[cumCounts]] shape, one
+    * min(when) aggregate each. The rank is true integer arithmetic
+    * ((n·pPct + 99) div 100 — BIGINT division, engine-portable with no
+    * float rounding at any n). pPct ∈ [1, 100]; 100 = max, 50 = lower
     * median. */
-  def groupedQuantile(df: DataFrame, groupCol: String, valueCol: String,
-      pPct: Int, out: String = "quantile"): DataFrame = {
-    require(pPct >= 1 && pPct <= 100, s"pPct $pPct outside [1, 100]")
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("c"))
-    val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-    val all = Window.partitionBy(col(groupCol))
-    val cum = counts
-      .withColumn("cum", sum(col("c")).over(byVal))
-      .withColumn("n", sum(col("c")).over(all))
-    val pos = floor((col("n") * pPct + lit(99)) / 100)
-    cum.groupBy(col(groupCol))
-      .agg(min(when(col("cum") >= pos, col(valueCol))).as(out))
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[(Int, String)]): DataFrame = {
+    require(pcts.nonEmpty, "at least one percentile")
+    pcts.foreach { case (p, _) =>
+      require(p >= 1 && p <= 100, s"pPct $p outside [1, 100]") }
+    val cum = cumCounts(df, groupCol, valueCol)
+    val aggs = pcts.map { case (p, out) =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(valueCol))).as(out)
+    }
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Single-percentile convenience over [[groupedQuantiles]]. */
+  def groupedQuantile(df: DataFrame, groupCol: String, valueCol: String,
+      pPct: Int, out: String = "quantile"): DataFrame =
+    groupedQuantiles(df, groupCol, valueCol, Seq(pPct -> out))
 }

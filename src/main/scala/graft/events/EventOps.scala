@@ -76,11 +76,16 @@ object EventOps {
     * equivalent to the streaming twin's INTERVAL arithmetic). */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lookback: Long): DataFrame =
-    left.join(right,
-      left(key) === right(key) &&
-        right(rightTs) > left(leftTs) - lookback &&
-        right(rightTs) <= left(leftTs))
-      .drop(right(key))
+    // explicit aliases + string-resolved condition: with df(col) refs a
+    // shared-lineage self-join (the common shape — both sides filtered
+    // from one events table) builds EqualTo(a, a) and leans on Spark's
+    // warned trivially-true-predicate rewrite; alias resolution stays
+    // correct after DeduplicateRelations re-aliases the right side
+    left.alias("__l").join(right.alias("__r"), expr(
+        s"""__l.$key = __r.$key AND
+           |__r.$rightTs > __l.$leftTs - ${lookback}L AND
+           |__r.$rightTs <= __l.$leftTs""".stripMargin))
+      .drop(col(s"__r.$key"))
 
   /** Streaming twin of [[intervalJoin]]: stream-stream inner join with
     * watermarks on BOTH sides, so join state is bounded by

@@ -67,12 +67,9 @@ object ExtraQueries extends QuerySet {
     // the oracle mirrors the same formula rather than relying on an
     // engine quantile definition.
     Q("q3_group_quantile",
-      (s, dir) => {
-        val l = Tables.load(s, dir, "lineitem")
-        graft.core.Stats.groupedQuantile(l, "l_returnflag", "l_quantity", 90, "p90_qty")
-          .join(graft.core.Stats.groupedQuantile(l, "l_returnflag", "l_quantity", 99, "p99_qty"),
-            Seq("l_returnflag"))
-      },
+      (s, dir) => graft.core.Stats.groupedQuantiles(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+        Seq(90 -> "p90_qty", 99 -> "p99_qty")),
       Some("""WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
              |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
              |x AS (SELECT l_returnflag, l_quantity,
