@@ -78,6 +78,32 @@ object HzMoQueries extends QuerySet {
       (s, dir) => SdvAgg.moWta(moNumeric(s, dir), most = true),
       Some(withCtes(OracleSql.wta("pc"), moCte, OracleSql.moExtremeCte("pc", most = true)))),
 
+    // A24 — wide 12-month presentation of the per-(mapunit, month) WTA
+    // rating: the pivot step the reference's month tables imply
+    // (12-column soil-moisture style output). pivot() is given the
+    // explicit month domain — NEVER values-less pivot, which runs an
+    // eager collect-distinct job over the corpus before planning.
+    // Exact-cents ratings keep the per-month weighted mean
+    // engine-stable under the shared floor-form rounding.
+    Q("a24_month_pivot",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val pm = mo(s, dir)
+          .groupBy(col("mukey"), col("month").cast("int").as("m"))
+          .agg(graft.core.Exprs.roundHalfUp(
+            sum(col("comppct") * col("rating")) / sum(col("comppct")), 4).as("r"))
+        pm.groupBy(col("mukey")).pivot("m", 1 to 12).agg(first(col("r")))
+          .toDF("mukey" +: (1 to 12).map(i => s"m$i"): _*)
+      },
+      Some(withCtes(
+        s"""SELECT mukey,
+           |  ${(1 to 12).map(i => s"min(CASE WHEN m = $i THEN r END) AS m$i").mkString(",\n  ")}
+           |FROM pm GROUP BY mukey""".stripMargin,
+        moCte,
+        """pm AS (SELECT mukey, CAST(month AS INT) AS m,
+          |  floor(sum(comppct*rating)/sum(comppct)*1e4 + 0.5)/1e4 AS r
+          |FROM mo GROUP BY 1, 2)""".stripMargin))),
+
     // A18 — AggregateHz_WTA_SUM (:8308-8482, AWS): slice [0,100).
     Q("a18_hz_wta_sum",
       (s, dir) => SdvAgg.hzWtaSum(hzNumeric(s, dir), 0, 100),

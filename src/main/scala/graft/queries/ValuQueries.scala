@@ -43,6 +43,30 @@ object ValuQueries extends QuerySet {
         s"SELECT mukey,\n  ${cols.mkString(",\n  ")}\nFROM hz GROUP BY mukey", hzCte))
     }),
 
+    // V15 — long-format presentation of the 11 AWS depth slices:
+    // Dataset.unpivot (melt) of the V3 wide table — the inverse of the
+    // a24 pivot, a per-row expression expansion with no extra shuffle
+    // (nulls preserved on both sides; the oracle is the explicit
+    // UNION ALL unpivot).
+    Q("v15_valu_unpivot",
+      (s, dir) => {
+        val awsCols = Valu.valu1Slices.map { case (t, b) => s"aws${t}_$b" }
+        Valu.calcAws(hzNumeric(s, dir))
+          .select(("mukey" +: awsCols).map(col): _*)
+          .unpivot(Array(col("mukey")), awsCols.map(col).toArray,
+            "depth_slice", "aws")
+      }, {
+      val wideCols = Valu.valu1Slices.map { case (t, b) =>
+        val ov = OracleSql.ovExpr(t, b)
+        s"round(sum(CASE WHEN rating IS NOT NULL THEN comppct*$ov*rating END)/10.0, 4) AS aws${t}_$b"
+      }
+      val parts = Valu.valu1Slices.map { case (t, b) =>
+        s"SELECT mukey, 'aws${t}_$b' AS depth_slice, aws${t}_$b AS aws FROM w"
+      }
+      Some(withCtes(parts.mkString("\nUNION ALL\n"), hzCte,
+        s"w AS (SELECT mukey,\n  ${wideCols.mkString(",\n  ")}\nFROM hz GROUP BY mukey)"))
+    }),
+
     // V4 — CheckTexture organic-horizon predicate
     // (gSSURGO_ValuTable.py:741-818), run through the real rule set with
     // analog-mapped taxonomy/texture columns.

@@ -112,8 +112,13 @@ object TextAnalysis {
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tf feeds BOTH the doc-frequency aggregate and the score join —
+    // unmaterialized, the corpus tokenize+aggregate (the dominant cost)
+    // runs twice (plan-verified). Lazy localCheckpoint computes it once
+    // at first action; same tradeoff as the simhash lanes.
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
