@@ -51,7 +51,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the artifact of record goes to a FILE: two rounds of stdout-tail
+    // truncation (Spark log interleaving + exit-time buffer cut) lost the
+    // per-query timings mid-JSON-line; the file write is atomic-enough
+    // (single small write) and survives however stdout is captured
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -14,14 +14,26 @@ object Stats {
     * run over the tiny per-group distribution. Nulls are ignored (a
     * group that is all-null disappears — callers left-join if they
     * need it back). */
-  private def cumCounts(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  private def cumCounts(df: DataFrame, groupCol: String, valueCol: String,
+      maxDistinct: Int): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("c"))
     val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val all = Window.partitionBy(col(groupCol))
+    // Cardinality guard: this shape is only scale-safe when
+    // |distinct values| ≪ |rows| — a continuous double column silently
+    // degrades to a per-group sort of every distinct value. assert_true
+    // fails the job loudly at execution; it rides on `n` (NULL when the
+    // check passes, so adding it is a no-op) because a free-standing
+    // guard column would be pruned out of the plan. The distinct count
+    // reuses the unordered `all` window — no extra shuffle or sort.
+    val guard = assert_true(count(lit(1)).over(all) <= maxDistinct,
+      lit(s"Stats: more than $maxDistinct distinct values in a group — " +
+        "this exact-quantile shape would sort them all; use approx_percentile " +
+        "for continuous domains or raise maxDistinct explicitly"))
     counts
       .withColumn("cum", sum(col("c")).over(byVal))
-      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("n", sum(col("c")).over(all) + coalesce(guard.cast("long"), lit(0L)))
   }
 
   /** Exact per-group median for LOW-CARDINALITY value domains (enum-ish
@@ -33,8 +45,8 @@ object Stats {
     * for any input; the win requires |distinct values| ≪ |rows|, which
     * is what the reconciliation-report measures here look like. */
   def groupedMedian(df: DataFrame, groupCol: String, valueCol: String,
-      out: String = "median"): DataFrame = {
-    val cum = cumCounts(df, groupCol, valueCol)
+      out: String = "median", maxDistinct: Int = 1000000): DataFrame = {
+    val cum = cumCounts(df, groupCol, valueCol, maxDistinct)
     // interpolated median: mean of the values at 1-based positions
     // floor((n+1)/2) and floor(n/2)+1 (equal when n is odd)
     val loPos = (col("n") + 1) / 2
@@ -52,11 +64,11 @@ object Stats {
     * float rounding at any n). pPct ∈ [1, 100]; 100 = max, 50 = lower
     * median. */
   def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-      pcts: Seq[(Int, String)]): DataFrame = {
+      pcts: Seq[(Int, String)], maxDistinct: Int = 1000000): DataFrame = {
     require(pcts.nonEmpty, "at least one percentile")
     pcts.foreach { case (p, _) =>
       require(p >= 1 && p <= 100, s"pPct $p outside [1, 100]") }
-    val cum = cumCounts(df, groupCol, valueCol)
+    val cum = cumCounts(df, groupCol, valueCol, maxDistinct)
     val aggs = pcts.map { case (p, out) =>
       min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(valueCol))).as(out)
     }
@@ -67,4 +79,17 @@ object Stats {
   def groupedQuantile(df: DataFrame, groupCol: String, valueCol: String,
       pPct: Int, out: String = "quantile"): DataFrame =
     groupedQuantiles(df, groupCol, valueCol, Seq(pPct -> out))
+
+  /** The guard's documented escape hatch for genuinely continuous
+    * domains: approximate per-group percentiles via the t-digest-backed
+    * `approx_percentile` — one ordinary aggregation, no per-value rows,
+    * scale-safe at any cardinality. */
+  def groupedApproxQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[(Int, String)], accuracy: Int = 10000): DataFrame = {
+    require(pcts.nonEmpty, "at least one percentile")
+    val aggs = pcts.map { case (p, out) =>
+      percentile_approx(col(valueCol), lit(p / 100.0), lit(accuracy)).as(out)
+    }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -291,6 +291,23 @@ class TrainOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Stats.groupedQuantile(d, "g", "v", 0))
   }
 
+  test("Stats cardinality guard: fails loudly past maxDistinct, approx fallback stays exact-safe") {
+    import graft.core.Stats
+    val s = StructType(Seq(StructField("g", StringType), StructField("v", DoubleType)))
+    val d = df(s, (1 to 10).map(i => Row("a", i.toDouble)))
+    // 10 distinct values > maxDistinct=5 → the execution-time guard trips
+    val e = intercept[Exception](
+      Stats.groupedMedian(d, "g", "v", maxDistinct = 5).collect())
+    assert(e.getMessage.contains("distinct values"))
+    // at/below the limit the guard is inert
+    assert(rowsOf(Stats.groupedMedian(d, "g", "v", maxDistinct = 10)) ===
+      Seq(Seq("a", 5.5)))
+    // the documented continuous-domain fallback
+    val approx = rowsOf(Stats.groupedApproxQuantiles(d, "g", "v",
+      Seq(50 -> "p50", 100 -> "p100")))
+    assert(approx === Seq(Seq("a", 5.0, 10.0)))
+  }
+
   test("tfIdfTopK: rare terms outrank common ones, term-asc tiebreak, integer scores") {
     val d = df(docSchema, Seq(
       Row(1L, "common rare common"),   // tf(common)=2 df=2; tf(rare)=1 df=1
