@@ -33,12 +33,20 @@ object Ann {
   }
 
   /** Assign every corpus vector to its nearest centroid (max cosine;
-    * centroid table is broadcast). centroids: (cid, cvec). */
+    * centroid table is broadcast). centroids: (cid, cvec).
+    *
+    * The ranking key is the round-6-QUANTIZED cosine (cid-asc tiebreak):
+    * semantically the same assignment — centroid margins in any
+    * meaningful clustering dwarf 1e-6 — but it makes the assignment an
+    * engine-portable integer comparison, so a SQL mirror of the IVF
+    * search reproduces bucket membership bit-for-bit and the whole k>1
+    * search is oracle-checkable (an unquantized argmax would gate on
+    * the last ulp of two engines' float summation). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     Ranked.argmax(
       corpus.crossJoin(broadcast(centroids))
         .select(col("vid"), col("vec"), col("cid"),
-          Vectors.cosine(col("vec"), col("cvec")).as("cos")),
+          graft.core.Exprs.roundHalfUp(Vectors.cosine(col("vec"), col("cvec")), 6).as("cos")),
       Seq("vid"),
       Seq(col("cos"), -col("cid")),
       Seq("cid" -> col("cid"), "vec" -> col("vec")))

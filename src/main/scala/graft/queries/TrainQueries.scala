@@ -110,15 +110,42 @@ object TrainQueries extends QuerySet {
               |FROM toks""".stripMargin)),
 
     // T5 — rolling-hash fingerprint via the native Catalyst expression
-    // (graft.functions.RollingHash; codegen'd). No ANSI equivalent →
-    // rows-only check; the expression itself is unit-tested.
+    // (graft.functions.RollingHash; codegen'd). The hash is a plain
+    // polynomial over UTF-8 bytes mod 2^64 — h = Σ byte_i·1000003^(n-i) —
+    // so the oracle mirrors it exactly in SQL: a recursive-CTE powers
+    // table (1000003^k mod 2^64 in HUGEINT), bytes recovered from
+    // hex(encode(text)) digit pairs, and a per-doc power-sum with the
+    // final signed-64 reinterpretation. Closes the last hash-defined
+    // rows-only gap.
     Q("t05_rolling_hash",
       (s, dir) => {
         GraftFunctions.register(s)
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), expr("rolling_hash(text)").as("rh"))
       },
-      None),
+      Some("""WITH RECURSIVE
+             |mx AS (SELECT max(octet_length(encode(text))) AS m FROM documents),
+             |pw(k, p) AS (
+             |  SELECT 0, CAST(1 AS HUGEINT)
+             |  UNION ALL
+             |  SELECT k+1, (p * 1000003) % 18446744073709551616
+             |  FROM pw, mx WHERE k < mx.m - 1),
+             |b AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |             octet_length(encode(text)) AS n
+             |      FROM documents),
+             |pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i FROM b),
+             |byt AS (SELECT p0.doc_id, p0.n, p0.i,
+             |          CAST(strpos('0123456789ABCDEF', substr(b.hx, 2*p0.i-1, 1)) - 1 AS HUGEINT) * 16
+             |          + CAST(strpos('0123456789ABCDEF', substr(b.hx, 2*p0.i, 1)) - 1 AS HUGEINT) AS bv
+             |        FROM pos p0 JOIN b ON p0.doc_id = b.doc_id),
+             |hsum AS (SELECT doc_id,
+             |           sum((bv * pw.p) % 18446744073709551616) % 18446744073709551616 AS hu
+             |         FROM byt JOIN pw ON pw.k = byt.n - byt.i
+             |         GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+             |            ELSE coalesce(hu, 0) END AS BIGINT) AS rh
+             |FROM documents d LEFT JOIN hsum ON d.doc_id = hsum.doc_id""".stripMargin)),
 
     // T7 — deterministic train/val/test split via a Knuth
     // multiplicative hash (plain BIGINT arithmetic, so membership is
@@ -483,7 +510,15 @@ object TrainQueries extends QuerySet {
               |WHERE rn <= 5""".stripMargin)),
 
     // N2 — IVF-bucketed ANN (seeded centroids, broadcast assign,
-    // within-bucket probe — the cross-join-free scale path). Rows-only.
+    // within-bucket probe — the cross-join-free scale path), k=3.
+    // Fully oracle-gated: a brute-force oracle cannot gate k>1 (a
+    // query's global #2/#3 neighbors may live outside its bucket — the
+    // approximation is the point), so the oracle mirrors the ALGORITHM
+    // instead: DuckDB recomputes the centroid assignment on the same
+    // round-6-quantized cosine (see Ann.ivfAssign) and the same
+    // within-bucket ranking, making the whole IVF search — bucket
+    // membership included — a deterministic, engine-portable contract.
+    // n04 separately proves the top-1 recall property vs brute force.
     Q("n02_ann_ivf",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -493,7 +528,24 @@ object TrainQueries extends QuerySet {
           e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec")),
           k = 3)
       },
-      None),
+      Some(s"""WITH $embCte,
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |caj AS (SELECT e.vec_id AS vid, e.v, cid,
+              |          floor((list_dot_product(e.v, cv)
+              |            /(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(cv, cv))))*1e6 + 0.5)/1e6 AS cos6
+              |        FROM e, c),
+              |ca AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn = 1),
+              |qa AS (SELECT vid AS qid, v AS qv, cid FROM ca WHERE vid < 10),
+              |sc AS (SELECT qa.qid, ca.vid AS neighbor_id,
+              |         floor((list_dot_product(qv, ca.v)
+              |           /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(ca.v, ca.v))))*1e6 + 0.5)/1e6 AS cosine
+              |       FROM qa JOIN ca ON qa.cid = ca.cid AND ca.vid <> qa.qid)
+              |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
+              |WHERE rn <= 3""".stripMargin)),
 
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient
