@@ -179,6 +179,66 @@ object Dedup {
           common / (size(col("sha")) + size(col("shb")) - common), 4).as("jaccard"))
   }
 
+  /** Paragraph rows (did, para_idx, ptext): documents split on
+    * blank-line boundaries, empty paragraphs dropped — the passage
+    * granularity that document-level dedup misses (boilerplate
+    * paragraphs shared across otherwise-unrelated docs). */
+  def paragraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("did"),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("para_idx", "ptext")))
+      .filter(trim(col("ptext")) =!= "")
+
+  /** Paragraph-level MinHash+LSH near-dup pairs — the whole doc-level
+    * banding/verification machinery reused at passage granularity.
+    * Paragraph identity is packed did·1000+idx (loud guard at 1000
+    * paragraphs/doc) so minhash/verify run unchanged on one long key;
+    * the output unpacks to (doc_a, para_a, doc_b, para_b, jaccard).
+    *
+    * Defaults differ from the doc-level ones deliberately: paragraphs
+    * are short, so true pairs sit closer to the threshold and per-pair
+    * minhash variance is higher — r=2 rows × 32 bands keeps the miss
+    * probability below 1e-6 for a pair AT a 0.6 threshold ((1−0.6²)³²),
+    * where the doc-level r=4 × 8 would miss it 60% of the time. The
+    * false-candidate cost of r=2 stays bounded because 3-gram shingles
+    * are high-diversity (the quadratic-bucket failure was a property of
+    * 2-gram SHINGLES, not of short bands). */
+  def paragraphMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 32, shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val packed = paragraphs(docs, idCol, textCol).select(
+      (col("did") * 1000 + col("para_idx") +
+        coalesce(assert_true(col("para_idx") < 1000,
+          lit("paragraphMinhashPairs: >1000 paragraphs in one doc — widen the packing"))
+          .cast("long"), lit(0L))).as("pid"),
+      col("ptext"))
+    minhashLshPairs(packed, "pid", "ptext", k, bands, shingleN, threshold)
+      .select(expr("id_a div 1000").as("doc_a"), (col("id_a") % 1000).as("para_a"),
+        expr("id_b div 1000").as("doc_b"), (col("id_b") % 1000).as("para_b"),
+        col("jaccard"))
+  }
+
+  /** Per-document contamination summary over [[paragraphMinhashPairs]]:
+    * how many of a doc's paragraphs appear in ANY near-dup pair, and
+    * the contaminated fraction — the signal a curation pipeline
+    * thresholds on to drop boilerplate-heavy docs. */
+  def paragraphDupStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 32, shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = paragraphMinhashPairs(docs, idCol, textCol, k, bands, shingleN, threshold)
+    val contam = pairs.select(col("doc_a").as("did"), col("para_a").as("para_idx"))
+      .unionByName(pairs.select(col("doc_b").as("did"), col("para_b").as("para_idx")))
+      .distinct()
+      .groupBy(col("did")).agg(count(lit(1)).as("n_dup_paras"))
+    paragraphs(docs, idCol, textCol)
+      .groupBy(col("did")).agg(count(lit(1)).as("n_paras"))
+      .join(contam, Seq("did"), "left")
+      .select(col("did"), col("n_paras"),
+        coalesce(col("n_dup_paras"), lit(0L)).as("n_dup_paras"),
+        graft.core.Exprs.roundHalfUp(
+          coalesce(col("n_dup_paras"), lit(0L)).cast("double") / col("n_paras"), 4)
+          .as("dup_para_frac"))
+  }
+
   /** 64-bit SimHash over the token multiset: majority vote per bit of
     * the token hashes. Pure expression tree (64 bit-lanes). */
   def simhash(toks: Column): Column = {

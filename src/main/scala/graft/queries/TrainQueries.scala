@@ -61,7 +61,87 @@ object TrainQueries extends QuerySet {
       |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
       |WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""".stripMargin
 
+  /** Paragraph-bearing view of the documents table: the synthetic corpus
+    * is single-paragraph, so each doc is recomposed as its two token
+    * halves joined by a blank line — near-dup DOCS then naturally carry
+    * near-dup PARAGRAPHS, exercising passage-granularity dedup without
+    * planting. Shared by d10/d11; [[paraDocsCtes]] is the SQL twin. */
+  private def paraDocsDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = TextAnalysis.tokens(col("text"))
+    val n2 = floor(size(t) / 2).cast("int")
+    Tables.load(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n\n",
+        concat_ws(" ", slice(t, lit(1), n2)),
+        concat_ws(" ", slice(t, n2 + 1, size(t) - n2))).as("text"))
+  }
+
+  /** CTE chain doc→paragraphs→3-gram shingles (pid = doc_id·1000+idx),
+    * the exact twin of Dedup.paragraphs + shingleRows over
+    * [[paraDocsDf]]. Ends with sh(pid, s) + cnt(pid, n). */
+  private val paraShingleCtes =
+    """ptoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |          FROM documents),
+      |hp AS (SELECT doc_id, len(t)//2 AS n2, t FROM ptoks),
+      |pd AS (SELECT doc_id,
+      |         array_to_string(t[1:n2], ' ') || chr(10) || chr(10) ||
+      |           array_to_string(t[n2+1:len(t)], ' ') AS text
+      |       FROM hp),
+      |pp0 AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts FROM pd),
+      |pp1 AS (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM pp0),
+      |paras AS (SELECT doc_id*1000 + (i-1) AS pid,
+      |                 string_split_regex(lower(trim(parts[i])), '\s+') AS pt
+      |          FROM pp1 WHERE trim(parts[i]) <> ''),
+      |psh0 AS (SELECT pid, pt, unnest(generate_series(1, len(pt)-2)) AS i
+      |         FROM paras WHERE len(pt) >= 3),
+      |pshl AS (SELECT DISTINCT pid, pt[i] || ' ' || pt[i+1] || ' ' || pt[i+2] AS s FROM psh0),
+      |pshs AS (SELECT pid, array_to_string(pt, ' ') AS s FROM paras WHERE len(pt) < 3),
+      |sh AS (SELECT * FROM pshl UNION ALL SELECT * FROM pshs),
+      |cnt AS (SELECT pid, count(*) AS n FROM sh GROUP BY pid)""".stripMargin
+
+  /** Exact all-pairs paragraph Jaccard at 0.6 (the d10 oracle body). */
+  private val paraPairsSql =
+    s"""WITH $paraShingleCtes,
+       |cm AS (SELECT a.pid AS id_a, b.pid AS id_b, count(*) AS c
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.pid < b.pid GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b,
+       |            CAST(c AS DOUBLE)/(na.n + nb.n - c) AS j
+       |          FROM cm JOIN cnt na ON id_a = na.pid JOIN cnt nb ON id_b = nb.pid
+       |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.6)""".stripMargin
+
   val all: Seq[Q] = Seq(
+
+    // D10 — paragraph-level near-dup pairs: the doc-level MinHash
+    // machinery at passage granularity (r=2 × 32 bands — see
+    // Dedup.paragraphMinhashPairs for why short paragraphs need short
+    // band rows). Oracle = exact all-pairs paragraph Jaccard; the
+    // corpus pair distribution is bimodal around the 0.6 threshold
+    // (nothing in [0.3, 0.6) at the gated SFs), so complete banding
+    // recall makes LSH literally equal the exact twin, as in d02.
+    Q("d10_paragraph_dedup",
+      (s, dir) => Dedup.paragraphMinhashPairs(paraDocsDf(s, dir), "doc_id", "text"),
+      Some(s"""$paraPairsSql
+             |SELECT id_a//1000 AS doc_a, id_a%1000 AS para_a,
+             |       id_b//1000 AS doc_b, id_b%1000 AS para_b,
+             |       floor(j*1e4 + 0.5)/1e4 AS jaccard
+             |FROM pairs""".stripMargin)),
+
+    // D11 — per-doc contaminated-paragraph fraction over the d10 pairs:
+    // the drop-boilerplate-heavy-docs signal of a curation pipeline.
+    Q("d11_paragraph_dup_stats",
+      (s, dir) => Dedup.paragraphDupStats(paraDocsDf(s, dir), "doc_id", "text")
+        .select(col("did").as("doc_id"), col("n_paras"), col("n_dup_paras"),
+          col("dup_para_frac")),
+      Some(s"""$paraPairsSql,
+             |contam AS (SELECT DISTINCT did, pi FROM (
+             |             SELECT id_a//1000 AS did, id_a%1000 AS pi FROM pairs
+             |             UNION ALL
+             |             SELECT id_b//1000, id_b%1000 FROM pairs) u),
+             |cagg AS (SELECT did, count(*) AS n_dup_paras FROM contam GROUP BY did),
+             |np AS (SELECT pid//1000 AS did, count(*) AS n_paras FROM paras GROUP BY 1)
+             |SELECT np.did AS doc_id, n_paras,
+             |       coalesce(n_dup_paras, 0) AS n_dup_paras,
+             |       floor((coalesce(n_dup_paras, 0)/CAST(n_paras AS DOUBLE))*1e4 + 0.5)/1e4 AS dup_para_frac
+             |FROM np LEFT JOIN cagg USING (did)""".stripMargin)),
 
     // T1 — language ID (stopword-hit argmax with fixed tie priority).
     Q("t01_lang_id",
@@ -273,6 +353,38 @@ object TrainQueries extends QuerySet {
              |   + sum(CASE WHEN length(regexp_replace(t, '[^0-9]', '', 'g')) >= 7
              |         THEN 1 ELSE 0 END)) > 0 AS has_pii
              |FROM tok GROUP BY doc_id""".stripMargin)),
+
+    // T15 — PII redaction: the scrub loop t14 only triages. Planted
+    // positives (same as t14 plus boundary cases: dot-before-@,
+    // uppercase HTTPS, interleaved digits, adjacent PII tokens) must
+    // come out redacted; ambient corpus text must round-trip
+    // bit-identically — both pinned by the oracle, which replays the
+    // identical rule chain in RE2.
+    Q("t15_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        val planted = Seq(
+          (1000001L, "contact bob@example.com for info"),
+          (1000002L, "see https://example.org/docs now"),
+          (1000003L, "call 555-123-4567 today"),
+          (1000004L, "clean text nothing here"),
+          (1000005L, "john.doe@corp mailed HTTPS://X.Y and a1b2c3d4e5f6g7"),
+          (1000006L, "a@b.c d@e.f adjacent 12-34-56 stays")).toDF("doc_id", "text")
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(planted)
+          .select(col("doc_id"), TextAnalysis.redact(col("text")).as("redacted"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text FROM documents
+             |           UNION ALL
+             |           SELECT * FROM (VALUES
+             |             (1000001, 'contact bob@example.com for info'),
+             |             (1000002, 'see https://example.org/docs now'),
+             |             (1000003, 'call 555-123-4567 today'),
+             |             (1000004, 'clean text nothing here'),
+             |             (1000005, 'john.doe@corp mailed HTTPS://X.Y and a1b2c3d4e5f6g7'),
+             |             (1000006, 'a@b.c d@e.f adjacent 12-34-56 stays')) p(doc_id, text))
+             |SELECT doc_id, ${TextAnalysis.redactSql("text")} AS redacted
+             |FROM d""".stripMargin)),
 
     // T13 — per-doc top-3 TF-IDF terms (integer-scaled linear idf, so
     // both engines compute the identical score; log idf would diverge

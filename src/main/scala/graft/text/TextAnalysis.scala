@@ -100,6 +100,35 @@ object TextAnalysis {
           .otherwise(0L)).as("n_phone"))
       .withColumn("has_pii", col("n_email") + col("n_url") + col("n_phone") > 0)
 
+  /** Redaction rules driving [[redact]] — one (token pattern,
+    * replacement marker) per [[piiSignals]] heuristic, in application
+    * order (email → url → phone; a token matching several classes gets
+    * the first). Tokens are `\S+` runs anchored at `(^|\s)` — no
+    * lookbehind, so the patterns run identically under Java regex
+    * (Spark) and RE2 (DuckDB, which has no lookarounds); boundary
+    * parity incl. adjacent PII tokens is pinned by the t15 oracle.
+    * The SQL twin [[redactSql]] splices this same list — keep them in
+    * lockstep by construction. */
+  val redactRules: Seq[(String, String)] = Seq(
+    "(^|\\s)(\\S*@\\S*\\.\\S*|\\S*\\.\\S*@\\S*)" -> "<EMAIL>",
+    "(^|\\s)([hH][tT][tT][pP]\\S*)" -> "<URL>",
+    "(^|\\s)((?:[^\\s0-9]*[0-9]){7}\\S*)" -> "<PHONE>")
+
+  /** PII redaction transform — the scrub stage paired with the
+    * [[piiSignals]] triage: every token the triage would count is
+    * replaced wholesale by its class marker, whitespace and ambient
+    * text preserved bit-identically. Pure regexp_replace chain — stays
+    * in whole-stage codegen, no shuffle. */
+  def redact(text: Column): Column =
+    redactRules.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, "$1" + r) }
+
+  /** DuckDB twin of [[redact]] over `colName` (RE2 spelling: \1
+    * backreference, explicit 'g' flag). */
+  def redactSql(colName: String): String =
+    redactRules.foldLeft(colName) { case (e, (p, r)) =>
+      s"regexp_replace($e, '$p', '\\1$r', 'g')" }
+
   /** Per-document top-k TF-IDF terms — the keyword-extraction /
     * salient-term primitive of a corpus pipeline. IDF is the
     * integer-scaled linear variant idf_q = (N·10⁴) div df (BIGINT

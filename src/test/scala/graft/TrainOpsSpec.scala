@@ -34,6 +34,32 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got(1) === 97L * 1000003L + 98L)
   }
 
+  test("paragraph dedup: blank-line split, cross-doc paragraph pairs, per-doc fractions") {
+    val d = df(docSchema, Seq(
+      Row(1L, "shared boilerplate paragraph here\n\nunique alpha content one two three"),
+      Row(2L, "shared boilerplate paragraph here\n\ntotally different words four five six"),
+      Row(3L, "nothing in common\n\n")))  // trailing empty paragraph dropped
+    assert(Dedup.paragraphs(d, "doc_id", "text").count() === 5)
+    val got = rowsOf(Dedup.paragraphMinhashPairs(d, "doc_id", "text"))
+    assert(got === Seq(Seq(1L, 0L, 2L, 0L, 1.0))) // only the shared para 0 pairs
+    val stats = rowsOf(Dedup.paragraphDupStats(d, "doc_id", "text"))
+    assert(stats === Seq(
+      Seq(1L, 2L, 1L, 0.5), Seq(2L, 2L, 1L, 0.5), Seq(3L, 1L, 0L, 0.0)))
+  }
+
+  test("redact: PII tokens replaced wholesale, whitespace/ambient preserved, 6 digits spared") {
+    val d = df(docSchema, Seq(
+      Row(1L, "contact bob@example.com  for\tinfo"),
+      Row(2L, "a@b.c d@e.f HTTPS://x 555-123-4567"),
+      Row(3L, "plain text 12-34-56 survives")))
+    val got = d.orderBy("doc_id")
+      .select(TextAnalysis.redact(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "contact <EMAIL>  for\tinfo",       // double space + tab intact
+      "<EMAIL> <EMAIL> <URL> <PHONE>",    // adjacent tokens all hit
+      "plain text 12-34-56 survives"))    // 6 digits below the phone bar
+  }
+
   test("langId picks the dominant stopword language") {
     val d = df(docSchema, Seq(
       Row(1L, "the cat is on the mat and it is warm"),
