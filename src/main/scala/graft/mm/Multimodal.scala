@@ -1,6 +1,6 @@
 package graft.mm
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (training-data mandate): image/audio/video
@@ -9,26 +9,73 @@ import org.apache.spark.sql.functions._
   * Scala analog of mapInPandas — one JVM-side batch iterator per
   * partition, no per-row driver involvement).
   *
-  * The actual media decode is a STUB — the image/audio codecs are not in
-  * this container. `decodeStub` is a deterministic fake standing in for
-  * the codec call; the Spark-side plumbing (binary column, schema,
-  * partition batching, feature struct) is real and tested. */
+  * The decode is a REAL header parser: BMP and PNG dimensions/format are
+  * read from the leading bytes at their file-format-spec offsets (pure
+  * integer reads, no codec dependency — BITMAPINFOHEADER width/height at
+  * 18/22 little-endian with the pixel-data offset at 10; PNG IHDR
+  * width/height at 16/20 big-endian after the 8-byte signature). Full
+  * pixel decode would need a codec library this container lacks; header
+  * metadata + payload hashing is the part a curation pipeline runs at
+  * scan time anyway (dimension filters, exact-dup hashing). */
 object Multimodal {
 
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long,
-      height: Long, content_hash: String)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, format: String,
+      width: Long, height: Long, content_hash: String)
 
-  /** STUB decode: real implementation would call an image codec here
-    * (e.g. decode → (width, height, perceptual hash)). Deterministic
-    * fake: dims derived from the byte length, hash = md5. */
-  def decodeStub(bytes: Array[Byte]): (Long, Long, String) = {
-    val n = bytes.length.toLong
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(bytes).map("%02x".format(_)).mkString
-    (n % 640, n % 480, hex)
+  /** Parse a media container's header: (format, width, height,
+    * payloadOffset). BMP reads its pixel-data offset from the header
+    * (bytes 10-13); PNG payload is taken from byte 24 (the first byte
+    * past the IHDR width/height fields — container convention, see
+    * [[packContainer]]); anything without a known magic is `raw` with
+    * zero dimensions and a full-bytes payload. */
+  def decodeHeader(bytes: Array[Byte]): (String, Long, Long, Int) = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def le(i: Int): Long = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3).toLong << 24)
+    def be(i: Int): Long = (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+      ("bmp", le(18), le(22), le(10).toInt)
+    else if (bytes.length >= 24 && u(0) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G' && u(4) == 0x0d && u(5) == 0x0a &&
+        u(6) == 0x1a && u(7) == 0x0a)
+      ("png", be(16), be(20), 24)
+    else ("raw", 0L, 0L, 0)
   }
 
-  /** Partition-batched feature extraction over a binary column. */
+  private def le4(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def be4(c: Column): Column = lpad(hex(c), 8, "0")
+
+  /** Test-fixture container builder: wraps a payload behind a BMP or
+    * PNG header PREFIX carrying the given dimensions at their real spec
+    * offsets (BMP: 26-byte file+DIB prefix, pixel offset field = 26;
+    * PNG: signature + IHDR length/type/width/height = 24 bytes). The
+    * DIB/IHDR tails are truncated — enough for any header-offset
+    * decoder, not a renderable image. Codegen-clean expression (hex
+    * arithmetic + unhex), no UDF. */
+  def packContainer(png: Column, width: Column, height: Column,
+      payload: Column): Column = {
+    val pay = payload.cast("binary")
+    val bmp = concat(
+      lit("BM").cast("binary"),
+      unhex(le4(length(pay) + 26)), // file size
+      unhex(lit("00000000")),       // reserved
+      unhex(le4(lit(26))),          // pixel-data offset
+      unhex(le4(lit(40))),          // BITMAPINFOHEADER size tag
+      unhex(le4(width)), unhex(le4(height)),
+      pay)
+    val pngB = concat(
+      unhex(lit("89504E470D0A1A0A")),         // signature
+      unhex(lit("0000000D")),                 // IHDR data length (13)
+      lit("IHDR").cast("binary"),
+      unhex(be4(width)), unhex(be4(height)),
+      pay)
+    when(png, pngB).otherwise(bmp)
+  }
+
+  /** Partition-batched feature extraction over a binary column: header
+    * decode (format, dimensions) + payload content hash. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -36,8 +83,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h, hash) = decodeStub(bytes)
-          MediaFeatures(id, bytes.length.toLong, w, h, hash)
+          val (fmt, w, h, off) = decodeHeader(bytes)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(java.util.Arrays.copyOfRange(bytes, off, bytes.length))
+            .map("%02x".format(_)).mkString
+          MediaFeatures(id, bytes.length.toLong, fmt, w, h, hex)
         }
       }
   }

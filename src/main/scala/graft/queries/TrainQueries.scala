@@ -709,18 +709,33 @@ object TrainQueries extends QuerySet {
               |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
               |WHERE rn <= 1""".stripMargin)),
 
-    // MM1 — multimodal binary-column plumbing: partition-batched typed
-    // feature extraction with a clearly-marked deterministic stub
-    // decode (real codecs absent in this container).
+    // MM1 — multimodal binary-column plumbing with a REAL header
+    // decode: each doc's text payload is wrapped in a BMP (even ids) or
+    // PNG (odd ids) header prefix carrying id-derived dimensions at the
+    // true spec offsets; every 97th doc ships headerless as the
+    // unknown-format negative path. The extractor parses format +
+    // width/height from the BYTES (LE/BE integer reads, BMP payload
+    // offset read from its header field) and hashes the payload; the
+    // oracle recomputes all of it from the generator formula, so a
+    // wrong offset, endianness, or magic check fails the gate.
     Q("mm01_media_features",
-      (s, dir) => Multimodal.extractFeatures(
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("bytes")),
-        "doc_id", "bytes").toDF(),
+      (s, dir) => {
+        val w = (lit(16) + col("doc_id") % 624).cast("int")
+        val h = (lit(16) + col("doc_id") % 464).cast("int")
+        val bytes = when(col("doc_id") % 97 === 0, col("text").cast("binary"))
+          .otherwise(Multimodal.packContainer(col("doc_id") % 2 === 1, w, h, col("text")))
+        Multimodal.extractFeatures(
+          Tables.load(s, dir, "documents").select(col("doc_id"), bytes.as("bytes")),
+          "doc_id", "bytes").toDF()
+      },
       Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-             |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+             |  CAST(octet_length(encode(text)) +
+             |    CASE WHEN doc_id % 97 = 0 THEN 0
+             |         WHEN doc_id % 2 = 1 THEN 24 ELSE 26 END AS BIGINT) AS n_bytes,
+             |  CASE WHEN doc_id % 97 = 0 THEN 'raw'
+             |       WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS format,
+             |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 16 + doc_id % 624 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 16 + doc_id % 464 END AS BIGINT) AS height,
              |  md5(text) AS content_hash
              |FROM documents""".stripMargin)))
 }

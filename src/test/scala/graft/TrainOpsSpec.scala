@@ -34,6 +34,29 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got(1) === 97L * 1000003L + 98L)
   }
 
+  test("decodeHeader: spec-offset BMP/PNG fields, hand-written bytes (not packContainer)") {
+    import graft.mm.Multimodal
+    // standard 54-byte-header BMP, 2x3: pixel offset 54 @10 LE, w @18, h @22
+    val bmp = new Array[Byte](60)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(10) = 54; bmp(18) = 2; bmp(22) = 3
+    assert(Multimodal.decodeHeader(bmp) === ("bmp", 2L, 3L, 54))
+    // real PNG signature + IHDR prefix, 1x257 (BE: height crosses a byte)
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 1, 0, 0, 1, 1).map(_.toByte)
+    assert(Multimodal.decodeHeader(png) === ("png", 1L, 257L, 24))
+    // no magic → raw, full-bytes payload
+    assert(Multimodal.decodeHeader("hello".getBytes) === ("raw", 0L, 0L, 0))
+    // packContainer round-trips through the same decoder
+    val d = df(docSchema, Seq(Row(5L, "payload")))
+    val packed = d.select(col("doc_id"),
+      Multimodal.packContainer(col("doc_id") % 2 === 1,
+        lit(640), lit(480), col("text")).as("b"))
+    val got = Multimodal.extractFeatures(packed, "doc_id", "b").collect().head
+    assert((got.format, got.width, got.height) === (("png", 640L, 480L)))
+    assert(got.n_bytes === 24L + "payload".length)
+  }
+
   test("paragraph dedup: blank-line split, cross-doc paragraph pairs, per-doc fractions") {
     val d = df(docSchema, Seq(
       Row(1L, "shared boilerplate paragraph here\n\nunique alpha content one two three"),
