@@ -103,6 +103,75 @@ object PlannerQueries extends QuerySet {
           |                  CAST(l_quantity AS DOUBLE) AS nonirryield_r
           |           FROM lineitem WHERE l_linenumber <= 2) c ON m.mukey = c.mukey""".stripMargin)),
 
+    // F10 — RV low/high estimate swap driven end-to-end
+    // (gSSURGO_CreateSoilMap.py:3776-3785): the request asks for the Low
+    // estimate, so the planner rates yield_l where the catalog row says
+    // yield_r. The oracle computes the WTA over yield_l directly — a
+    // missed (or wrong-direction) swap fails the hash gate.
+    Q("p04_planner_rv_low",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val component = l.select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("cokey"),
+          col("l_orderkey").cast("string").as("mukey"),
+          col("l_quantity").cast("int").as("comppct_r"),
+          lit("Alpha").as("compname"),
+          Exprs.cents(col("l_extendedprice")).as("yield_r"),
+          (Exprs.cents(col("l_extendedprice")) - col("l_linenumber") * 100).as("yield_l"),
+          (Exprs.cents(col("l_extendedprice")) + col("l_linenumber") * 100).as("yield_h"))
+        Graft.soilMap(ssurgoTables(s, dir) + ("component" -> component))(
+          SdvAttribute("Yield", "component", "yield_r", "rating",
+            "Float", "Weighted Average", complevelattribflag = 1),
+          SdvRequest(cutOff = 5, rv = Some("l")))
+      },
+      Some(withCtes(
+        """SELECT mukey, floor((sum(comppct*rating)/sum(comppct))*1e4 + 0.5)/1e4 AS rating,
+          |       sum(comppct) AS comppct
+          |FROM srv GROUP BY mukey""".stripMargin,
+        """srv AS (
+          |  SELECT CAST(l_orderkey AS VARCHAR) AS mukey,
+          |         CAST(l_quantity AS DOUBLE) AS comppct,
+          |         round(l_extendedprice*100) - l_linenumber*100 AS rating
+          |  FROM lineitem WHERE l_quantity >= 5)""".stripMargin))),
+
+    // R8 — floodBandaid driven end-to-end (gSSURGO_CreateSoilMap.py:
+    // 166-203): the catalog row arrives with a NULL tiebreakdomainname;
+    // SdvCatalog.normalize (applied by Graft.soilMap) restores
+    // 'flooding_frequency_class', which supplies the non-alphabetical
+    // rating order the DCD tiebreaks depend on (None < Rare < Frequent,
+    // vs alphabetical Frequent < None < Rare). Without the bandaid the
+    // planner would rank every class 0 and tie-break arbitrarily.
+    Q("p05_planner_flood_bandaid",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val component = l.select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("cokey"),
+          col("l_orderkey").cast("string").as("mukey"),
+          col("l_quantity").cast("int").as("comppct_r"),
+          lit("Alpha").as("compname"),
+          when(col("l_returnflag") === "R", "Frequent")
+            .when(col("l_returnflag") === "A", "None")
+            .otherwise("Rare").as("flodfreqdcd"))
+        Graft.soilMap(ssurgoTables(s, dir) + ("component" -> component),
+          domains = Map("flooding_frequency_class" ->
+            Seq("None", "Very rare", "Rare", "Occasional", "Frequent", "Very frequent")))(
+          SdvAttribute("Flooding Frequency - Maximum", "component", "flodfreqdcd",
+            "rating", "Choice", "Dominant Condition", complevelattribflag = 1,
+            tiebreakdomainname = None))
+      },
+      Some(withCtes(
+        graft.analog.OracleSql.dcd("scfl"),
+        """scfl AS (
+          |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
+          |         CAST(l_orderkey AS VARCHAR) AS mukey,
+          |         CAST(l_quantity AS DOUBLE) AS comppct,
+          |         CASE l_returnflag WHEN 'R' THEN 'Frequent' WHEN 'A' THEN 'None'
+          |                           ELSE 'Rare' END AS rating,
+          |         CASE l_returnflag WHEN 'R' THEN 5.0 WHEN 'A' THEN 1.0
+          |                           ELSE 3.0 END AS ord
+          |  FROM lineitem)""".stripMargin,
+        graft.analog.OracleSql.dcdBr("scfl")))),
+
     // R2 raster-path acreage: cell counts × cell acres per rating class
     // (gSSURGO_AcreageReport.py:186-243, raster branch).
     Q("r03_raster_acreage",
