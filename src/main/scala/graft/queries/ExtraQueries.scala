@@ -6,6 +6,7 @@ import graft.Tables
 import graft.analog.Analog._
 import graft.core.Exprs
 import graft.sdv.SdvAgg
+import graft.streaming.Ingest
 import graft.valu.{Valu, ValuTable}
 
 /** Remaining inventory coverage: deep join variants (J7/J9), texture
@@ -170,26 +171,71 @@ object ExtraQueries extends QuerySet {
     // (gSSURGO_ValuTable.py:2992-3271) — sumpct + 11-slice AWS + RZAWS +
     // SOC + NCCPI + PWSL left-joined wide on the mapunit universe.
     Q("v14_valu_wide",
+      (s, dir) => buildValu(
+        Tables.load(s, dir, "customer").select(col("c_custkey").as("mukey")),
+        valuHz(s, dir)),
+      Some(valuWideOracle)),
+
+    // V14-incremental (SURVEY §1.5): per-SSA Valu1 refresh. Change
+    // signals land in two waves (three surveys, then the fourth plus a
+    // re-landed one); each micro-batch re-derives only the touched
+    // areas' Valu1 rows and partition-overwrites them into the lake.
+    // The final lake must equal the batch build — same oracle as v14.
+    Q("st04_valu_incremental",
       (s, dir) => {
-        val h = hz(s, dir).select(col("mukey"), col("cokey"), col("comppct"),
-          col("hzdept"), col("hzdepb"), col("rating"), col("crating"),
-          col("rating").as("om"), (col("cokey") % 5 + 10).cast("double").as("db3i"),
-          col("comppct").as("fragvol"))
-        val cmp = h.groupBy(col("mukey"), col("cokey"), col("comppct"))
-          .agg(max(col("crating")).as("crating"))
-        // J12 restricts the NCCPI query table to major components
-        val interp = h.filter(col("crating") =!= "N")
-          .select(col("mukey"), col("cokey"), col("comppct"),
-            when(col("hzdept") === 0, "corn").when(col("hzdept") === 30, "soy")
-              .otherwise("cotton").as("rule"),
-            (col("rating") * 1000).as("fuzzy"))
+        import org.apache.spark.sql.DataFrame
+        val tmp = "/tmp/graft_st04_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        // fresh run — a stale checkpoint would replay nothing and a
+        // stale lake could mask a code change
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val base = Tables.load(s, dir, "customer").select(col("c_custkey").as("mukey"))
-        ValuTable.build(base, h, cmp,
-          major = col("crating") =!= "N", earthy = col("comppct") >= 10,
-          organic = col("crating") === "A", restricted = col("rating") >= 8,
-          water = col("crating") === "N", hydric = col("comppct") >= 40,
-          interp = interp, nccpiRules = nccpiRules, socSlices = socSlices)
-      }, {
+        def areaOf = concat(lit("SSA"), (col("mukey") % 4).cast("string"))
+        val signal = base.select(col("mukey"), areaOf.as("areasymbol"))
+        val buildFor: Seq[String] => DataFrame = areas =>
+          buildValu(base.filter(areaOf.isin(areas: _*)),
+            valuHz(s, dir).filter(areaOf.isin(areas: _*)))
+            .withColumn("areasymbol", areaOf)
+        signal.filter(col("areasymbol").isin("SSA0", "SSA1", "SSA2"))
+          .write.mode("append").parquet(s"$tmp/drop")
+        Ingest.refreshValu(s, s"$tmp/drop", signal.schema, s"$tmp/lake", buildFor)
+        signal.filter(col("areasymbol").isin("SSA1", "SSA3"))
+          .write.mode("append").parquet(s"$tmp/drop")
+        Ingest.refreshValu(s, s"$tmp/drop", signal.schema, s"$tmp/lake", buildFor)
+        graft.io.Lake.read(s, s"$tmp/lake", "valu1").drop("areasymbol")
+      },
+      Some(valuWideOracle)))
+
+  /** V14 analog horizon rows: om rides the rating, db3i/fragvol are
+    * key-derived (integral doubles — exact sums, see Analog scaladoc). */
+  private def valuHz(s: org.apache.spark.sql.SparkSession, dir: String) =
+    hz(s, dir).select(col("mukey"), col("cokey"), col("comppct"),
+      col("hzdept"), col("hzdepb"), col("rating"), col("crating"),
+      col("rating").as("om"), (col("cokey") % 5 + 10).cast("double").as("db3i"),
+      col("comppct").as("fragvol"))
+
+  /** The shared V14 assembly over any (mapunit universe, horizon) pair —
+    * st04 feeds it per-survey-area slices, v14 the whole data. */
+  private def buildValu(base: org.apache.spark.sql.DataFrame,
+      h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cmp = h.groupBy(col("mukey"), col("cokey"), col("comppct"))
+      .agg(max(col("crating")).as("crating"))
+    // J12 restricts the NCCPI query table to major components
+    val interp = h.filter(col("crating") =!= "N")
+      .select(col("mukey"), col("cokey"), col("comppct"),
+        when(col("hzdept") === 0, "corn").when(col("hzdept") === 30, "soy")
+          .otherwise("cotton").as("rule"),
+        (col("rating") * 1000).as("fuzzy"))
+    ValuTable.build(base, h, cmp,
+      major = col("crating") =!= "N", earthy = col("comppct") >= 10,
+      organic = col("crating") === "A", restricted = col("rating") >= 8,
+      water = col("crating") === "N", hydric = col("comppct") >= 40,
+      interp = interp, nccpiRules = nccpiRules, socSlices = socSlices)
+  }
+
+  /** DuckDB mirror of the full Valu1 wide assembly (shared by v14 and
+    * st04 — the incremental lake must equal the batch build exactly). */
+  private lazy val valuWideOracle: String = {
       val awsCols = Valu.valu1Slices.flatMap { case (t, b) =>
         val ov = graft.analog.OracleSql.ovExpr(t, b)
         Seq(
@@ -208,7 +254,7 @@ object ExtraQueries extends QuerySet {
         Seq("rootznaws", "rootznemc", "droughty") ++
         socSlices.flatMap { case (t, b) => Seq(s"soc${t}_$b", s"tk${t}_${b}s") } ++
         nccpiRules.map(_._2) :+ "pwsl1pomu"
-      Some(withCtes(
+      withCtes(
         s"""SELECT b.mukey, ${selCols.mkString(", ")}
            |FROM (SELECT c_custkey AS mukey FROM customer) b
            |LEFT JOIN sp ON b.mukey = sp.mukey
@@ -283,6 +329,6 @@ object ExtraQueries extends QuerySet {
           |       THEN 999.0
           |       ELSE coalesce(sum(CASE WHEN crating = 'N' OR comppct >= 40 THEN comppct END), 0.0)
           |  END AS pwsl1pomu
-          |FROM cmp GROUP BY mukey)""".stripMargin))
-    }))
+          |FROM cmp GROUP BY mukey)""".stripMargin)
+  }
 }

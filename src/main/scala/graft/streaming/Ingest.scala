@@ -89,6 +89,36 @@ object Ingest {
     * holds. Trigger.Once processes everything available as ONE batch so
     * a multi-file survey cannot be split across micro-batches within a
     * run. */
+  /** Incremental Valu1 maintenance (SURVEY §1.5, gSSURGO_ValuTable.py
+    * run per-SSA): a drop lands change-signal rows tagged by
+    * areasymbol; each micro-batch re-derives the Valu1 rows of exactly
+    * the touched survey areas from the authoritative tables
+    * (`buildFor`, which must emit an areasymbol column) and upserts
+    * them into the lake by dynamic partition overwrite.
+    *
+    * The drop is the change SIGNAL, not the data: the rebuild reads
+    * the full per-area inputs, so a survey split across micro-batches
+    * re-derives idempotently, and a re-landed survey replaces only its
+    * own partition. The touched-area collect is bounded by the
+    * surveys-per-drop count (the reference's per-SSA driver loop holds
+    * the same list). At 100 TB the per-batch work is proportional to
+    * the changed areas, never the whole lake. */
+  def refreshValu(spark: SparkSession, dropDir: String, schema: StructType,
+      lakeRoot: String, buildFor: Seq[String] => DataFrame): Unit = {
+    val q = spark.readStream.schema(schema).parquet(dropDir)
+      .writeStream
+      .option("checkpointLocation", s"$lakeRoot/_checkpoints/valu1")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val areas = batch.select("areasymbol").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (areas.nonEmpty)
+          graft.io.Lake.appendSurvey(buildFor(areas), lakeRoot, "valu1")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def streamIntoLake(spark: SparkSession, dropDir: String, schema: StructType,
       lakeRoot: String, table: String): Unit = {
     val q = spark.readStream.schema(schema).parquet(dropDir)

@@ -115,4 +115,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(rowsOf(stream) === rowsOf(batch))
     assert(stream.count() > 0)
   }
+
+  test("st04: incremental per-SSA Valu refresh == batch Valu build") {
+    val sf = "/root/testdata/sf0.001"
+    val inc = SparkEntry.queries("st04_valu_incremental")(spark, sf)
+    val batch = SparkEntry.queries("v14_valu_wide")(spark, sf)
+    // key-set equivalence plus full-row equality: the analog's integral
+    // doubles make per-area and whole-data aggregation bit-identical
+    assert(inc.count() === batch.count())
+    assert(inc.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(inc).count() === 0)
+  }
 }
