@@ -35,6 +35,25 @@ object Graft {
     }
   }
 
+  /** S2 — import the metadata (mdstat*) tables from a survey's tabular
+    * folder: WSS short filenames (msrsdet, msdomdet, …) map to their
+    * physical table names through WssLayout.metadataFiles
+    * (ImportMDTabular, SSURGO_Convert_to_Geodatabase.py:827-952); the
+    * same pipe-CSV reader and schema registry as loadSurvey. Files
+    * without a registered schema are skipped. */
+  def loadMetadata(spark: SparkSession, root: String, areasymbol: String): Map[String, DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    WssLayout.metadataFiles.flatMap { case (short, table) =>
+      SsurgoSchema.all.get(table).flatMap { schema =>
+        val path = new org.apache.hadoop.fs.Path(
+          WssLayout.tabularPath(root, areasymbol, short))
+        if (path.getFileSystem(conf).exists(path))
+          Some(table -> PipeCsv.read(spark, path.toString, schema))
+        else None
+      }
+    }
+  }
+
   /** Union per-survey tables and land them in the areasymbol-partitioned
     * lake (the gSSURGO bulk build). */
   def landSurveys(surveys: Seq[Map[String, DataFrame]], lakeRoot: String): Unit =

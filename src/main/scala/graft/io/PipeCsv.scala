@@ -34,6 +34,9 @@ object PipeCsv {
       .option("quote", "\"")
       .option("escape", "\"")
       .option("emptyValue", "")
+      // symmetric with read: non-ASCII (e.g. accented series names)
+      // must survive the write→read roundtrip byte-for-byte
+      .option("encoding", "iso-8859-1")
       .csv(path)
 
   /** S10 — merged-database append with by-key dedup

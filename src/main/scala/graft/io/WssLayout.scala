@@ -22,4 +22,13 @@ object WssLayout {
 
   def tabularPath(root: String, areasymbol: String, table: String): String =
     s"$root/${surveyFolder(areasymbol)}/tabular/$table.txt"
+
+  /** S2 — metadata (mdstat*) text files: WSS tabular short name →
+    * physical table name (ImportMDTabular,
+    * SSURGO_Convert_to_Geodatabase.py:846-849). */
+  val metadataFiles: Map[String, String] = Map(
+    "mstabcol" -> "mdstattabcols", "msrsdet" -> "mdstatrshipdet",
+    "mstab" -> "mdstattabs", "msrsmas" -> "mdstatrshipmas",
+    "msdommas" -> "mdstatdommas", "msidxmas" -> "mdstatidxmas",
+    "msidxdet" -> "mdstatidxdet", "msdomdet" -> "mdstatdomdet")
 }

@@ -29,6 +29,67 @@ object MiscQueries extends QuerySet {
       },
       Some("SELECT r_regionkey, r_name FROM region")),
 
+    // S2 — metadata (mdstat*) import: WSS short-named text files land
+    // in the tabular folder (msrsdet.txt, msdomdet.txt); loadMetadata
+    // maps them to mdstatrshipdet/mdstatdomdet through the schema
+    // registry (ImportMDTabular, SSURGO_Convert_to_Geodatabase.py:
+    // 827-952) and the planner consumes both: the FK catalog feeds the
+    // join-path walk, the domain table feeds GetRatingDomain. The gate
+    // exercises blank→NULL, the obsolete-choice filter, sequence-order
+    // (not alphabetic) ranking, dedup, and the iso-8859-1 roundtrip.
+    Q("s02_metadata_import",
+      (s, dir) => {
+        import graft.sdv.SdvPlanner
+        import graft.schema.SdvCatalog
+        val root = "/tmp/graft_s02_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val area = "NE109"
+        val fk = s.createDataFrame(
+          SdvPlanner.defaultFks.map { case (p, c, k) => (p, c, k, k) })
+          .toDF("ltabphyname", "rtabphyname", "ltabcolphyname", "rtabcolphyname")
+        val dom = s.createDataFrame(Seq(
+          ("flooding_frequency_class", "None", 1, "No"),
+          ("flooding_frequency_class", "Very rare", 2, "No"),
+          ("flooding_frequency_class", "Rare", 3, "No"),
+          ("flooding_frequency_class", "Occasional", 4, "No"),
+          ("flooding_frequency_class", "Common", 5, "Yes"),
+          ("flooding_frequency_class", "Frequent", 6, "No"),
+          ("flooding_frequency_class", "Very frequent", 7, "No"),
+          ("flooding_frequency_class", "Ponded", 8, null.asInstanceOf[String]),
+          ("series_name_class", "Coteaux élevés", 1, "No")))
+          .toDF("domainname", "choice", "choicesequence", "choiceobsolete")
+        PipeCsv.write(fk, graft.io.WssLayout.tabularPath(root, area, "msrsdet"))
+        PipeCsv.write(dom, graft.io.WssLayout.tabularPath(root, area, "msdomdet"))
+        val md = graft.Graft.loadMetadata(s, root, area)
+        // both metadata tables are consumed, not just round-tripped:
+        // the FK catalog drives the planner's join-path walk…
+        val path = new SdvPlanner(Map.empty,
+          fkCatalog = SdvPlanner.fksFromCatalog(md("mdstatrshipdet")))
+          .pathToMapunit("chtexture").map(_._1).mkString(">")
+        // …and the domain table yields the planner's ordered ranks
+        val ranks = SdvCatalog.domainsFrom(md("mdstatdomdet")).toSeq
+          .flatMap { case (d, cs) =>
+            cs.zipWithIndex.map { case (c, i) => (d, c, i + 1.0) } }
+        val rankDf = s.createDataFrame(ranks).toDF("domainname", "choice", "ord")
+        md("mdstatdomdet")
+          .join(broadcast(rankDf), Seq("domainname", "choice"), "left")
+          .select(col("domainname"), col("choice"), col("choicesequence"),
+            col("choiceobsolete"), col("ord"), lit(path).as("fk_path"))
+      },
+      Some("""WITH md(domainname, choice, choicesequence, choiceobsolete, ord) AS (VALUES
+             |  ('flooding_frequency_class', 'None', 1, 'No', 1.0),
+             |  ('flooding_frequency_class', 'Very rare', 2, 'No', 2.0),
+             |  ('flooding_frequency_class', 'Rare', 3, 'No', 3.0),
+             |  ('flooding_frequency_class', 'Occasional', 4, 'No', 4.0),
+             |  ('flooding_frequency_class', 'Common', 5, 'Yes', NULL),
+             |  ('flooding_frequency_class', 'Frequent', 6, 'No', 5.0),
+             |  ('flooding_frequency_class', 'Very frequent', 7, 'No', 6.0),
+             |  ('flooding_frequency_class', 'Ponded', 8, NULL, NULL),
+             |  ('series_name_class', 'Coteaux élevés', 1, 'No', 1.0))
+             |SELECT domainname, choice, CAST(choicesequence AS INT) AS choicesequence,
+             |       choiceobsolete, CAST(ord AS DOUBLE) AS ord,
+             |       'component>chorizon>chtexturegrp>chtexture' AS fk_path
+             |FROM md""".stripMargin)),
+
     // S6/S10 — multi-survey union + by-key dedup
     // (SSURGO_MergeDatabases.py:395-845).
     Q("s06_union_merge_dedup",
@@ -77,6 +138,36 @@ object MiscQueries extends QuerySet {
           |  SELECT mukey, cokey, row_number() OVER (PARTITION BY mukey
           |    ORDER BY comppct DESC, cokey DESC) AS rn
           |  FROM comp) t WHERE rn = 1""".stripMargin, compCte))),
+
+    // R4 — report rendering, the distributed body pass
+    // (SDV_AttributeReport.py:65-251 / gSSURGO_TabularReport.py:63-310):
+    // the DCP rating table renders to the same fixed-width golden-form
+    // lines as SdvReport.render, but widths come from a broadcast
+    // one-row aggregate — no collect, no global window — so the layer
+    // scales to any report size; mukey keys the report order.
+    Q("r04_report_lines",
+      (s, dir) => {
+        val rt = SdvAgg.dominantComponent(compChoice(s, dir))
+          .select(col("mukey"),
+            col("mukey").cast("string").as("map_unit"),
+            col("rating"),
+            col("comppct").cast("long").cast("string").as("pct"))
+        graft.report.SdvReport.renderLines(rt, "mukey", Seq("map_unit", "rating", "pct"))
+      },
+      Some(withCtes(
+        """SELECT r.mukey,
+          |       concat('| ', rpad(coalesce(map_unit, '--'), wm, ' '),
+          |              ' | ', rpad(coalesce(rating, '--'), wr, ' '),
+          |              ' | ', rpad(coalesce(pct, '--'), wp, ' '), ' |') AS line
+          |FROM r, w""".stripMargin,
+        compCte,
+        "compc AS (SELECT mukey, cokey, comppct, crating AS rating, cord AS ord FROM comp)",
+        s"dcp AS (${OracleSql.dcp("compc")})",
+        """r AS (SELECT mukey, CAST(mukey AS VARCHAR) AS map_unit, rating,
+          |              CAST(CAST(comppct AS BIGINT) AS VARCHAR) AS pct FROM dcp)""".stripMargin,
+        """w AS (SELECT CAST(greatest(8, 2, max(length(coalesce(map_unit, '--')))) AS INT) AS wm,
+          |              CAST(greatest(6, 2, max(length(coalesce(rating, '--')))) AS INT) AS wr,
+          |              CAST(greatest(3, 2, max(length(coalesce(pct, '--')))) AS INT) AS wp FROM r)""".stripMargin))),
 
     // R2/R3 — acreage report (gSSURGO_AcreageReport.py:186-327): Σ area
     // per rating class with domain display order.

@@ -111,6 +111,20 @@ object SdvCatalog {
     }
   }
 
+  /** GetRatingDomain (gSSURGO_CreateSoilMap.py:3865-3901): ordered
+    * non-obsolete choices per domain from mdstatdomdet, deduplicated
+    * preserving sequence order — a bounded metadata collect (the
+    * reference holds the same per-domain list in memory). */
+  def domainsFrom(mdstatdomdet: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] =
+    mdstatdomdet
+      .filter(org.apache.spark.sql.functions.col("choiceobsolete") === "No")
+      .select("domainname", "choice", "choicesequence")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (d, rows) =>
+        d -> rows.sortBy(_.getInt(2)).map(_.getString(1)).distinct.toSeq
+      }
+
   private val SimpleEq = """^\s*([\w.]+)\s*=\s*('(?:[^']|'')*')\s*$""".r
 
   /** GetSDVAtts whereclause normalization

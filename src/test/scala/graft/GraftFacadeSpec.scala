@@ -82,4 +82,18 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(r.getDouble(m("pwsl1pomu")) === 0.0)
     assert(r.getDouble(m("musumcpct")) === 100.0)
   }
+
+  test("R4: renderLines body == render() golden form, including null padding") {
+    import graft.report.SdvReport
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("rating", StringType), StructField("pct", StringType)))
+    val rows = Seq(Row("m1", "Very limited", "85"), Row("m2", null, "7"),
+      Row("m300", "OK", null))
+    val rt = df(schema, rows)
+    val dist = rt.transform(SdvReport.renderLines(_, "k", Seq("k", "rating", "pct")))
+      .orderBy("k").select("line").collect().map(_.getString(0)).toSeq
+    val golden = SdvReport.render(rt.orderBy("k"), "t").split("\n")
+      .drop(4).dropRight(1).toSeq // title + frame/header handled by render()
+    assert(dist === golden)
+  }
 }
