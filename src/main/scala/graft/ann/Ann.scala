@@ -51,6 +51,34 @@ object Ann {
       Seq(col("cos"), -col("cid")),
       Seq("cid" -> col("cid"), "vec" -> col("vec")))
 
+  /** Lloyd's k-means — the IVF TRAINING step (at corpus scale the
+    * bucket centroids must be learned, not picked ad hoc). Each round
+    * broadcast-assigns every vector to its nearest centroid (the same
+    * round-6-quantized cosine as ivfAssign) and recomputes centroids as
+    * per-dimension means over (cid, dim)-exploded rows — one shuffle
+    * per round, n·d rows, never a per-group vector list. Member values
+    * are quantized to integral 1e-6 units before averaging and the
+    * mean is re-quantized, so the sums are exact in any order and
+    * partitioning and every round is engine-portable (the n03 cohesion
+    * trick). Centroids are NOT re-normalized — cosine ranking is
+    * scale-invariant. A centroid that loses all members drops out.
+    * Returns (cid, n_members, cvec) under the final assignment. */
+  def kmeansTrain(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cents = init.select(col("cid"), col("cvec"))
+    for (_ <- 1 to iters) {
+      cents = ivfAssign(corpus, cents)
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((floor(avg(floor(col("v").cast("double") * 1e6 + 0.5)) + 0.5) / 1e6).as("mv"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("pairs"))
+        .select(col("cid"), transform(col("pairs"), p => p("mv")).as("cvec"))
+    }
+    ivfAssign(corpus, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(cents, Seq("cid"))
+  }
+
   /** IVF search: queries probe only their own centroid bucket.
     * Returns (qid, neighbor_id, cosine, rank) with rank <= k. */
   def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,

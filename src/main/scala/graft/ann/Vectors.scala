@@ -30,6 +30,25 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.CosineSim.ofColumns(a, b)
 
+  /** Symmetric per-vector int8 scalar quantization — the 4× embedding
+    * storage/bandwidth cut an ANN index takes at corpus scale. scale =
+    * max|x|/127; q_i = floor(x_i/scale + 0.5) (the engine-portable
+    * half-up form; clamping is unnecessary because |x_i| ≤ max|x|).
+    * Zero/empty vectors quantize to all-zero with a null scale.
+    * Returns a struct (scale, q) of pure per-row expression arithmetic
+    * — no shuffle, and the same IEEE ops in any SQL engine. */
+  def quantizeInt8(vec: Column): Column = {
+    val dv = transform(vec, x => x.cast("double"))
+    val scale = array_max(transform(dv, x => abs(x))) / 127.0
+    val q = transform(dv, x =>
+      coalesce(floor(x / nullif(scale, lit(0.0)) + 0.5), lit(0.0)).cast("int"))
+    struct(nullif(scale, lit(0.0)).as("scale"), q.as("q"))
+  }
+
+  /** Reconstruction from [[quantizeInt8]] output: x̂_i = q_i·scale. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs("q"), q => q.cast("double") * coalesce(qs("scale"), lit(0.0)))
+
   /** Per-group element-wise mean vectors (centroids): explode to
     * (group, dim, value) rows, average per dimension, reassemble in
     * dimension order. One shuffle on (group, dim) — scales with

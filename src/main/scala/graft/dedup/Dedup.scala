@@ -225,8 +225,13 @@ object Dedup {
       k: Int = 64, bands: Int = 32, shingleN: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     val pairs = paragraphMinhashPairs(docs, idCol, textCol, k, bands, shingleN, threshold)
-    val contam = pairs.select(col("doc_a").as("did"), col("para_a").as("para_idx"))
-      .unionByName(pairs.select(col("doc_b").as("did"), col("para_b").as("para_idx")))
+    // both endpoints via ONE explode — a union of two selects over
+    // `pairs` would evaluate the whole shingle→minhash→verify subplan
+    // twice (the d03 double-eval pitfall)
+    val contam = pairs.select(explode(array(
+        struct(col("doc_a").as("did"), col("para_a").as("para_idx")),
+        struct(col("doc_b").as("did"), col("para_b").as("para_idx")))).as("e"))
+      .select(col("e.did").as("did"), col("e.para_idx").as("para_idx"))
       .distinct()
       .groupBy(col("did")).agg(count(lit(1)).as("n_dup_paras"))
     paragraphs(docs, idCol, textCol)

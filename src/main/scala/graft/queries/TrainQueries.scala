@@ -709,6 +709,90 @@ object TrainQueries extends QuerySet {
               |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
               |WHERE rn <= 1""".stripMargin)),
 
+    // N5 — IVF centroid TRAINING: two Lloyd's rounds from a seeded
+    // start, final per-centroid membership counts and centroid values.
+    // Assignment ranks on the round-6 cosine (cid tiebreak) and the
+    // per-dimension means run over 1e-6-quantized integral values, so
+    // the whole training loop is engine-portable and the DuckDB oracle
+    // replays both rounds exactly. Output exploded to (cid, dim, cval)
+    // scalars.
+    Q("n05_kmeans_train",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val trained = Ann.kmeansTrain(
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")),
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          iters = 2)
+        trained.select(col("cid"), col("n_members"),
+          posexplode(col("cvec")).as(Seq("dim", "cval")))
+      },
+      Some {
+        def assign(src: String, cents: String, out: String) =
+          s"""${out}j AS (SELECT e.vec_id AS vid, e.v, cid,
+             |  floor((list_dot_product(e.v, cv)
+             |    /(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(cv, cv))))*1e6 + 0.5)/1e6 AS cos6
+             |  FROM $src e, $cents),
+             |$out AS (SELECT vid, v, cid FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY vid
+             |    ORDER BY cos6 DESC, cid) AS rn FROM ${out}j) z WHERE rn = 1)""".stripMargin
+        def recompute(asg: String, out: String) =
+          s"""${out}x AS (SELECT cid, unnest(generate_series(1, len(v))) AS dim,
+             |  unnest(v) AS val FROM $asg),
+             |${out}m AS (SELECT cid, dim, floor(avg(floor(val*1e6 + 0.5)) + 0.5)/1e6 AS mv
+             |  FROM ${out}x GROUP BY 1, 2),
+             |$out AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM ${out}m GROUP BY cid)""".stripMargin
+        s"""WITH $embCte,
+           |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+           |${assign("e", "c0", "a1")},
+           |${recompute("a1", "c1")},
+           |${assign("e", "c1", "a2")},
+           |${recompute("a2", "c2")},
+           |${assign("e", "c2", "a3")},
+           |n AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid)
+           |SELECT n.cid, n.n_members, dim - 1 AS dim, mv AS cval
+           |FROM n JOIN c2m ON n.cid = c2m.cid""".stripMargin
+      }),
+
+    // N6 — int8 embedding quantization: per-vector symmetric scale,
+    // quantized values, and the max reconstruction error — the 4×
+    // storage cut an ANN index takes at corpus scale, summarized to
+    // scalar per-vector facts the oracle replays op-for-op (scale
+    // division, half-up rounding, q·scale reconstruction).
+    Q("n06_embed_quantize",
+      (s, dir) => {
+        import graft.ann.Vectors
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), Vectors.quantizeInt8(col("embedding")).as("qs"),
+            transform(col("embedding"), x => x.cast("double")).as("dv"))
+        val errs = zip_with(col("dv"), Vectors.dequantizeInt8(col("qs")),
+          (x, xh) => abs(x - xh))
+        e.select(col("vec_id"),
+          size(col("dv")).as("n_dims"),
+          floor(col("qs.scale") * 1e6 + 0.5).cast("long").as("scale_e6"),
+          aggregate(col("qs.q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          array_max(transform(col("qs.q"), q => abs(q))).as("q_absmax"),
+          floor(array_max(errs) * 1e6 + 0.5).cast("long").as("err_e6"))
+      },
+      Some(s"""WITH $embCte,
+              |sc AS (SELECT vec_id, v,
+              |         nullif(list_max(list_transform(v, x -> abs(x)))/127.0, 0.0) AS scale
+              |       FROM e),
+              |qv AS (SELECT vec_id, v, scale,
+              |         list_transform(v, x ->
+              |           CAST(coalesce(floor(x/scale + 0.5), 0.0) AS INT)) AS q
+              |       FROM sc),
+              |ex AS (SELECT vec_id, scale, unnest(v) AS x, unnest(q) AS qq FROM qv),
+              |er AS (SELECT vec_id,
+              |         CAST(floor(max(abs(x - qq*coalesce(scale, 0.0)))*1e6 + 0.5) AS BIGINT) AS err_e6
+              |       FROM ex GROUP BY vec_id)
+              |SELECT qv.vec_id, CAST(len(v) AS INT) AS n_dims,
+              |       CAST(floor(scale*1e6 + 0.5) AS BIGINT) AS scale_e6,
+              |       coalesce(CAST(list_sum(q) AS BIGINT), 0) AS q_sum,
+              |       list_max(list_transform(q, x -> abs(x))) AS q_absmax,
+              |       er.err_e6
+              |FROM qv LEFT JOIN er ON qv.vec_id = er.vec_id""".stripMargin)),
+
     // MM1 — multimodal binary-column plumbing with a REAL header
     // decode: each doc's text payload is wrapped in a BMP (even ids) or
     // PNG (odd ids) header prefix carrying id-derived dimensions at the

@@ -421,4 +421,25 @@ class TrainOpsSpec extends AnyFunSuite {
     val bad = rowsOf(Validate.comppctBounds(comp))
     assert(bad === Seq(Seq("m1", 110.0), Seq("m2", 60.0)))
   }
+
+  test("kmeansTrain: planted clusters recovered from off-center seeds") {
+    import graft.ann.Ann
+    val vS = StructType(Seq(StructField("vid", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    // two tight clusters around axis directions; seeds start on members
+    val mk = (base: Array[Float], eps: Float) => base.map(_ + eps)
+    val a = Array(1f, 0f, 0f); val b = Array(0f, 1f, 0f)
+    val corpus = df(vS, Seq(
+      Row(1L, mk(a, 0.00f)), Row(2L, mk(a, 0.01f)), Row(3L, mk(a, 0.02f)),
+      Row(4L, mk(b, 0.00f)), Row(5L, mk(b, 0.01f)), Row(6L, mk(b, 0.02f))))
+    val init = corpus.filter(col("vid").isin(1L, 4L))
+      .select(col("vid").as("cid"), col("vec").as("cvec"))
+    val out = Ann.kmeansTrain(corpus, init, iters = 2)
+      .select(col("cid"), col("n_members"),
+        element_at(col("cvec"), 1).as("x")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(3L, 3L)) // each cluster keeps its 3
+    // cluster-a centroid x ≈ mean(1.0, 1.01, 1.02) = 1.01; cluster-b x ≈ 0.01
+    assert(math.abs(out(0)._3 - 1.01) < 1e-3 && math.abs(out(1)._3 - 0.01) < 1e-3)
+  }
 }
