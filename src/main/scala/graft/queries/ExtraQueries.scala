@@ -196,6 +196,9 @@ object ExtraQueries extends QuerySet {
           buildValu(base.filter(areaOf.isin(areas: _*)),
             valuHz(s, dir).filter(areaOf.isin(areas: _*)))
             .withColumn("areasymbol", areaOf)
+            // mapunit-level output is tiny relative to its inputs; one
+            // file per touched partition instead of one per shuffle task
+            .coalesce(1)
         signal.filter(col("areasymbol").isin("SSA0", "SSA1", "SSA2"))
           .write.mode("append").parquet(s"$tmp/drop")
         Ingest.refreshValu(s, s"$tmp/drop", signal.schema, s"$tmp/lake", buildFor)

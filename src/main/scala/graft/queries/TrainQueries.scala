@@ -26,6 +26,56 @@ object TrainQueries extends QuerySet {
       |               string_split_regex(lower(trim(text)), '\s+') AS t
       |        FROM documents)""".stripMargin
 
+  /** The curation-chain CTEs (score → lang-ID → exact-pair dedup →
+    * recursive connected components) over the bounded doc_id < 1000
+    * slice — shared by d07 and the t16 end-to-end prep oracle. Must be
+    * prefixed WITH RECURSIVE. */
+  private lazy val curateCtes: String = {
+    val scoreCols = TextAnalysis.langs.map(l => s"${hitsSql(l)} AS s_$l").mkString(", ")
+    val langCase = TextAnalysis.langs
+      .map(l => s"WHEN mx > 0 AND s_$l = mx THEN '$l'").mkString(" ")
+    s"""toks AS (
+       |  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents WHERE doc_id < 1000),
+       |b AS (SELECT doc_id, lang, text,
+       |        CAST(len(t) AS DOUBLE) AS nw,
+       |        CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS np,
+       |        CAST(${hitsSql("en")} AS DOUBLE) AS stp,
+       |        $scoreCols
+       |      FROM toks),
+       |scored AS (SELECT doc_id, lang,
+       |    floor(((least(nw, 100.0)/100.0)
+       |          * (1.0 - np/CAST(greatest(length(text), 1) AS DOUBLE))
+       |          * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)))*1e4 + 0.5)/1e4 AS quality,
+       |    CASE $langCase ELSE 'und' END AS lang_pred
+       |  FROM (SELECT *, greatest(${TextAnalysis.langs.map("s_" + _).mkString(", ")}) AS mx FROM b) m),
+       |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |         SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0
+       |         UNION ALL
+       |         SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b
+       |          FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+       |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
+       |          UNION
+       |          SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+       |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+  }
+
+  /** Survivor select over [[curateCtes]] (quality bar + lang match +
+    * cluster representative). */
+  private val curateSurvivorsSql: String =
+    """SELECT s.doc_id, s.lang, s.quality
+      |FROM scored s LEFT JOIN cc ON s.doc_id = cc.id
+      |WHERE s.quality >= 0.3 AND s.lang_pred = s.lang
+      |  AND (cc.cluster IS NULL OR cc.cluster = s.doc_id)""".stripMargin
+
   private val embCte =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
@@ -562,46 +612,56 @@ object TrainQueries extends QuerySet {
     Q("d07_curation_pipeline",
       (s, dir) => graft.pipeline.Curation.curate(
         Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)),
+      Some(s"WITH RECURSIVE $curateCtes\n$curateSurvivorsSql")),
+
+    // T16 — the end-to-end pretraining prep a real user runs as ONE
+    // call: curation survivors (score → lang-ID → dedup-representative)
+    // → PII redaction → token accounting → deterministic train/val/test
+    // split → contiguous 4096-token bin packing of the train slice.
+    // Every stage is the already-gated operator; the oracle chains
+    // their SQL twins into one program. The intermediate `prep` frame
+    // is lazily localCheckpointed: both the output and the packing
+    // branch consume it, and without the checkpoint the whole
+    // curation+dedup subplan would evaluate twice (at corpus scale this
+    // boundary is where a pipeline lands its intermediate to the lake).
+    Q("t16_pretrain_prep",
+      (s, dir) => {
+        import graft.pipeline.{Curation, Sampling}
+        val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
+        val surv = Curation.curate(docs) // (doc_id, lang, quality)
+        val red = docs.select(col("doc_id"), TextAnalysis.redact(col("text")).as("rtext"))
+        val prep = Sampling.split(
+          surv.join(red, Seq("doc_id"))
+            .select(col("doc_id"), col("lang"), col("quality"),
+              TextAnalysis.tokenCount(col("rtext")).cast("long").as("n_tokens"),
+              col("rtext")),
+          "doc_id").localCheckpoint(false)
+        val packed = Sampling.packBins(prep.filter(col("split") === "train"),
+          "doc_id", "rtext", budget = 4096)
+          .select(col("doc_id"), col("prefix"), col("bin"))
+        prep.join(packed, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
+            col("split"), col("prefix"), col("bin"))
+      },
       Some {
-        val scoreCols = TextAnalysis.langs.map(l => s"${hitsSql(l)} AS s_$l").mkString(", ")
-        val langCase = TextAnalysis.langs
-          .map(l => s"WHEN mx > 0 AND s_$l = mx THEN '$l'").mkString(" ")
-        s"""WITH RECURSIVE toks AS (
-           |  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS t
-           |  FROM documents WHERE doc_id < 1000),
-           |b AS (SELECT doc_id, lang, text,
-           |        CAST(len(t) AS DOUBLE) AS nw,
-           |        CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS np,
-           |        CAST(${hitsSql("en")} AS DOUBLE) AS stp,
-           |        $scoreCols
-           |      FROM toks),
-           |scored AS (SELECT doc_id, lang,
-           |    floor(((least(nw, 100.0)/100.0)
-           |          * (1.0 - np/CAST(greatest(length(text), 1) AS DOUBLE))
-           |          * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)))*1e4 + 0.5)/1e4 AS quality,
-           |    CASE $langCase ELSE 'und' END AS lang_pred
-           |  FROM (SELECT *, greatest(${TextAnalysis.langs.map("s_" + _).mkString(", ")}) AS mx FROM b) m),
-           |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
-           |sh AS (SELECT DISTINCT doc_id, s FROM (
-           |         SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0
-           |         UNION ALL
-           |         SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3)),
-           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-           |pairs AS (SELECT id_a, id_b
-           |          FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
-           |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5),
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-           |          UNION ALL SELECT id_b, id_a FROM pairs),
-           |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
-           |          UNION
-           |          SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
-           |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
-           |SELECT s.doc_id, s.lang, s.quality
-           |FROM scored s LEFT JOIN cc ON s.doc_id = cc.id
-           |WHERE s.quality >= 0.3 AND s.lang_pred = s.lang
-           |  AND (cc.cluster IS NULL OR cc.cluster = s.doc_id)""".stripMargin
+        val hb = graft.pipeline.Sampling.hashBucketSql("doc_id")
+        s"""WITH RECURSIVE $curateCtes,
+           |surv AS ($curateSurvivorsSql),
+           |red AS (SELECT doc_id, ${TextAnalysis.redactSql("text")} AS rtext
+           |        FROM documents WHERE doc_id < 1000),
+           |prep AS (SELECT surv.doc_id, surv.lang, surv.quality,
+           |           CAST(len(string_split_regex(lower(trim(rtext)), '\\s+')) AS BIGINT) AS n_tokens,
+           |           CASE WHEN $hb < 80 THEN 'train'
+           |                WHEN $hb < 90 THEN 'val'
+           |                ELSE 'test' END AS split
+           |         FROM surv JOIN red USING (doc_id)),
+           |tr AS (SELECT doc_id, n_tokens,
+           |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+           |       FROM prep WHERE split = 'train')
+           |SELECT p.doc_id, p.lang, p.quality, p.n_tokens, p.split, tr.prefix,
+           |       CAST(floor(tr.prefix/4096.0) AS BIGINT) AS bin
+           |FROM prep p LEFT JOIN tr ON p.doc_id = tr.doc_id""".stripMargin
       }),
 
     // N1 — brute-force cosine top-k (exact ANN baseline).
