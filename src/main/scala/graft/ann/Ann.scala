@@ -51,6 +51,35 @@ object Ann {
       Seq(col("cos"), -col("cid")),
       Seq("cid" -> col("cid"), "vec" -> col("vec")))
 
+  /** IVF search with multi-probe: each query probes its `nprobe`
+    * nearest centroid buckets instead of one — the standard recall
+    * knob of a production IVF index (a query near a Voronoi boundary
+    * finds neighbors that fell just across it). Probe selection ranks
+    * on the same round-6-quantized cosine as ivfAssign (cid tiebreak),
+    * so bucket choice — and therefore the whole candidate set — stays
+    * engine-portable. Buckets are disjoint (each corpus vector lives in
+    * exactly one), so no candidate dedup is needed; the per-query fan
+    * is bounded by nprobe buckets, never the corpus. */
+  def ivfSearchMultiProbe(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val corpusAssigned = ivfAssign(corpus, centroids)
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cid"),
+        graft.core.Exprs.roundHalfUp(Vectors.cosine(col("qvec"), col("cvec")), 6).as("pcos"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val scored = probes.join(corpusAssigned, "cid")
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid").as("neighbor_id"),
+        graft.core.Exprs.roundHalfUp(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Lloyd's k-means — the IVF TRAINING step (at corpus scale the
     * bucket centroids must be learned, not picked ad hoc). Each round
     * broadcast-assigns every vector to its nearest centroid (the same

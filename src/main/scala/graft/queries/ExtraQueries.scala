@@ -120,6 +120,26 @@ object ExtraQueries extends QuerySet {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE p_size >= 25""".stripMargin)),
 
+    // Skew-salted join through the gate (SURVEY §4 "salting for skew"):
+    // the fact side's synthetic hot keys (1% key space) spread across 8
+    // salts derived from a high-cardinality column, dim side replicated
+    // per salt — identical semantics to the plain equi-join, which is
+    // exactly what the oracle computes. Plan-shape (spread preserved,
+    // no hot reducer) is pinned in ScaleSpec.
+    Q("j17_salted_skew_join",
+      (s, dir) => {
+        val fact = Tables.load(s, dir, "lineitem").select(
+          (col("l_orderkey") % 100).as("hot_key"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val dim = Tables.load(s, dir, "nation").select(
+          (col("n_nationkey") * 4).as("hot_key"), col("n_name"))
+        graft.core.Salt.saltedJoin(fact, dim, "hot_key", 8,
+          col("l_orderkey") * 10 + col("l_linenumber"))
+          .select(col("hot_key"), col("l_orderkey"), col("l_linenumber"), col("n_name"))
+      },
+      Some("""SELECT l_orderkey % 100 AS hot_key, l_orderkey, l_linenumber, n_name
+             |FROM lineitem JOIN nation ON l_orderkey % 100 = n_nationkey * 4""".stripMargin)),
+
     // A-family legend side-output: the global [min,max] every aggregate
     // collects for the map legend (outputValues,
     // gSSURGO_CreateSoilMap.py:4766-4776).

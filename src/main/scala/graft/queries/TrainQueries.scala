@@ -769,6 +769,42 @@ object TrainQueries extends QuerySet {
               |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
               |WHERE rn <= 1""".stripMargin)),
 
+    // N7 — IVF multi-probe (nprobe=2, k=3): the recall knob of a real
+    // IVF index, fully replayed by the oracle — probe selection and
+    // bucket assignment both rank on the round-6 cosine, so the
+    // candidate set is engine-portable and the whole search gates
+    // end-to-end (same technique that closed n02).
+    Q("n07_ann_ivf_multiprobe",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Ann.ivfSearchMultiProbe(
+          e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")),
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 3, nprobe = 2)
+      },
+      Some(s"""WITH $embCte,
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |caj AS (SELECT e.vec_id AS vid, e.v, cid,
+              |          floor((list_dot_product(e.v, cv)
+              |            /(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(cv, cv))))*1e6 + 0.5)/1e6 AS cos6
+              |        FROM e, c),
+              |ca AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn = 1),
+              |qp AS (SELECT vid AS qid, v AS qv, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj WHERE vid < 10) z
+              |       WHERE rn <= 2),
+              |sc AS (SELECT qp.qid, ca.vid AS neighbor_id,
+              |         floor((list_dot_product(qv, ca.v)
+              |           /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(ca.v, ca.v))))*1e6 + 0.5)/1e6 AS cosine
+              |       FROM qp JOIN ca ON qp.cid = ca.cid AND ca.vid <> qp.qid)
+              |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
+              |WHERE rn <= 3""".stripMargin)),
+
     // N5 — IVF centroid TRAINING: two Lloyd's rounds from a seeded
     // start, final per-centroid membership counts and centroid values.
     // Assignment ranks on the round-6 cosine (cid tiebreak) and the
