@@ -244,6 +244,37 @@ object Dedup {
           .as("dup_para_frac"))
   }
 
+  /** Cross-doc EXACT substring duplication at `w`-token window
+    * granularity — the modality set-similarity dedup misses: a long
+    * verbatim quote inside two otherwise-unrelated documents moves
+    * their Jaccard barely at all but is exactly what substring-level
+    * dedup (Lee et al.'s suffix-style pass) must catch. Every doc
+    * emits its distinct w-token windows; windows meet on a 64-bit hash
+    * (8-byte join keys — the only thing that flows corpus-wide) and
+    * candidates are verified on the window string, so a hash collision
+    * cannot fabricate a pair. One shuffle to dedup per-doc windows,
+    * one equi-join on the hash; no all-pairs shape. Window
+    * construction is O(n·w) concat work per doc (a dedicated rolling
+    * native expression would make it O(n); RollingHash.scala is the
+    * primitive to extend if that ever dominates).
+    * Returns (doc_a, doc_b, n_shared_windows). */
+  def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame = {
+    val win = docs
+      .select(col(idCol).as("did"), TextAnalysis.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("did"), explode(expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), i -> array_join(slice(t, i, $w), ' '))"))
+        .as("s"))
+      .distinct()
+    val hashed = win.select(col("did"), col("s"), xxhash64(col("s")).as("h"))
+    hashed.as("a").join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.did") < col("b.did") &&
+          col("a.s") === col("b.s"))
+      .groupBy(col("a.did").as("doc_a"), col("b.did").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** 64-bit SimHash over the token multiset: majority vote per bit of
     * the token hashes. Pure expression tree (64 bit-lanes). */
   def simhash(toks: Column): Column = {

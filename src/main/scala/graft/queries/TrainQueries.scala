@@ -769,6 +769,42 @@ object TrainQueries extends QuerySet {
               |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
               |WHERE rn <= 1""".stripMargin)),
 
+    // D12 — exact substring (20-token window) duplication with planted
+    // positives: doc 3's leading 25 tokens are spliced into two new
+    // docs, so the donor and both recipients must pair on the 6 fully-
+    // in-span windows (windows bridging into recipient text differ).
+    // Candidates meet on the window hash, verify on the string — a
+    // collision cannot fabricate a pair — and the oracle derives the
+    // same plant and joins on window strings directly.
+    Q("d12_substring_dup",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+        val donor = base.filter(col("doc_id") === 3)
+          .select(expr("array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, 25), ' ')")
+            .as("span"))
+        val planted = base.filter(col("doc_id").isin(7, 11))
+          .crossJoin(broadcast(donor))
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("span"), lit(" "), col("text")).as("text"))
+        Dedup.substringDupPairs(base.unionByName(planted), "doc_id", "text")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+             |dn AS (SELECT array_to_string(
+             |         (string_split_regex(lower(trim(text)), '\s+'))[1:25], ' ') AS span
+             |       FROM base WHERE doc_id = 3),
+             |pl AS (SELECT doc_id + 1000000 AS doc_id, span || ' ' || text AS text
+             |       FROM base, dn WHERE doc_id IN (7, 11)),
+             |d AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+             |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d),
+             |wn AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+19], ' ') AS s
+             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+             |             FROM tk WHERE len(t) >= 20) z)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       count(*) AS n_shared_windows
+             |FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // N7 — IVF multi-probe (nprobe=2, k=3): the recall knob of a real
     // IVF index, fully replayed by the oracle — probe selection and
     // bucket assignment both rank on the round-6 cosine, so the
