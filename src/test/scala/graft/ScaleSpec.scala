@@ -76,6 +76,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN/kmeans/substring plans: centroid sides broadcast, corpus never cross-joined") {
+    val docS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = df(docS, (1L to 20L).map(i =>
+      Row(i, (1 to 30).map(j => s"w${(i * j) % 7}$j").mkString(" "))))
+    val embS = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val embs = df(embS, (1L to 20L).map(i => Row(i, Seq(i.toDouble, 1.0, -1.0, 0.5))))
+    val corpus = embs.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val cents = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = embs.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // the ONLY nested-loop joins allowed are broadcast ones (the small
+    // centroid table); a non-broadcast CartesianProduct means the
+    // corpus is being cross-joined and the op dies at scale
+    for (p <- Seq(
+        graft.ann.Ann.kmeansTrain(corpus, cents, iters = 2),
+        graft.ann.Ann.ivfSearchMultiProbe(queries, corpus, cents, k = 2, nprobe = 2),
+        graft.dedup.Dedup.substringDupPairs(docs, "doc_id", "text", w = 5))) {
+      val plan = p.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"corpus cross join:\n$plan")
+    }
+    // multi-probe candidates meet on the bucket id: the corpus-side
+    // join must be an equi-join (hash/sort-merge), with the centroid
+    // cross only as BroadcastNestedLoop
+    val mp = graft.ann.Ann.ivfSearchMultiProbe(queries, corpus, cents, 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(mp.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$mp")
+  }
+
   test("DenseId: ids match the global sorted order, plan has no single-partition exchange") {
     val s = StructType(Seq(StructField("k", LongType)))
     // deliberately unsorted, duplicated, multi-partition input
