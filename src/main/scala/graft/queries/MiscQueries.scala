@@ -129,6 +129,35 @@ object MiscQueries extends QuerySet {
           |                  FROM comp GROUP BY mukey) w ON c.mukey = w.mukey""".stripMargin,
         compCte))),
 
+    // R2 subtotal shape — the acreage report's per-class rows PLUS the
+    // grand-total row (the reference prints the total after the class
+    // loop, gSSURGO_AcreageReport.py:299-327) as ONE rollup aggregation
+    // instead of a second pass; the total row carries a null rating,
+    // exactly as GROUP BY ROLLUP emits it in any engine.
+    Q("r05_acreage_rollup",
+      (s, dir) => {
+        val rating = SdvAgg.dominantComponent(compChoice(s, dir))
+          .select(col("mukey"), col("rating"))
+        val areas = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("mukey"),
+            Exprs.cents(col("o_totalprice")).as("area"))
+        rating.join(areas, Seq("mukey"))
+          .rollup(col("rating"))
+          .agg(Exprs.roundHalfUp(sum(col("area")) * 0.000247105 / 100, 2).as("acres"),
+            count(lit(1)).as("n_mapunits"))
+      },
+      Some(withCtes(
+        """SELECT d.rating,
+          |       floor((sum(a.area)*0.000247105/100)*1e2 + 0.5)/1e2 AS acres,
+          |       count(*) AS n_mapunits
+          |FROM dcp d
+          |JOIN (SELECT o_orderkey AS mukey, round(o_totalprice*100) AS area
+          |      FROM orders) a ON d.mukey = a.mukey
+          |GROUP BY ROLLUP(d.rating)""".stripMargin,
+        compCte,
+        "compc AS (SELECT mukey, cokey, comppct, crating AS rating, cord AS ord FROM comp)",
+        s"dcp AS (${OracleSql.dcp("compc")})"))),
+
     // R1 — GetDominantComponent.py:89-117 (ORDER BY comppct DESC,
     // cokey DESC, first wins).
     Q("r01_dominant_component_key",

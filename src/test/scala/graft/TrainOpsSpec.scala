@@ -422,6 +422,29 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(bad === Seq(Seq("m1", 110.0), Seq("m2", 60.0)))
   }
 
+  test("quantizeInt8: |q| <= 127, reconstruction error <= scale/2, zero/empty safe") {
+    import graft.ann.Vectors
+    val vS = StructType(Seq(StructField("vid", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    val rows = (1L to 200L).map { i =>
+      Row(i, Array.tabulate(8)(j => ((i * 31 + j * 17) % 200 - 100) / 37.0f))
+    } ++ Seq(Row(998L, Array(0f, 0f, 0f)), Row(999L, Array.empty[Float]))
+    val out = df(vS, rows)
+      .select(col("vid"), Vectors.quantizeInt8(col("vec")).as("qs"),
+        transform(col("vec"), x => x.cast("double")).as("dv"))
+      .select(col("vid"), col("qs.scale").as("scale"),
+        array_max(transform(col("qs.q"), q => abs(q))).as("qmax"),
+        array_max(zip_with(col("dv"), Vectors.dequantizeInt8(col("qs")),
+          (x, xh) => abs(x - xh))).as("err"))
+      .collect()
+    for (r <- out) {
+      val scale = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+      if (!r.isNullAt(2)) assert(r.getInt(2) <= 127, s"q overflow: $r")
+      if (!r.isNullAt(3)) assert(r.getDouble(3) <= scale / 2 + 1e-12, s"err: $r")
+      if (r.getLong(0) >= 998L) assert(r.isNullAt(1)) // degenerate: null scale
+    }
+  }
+
   test("kmeansTrain: planted clusters recovered from off-center seeds") {
     import graft.ann.Ann
     val vS = StructType(Seq(StructField("vid", LongType),
