@@ -260,18 +260,46 @@ object Dedup {
     * Returns (doc_a, doc_b, n_shared_windows). */
   def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 20): DataFrame = {
-    val win = docs
-      .select(col(idCol).as("did"), TextAnalysis.tokens(col(textCol)).as("t"))
+    val hashed = windowRows(docs, idCol, textCol, w)
+    hashed.as("a").join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.did") < col("b.did") &&
+          col("a.s") === col("b.s"))
+      .groupBy(col("a.did").as("doc_a"), col("b.did").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
+  /** Distinct hashed w-token window rows (did, s, h) — the persistable
+    * substring-dedup index artifact (at corpus scale: bucketed by h in
+    * the lake, like the minhash band index). */
+  def windowRows(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    docs.select(col(idCol).as("did"), TextAnalysis.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= w)
       .select(col("did"), explode(expr(
         s"transform(sequence(1, size(t) - ${w - 1}), i -> array_join(slice(t, i, $w), ' '))"))
         .as("s"))
       .distinct()
-    val hashed = win.select(col("did"), col("s"), xxhash64(col("s")).as("h"))
-    hashed.as("a").join(hashed.as("b"),
-        col("a.h") === col("b.h") && col("a.did") < col("b.did") &&
+      .select(col("did"), col("s"), xxhash64(col("s")).as("h"))
+
+  /** Incremental substring-window pairs: every pair involving at least
+    * one arriving doc — new×corpus and new×new, never corpus×corpus
+    * (the d09 ingestion contract at window granularity). The corpus is
+    * represented by its (did, s, h) window index (re-derived here over
+    * the union so ReuseExchange shares the subplan; persisted via
+    * [[windowRows]] in a real pipeline), probed by the batch through a
+    * broadcast semi-join. Ids must be disjoint across the inputs;
+    * output oriented doc_a < doc_b. */
+  def substringDupPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, w: Int = 20): DataFrame = {
+    val hashed = windowRows(newDocs.unionByName(corpus), idCol, textCol, w)
+    val probe = hashed.join(
+      broadcast(newDocs.select(col(idCol).as("did"))), Seq("did"), "left_semi")
+    probe.as("a").join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.did") =!= col("b.did") &&
           col("a.s") === col("b.s"))
-      .groupBy(col("a.did").as("doc_a"), col("b.did").as("doc_b"))
+      .select(least(col("a.did"), col("b.did")).as("doc_a"),
+        greatest(col("a.did"), col("b.did")).as("doc_b"), col("a.s").as("s"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 

@@ -805,6 +805,51 @@ object TrainQueries extends QuerySet {
              |FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
              |GROUP BY 1, 2""".stripMargin)),
 
+    // D13 — incremental substring dedup: the arriving batch (a second
+    // span recipient + a verbatim re-land of corpus doc 490) probes the
+    // corpus window index; every emitted pair touches a batch doc.
+    // Non-vacuity cuts both ways: the batch recipient must pair with
+    // the donor AND the in-corpus recipient, while the corpus-resident
+    // (donor × in-corpus-recipient) pair — which DOES share windows —
+    // must NOT appear (corpus×corpus is never re-paired).
+    Q("d13_substring_incremental",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+        val donor = base.filter(col("doc_id") === 3)
+          .select(expr("array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, 25), ' ')")
+            .as("span"))
+        def splice(bid: Long, newId: Long) = base.filter(col("doc_id") === bid)
+          .crossJoin(broadcast(donor))
+          .select(lit(newId).as("doc_id"),
+            concat(col("span"), lit(" "), col("text")).as("text"))
+        val corpus = base.unionByName(splice(7, 1000007L))
+        val batch = splice(11, 2000011L).unionByName(
+          base.filter(col("doc_id") === 490)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        Dedup.substringDupPairsIncremental(batch, corpus, "doc_id", "text")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+             |dn AS (SELECT array_to_string(
+             |         (string_split_regex(lower(trim(text)), '\s+'))[1:25], ' ') AS span
+             |       FROM base WHERE doc_id = 3),
+             |d AS (SELECT doc_id, text FROM base
+             |      UNION ALL
+             |      SELECT 1000007, span || ' ' || text FROM base, dn WHERE doc_id = 7
+             |      UNION ALL
+             |      SELECT 2000011, span || ' ' || text FROM base, dn WHERE doc_id = 11
+             |      UNION ALL
+             |      SELECT 2000490, text FROM base WHERE doc_id = 490),
+             |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d),
+             |wn AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+19], ' ') AS s
+             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+             |             FROM tk WHERE len(t) >= 20) z)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       count(*) AS n_shared_windows
+             |FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
+             |WHERE a.doc_id IN (2000011, 2000490) OR b.doc_id IN (2000011, 2000490)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // N7 — IVF multi-probe (nprobe=2, k=3): the recall knob of a real
     // IVF index, fully replayed by the oracle — probe selection and
     // bucket assignment both rank on the round-6 cosine, so the

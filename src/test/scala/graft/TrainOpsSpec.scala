@@ -126,6 +126,21 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 4L), (2L, 4L)))
   }
 
+  test("incremental substring windows: batch pairs only, corpus never re-paired") {
+    val dS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val span = (1 to 6).map(i => s"tok$i").mkString(" ") // one 5-token-window span + 1
+    val corpus = df(dS, Seq(
+      Row(1L, s"$span alpha beta gamma"), Row(2L, s"$span delta epsilon zeta"),
+      Row(3L, "unrelated words only here nothing shared at all")))
+    val batch = df(dS, Seq(Row(10L, s"$span own tail text")))
+    val got = Dedup.substringDupPairsIncremental(batch, corpus, "doc_id", "text", w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // docs 1 and 2 share the span with each other AND with the batch
+    // doc; only the batch-touching pairs may appear
+    assert(got === Seq((1L, 10L), (2L, 10L)))
+  }
+
   test("simhash of identical docs has hamming 0; near-dups small hamming") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
