@@ -56,11 +56,16 @@ object Bench {
     // truncation (Spark log interleaving + exit-time buffer cut) lost the
     // per-query timings mid-JSON-line; the file write is atomic-enough
     // (single small write) and survives however stdout is captured
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stdout first — a bad SPARK_GRAFT_BENCH_OUT path must not cost the
+    // run's timings on BOTH channels
     println(line)
     System.out.flush()
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] artifact write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -206,7 +206,7 @@ object Dedup {
       k: Int = 64, bands: Int = 32, shingleN: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     val packed = paragraphs(docs, idCol, textCol).select(
-      (col("did") * 1000 + col("para_idx") +
+      (col("did").cast("long") * 1000 + col("para_idx") +
         coalesce(assert_true(col("para_idx") < 1000,
           lit("paragraphMinhashPairs: >1000 paragraphs in one doc — widen the packing"))
           .cast("long"), lit(0L))).as("pid"),

@@ -32,9 +32,18 @@ object Multimodal {
     def u(i: Int): Int = bytes(i) & 0xff
     def le(i: Int): Long = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3).toLong << 24)
     def be(i: Int): Long = (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
-    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
-      ("bmp", le(18), le(22), le(10).toInt)
-    else if (bytes.length >= 24 && u(0) == 0x89 && bytes(1) == 'P' &&
+    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+      // BITMAPINFOHEADER width/height are SIGNED; a negative biHeight
+      // marks a top-down BMP — the dimension is its magnitude. The
+      // pixel-data offset field is untrusted input: clamp to the
+      // actual byte range so a truncated or malformed header can never
+      // crash the scan (one bad blob must not kill the whole job).
+      val w = math.abs(le(18).toInt.toLong)
+      val h = math.abs(le(22).toInt.toLong)
+      val off = le(10)
+      val safeOff = if (off < 0L || off > bytes.length) 0 else off.toInt
+      ("bmp", w, h, safeOff)
+    } else if (bytes.length >= 24 && u(0) == 0x89 && bytes(1) == 'P' &&
         bytes(2) == 'N' && bytes(3) == 'G' && u(4) == 0x0d && u(5) == 0x0a &&
         u(6) == 0x1a && u(7) == 0x0a)
       ("png", be(16), be(20), 24)

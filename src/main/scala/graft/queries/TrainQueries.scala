@@ -26,6 +26,47 @@ object TrainQueries extends QuerySet {
       |               string_split_regex(lower(trim(text)), '\s+') AS t
       |        FROM documents)""".stripMargin
 
+
+  /** Round-6-quantized centroid-assignment CTE pair (`<out>j`, `<out>`):
+    * every vector in `src` to its nearest centroid in `cents` — shared
+    * by the n02/n05/n07 oracles so a quantization change cannot leave
+    * one oracle behind. */
+  private def assignCtes(src: String, cents: String, out: String): String =
+    s"""${out}j AS (SELECT e.vec_id AS vid, e.v, cid,
+       |  floor((list_dot_product(e.v, cv)
+       |    /(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(cv, cv))))*1e6 + 0.5)/1e6 AS cos6
+       |  FROM $src e, $cents),
+       |$out AS (SELECT vid, v, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid
+       |    ORDER BY cos6 DESC, cid) AS rn FROM ${out}j) z WHERE rn = 1)""".stripMargin
+
+  /** Bucket-scored top-k tail shared by the IVF-search oracles: scores
+    * `probe`(qid, qv, cid) against `ca` and keeps rank <= k. */
+  private def ivfTopKSql(probe: String, k: Int): String =
+    s"""sc AS (SELECT $probe.qid, ca.vid AS neighbor_id,
+       |         floor((list_dot_product(qv, ca.v)
+       |           /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(ca.v, ca.v))))*1e6 + 0.5)/1e6 AS cosine
+       |       FROM $probe JOIN ca ON $probe.cid = ca.cid AND ca.vid <> $probe.qid)
+       |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
+       |WHERE rn <= $k""".stripMargin
+
+  /** Substring-dedup oracle fragments shared by d12/d13: the bounded
+    * base slice + donor span, and the docs→tokens→distinct-20-token-
+    * window chain over a CTE named `d` the caller supplies. */
+  private val substrBaseDn: String =
+    """base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      |dn AS (SELECT array_to_string(
+      |         (string_split_regex(lower(trim(text)), '\s+'))[1:25], ' ') AS span
+      |       FROM base WHERE doc_id = 3)""".stripMargin
+
+  private val substrWindows: String =
+    """tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d),
+      |wn AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+19], ' ') AS s
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+      |             FROM tk WHERE len(t) >= 20) z)""".stripMargin
+
   /** The curation-chain CTEs (score → lang-ID → exact-pair dedup →
     * recursive connected components) over the bounded doc_id < 1000
     * slice — shared by d07 and the t16 end-to-end prep oracle. Must be
@@ -702,22 +743,9 @@ object TrainQueries extends QuerySet {
       },
       Some(s"""WITH $embCte,
               |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-              |caj AS (SELECT e.vec_id AS vid, e.v, cid,
-              |          floor((list_dot_product(e.v, cv)
-              |            /(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(cv, cv))))*1e6 + 0.5)/1e6 AS cos6
-              |        FROM e, c),
-              |ca AS (SELECT vid, v, cid FROM (
-              |         SELECT *, row_number() OVER (PARTITION BY vid
-              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn = 1),
+              |${assignCtes("e", "c", "ca")},
               |qa AS (SELECT vid AS qid, v AS qv, cid FROM ca WHERE vid < 10),
-              |sc AS (SELECT qa.qid, ca.vid AS neighbor_id,
-              |         floor((list_dot_product(qv, ca.v)
-              |           /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(ca.v, ca.v))))*1e6 + 0.5)/1e6 AS cosine
-              |       FROM qa JOIN ca ON qa.cid = ca.cid AND ca.vid <> qa.qid)
-              |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
-              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
-              |WHERE rn <= 3""".stripMargin)),
+              |${ivfTopKSql("qa", 3)}""".stripMargin)),
 
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient
@@ -789,17 +817,11 @@ object TrainQueries extends QuerySet {
             concat(col("span"), lit(" "), col("text")).as("text"))
         Dedup.substringDupPairs(base.unionByName(planted), "doc_id", "text")
       },
-      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
-             |dn AS (SELECT array_to_string(
-             |         (string_split_regex(lower(trim(text)), '\s+'))[1:25], ' ') AS span
-             |       FROM base WHERE doc_id = 3),
+      Some(s"""WITH $substrBaseDn,
              |pl AS (SELECT doc_id + 1000000 AS doc_id, span || ' ' || text AS text
              |       FROM base, dn WHERE doc_id IN (7, 11)),
              |d AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
-             |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d),
-             |wn AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+19], ' ') AS s
-             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
-             |             FROM tk WHERE len(t) >= 20) z)
+             |$substrWindows
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |       count(*) AS n_shared_windows
              |FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -829,10 +851,7 @@ object TrainQueries extends QuerySet {
             .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
         Dedup.substringDupPairsIncremental(batch, corpus, "doc_id", "text")
       },
-      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
-             |dn AS (SELECT array_to_string(
-             |         (string_split_regex(lower(trim(text)), '\s+'))[1:25], ' ') AS span
-             |       FROM base WHERE doc_id = 3),
+      Some(s"""WITH $substrBaseDn,
              |d AS (SELECT doc_id, text FROM base
              |      UNION ALL
              |      SELECT 1000007, span || ' ' || text FROM base, dn WHERE doc_id = 7
@@ -840,10 +859,7 @@ object TrainQueries extends QuerySet {
              |      SELECT 2000011, span || ' ' || text FROM base, dn WHERE doc_id = 11
              |      UNION ALL
              |      SELECT 2000490, text FROM base WHERE doc_id = 490),
-             |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d),
-             |wn AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+19], ' ') AS s
-             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
-             |             FROM tk WHERE len(t) >= 20) z)
+             |$substrWindows
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |       count(*) AS n_shared_windows
              |FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -866,25 +882,12 @@ object TrainQueries extends QuerySet {
       },
       Some(s"""WITH $embCte,
               |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-              |caj AS (SELECT e.vec_id AS vid, e.v, cid,
-              |          floor((list_dot_product(e.v, cv)
-              |            /(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(cv, cv))))*1e6 + 0.5)/1e6 AS cos6
-              |        FROM e, c),
-              |ca AS (SELECT vid, v, cid FROM (
-              |         SELECT *, row_number() OVER (PARTITION BY vid
-              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn = 1),
+              |${assignCtes("e", "c", "ca")},
               |qp AS (SELECT vid AS qid, v AS qv, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM caj WHERE vid < 10) z
               |       WHERE rn <= 2),
-              |sc AS (SELECT qp.qid, ca.vid AS neighbor_id,
-              |         floor((list_dot_product(qv, ca.v)
-              |           /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(ca.v, ca.v))))*1e6 + 0.5)/1e6 AS cosine
-              |       FROM qp JOIN ca ON qp.cid = ca.cid AND ca.vid <> qp.qid)
-              |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
-              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
-              |WHERE rn <= 3""".stripMargin)),
+              |${ivfTopKSql("qp", 3)}""".stripMargin)),
 
     // N5 — IVF centroid TRAINING: two Lloyd's rounds from a seeded
     // start, final per-centroid membership counts and centroid values.
@@ -905,14 +908,6 @@ object TrainQueries extends QuerySet {
           posexplode(col("cvec")).as(Seq("dim", "cval")))
       },
       Some {
-        def assign(src: String, cents: String, out: String) =
-          s"""${out}j AS (SELECT e.vec_id AS vid, e.v, cid,
-             |  floor((list_dot_product(e.v, cv)
-             |    /(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(cv, cv))))*1e6 + 0.5)/1e6 AS cos6
-             |  FROM $src e, $cents),
-             |$out AS (SELECT vid, v, cid FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY vid
-             |    ORDER BY cos6 DESC, cid) AS rn FROM ${out}j) z WHERE rn = 1)""".stripMargin
         def recompute(asg: String, out: String) =
           s"""${out}x AS (SELECT cid, unnest(generate_series(1, len(v))) AS dim,
              |  unnest(v) AS val FROM $asg),
@@ -921,11 +916,11 @@ object TrainQueries extends QuerySet {
              |$out AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM ${out}m GROUP BY cid)""".stripMargin
         s"""WITH $embCte,
            |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-           |${assign("e", "c0", "a1")},
+           |${assignCtes("e", "c0", "a1")},
            |${recompute("a1", "c1")},
-           |${assign("e", "c1", "a2")},
+           |${assignCtes("e", "c1", "a2")},
            |${recompute("a2", "c2")},
-           |${assign("e", "c2", "a3")},
+           |${assignCtes("e", "c2", "a3")},
            |n AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid)
            |SELECT n.cid, n.n_members, dim - 1 AS dim, mv AS cval
            |FROM n JOIN c2m ON n.cid = c2m.cid""".stripMargin

@@ -115,15 +115,21 @@ object SdvCatalog {
     * non-obsolete choices per domain from mdstatdomdet, deduplicated
     * preserving sequence order — a bounded metadata collect (the
     * reference holds the same per-domain list in memory). */
-  def domainsFrom(mdstatdomdet: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] =
+  def domainsFrom(mdstatdomdet: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] = {
+    val c = org.apache.spark.sql.functions.col _
     mdstatdomdet
-      .filter(org.apache.spark.sql.functions.col("choiceobsolete") === "No")
+      // a blank choicesequence has no position in the ordered domain —
+      // drop the row rather than NPE the whole import (the reference's
+      // ORDER BY would sort SQL NULLs arbitrarily to one end)
+      .filter(c("choiceobsolete") === "No" && c("choicesequence").isNotNull &&
+        c("choice").isNotNull)
       .select("domainname", "choice", "choicesequence")
       .collect()
       .groupBy(_.getString(0))
       .map { case (d, rows) =>
         d -> rows.sortBy(_.getInt(2)).map(_.getString(1)).distinct.toSeq
       }
+  }
 
   private val SimpleEq = """^\s*([\w.]+)\s*=\s*('(?:[^']|'')*')\s*$""".r
 

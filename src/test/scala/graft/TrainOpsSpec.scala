@@ -47,6 +47,15 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeHeader(png) === ("png", 1L, 257L, 24))
     // no magic → raw, full-bytes payload
     assert(Multimodal.decodeHeader("hello".getBytes) === ("raw", 0L, 0L, 0))
+    // top-down BMP: biHeight is SIGNED negative; dimension = magnitude
+    val td = bmp.clone()
+    td(22) = 0x20.toByte; td(23) = 0xfe.toByte; td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    assert(Multimodal.decodeHeader(td) === ("bmp", 2L, 480L, 54))
+    // truncated BMP whose offset field exceeds the bytes: clamp to 0
+    // (hash whole blob) instead of crashing the scan
+    val trunc = new Array[Byte](30)
+    trunc(0) = 'B'; trunc(1) = 'M'; trunc(10) = 54
+    assert(Multimodal.decodeHeader(trunc) === ("bmp", 0L, 0L, 0))
     // packContainer round-trips through the same decoder
     val d = df(docSchema, Seq(Row(5L, "payload")))
     val packed = d.select(col("doc_id"),
