@@ -90,6 +90,29 @@ object MiscQueries extends QuerySet {
              |       'component>chorizon>chtexturegrp>chtexture' AS fk_path
              |FROM md""".stripMargin)),
 
+    // S5 — SDA tabular REST contract (GetNatMusym.py:241-430): payload
+    // building (format flag, quote/newline escaping) and Table-payload
+    // parsing (column-name row, metadata row dropped, all-TEXT schema)
+    // through an injected canned transport — the HTTP hop itself is
+    // out-of-band (zero-egress; SURVEY §3 scopes SDA as oracle, not
+    // data path). The oracle hardcodes both the parsed rows and the
+    // exact payload string, so an escaping or row-skipping change
+    // fails the gate.
+    Q("s05_sda_parse",
+      (s, dir) => {
+        import graft.io.SdaClient
+        val sql = "SELECT mukey, nationalmusym FROM mapunit WHERE mukey IN ('107559', '107646')"
+        val canned: String => Seq[Seq[String]] = _ => Seq(
+          Seq("mukey", "nationalmusym"),
+          Seq("ColumnOrdinal=0,ProviderType=VarChar", "ColumnOrdinal=1,ProviderType=VarChar"),
+          Seq("107559", "2tjpl"), Seq("107646", "2tjpn"))
+        SdaClient.query(s, sql, canned)
+          .withColumn("payload", lit(SdaClient.requestPayload(sql)))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('107559', '2tjpl'), ('107646', '2tjpn')) t(mukey, nationalmusym),
+             |  (SELECT '{"format":"JSON+COLUMNNAME+METADATA","query":"SELECT mukey, nationalmusym FROM mapunit WHERE mukey IN (''107559'', ''107646'')"}' AS payload) p""".stripMargin)),
+
     // S6/S10 — multi-survey union + by-key dedup
     // (SSURGO_MergeDatabases.py:395-845).
     Q("s06_union_merge_dedup",

@@ -172,6 +172,48 @@ object PlannerQueries extends QuerySet {
           |  FROM lineitem)""".stripMargin,
         graft.analog.OracleSql.dcdBr("scfl")))),
 
+    // bFuzzy through the planner (GetSDVAtts :3719-3740): the user
+    // asks to rate an interpretation by its FUZZY value, so the
+    // planner must swap the attribute column to INTERPHR (and Float)
+    // while keeping the catalog row's aggregation; the cointerp branch
+    // also applies the ruledepth=0 and rulename filters. The oracle
+    // computes the weighted average over interphr directly — a missed
+    // column swap would aggregate the class column and die, a missed
+    // rule filter changes every mean.
+    Q("p06_planner_fuzzy",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val cointerp = l.select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("cokey"),
+          lit("mr1").as("mrulekey"),
+          when(col("l_returnflag") === "N", "Bar").otherwise("Foo").as("rulename"),
+          when(col("l_linenumber") === 7, 1).otherwise(0).as("ruledepth"),
+          when(col("l_linenumber") === 6, "Limited").otherwise("Not limited").as("interpllc"),
+          Exprs.cents(col("l_discount")).as("interphr"))
+        Graft.soilMap(ssurgoTables(s, dir) + ("cointerp" -> cointerp))(
+          SdvAttribute("Interp fuzzy", "cointerp", "interpllc", "rating",
+            "Choice", "Weighted Average", complevelattribflag = 1,
+            nasisrulename = Some("Foo")),
+          SdvRequest(cutOff = 5, bFuzzy = true))
+      },
+      Some(withCtes(
+        // component and cointerp are SEPARATE relations joined on
+        // cokey (which the analog data makes non-unique — a
+        // single-table shortcut here would silently cross-pair
+        // comppct and rulename from different rows)
+        """SELECT mukey, floor((sum(comppct*rating)/sum(comppct))*1e4 + 0.5)/1e4 AS rating,
+          |       sum(comppct) AS comppct
+          |FROM scof JOIN scif USING (cokey) GROUP BY mukey""".stripMargin,
+        """scof AS (
+          |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
+          |         CAST(l_orderkey AS VARCHAR) AS mukey,
+          |         CAST(l_quantity AS DOUBLE) AS comppct
+          |  FROM lineitem WHERE l_quantity >= 5)""".stripMargin,
+        """scif AS (
+          |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
+          |         round(l_discount*100) AS rating
+          |  FROM lineitem WHERE l_linenumber <> 7 AND l_returnflag <> 'N')""".stripMargin))),
+
     // R2 raster-path acreage: cell counts × cell acres per rating class
     // (gSSURGO_AcreageReport.py:186-243, raster branch).
     Q("r03_raster_acreage",
