@@ -113,6 +113,30 @@ object MiscQueries extends QuerySet {
              |  ('107559', '2tjpl'), ('107646', '2tjpn')) t(mukey, nationalmusym),
              |  (SELECT '{"format":"JSON+COLUMNNAME+METADATA","query":"SELECT mukey, nationalmusym FROM mapunit WHERE mukey IN (''107559'', ''107646'')"}' AS payload) p""".stripMargin)),
 
+    // R5 — GetNatMusym's table update (GetNatMusym.py:378-397): the
+    // SDA mukey→nationalmusym result (canned here; s05 gates the wire
+    // contract, batching is property-tested) updates the local
+    // mapunit; mukeys with no SDA row keep their existing value
+    // unchanged (the cursor's except path only records them).
+    Q("r06_natmusym_update",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val mapunit = o.select(col("o_orderkey").cast("string").as("mukey"),
+          when(col("o_orderkey") % 3 === 0, "stale").as("natmusym"))
+        val sda = o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").cast("string").as("mukey"),
+            concat(lit("n"), col("o_orderkey").cast("string")).as("nationalmusym"))
+        mapunit.join(sda, Seq("mukey"), "left")
+          .select(col("mukey"),
+            coalesce(col("nationalmusym"), col("natmusym")).as("natmusym"),
+            col("nationalmusym").isNull.as("no_match"))
+      },
+      Some("""SELECT CAST(o_orderkey AS VARCHAR) AS mukey,
+             |       CASE WHEN o_orderkey % 7 = 0 THEN 'n' || CAST(o_orderkey AS VARCHAR)
+             |            WHEN o_orderkey % 3 = 0 THEN 'stale' END AS natmusym,
+             |       o_orderkey % 7 <> 0 AS no_match
+             |FROM orders""".stripMargin)),
+
     // S6/S10 — multi-survey union + by-key dedup
     // (SSURGO_MergeDatabases.py:395-845).
     Q("s06_union_merge_dedup",
