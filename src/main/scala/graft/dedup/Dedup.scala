@@ -244,6 +244,41 @@ object Dedup {
           .as("dup_para_frac"))
   }
 
+  /** Corpus-global EXACT line dedup with first-occurrence retention —
+    * the C4-style pass that removes every repeat of a line (paragraph)
+    * already seen earlier in the corpus, keeping only its first
+    * occurrence in (doc id, line index) order. This is the complement
+    * of [[paragraphMinhashPairs]]: NEAR-dup passages need banding, but
+    * verbatim boilerplate (headers, license blocks, navigation chrome)
+    * is exact and is removed by identity, corpus-wide, in one pass.
+    *
+    * Plan: one shuffle, partitioned by (64-bit line hash, line text) —
+    * a window whose partitions are single-line groups, so it is as
+    * fine-grained (scale-safe) as a per-doc window; the hash leads the
+    * key so ordinary-line groups spread uniformly, and the full text in
+    * the key means a hash collision cannot merge two distinct lines.
+    * `min` over the packed (doc·1000+idx) id marks the keeper — no
+    * join-back, no global ordering. Per-doc stats aggregate in a second
+    * (partial-aggregating) shuffle on doc id.
+    * Returns (did, n_lines, n_removed, n_kept_tokens). */
+  def lineDedupStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = paragraphs(docs, idCol, textCol).select(
+      col("did"), col("ptext"),
+      (col("did").cast("long") * 1000 + col("para_idx") +
+        coalesce(assert_true(col("para_idx") < 1000,
+          lit("lineDedupStats: >1000 lines in one doc — widen the packing"))
+          .cast("long"), lit(0L))).as("pid"))
+    val w = Window.partitionBy(xxhash64(col("ptext")), col("ptext"))
+    lines
+      .withColumn("keep", col("pid") === min(col("pid")).over(w))
+      .groupBy(col("did")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("keep"), TextAnalysis.tokenCount(col("ptext")).cast("long"))
+          .otherwise(0L)).as("n_kept_tokens"))
+  }
+
   /** Cross-doc EXACT substring duplication at `w`-token window
     * granularity — the modality set-similarity dedup misses: a long
     * verbatim quote inside two otherwise-unrelated documents moves

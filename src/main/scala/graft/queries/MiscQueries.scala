@@ -205,6 +205,41 @@ object MiscQueries extends QuerySet {
         "compc AS (SELECT mukey, cokey, comppct, crating AS rating, cord AS ord FROM comp)",
         s"dcp AS (${OracleSql.dcp("compc")})"))),
 
+    // R9 (semantic core) — classified legend + progressive color ramp
+    // (gSSURGO_CreateSoilMap.py:512-591, BezierColorRamp.py:213-279):
+    // 8 equal-interval classes over the weighted-average rating with a
+    // red→blue two-color ramp; with two control points the reference's
+    // Bezier is degree-1, i.e. per-channel lerp with per-summand int()
+    // truncation, mirrored op-for-op by the oracle.
+    Q("r07_legend_colors",
+      (s, dir) => {
+        val rating = SdvAgg.weightedAverage(compNumeric(s, dir))
+          .select(col("mukey"), col("rating"))
+        Reports.legendColorRamp(rating, "rating", 8, (255, 0, 0), (0, 0, 255))
+      },
+      Some(withCtes(
+        """SELECT cls.class_idx,
+          |       floor((vmin + cls.class_idx*((vmax-vmin)/8))*1e4 + 0.5)/1e4 AS lo,
+          |       floor((vmin + (cls.class_idx+1)*((vmax-vmin)/8))*1e4 + 0.5)/1e4 AS hi,
+          |       CAST(floor((1.0 - cls.class_idx/7.0)*255)
+          |            + floor((cls.class_idx/7.0)*0) AS BIGINT) AS r,
+          |       CAST(0 AS BIGINT) AS g,
+          |       CAST(floor((1.0 - cls.class_idx/7.0)*0)
+          |            + floor((cls.class_idx/7.0)*255) AS BIGINT) AS b,
+          |       coalesce(n_units, 0) AS n_units
+          |FROM cls CROSS JOIN st LEFT JOIN cnt ON cls.class_idx = cnt.class_idx""".stripMargin,
+        compCte,
+        """wta AS (SELECT mukey,
+          |          floor((sum(comppct*rating)/sum(comppct))*1e4 + 0.5)/1e4 AS rating
+          |        FROM comp GROUP BY mukey)""".stripMargin,
+        "st AS (SELECT min(rating) AS vmin, max(rating) AS vmax FROM wta)",
+        "cls AS (SELECT unnest(generate_series(0, 7)) AS class_idx)",
+        """cnt AS (SELECT CASE WHEN vmax = vmin THEN 0
+          |               ELSE least(CAST(floor((rating - vmin)/((vmax - vmin)/8)) AS BIGINT), 7)
+          |               END AS class_idx,
+          |               count(*) AS n_units
+          |        FROM wta CROSS JOIN st GROUP BY 1)""".stripMargin))),
+
     // R1 — GetDominantComponent.py:89-117 (ORDER BY comppct DESC,
     // cokey DESC, first wins).
     Q("r01_dominant_component_key",

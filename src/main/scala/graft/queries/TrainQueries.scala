@@ -166,10 +166,11 @@ object TrainQueries extends QuerySet {
         concat_ws(" ", slice(t, n2 + 1, size(t) - n2))).as("text"))
   }
 
-  /** CTE chain doc→paragraphs→3-gram shingles (pid = doc_id·1000+idx),
-    * the exact twin of Dedup.paragraphs + shingleRows over
-    * [[paraDocsDf]]. Ends with sh(pid, s) + cnt(pid, n). */
-  private val paraShingleCtes =
+  /** CTE chain doc→paragraph token arrays (pid = doc_id·1000+idx), the
+    * exact twin of Dedup.paragraphs over [[paraDocsDf]]. Ends with
+    * paras(pid, pt) — shared by the shingle chain below and by the
+    * line-granularity queries (d14, t17). */
+  private val paraCtes =
     """ptoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       |          FROM documents),
       |hp AS (SELECT doc_id, len(t)//2 AS n2, t FROM ptoks),
@@ -181,7 +182,13 @@ object TrainQueries extends QuerySet {
       |pp1 AS (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM pp0),
       |paras AS (SELECT doc_id*1000 + (i-1) AS pid,
       |                 string_split_regex(lower(trim(parts[i])), '\s+') AS pt
-      |          FROM pp1 WHERE trim(parts[i]) <> ''),
+      |          FROM pp1 WHERE trim(parts[i]) <> '')""".stripMargin
+
+  /** [[paraCtes]] extended doc→paragraphs→3-gram shingles, the exact
+    * twin of Dedup.paragraphs + shingleRows over [[paraDocsDf]]. Ends
+    * with sh(pid, s) + cnt(pid, n). */
+  private val paraShingleCtes =
+    s"""$paraCtes,
       |psh0 AS (SELECT pid, pt, unnest(generate_series(1, len(pt)-2)) AS i
       |         FROM paras WHERE len(pt) >= 3),
       |pshl AS (SELECT DISTINCT pid, pt[i] || ' ' || pt[i+1] || ' ' || pt[i+2] AS s FROM psh0),
@@ -233,6 +240,41 @@ object TrainQueries extends QuerySet {
              |       coalesce(n_dup_paras, 0) AS n_dup_paras,
              |       floor((coalesce(n_dup_paras, 0)/CAST(n_paras AS DOUBLE))*1e4 + 0.5)/1e4 AS dup_para_frac
              |FROM np LEFT JOIN cagg USING (did)""".stripMargin)),
+
+    // D14 — corpus-global EXACT line dedup, first occurrence kept: the
+    // C4-style verbatim-boilerplate pass that near-dup banding (d10)
+    // and whole-doc dedup (d01) both miss. One fine-grained window
+    // keyed by (line hash, line text) marks keepers — no join-back.
+    Q("d14_line_dedup",
+      (s, dir) => Dedup.lineDedupStats(paraDocsDf(s, dir), "doc_id", "text")
+        .select(col("did").as("doc_id"), col("n_lines"), col("n_removed"),
+          col("n_kept_tokens")),
+      Some(s"""WITH $paraCtes,
+             |l AS (SELECT pid, array_to_string(pt, ' ') AS line, len(pt) AS n
+             |      FROM paras),
+             |m AS (SELECT pid, n, min(pid) OVER (PARTITION BY line) AS mn FROM l)
+             |SELECT pid//1000 AS doc_id, count(*) AS n_lines,
+             |       CAST(sum(CASE WHEN pid <> mn THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |       CAST(sum(CASE WHEN pid = mn THEN n ELSE 0 END) AS BIGINT) AS n_kept_tokens
+             |FROM m GROUP BY 1""".stripMargin)),
+
+    // T17 — C4-style line-level quality filtering: per-line minimum
+    // token count + distinct-token fraction (integer cross-product
+    // thresholds, engine-exact), doc keeps when ≥ half its lines do.
+    Q("t17_line_quality",
+      (s, dir) => TextAnalysis.lineQualityStats(paraDocsDf(s, dir), "doc_id", "text")
+        .select(col("did").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("kept_frac"), col("keep_doc")),
+      Some(s"""WITH $paraCtes,
+             |l AS (SELECT pid//1000 AS doc_id,
+             |        CASE WHEN len(pt) >= 8
+             |               AND len(list_distinct(pt))*10 >= len(pt)*6
+             |             THEN 1 ELSE 0 END AS k
+             |      FROM paras)
+             |SELECT doc_id, count(*) AS n_lines, CAST(sum(k) AS BIGINT) AS n_kept,
+             |       floor((CAST(sum(k) AS DOUBLE)/count(*))*1e4 + 0.5)/1e4 AS kept_frac,
+             |       sum(k)*2 >= count(*) AS keep_doc
+             |FROM l GROUP BY 1""".stripMargin)),
 
     // T1 — language ID (stopword-hit argmax with fixed tie priority).
     Q("t01_lang_id",

@@ -158,6 +158,31 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** C4-style line-level quality filtering: each line (blank-line
+    * paragraph) keeps or drops on per-line rules — minimum token count
+    * and a minimum distinct-token fraction (the line-local repetition
+    * screen) — and the document keeps when at least half its lines
+    * survive. Thresholds compare as integer cross-products (d·10 ≥ n·6,
+    * kept·2 ≥ lines), never float ratios, so the cut is engine-exact.
+    * Per-line metrics are per-row array ops (no shuffle); the only
+    * shuffle is the partial-aggregating per-doc rollup.
+    * Returns (did, n_lines, n_kept, kept_frac, keep_doc). */
+  def lineQualityStats(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 8): DataFrame = {
+    val lines = graft.dedup.Dedup.paragraphs(docs, idCol, textCol)
+    val t = tokens(col("ptext"))
+    val keepLine = (size(t) >= minTokens) &&
+      (size(array_distinct(t)).cast("long") * 10 >= size(t).cast("long") * 6)
+    lines
+      .withColumn("k", when(keepLine, 1L).otherwise(0L))
+      .groupBy(col("did")).agg(
+        count(lit(1)).as("n_lines"), sum(col("k")).as("n_kept"))
+      .select(col("did"), col("n_lines"), col("n_kept"),
+        graft.core.Exprs.roundHalfUp(
+          col("n_kept").cast("double") / col("n_lines"), 4).as("kept_frac"),
+        (col("n_kept") * 2 >= col("n_lines")).as("keep_doc"))
+  }
+
   /** Gopher-style repetition metrics per document: token count,
     * distinct-token count, duplicate-token fraction
     * (1 − distinct/total) and top-token fraction (mode count / total) —

@@ -79,6 +79,47 @@ class TrainOpsSpec extends AnyFunSuite {
       Seq(1L, 2L, 1L, 0.5), Seq(2L, 2L, 1L, 0.5), Seq(3L, 1L, 0L, 0.0)))
   }
 
+  test("lineDedupStats: first occurrence kept in (doc, idx) order, later repeats removed") {
+    val d = df(docSchema, Seq(
+      Row(1L, "common header line\n\nalpha beta gamma"),
+      Row(2L, "common header line\n\ncommon header line"),  // in-doc repeat too
+      Row(3L, "delta epsilon zeta")))
+    val got = rowsOf(Dedup.lineDedupStats(d, "doc_id", "text"))
+    // doc 1 keeps both (header's first occurrence is 1000); doc 2 loses
+    // both copies (2000 and 2001 are later than 1000); doc 3 untouched
+    assert(got === Seq(
+      Seq(1L, 2L, 0L, 6L),
+      Seq(2L, 2L, 2L, 0L),
+      Seq(3L, 1L, 0L, 3L)))
+  }
+
+  test("lineQualityStats: short and repetitive lines drop, doc keeps at half") {
+    val d = df(docSchema, Seq(
+      Row(1L, "one two three four five six seven eight\n\ntoo short"),
+      Row(2L, "a a a a a a b b b b b b\n\nalpha beta gamma delta epsilon zeta eta theta")))
+    val got = rowsOf(TextAnalysis.lineQualityStats(d, "doc_id", "text"))
+    // doc 1: line1 has 8 distinct tokens (keeps), line2 has 2 (short);
+    // doc 2: line1 is 12 tokens but 2 distinct (2*10 < 12*6, drops)
+    assert(got === Seq(
+      Seq(1L, 2L, 1L, 0.5, true),
+      Seq(2L, 2L, 1L, 0.5, true)))
+  }
+
+  test("legendColorRamp: equal-interval classes, truncated lerp endpoints, empty class kept") {
+    import graft.report.Reports
+    val schema = StructType(Seq(
+      StructField("mukey", LongType), StructField("rating", DoubleType)))
+    // values 0..10 with a hole in [2.5, 5.0) -> class 1 of 4 is empty
+    val r = df(schema, Seq(Row(1L, 0.0), Row(2L, 1.0), Row(3L, 6.0),
+      Row(4L, 9.0), Row(5L, 10.0)))
+    val got = rowsOf(Reports.legendColorRamp(r, "rating", 4, (255, 0, 0), (0, 0, 255)))
+    assert(got === Seq(
+      Seq(0L, 0.0, 2.5, 255L, 0L, 0L, 2L),     // vmin lands here
+      Seq(1L, 2.5, 5.0, 170L, 0L, 85L, 0L),    // empty class still listed
+      Seq(2L, 5.0, 7.5, 85L, 0L, 170L, 1L),
+      Seq(3L, 7.5, 10.0, 0L, 0L, 255L, 2L)))   // v == vmax capped into last
+  }
+
   test("redact: PII tokens replaced wholesale, whitespace/ambient preserved, 6 digits spared") {
     val d = df(docSchema, Seq(
       Row(1L, "contact bob@example.com  for\tinfo"),
