@@ -21,6 +21,14 @@ object Tables {
   /** Turn on base-table caching for a multi-query session (Bench). */
   def enableCache(): Unit = cacheTables = true
 
+  /** Unpersist and forget every table cached under `dir` (all dirs when
+    * empty) — lets a warmup phase at one SF release its storage before
+    * a timed phase at another. */
+  def clearCache(dir: String = ""): Unit =
+    cached.keys.toSeq.filter(k => dir.isEmpty || k._1 == dir).foreach { k =>
+      cached.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (cacheTables)
       cached.getOrElseUpdate((dir, name),

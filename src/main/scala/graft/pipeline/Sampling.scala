@@ -25,22 +25,28 @@ object Sampling {
     * intermediate stays below 2⁴⁸ — the whole non-negative int64 id
     * domain is valid. Negative ids are not supported (Spark's pmod
     * and SQL's % disagree on them). */
-  def hashBucket(id: Column): Column = {
+  /** The full 32-bit Knuth hash (the value [[hashBucket]] folds to
+    * [0, 100)) — use this where rank granularity matters
+    * ([[stratifiedSample]]). */
+  def hash32(id: Column): Column = {
     val x = pmod(id.cast("long"), lit(4294967296L))
     val lo = x % lit(65536L)
     val hi = ((x - lo) / lit(65536L)).cast("long")
-    val h = pmod((hi * lit(2654435761L)) % lit(65536L) * lit(65536L)
+    pmod((hi * lit(2654435761L)) % lit(65536L) * lit(65536L)
       + lo * lit(2654435761L), lit(4294967296L))
-    pmod(h, lit(100L))
   }
 
-  /** The exact SQL twin of [[hashBucket]] (DuckDB `//` integer
-    * division) — oracles must splice THIS, never re-derive the
+  def hashBucket(id: Column): Column = pmod(hash32(id), lit(100L))
+
+  /** The exact SQL twin of [[hash32]] (DuckDB `//` integer division) —
+    * oracles must splice THIS or [[hashBucketSql]], never re-derive the
     * formula, so both sides change together. */
-  def hashBucketSql(c: String): String = {
+  def hash32Sql(c: String): String = {
     val x = s"($c % 4294967296)"
-    s"((((($x // 65536) * 2654435761) % 65536) * 65536 + ($x % 65536) * 2654435761) % 4294967296) % 100"
+    s"(((($x // 65536) * 2654435761) % 65536) * 65536 + ($x % 65536) * 2654435761) % 4294967296"
   }
+
+  def hashBucketSql(c: String): String = s"(${hash32Sql(c)}) % 100"
 
   /** Deterministic train/val/test split: `pcts` are cumulative
     * percentage bounds, e.g. Seq(("train", 80), ("val", 90)) with the
@@ -74,6 +80,26 @@ object Sampling {
       when(col(domainCol) === k, lit(v)).otherwise(acc)
     }
     df.filter(rate === 100 || hashBucket(col(idCol)) < rate)
+  }
+
+  /** Exact-count stratified sampling: the k rows per stratum whose
+    * engine-portable hash ranks lowest — deterministic "take exactly k
+    * uniformly per domain", vs [[mixtureSample]]'s per-row coin flip
+    * (binomial count). Rank is ([[hash32]], id) ascending — full
+    * 32-bit hash granularity (the 100-bucket fold would bias selection
+    * toward low ids inside a bucket); the id tiebreak makes it total.
+    * Plan: ONE shuffle — a per-stratum window; partitions are strata,
+    * exactly the per-group sort any exact top-k needs, and the window
+    * never spans the corpus. Strata with ≤ k rows keep everything.
+    * Returns the input columns plus the stratum rank. */
+  def stratifiedSample(df: DataFrame, idCol: String, domainCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"stratifiedSample: k=$k must be positive")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hash32(col(idCol)), col(idCol))
+    df.withColumn("stratum_rank", row_number().over(w).cast("long"))
+      .filter(col("stratum_rank") <= k)
   }
 
   /** Contiguous token-budget packing: documents in ascending id order

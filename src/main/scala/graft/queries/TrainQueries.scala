@@ -449,6 +449,24 @@ object TrainQueries extends QuerySet {
            |                 WHEN lang = 'zh' THEN 25 ELSE 100 END""".stripMargin
       }),
 
+    // T18 — exact-count stratified sampling: exactly k docs per
+    // (source) stratum by ascending engine-portable 32-bit hash — the
+    // deterministic "uniform k per domain" draw an eval-set builder
+    // needs (t12's per-row coin flip only hits counts in expectation).
+    Q("t18_stratified_sample",
+      (s, dir) => graft.pipeline.Sampling.stratifiedSample(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", k = 5),
+      Some {
+        val h = graft.pipeline.Sampling.hash32Sql("doc_id")
+        s"""SELECT doc_id, source, stratum_rank FROM (
+           |  SELECT doc_id, source,
+           |         CAST(row_number() OVER (PARTITION BY source
+           |                ORDER BY $h, doc_id) AS BIGINT) AS stratum_rank
+           |  FROM documents)
+           |WHERE stratum_rank <= 5""".stripMargin
+      }),
+
     // T14 — PII-signal triage over the corpus plus PLANTED positives
     // (the synthetic corpus contains none — without planting, the
     // detector columns would be all-zero and the gate vacuous; the

@@ -358,6 +358,21 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got.size < 200 && got.size > 100) // en thinned, de intact
   }
 
+  test("stratifiedSample: exactly k per stratum by 32-bit hash rank, small strata intact") {
+    val s = StructType(Seq(StructField("doc_id", LongType), StructField("src", StringType)))
+    val rows = (0L until 50L).map(i => Row(i, "big")) ++
+      Seq(Row(100L, "small"), Row(101L, "small"))
+    val got = graft.pipeline.Sampling.stratifiedSample(df(s, rows), "doc_id", "src", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(got.count(_._1 == "big") === 3)
+    assert(got.count(_._1 == "small") === 2)     // stratum below k keeps all
+    val h32 = (id: Long) =>
+      ((BigInt(id).mod(BigInt(2).pow(32)) * 2654435761L).mod(BigInt(2).pow(32))).toLong
+    val expectBig = (0L until 50L).sortBy(i => (h32(i), i)).take(3).toSet
+    assert(got.filter(_._1 == "big").map(_._2).toSet === expectBig)
+    assert(got.filter(_._1 == "small").map(_._3).sorted === Seq(1L, 2L))
+  }
+
   test("mixtureSample: null ids survive only keep-everything domains; bad rates rejected") {
     val s = StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType)))
     val d = df(s, Seq(Row(null, "en"), Row(null, "de"), Row(1L, "de")))
