@@ -467,6 +467,47 @@ object TrainQueries extends QuerySet {
            |WHERE stratum_rank <= 5""".stripMargin
       }),
 
+    // T19 — per-source quality-percentile cutoff: keep docs at or above
+    // their source's exact p25 quality — the relative-to-domain
+    // curation rule (an absolute threshold over mixed sources drops
+    // whole low-register domains). Composition: qualityScore (t02) →
+    // groupedQuantiles nearest-rank p25 per source (q3's shape; the
+    // distribution is the tiny distinct-value table, never a row sort)
+    // → broadcast the 1-row-per-source cutoffs back over the corpus.
+    Q("t19_quality_cutoff",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+          col("source"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        val cut = graft.core.Stats.groupedQuantile(d, "source", "quality",
+          25, out = "cutoff")
+        d.join(broadcast(cut), "source")
+          .filter(col("quality") >= col("cutoff"))
+          .select(col("doc_id"), col("source"), col("quality"), col("cutoff"))
+      },
+      Some(s"""WITH q0 AS (SELECT doc_id, source, text,
+             |              string_split_regex(lower(trim(text)), '\\s+') AS t
+             |            FROM documents),
+             |qb AS (SELECT doc_id, source, text,
+             |         CAST(len(t) AS DOUBLE) AS nw,
+             |         CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS np,
+             |         CAST(${hitsSql("en")} AS DOUBLE) AS stp
+             |       FROM q0),
+             |q AS (SELECT doc_id, source,
+             |        floor(((least(nw, 100.0)/100.0)
+             |              * (1.0 - np/CAST(greatest(length(text), 1) AS DOUBLE))
+             |              * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)))*1e4 + 0.5)/1e4 AS quality
+             |      FROM qb),
+             |c AS (SELECT source, quality, count(*) AS c FROM q GROUP BY 1, 2),
+             |cc AS (SELECT source, quality,
+             |         sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
+             |         sum(c) OVER (PARTITION BY source) AS n
+             |       FROM c),
+             |cut AS (SELECT source,
+             |          min(CASE WHEN cum >= (n*25 + 99)//100 THEN quality END) AS cutoff
+             |        FROM cc GROUP BY 1)
+             |SELECT doc_id, source, quality, cutoff
+             |FROM q JOIN cut USING (source) WHERE quality >= cutoff""".stripMargin)),
+
     // T14 — PII-signal triage over the corpus plus PLANTED positives
     // (the synthetic corpus contains none — without planting, the
     // detector columns would be all-zero and the gate vacuous; the

@@ -107,6 +107,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(mp.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$mp")
   }
 
+  test("line/stratum/cutoff plans: windows are partitioned, cutoffs broadcast") {
+    val docS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val docs = df(docS, (1L to 20L).map(i =>
+      Row(i, s"alpha beta gamma line $i\n\nshared tail line", s"s${i % 3}")))
+    // d14/t18: every Window must carry a partition spec — an empty one
+    // moves the corpus to a single partition (the WindowExec warning)
+    for (p <- Seq(
+        graft.dedup.Dedup.lineDedupStats(docs, "doc_id", "text"),
+        graft.pipeline.Sampling.stratifiedSample(docs, "doc_id", "source", 2))) {
+      val plan = p.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+        s"unpartitioned window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cross join:\n$plan")
+    }
+    // t19: the per-source cutoff table must come back as a broadcast
+    // join, never a shuffle of the corpus against 20 rows
+    val d = docs.select(col("doc_id"), col("source"),
+      graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
+    val cut = graft.core.Stats.groupedQuantile(d, "source", "quality", 25, out = "cutoff")
+    val joined = d.join(broadcast(cut), "source").filter(col("quality") >= col("cutoff"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cutoffs not broadcast:\n$plan")
+  }
+
   test("DenseId: ids match the global sorted order, plan has no single-partition exchange") {
     val s = StructType(Seq(StructField("k", LongType)))
     // deliberately unsorted, duplicated, multi-partition input
