@@ -12,10 +12,12 @@ import graft.text.TextAnalysis
   * partitionings, and expressible in ANSI SQL for the oracle gate. */
 object Sampling {
 
-  /** Knuth multiplicative hash of an integral id, folded to [0, 100).
-    * Plain BIGINT arithmetic (id·2654435761 mod 2³²) — unlike
-    * xxhash64, any engine reproduces it exactly, so split membership
-    * is portable, not implementation-defined.
+  /** Full 32-bit Knuth multiplicative hash of an integral id
+    * (id·2654435761 mod 2³²). Plain BIGINT arithmetic — unlike
+    * xxhash64, any engine reproduces it exactly, so hash-derived
+    * membership/rank is portable, not implementation-defined. Use this
+    * directly where rank granularity matters ([[stratifiedSample]]);
+    * [[hashBucket]] folds it to [0, 100) for percentage splits.
     *
     * The multiply is done as split 16-bit limbs: a direct
     * `id * 2654435761` overflows Int64 for id ≥ ~3.47e9 (ANSI mode
@@ -25,9 +27,6 @@ object Sampling {
     * intermediate stays below 2⁴⁸ — the whole non-negative int64 id
     * domain is valid. Negative ids are not supported (Spark's pmod
     * and SQL's % disagree on them). */
-  /** The full 32-bit Knuth hash (the value [[hashBucket]] folds to
-    * [0, 100)) — use this where rank granularity matters
-    * ([[stratifiedSample]]). */
   def hash32(id: Column): Column = {
     val x = pmod(id.cast("long"), lit(4294967296L))
     val lo = x % lit(65536L)
@@ -36,6 +35,7 @@ object Sampling {
       + lo * lit(2654435761L), lit(4294967296L))
   }
 
+  /** [[hash32]] folded to [0, 100) — the percentage-split bucket. */
   def hashBucket(id: Column): Column = pmod(hash32(id), lit(100L))
 
   /** The exact SQL twin of [[hash32]] (DuckDB `//` integer division) —
@@ -91,6 +91,10 @@ object Sampling {
     * Plan: ONE shuffle — a per-stratum window; partitions are strata,
     * exactly the per-group sort any exact top-k needs, and the window
     * never spans the corpus. Strata with ≤ k rows keep everything.
+    * Null-id rows are excluded: they have no portable hash rank
+    * (Spark sorts nulls first, SQL engines last — an engine-dependent
+    * draw), matching [[mixtureSample]]'s no-bucket-no-survival rule
+    * for thinned domains.
     * Returns the input columns plus the stratum rank. */
   def stratifiedSample(df: DataFrame, idCol: String, domainCol: String,
       k: Int): DataFrame = {
@@ -98,7 +102,8 @@ object Sampling {
     require(k >= 1, s"stratifiedSample: k=$k must be positive")
     val w = Window.partitionBy(col(domainCol))
       .orderBy(hash32(col(idCol)), col(idCol))
-    df.withColumn("stratum_rank", row_number().over(w).cast("long"))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("stratum_rank", row_number().over(w).cast("long"))
       .filter(col("stratum_rank") <= k)
   }
 

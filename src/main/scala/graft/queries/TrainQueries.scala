@@ -497,7 +497,8 @@ object TrainQueries extends QuerySet {
              |              * (1.0 - np/CAST(greatest(length(text), 1) AS DOUBLE))
              |              * (0.5 + 0.5*least(stp*5.0/greatest(nw, 1.0), 1.0)))*1e4 + 0.5)/1e4 AS quality
              |      FROM qb),
-             |c AS (SELECT source, quality, count(*) AS c FROM q GROUP BY 1, 2),
+             |c AS (SELECT source, quality, count(*) AS c FROM q
+             |      WHERE quality IS NOT NULL GROUP BY 1, 2),
              |cc AS (SELECT source, quality,
              |         sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
              |         sum(c) OVER (PARTITION BY source) AS n

@@ -41,13 +41,18 @@ object Reports {
     * Plan: the (vmin, vmax) aggregate is ONE row, broadcast to both the
     * membership pass and the class axis (spark.range(n)); the only
     * shuffle is the partial-aggregating per-class count. Empty classes
-    * still emit (n_units = 0) — a legend lists every class.
+    * still emit (n_units = 0) — a legend lists every class. Null
+    * ratings are excluded — they belong to the 'Not rated' legend row
+    * ([[acreage]]'s coalesce), not a numeric class (and Spark's
+    * null-skipping least() would otherwise silently file them under
+    * the TOP class).
     * Returns (class_idx, lo, hi, r, g, b, n_units). */
   def legendColorRamp(rating: DataFrame, valueCol: String, n: Int,
       lower: (Int, Int, Int), upper: (Int, Int, Int)): DataFrame = {
     require(n >= 1, "legendColorRamp: need at least one class")
     val spark = rating.sparkSession
-    val stats = rating.agg(min(col(valueCol)).cast("double").as("vmin"),
+    val rated = rating.filter(col(valueCol).isNotNull)
+    val stats = rated.agg(min(col(valueCol)).cast("double").as("vmin"),
       max(col(valueCol)).cast("double").as("vmax"))
     val w = (col("vmax") - col("vmin")) / n
     def chan(lo: Int, hi: Int): Column = {
@@ -55,7 +60,7 @@ object Reports {
         else col("class_idx").cast("double") / (n - 1)
       (floor((lit(1.0) - t) * lo) + floor(t * hi)).cast("long")
     }
-    val counts = rating.crossJoin(broadcast(stats))
+    val counts = rated.crossJoin(broadcast(stats))
       .select(when(col("vmax") === col("vmin"), lit(0L))
         .otherwise(least(floor((col(valueCol) - col("vmin")) / w), lit((n - 1).toLong)))
         .as("class_idx"))

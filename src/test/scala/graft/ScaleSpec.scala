@@ -113,13 +113,18 @@ class ScaleSpec extends AnyFunSuite {
     val docs = df(docS, (1L to 20L).map(i =>
       Row(i, s"alpha beta gamma line $i\n\nshared tail line", s"s${i % 3}")))
     // d14/t18: every Window must carry a partition spec — an empty one
-    // moves the corpus to a single partition (the WindowExec warning)
+    // moves the corpus to a single partition (the WindowExec warning).
+    // Inspect the logical Window nodes (a string match on the plan text
+    // can't see whether the partition-spec list is empty).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (p <- Seq(
         graft.dedup.Dedup.lineDedupStats(docs, "doc_id", "text"),
         graft.pipeline.Sampling.stratifiedSample(docs, "doc_id", "source", 2))) {
+      val wins = p.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, "expected a window in the plan")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned window:\n${p.queryExecution.optimizedPlan}")
       val plan = p.queryExecution.executedPlan.toString
-      assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
-        s"unpartitioned window:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"cross join:\n$plan")
     }
     // t19: the per-source cutoff table must come back as a broadcast
