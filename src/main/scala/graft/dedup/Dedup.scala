@@ -279,6 +279,39 @@ object Dedup {
           .otherwise(0L)).as("n_kept_tokens"))
   }
 
+  /** Incremental [[lineDedupStats]]: per-doc stats for the ARRIVING
+    * batch only — a batch line is removed iff its text already exists
+    * in the corpus (any doc) or earlier within the batch itself. The
+    * corpus participates ONLY as its DISTINCT (line hash, line text)
+    * set — the persistable index artifact (bucketed by hash in a real
+    * lake), probed by one equi-join; corpus docs are never re-counted
+    * and corpus volume never flows through the batch window. Ids must
+    * be disjoint across the two inputs.
+    * Returns (did, n_lines, n_removed, n_kept_tokens) for batch docs. */
+  def lineDedupIncremental(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batch = paragraphs(newDocs, idCol, textCol).select(
+      col("did"), col("ptext"), xxhash64(col("ptext")).as("h"),
+      (col("did").cast("long") * 1000 + col("para_idx") +
+        coalesce(assert_true(col("para_idx") < 1000,
+          lit("lineDedupIncremental: >1000 lines in one doc — widen the packing"))
+          .cast("long"), lit(0L))).as("pid"))
+    val idx = paragraphs(corpus, idCol, textCol)
+      .select(xxhash64(col("ptext")).as("h"), col("ptext")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val w = Window.partitionBy(col("h"), col("ptext"))
+    batch
+      .withColumn("first_in_batch", col("pid") === min(col("pid")).over(w))
+      .join(idx, Seq("h", "ptext"), "left")
+      .withColumn("keep", col("first_in_batch") && col("in_corpus").isNull)
+      .groupBy(col("did")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("keep"), TextAnalysis.tokenCount(col("ptext")).cast("long"))
+          .otherwise(0L)).as("n_kept_tokens"))
+  }
+
   /** Cross-doc EXACT substring duplication at `w`-token window
     * granularity — the modality set-similarity dedup misses: a long
     * verbatim quote inside two otherwise-unrelated documents moves

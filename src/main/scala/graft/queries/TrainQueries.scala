@@ -258,6 +258,35 @@ object TrainQueries extends QuerySet {
              |       CAST(sum(CASE WHEN pid = mn THEN n ELSE 0 END) AS BIGINT) AS n_kept_tokens
              |FROM m GROUP BY 1""".stripMargin)),
 
+    // D15 — incremental line dedup: the d14 pass at ingestion time —
+    // the arriving batch (doc_id ≥ 400) probes the corpus's distinct
+    // line index with one equi-join; a batch line is removed iff it
+    // exists in the corpus or earlier in the batch. Corpus docs are
+    // never re-counted (the oracle's output covers batch docs only).
+    Q("d15_line_dedup_incremental",
+      (s, dir) => {
+        val d = paraDocsDf(s, dir)
+        Dedup.lineDedupIncremental(
+            d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+            "doc_id", "text")
+          .select(col("did").as("doc_id"), col("n_lines"), col("n_removed"),
+            col("n_kept_tokens"))
+      },
+      Some(s"""WITH $paraCtes,
+             |l AS (SELECT pid, array_to_string(pt, ' ') AS line, len(pt) AS n
+             |      FROM paras),
+             |b AS (SELECT * FROM l WHERE pid//1000 >= 400),
+             |cix AS (SELECT DISTINCT line FROM l WHERE pid//1000 < 400),
+             |m AS (SELECT pid, n, line, min(pid) OVER (PARTITION BY line) AS mn
+             |      FROM b),
+             |j AS (SELECT m.pid, m.n, m.mn,
+             |             (cix.line IS NOT NULL) AS in_corpus
+             |      FROM m LEFT JOIN cix ON m.line = cix.line)
+             |SELECT pid//1000 AS doc_id, count(*) AS n_lines,
+             |       CAST(sum(CASE WHEN pid <> mn OR in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |       CAST(sum(CASE WHEN pid = mn AND NOT in_corpus THEN n ELSE 0 END) AS BIGINT) AS n_kept_tokens
+             |FROM j GROUP BY 1""".stripMargin)),
+
     // T17 — C4-style line-level quality filtering: per-line minimum
     // token count + distinct-token fraction (integer cross-product
     // thresholds, engine-exact), doc keeps when ≥ half its lines do.

@@ -93,6 +93,21 @@ class TrainOpsSpec extends AnyFunSuite {
       Seq(3L, 1L, 0L, 3L)))
   }
 
+  test("lineDedupIncremental: corpus lines kill batch repeats, corpus never re-counted") {
+    val corpus = df(docSchema, Seq(
+      Row(1L, "common header line\n\ncorpus only content")))
+    val batch = df(docSchema, Seq(
+      Row(10L, "common header line\n\nfresh alpha beta"),   // line 0 in corpus
+      Row(11L, "fresh alpha beta\n\nfresh alpha beta")))    // in-batch repeat of 10's
+    val got = rowsOf(Dedup.lineDedupIncremental(batch, corpus, "doc_id", "text"))
+    // doc 10: header removed (corpus), "fresh alpha beta" kept (first in batch);
+    // doc 11: both copies removed (10000 < 11000 holds the first occurrence);
+    // corpus doc 1 must NOT appear in the output
+    assert(got === Seq(
+      Seq(10L, 2L, 1L, 3L),
+      Seq(11L, 2L, 2L, 0L)))
+  }
+
   test("lineQualityStats: short and repetitive lines drop, doc keeps at half") {
     val d = df(docSchema, Seq(
       Row(1L, "one two three four five six seven eight\n\ntoo short"),
@@ -109,9 +124,11 @@ class TrainOpsSpec extends AnyFunSuite {
     import graft.report.Reports
     val schema = StructType(Seq(
       StructField("mukey", LongType), StructField("rating", DoubleType)))
-    // values 0..10 with a hole in [2.5, 5.0) -> class 1 of 4 is empty
+    // values 0..10 with a hole in [2.5, 5.0) -> class 1 of 4 is empty;
+    // the null rating must NOT land in any class (least() skips nulls —
+    // unguarded it files under the TOP class) nor stretch the range
     val r = df(schema, Seq(Row(1L, 0.0), Row(2L, 1.0), Row(3L, 6.0),
-      Row(4L, 9.0), Row(5L, 10.0)))
+      Row(4L, 9.0), Row(5L, 10.0), Row(6L, null)))
     val got = rowsOf(Reports.legendColorRamp(r, "rating", 4, (255, 0, 0), (0, 0, 255)))
     assert(got === Seq(
       Seq(0L, 0.0, 2.5, 255L, 0L, 0L, 2L),     // vmin lands here
