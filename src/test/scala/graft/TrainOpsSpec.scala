@@ -108,6 +108,46 @@ class TrainOpsSpec extends AnyFunSuite {
       Seq(11L, 2L, 2L, 0L)))
   }
 
+  test("lineDedupStats invariants on random corpora: reconcile, distinct-keeps, idempotent") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 30L).map { i =>
+      val paras = (0 until 1 + rnd.nextInt(4)).map(_ =>
+        (0 until 1 + rnd.nextInt(5)).map(_ => s"w${rnd.nextInt(8)}").mkString(" "))
+      Row(i, paras.mkString("\n\n"))
+    }
+    val d = df(docSchema, rows)
+    val stats = Dedup.lineDedupStats(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val paras = Dedup.paragraphs(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // every line accounted for; kept lines = one per distinct text
+    assert(stats.map(_._2).sum === paras.size)
+    assert(stats.map(s => s._2 - s._3).sum === paras.map(_._3).distinct.size)
+    // idempotence: a corpus of only the kept first occurrences loses nothing
+    val keepers = paras.groupBy(_._3).values.map(_.minBy(p => p._1 * 1000 + p._2)).toSeq
+    val deduped = keepers.groupBy(_._1).map { case (did, ps) =>
+      Row(did, ps.sortBy(_._2).map(_._3).mkString("\n\n")) }.toSeq
+    val again = Dedup.lineDedupStats(df(docSchema, deduped), "doc_id", "text").collect()
+    assert(again.forall(_.getLong(2) === 0L))
+  }
+
+  test("lineDedupIncremental == full-corpus dedup restricted to the batch") {
+    val rnd = new scala.util.Random(7)
+    def mk(ids: Seq[Long]) = ids.map { i =>
+      val paras = (0 until 1 + rnd.nextInt(3)).map(_ =>
+        (0 until 1 + rnd.nextInt(4)).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+      Row(i, paras.mkString("\n\n"))
+    }
+    // corpus ids precede batch ids, so "first occurrence" agrees between
+    // the union pass and the incremental probe
+    val corpus = df(docSchema, mk(1L to 15L))
+    val batch = df(docSchema, mk(100L to 110L))
+    val full = rowsOf(Dedup.lineDedupStats(corpus.unionByName(batch), "doc_id", "text")
+      .filter(col("did") >= 100L))
+    val inc = rowsOf(Dedup.lineDedupIncremental(batch, corpus, "doc_id", "text"))
+    assert(inc === full)
+  }
+
   test("lineQualityStats: short and repetitive lines drop, doc keeps at half") {
     val d = df(docSchema, Seq(
       Row(1L, "one two three four five six seven eight\n\ntoo short"),
