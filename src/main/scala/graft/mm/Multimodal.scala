@@ -83,6 +83,43 @@ object Multimodal {
     when(png, pngB).otherwise(bmp)
   }
 
+  case class FrameSample(doc_id: Long, frame_idx: Long, n_frames: Long,
+      frame_hash: String)
+
+  /** Frame sampling over a binary media column — the video-modality
+    * half of the mandate's decode/feature-extract/resize/frame-sample
+    * set: the container payload (after [[decodeHeader]]'s header
+    * offset) is treated as a stream of fixed-`frameBytes` frames and
+    * every `stride`-th frame is emitted with its index, the container's
+    * total frame count, and a per-frame content hash (the dedup /
+    * similarity key a video curation pipeline feeds downstream). A
+    * trailing partial frame is dropped on both engine sides (floor).
+    * Same partition-batched typed-transform shape as
+    * [[extractFeatures]]: one batch iterator per partition, per-row
+    * flatMap fan-out of ≤ n/stride rows, no shuffle. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, stride: Int): Dataset[FrameSample] = {
+    require(frameBytes >= 1 && stride >= 1, "frameBytes and stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val off = decodeHeader(bytes)._4
+          val n = (bytes.length - off) / frameBytes
+          (0 until n by stride).iterator.map { i =>
+            val lo = off + i * frameBytes
+            md.reset()
+            val hex = md.digest(java.util.Arrays.copyOfRange(bytes, lo, lo + frameBytes))
+              .map("%02x".format(_)).mkString
+            FrameSample(id, i.toLong, n.toLong, hex)
+          }
+        }
+      }
+  }
+
   /** Partition-batched feature extraction over a binary column: header
     * decode (format, dimensions) + payload content hash. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {

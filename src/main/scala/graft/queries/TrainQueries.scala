@@ -1124,5 +1124,31 @@ object TrainQueries extends QuerySet {
              |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 16 + doc_id % 624 END AS BIGINT) AS width,
              |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 16 + doc_id % 464 END AS BIGINT) AS height,
              |  md5(text) AS content_hash
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    // MM2 — frame sampling over the same containers as mm01: the
+    // payload after the header offset is a stream of 32-byte frames;
+    // every 4th is emitted with a per-frame hash. The oracle slices the
+    // text payload with VARCHAR substring — byte-exact here because the
+    // driver corpus is single-byte ASCII (the same convention mm01's
+    // md5(text) content hash already relies on).
+    Q("mm02_frame_sample",
+      (s, dir) => {
+        val w = (lit(16) + col("doc_id") % 624).cast("int")
+        val h = (lit(16) + col("doc_id") % 464).cast("int")
+        val bytes = when(col("doc_id") % 97 === 0, col("text").cast("binary"))
+          .otherwise(Multimodal.packContainer(col("doc_id") % 2 === 1, w, h, col("text")))
+        Multimodal.sampleFrames(
+          Tables.load(s, dir, "documents").select(col("doc_id"), bytes.as("bytes")),
+          "doc_id", "bytes", frameBytes = 32, stride = 4).toDF()
+      },
+      Some("""WITH n AS (SELECT doc_id, text,
+             |            octet_length(encode(text))//32 AS n_frames
+             |          FROM documents),
+             |f AS (SELECT doc_id, text, n_frames,
+             |             unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx
+             |      FROM n WHERE n_frames > 0)
+             |SELECT doc_id, frame_idx, n_frames,
+             |       md5(substring(text, CAST(frame_idx*32 + 1 AS BIGINT), 32)) AS frame_hash
+             |FROM f""".stripMargin)))
 }

@@ -66,6 +66,26 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got.n_bytes === 24L + "payload".length)
   }
 
+  test("sampleFrames: header-offset payload, stride, partial tail dropped") {
+    import graft.mm.Multimodal
+    val d = df(docSchema, Seq(Row(1L, "a" * 70), Row(2L, "b" * 20)))
+    val packed = d.select(col("doc_id"),
+      Multimodal.packContainer(col("doc_id") % 2 === 1, lit(8), lit(8),
+        col("text")).as("b"))
+    val got = Multimodal.sampleFrames(packed, "doc_id", "b", frameBytes = 32,
+      stride = 1).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    // doc 1: 70-byte payload -> frames 0,1 (6-byte tail dropped);
+    // doc 2: 20 bytes -> no full frame, no rows
+    assert(got.map(f => (f.doc_id, f.frame_idx, f.n_frames)).toSeq ===
+      Seq((1L, 0L, 2L), (1L, 1L, 2L)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(Array.fill[Byte](32)('a')).map("%02x".format(_)).mkString
+    assert(got.forall(_.frame_hash === want))
+    // stride skips: frames 0 only at stride 4
+    val strided = Multimodal.sampleFrames(packed, "doc_id", "b", 32, 4).collect()
+    assert(strided.map(_.frame_idx).toSeq === Seq(0L))
+  }
+
   test("paragraph dedup: blank-line split, cross-doc paragraph pairs, per-doc fractions") {
     val d = df(docSchema, Seq(
       Row(1L, "shared boilerplate paragraph here\n\nunique alpha content one two three"),
