@@ -120,6 +120,55 @@ object Multimodal {
       }
   }
 
+  case class ResizedMedia(doc_id: Long, in_w: Long, in_h: Long,
+      out_w: Long, out_h: Long, resized_hash: String)
+
+  /** Nearest-neighbor integer-factor downscale of a RAW gray8 image
+    * (one byte per pixel, row-major at the given `width`) — the resize
+    * op of the mandate's decode/feature-extract/resize/frame-sample
+    * set, on the one pixel layout that needs no codec: output pixel
+    * (r, c) is input pixel (r·factor, c·factor). Images whose payload
+    * doesn't fill a whole output grid drop the partial tail rows (and
+    * sub-`width` payloads produce no row). Emits the resized image's
+    * content hash — dims + hash are what a curation pipeline keys on;
+    * the resized bytes themselves would land in a new binary column in
+    * a real pipeline (same transform, minus the digest).
+    * Partition-batched typed transform like [[extractFeatures]];
+    * per-row work is O(out pixels), no shuffle. */
+  def resizeNearest(df: DataFrame, idCol: String, binCol: String,
+      width: Int, factor: Int): Dataset[ResizedMedia] = {
+    require(width >= 1 && factor >= 1 && width % factor == 0,
+      "width and factor must be positive with factor dividing width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val inH = bytes.length / width
+          val (outW, outH) = (width / factor, inH / factor)
+          if (outH == 0) Iterator.empty
+          else {
+            val out = new Array[Byte](outW * outH)
+            var r = 0
+            while (r < outH) {
+              var c = 0
+              while (c < outW) {
+                out(r * outW + c) = bytes(r * factor * width + c * factor)
+                c += 1
+              }
+              r += 1
+            }
+            md.reset()
+            val hex = md.digest(out).map("%02x".format(_)).mkString
+            Iterator.single(ResizedMedia(id, width.toLong, inH.toLong,
+              outW.toLong, outH.toLong, hex))
+          }
+        }
+      }
+  }
+
   /** Partition-batched feature extraction over a binary column: header
     * decode (format, dimensions) + payload content hash. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {

@@ -1150,5 +1150,29 @@ object TrainQueries extends QuerySet {
              |      FROM n WHERE n_frames > 0)
              |SELECT doc_id, frame_idx, n_frames,
              |       md5(substring(text, CAST(frame_idx*32 + 1 AS BIGINT), 32)) AS frame_hash
-             |FROM f""".stripMargin)))
+             |FROM f""".stripMargin)),
+
+    // MM3 — nearest-neighbor 2× downscale of the text payload as a raw
+    // gray8 width-8 image: output pixel (r,c) = input (2r,2c). The
+    // oracle rebuilds the resized byte string with nested
+    // list_transform index math and hashes it — byte-exact over the
+    // ASCII corpus (mm01/mm02's convention).
+    Q("mm03_resize",
+      (s, dir) => Multimodal.resizeNearest(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("bytes")),
+        "doc_id", "bytes", width = 8, factor = 2).toDF(),
+      Some("""WITH n AS (SELECT doc_id, text,
+             |            octet_length(encode(text))//8 AS in_h
+             |          FROM documents),
+             |r AS (SELECT doc_id, text, in_h, in_h//2 AS out_h FROM n
+             |      WHERE in_h//2 > 0)
+             |SELECT doc_id, CAST(8 AS BIGINT) AS in_w, CAST(in_h AS BIGINT) AS in_h,
+             |       CAST(4 AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+             |       md5(array_to_string(list_transform(
+             |         flatten(list_transform(generate_series(0, out_h - 1),
+             |           r2 -> list_transform(generate_series(0, 3),
+             |             c -> r2*16 + c*2 + 1))),
+             |         p -> substring(text, p, 1)), '')) AS resized_hash
+             |FROM r""".stripMargin)))
 }

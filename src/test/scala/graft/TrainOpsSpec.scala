@@ -86,6 +86,23 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(strided.map(_.frame_idx).toSeq === Seq(0L))
   }
 
+  test("resizeNearest: every-other pixel of every-other row, tail rows dropped") {
+    import graft.mm.Multimodal
+    // 8-wide gray8: rows "01234567" / "89abcdef" / "ghijklmn" (+ tail)
+    val d = df(docSchema, Seq(Row(1L, "0123456789abcdefghijklmnop"), Row(2L, "short")))
+    val got = Multimodal.resizeNearest(
+      d.select(col("doc_id"), col("text").cast("binary").as("b")),
+      "doc_id", "b", width = 8, factor = 2).collect()
+    // doc 1: 26 bytes -> in_h 3, out 4x1, pixels (0,0)(0,2)(0,4)(0,6) = "0246";
+    // doc 2: 5 bytes -> no full output row, no output
+    assert(got.length === 1)
+    val f = got.head
+    assert((f.doc_id, f.in_w, f.in_h, f.out_w, f.out_h) === ((1L, 8L, 3L, 4L, 1L)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(f.resized_hash ===
+      md.digest("0246".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("paragraph dedup: blank-line split, cross-doc paragraph pairs, per-doc fractions") {
     val d = df(docSchema, Seq(
       Row(1L, "shared boilerplate paragraph here\n\nunique alpha content one two three"),
