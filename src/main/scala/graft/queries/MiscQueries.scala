@@ -240,6 +240,46 @@ object MiscQueries extends QuerySet {
           |               count(*) AS n_units
           |        FROM wta CROSS JOIN st GROUP BY 1)""".stripMargin))),
 
+    // R9 (JSON class breaks) — CreateJSONLegend
+    // (gSSURGO_CreateSoilMap.py:1495-2028, blob cap :9622-9631): the
+    // r07 classes render through the REAL Names.legendJson (an 8-row
+    // bounded collect, the reference's own legend size) and the blob is
+    // re-parsed with from_json/inline back to typed rows — gating the
+    // structure and values without coupling the oracle to Java double
+    // formatting (labels are index-based for the same reason: Java
+    // prints doubles ≥ 1e7 in scientific notation, DuckDB never does).
+    Q("r08_legend_json",
+      (s, dir) => {
+        import s.implicits._
+        val rating = SdvAgg.weightedAverage(compNumeric(s, dir))
+          .select(col("mukey"), col("rating"))
+        val classes = Reports
+          .legendColorRamp(rating, "rating", 8, (255, 0, 0), (0, 0, 255))
+          .orderBy("class_idx").collect()
+          .map(r => (s"Class ${r.getLong(0)}", r.getDouble(1), r.getDouble(2)))
+          .toSeq
+        val blob = graft.core.Names.legendJson("WTA rating", classes)
+        val schema = "STRUCT<title: STRING, classes: ARRAY<STRUCT<label: STRING, min: DOUBLE, max: DOUBLE>>>"
+        Seq(blob).toDF("j")
+          .select(from_json(col("j"), schema, Map.empty[String, String]).as("l"))
+          .select(col("l.title").as("title"), inline(col("l.classes")))
+          .select(col("title"), col("label"), col("min"), col("max"))
+      },
+      Some(withCtes(
+        """SELECT 'WTA rating' AS title,
+          |       'Class ' || CAST(class_idx AS VARCHAR) AS label,
+          |       lo AS min, hi AS max
+          |FROM (SELECT cls.class_idx,
+          |             floor((vmin + cls.class_idx*((vmax-vmin)/8))*1e4 + 0.5)/1e4 AS lo,
+          |             floor((vmin + (cls.class_idx+1)*((vmax-vmin)/8))*1e4 + 0.5)/1e4 AS hi
+          |      FROM cls CROSS JOIN st)""".stripMargin,
+        compCte,
+        """wta AS (SELECT mukey,
+          |          floor((sum(comppct*rating)/sum(comppct))*1e4 + 0.5)/1e4 AS rating
+          |        FROM comp GROUP BY mukey)""".stripMargin,
+        "st AS (SELECT min(rating) AS vmin, max(rating) AS vmax FROM wta)",
+        "cls AS (SELECT unnest(generate_series(0, 7)) AS class_idx)"))),
+
     // R1 — GetDominantComponent.py:89-117 (ORDER BY comppct DESC,
     // cokey DESC, first wins).
     Q("r01_dominant_component_key",
