@@ -120,4 +120,43 @@ object EventOps {
       .rangeBetween(-rangeBack, Window.currentRow)
     aggs.foldLeft(df) { case (d, (a, name)) => d.withColumn(name, a.over(w)) }
   }
+
+  /** Ordered multi-step funnel: per key, `t1` is the earliest step-1
+    * event; `t_i` the earliest step-i event STRICTLY after `t_{i-1}` —
+    * the classic earliest-completion conversion funnel (greedy-earliest
+    * is optimal here: taking the earliest satisfying event at each
+    * stage never prevents a completion a later choice would allow).
+    * `stages_reached` counts the contiguous prefix completed; a key
+    * with no step-1 event still emits (all-null, 0).
+    *
+    * Plan: one filtered min-aggregation per step (map-side partial, one
+    * shuffle on key each) joined key-to-key — never a per-key event
+    * sort or an event×event join; step i's candidate rows are
+    * pre-filtered to the step's type before the join. Ties on ts
+    * resolve identically in any engine (min). */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame =
+    funnelWhere(events, keyCol, tsCol,
+      steps.map(s => (col(typeCol) === s): Column))
+
+  /** [[funnel]] with arbitrary per-step predicates (e.g. "a purchase
+    * over $90") instead of type equality. */
+  def funnelWhere(events: DataFrame, keyCol: String, tsCol: String,
+      steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    val keys = events.select(col(keyCol)).distinct()
+    val out = steps.zipWithIndex.foldLeft(keys) { case (acc, (step, i)) =>
+      val stepEvents = events.filter(step)
+        .select(col(keyCol), col(tsCol).as("__ts"))
+      val cand =
+        if (i == 0) stepEvents
+        else stepEvents.join(acc.select(col(keyCol), col(s"t$i")), Seq(keyCol))
+          .filter(col("__ts") > col(s"t$i"))
+      val mins = cand.groupBy(col(keyCol)).agg(min(col("__ts")).as(s"t${i + 1}"))
+      acc.join(mins, Seq(keyCol), "left")
+    }
+    out.withColumn("stages_reached",
+      steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
 }

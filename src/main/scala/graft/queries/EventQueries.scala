@@ -125,5 +125,37 @@ object EventQueries extends QuerySet {
               |       CAST(sum(value_cents) OVER w AS BIGINT)/100.0 AS sum_value_1h
               |FROM e
               |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
-              |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin)))
+              |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // E5 — ordered conversion funnel: earliest view, then the earliest
+    // high-value click strictly after it, then the earliest high-value
+    // purchase strictly after THAT; stages_reached = contiguous
+    // prefix (value cuts make the stages discriminating — a plain
+    // type funnel completes for every user on this corpus). One
+    // filtered min-agg per step, joined key-to-key — never an
+    // event-level sort or event×event join.
+    Q("e05_funnel",
+      (s, dir) => EventOps.funnelWhere(evts(s, dir), "user_id", "ts_ms", Seq(
+        col("event_type") === "view",
+        col("event_type") === "click" && col("value_cents") >= 12000L,
+        col("event_type") === "purchase" && col("value_cents") >= 12000L)),
+      Some(s"""WITH $eCte,
+              |k AS (SELECT DISTINCT user_id FROM e),
+              |s1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+              |       WHERE event_type = 'view' GROUP BY 1),
+              |s2 AS (SELECT e.user_id, min(e.ts_ms) AS t2 FROM e
+              |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_ms > s1.t1
+              |       WHERE e.event_type = 'click' AND e.value_cents >= 12000
+              |       GROUP BY 1),
+              |s3 AS (SELECT e.user_id, min(e.ts_ms) AS t3 FROM e
+              |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_ms > s2.t2
+              |       WHERE e.event_type = 'purchase' AND e.value_cents >= 12000
+              |       GROUP BY 1)
+              |SELECT k.user_id, t1, t2, t3,
+              |       CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+              |          + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+              |          + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+              |         AS stages_reached
+              |FROM k LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+              |       LEFT JOIN s3 USING (user_id)""".stripMargin)))
 }

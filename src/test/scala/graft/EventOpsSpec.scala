@@ -74,4 +74,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got((1L, 2000L, 8L)) === (1L, 8L))
     assert(got((2L, 0L, 16L)) === (1L, 16L))
   }
+
+  test("funnel: strictly-after stages, out-of-order blocks, equal ts does not advance") {
+    val s = StructType(Seq(StructField("u", LongType),
+      StructField("t", LongType), StructField("ty", StringType)))
+    val d = df(s, Seq(
+      // u1 completes: view@10 click@20 purchase@30 (earlier click@5 ignored)
+      Row(1L, 5L, "click"), Row(1L, 10L, "view"), Row(1L, 20L, "click"), Row(1L, 30L, "purchase"),
+      // u2: click precedes its only view → stage 2 never fires
+      Row(2L, 10L, "click"), Row(2L, 20L, "view"),
+      // u3: click at the SAME ts as view → strictly-after excludes it
+      Row(3L, 10L, "view"), Row(3L, 10L, "click"),
+      // u4: no step-1 event at all → all-null row
+      Row(4L, 10L, "purchase")))
+    val got = EventOps.funnel(d, "u", "t", "ty", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))).toMap
+    assert(got(1L) === ((Some(10L), Some(20L), Some(30L), 3L)))
+    assert(got(2L) === ((Some(20L), None, None, 1L)))
+    assert(got(3L) === ((Some(10L), None, None, 1L)))
+    assert(got(4L) === ((None, None, None, 0L)))
+  }
 }
