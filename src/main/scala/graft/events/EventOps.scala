@@ -159,4 +159,33 @@ object EventOps {
       steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
         .reduce(_ + _))
   }
+
+  /** Retention cohorts: keys grouped by their first-active period
+    * (ts div `periodMs`), with the count and fraction still active
+    * `k` periods later (k ≤ maxOffset) — the activation/retention
+    * grid of product analytics. Retention is roundHalfUp at scale 4 on
+    * both engine sides.
+    *
+    * Plan: activity dedups to (key, period) first (one
+    * partial-aggregating shuffle carries at most one row per key per
+    * period — never raw events), first-period and cohort sizes are two
+    * more small aggs, and the grid is a (cohort, k) aggregation —
+    * every shuffle is keyed and partial. */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+      periodMs: Long = 86400000L, maxOffset: Int = 7): DataFrame = {
+    require(periodMs > 0 && maxOffset >= 0, "positive period, non-negative offset")
+    val periods = events.select(col(keyCol),
+      floor(col(tsCol) / periodMs).cast("long").as("period")).distinct()
+    val first = periods.groupBy(col(keyCol)).agg(min(col("period")).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    periods.join(first, Seq(keyCol))
+      .withColumn("k", col("period") - col("cohort"))
+      .filter(col("k") <= maxOffset)
+      // periods is distinct (key, period), so this count IS distinct keys
+      .groupBy(col("cohort"), col("k")).agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("k"), col("n_active"), col("cohort_size"),
+        graft.core.Exprs.roundHalfUp(
+          col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+  }
 }

@@ -157,5 +157,22 @@ object EventQueries extends QuerySet {
               |          + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
               |         AS stages_reached
               |FROM k LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-              |       LEFT JOIN s3 USING (user_id)""".stripMargin)))
+              |       LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
+    // E6 — day-grain retention cohorts: users grouped by first-active
+    // day, fraction still active k days later (k ≤ 7). Activity dedups
+    // to (user, day) before anything else — no raw-event shuffle.
+    Q("e06_retention",
+      (s, dir) => EventOps.retentionCohorts(evts(s, dir), "user_id", "ts_ms"),
+      Some(s"""WITH $eCte,
+              |d AS (SELECT DISTINCT user_id, ts_ms//86400000 AS period FROM e),
+              |f AS (SELECT user_id, min(period) AS cohort FROM d GROUP BY 1),
+              |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
+              |a AS (SELECT cohort, period - cohort AS k, count(*) AS n_active
+              |      FROM d JOIN f USING (user_id)
+              |      WHERE period - cohort <= 7 GROUP BY 1, 2)
+              |SELECT a.cohort, k, n_active, cohort_size,
+              |       floor((CAST(n_active AS DOUBLE)/cohort_size)*1e4 + 0.5)/1e4
+              |         AS retention
+              |FROM a JOIN sz USING (cohort)""".stripMargin)))
 }

@@ -95,4 +95,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((Some(10L), None, None, 1L)))
     assert(got(4L) === ((None, None, None, 0L)))
   }
+
+  test("retentionCohorts: first-period cohorts, multi-event days dedup, offset cap") {
+    val s = StructType(Seq(StructField("u", LongType), StructField("t", LongType)))
+    val d = df(s, Seq(
+      Row(1L, 0L), Row(1L, 5L), Row(1L, 100L),     // u1: day0 twice + day1
+      Row(2L, 10L), Row(2L, 210L),                 // u2: day0 + day2
+      Row(3L, 150L), Row(3L, 999L)))               // u3: day1 cohort, day9 past cap
+    val got = EventOps.retentionCohorts(d, "u", "t", periodMs = 100L, maxOffset = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got((0L, 0L)) === ((2L, 2L, 1.0)))   // u1,u2 day-0 cohort
+    assert(got((0L, 1L)) === ((1L, 2L, 0.5)))   // only u1 active day 1
+    assert(got((0L, 2L)) === ((1L, 2L, 0.5)))   // only u2 active day 2
+    assert(got((1L, 0L)) === ((1L, 1L, 1.0)))   // u3's own cohort
+    assert(!got.contains((1L, 8L)))             // day9 activity past maxOffset
+  }
 }
