@@ -188,6 +188,26 @@ object Dedup {
         posexplode(split(col(textCol), "\n\n")).as(Seq("para_idx", "ptext")))
       .filter(trim(col("ptext")) =!= "")
 
+  /** Packed paragraph/line identity did·1000+para_idx with a loud
+    * guard at 1000 — the ONE definition every passage-granularity op
+    * packs (and its oracles unpack) with. */
+  private def packedPid(caller: String): Column =
+    col("did").cast("long") * 1000 + col("para_idx") +
+      coalesce(assert_true(col("para_idx") < 1000,
+        lit(s"$caller: >1000 paragraphs in one doc — widen the packing"))
+        .cast("long"), lit(0L))
+
+  /** Per-doc rollup of flagged line rows (did, ptext, keep):
+    * (did, n_lines, n_removed, n_kept_tokens) — shared by the full and
+    * incremental line-dedup passes so the pinned incremental == full
+    * equivalence can't drift. */
+  private def lineStatsAgg(lines: DataFrame): DataFrame =
+    lines.groupBy(col("did")).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+      sum(when(col("keep"), TextAnalysis.tokenCount(col("ptext")).cast("long"))
+        .otherwise(0L)).as("n_kept_tokens"))
+
   /** Paragraph-level MinHash+LSH near-dup pairs — the whole doc-level
     * banding/verification machinery reused at passage granularity.
     * Paragraph identity is packed did·1000+idx (loud guard at 1000
@@ -206,11 +226,7 @@ object Dedup {
       k: Int = 64, bands: Int = 32, shingleN: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     val packed = paragraphs(docs, idCol, textCol).select(
-      (col("did").cast("long") * 1000 + col("para_idx") +
-        coalesce(assert_true(col("para_idx") < 1000,
-          lit("paragraphMinhashPairs: >1000 paragraphs in one doc — widen the packing"))
-          .cast("long"), lit(0L))).as("pid"),
-      col("ptext"))
+      packedPid("paragraphMinhashPairs").as("pid"), col("ptext"))
     minhashLshPairs(packed, "pid", "ptext", k, bands, shingleN, threshold)
       .select(expr("id_a div 1000").as("doc_a"), (col("id_a") % 1000).as("para_a"),
         expr("id_b div 1000").as("doc_b"), (col("id_b") % 1000).as("para_b"),
@@ -264,19 +280,10 @@ object Dedup {
   def lineDedupStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = paragraphs(docs, idCol, textCol).select(
-      col("did"), col("ptext"),
-      (col("did").cast("long") * 1000 + col("para_idx") +
-        coalesce(assert_true(col("para_idx") < 1000,
-          lit("lineDedupStats: >1000 lines in one doc — widen the packing"))
-          .cast("long"), lit(0L))).as("pid"))
+      col("did"), col("ptext"), packedPid("lineDedupStats").as("pid"))
     val w = Window.partitionBy(xxhash64(col("ptext")), col("ptext"))
-    lines
-      .withColumn("keep", col("pid") === min(col("pid")).over(w))
-      .groupBy(col("did")).agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("keep"), TextAnalysis.tokenCount(col("ptext")).cast("long"))
-          .otherwise(0L)).as("n_kept_tokens"))
+    lineStatsAgg(lines
+      .withColumn("keep", col("pid") === min(col("pid")).over(w)))
   }
 
   /** Incremental [[lineDedupStats]]: per-doc stats for the ARRIVING
@@ -293,23 +300,15 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val batch = paragraphs(newDocs, idCol, textCol).select(
       col("did"), col("ptext"), xxhash64(col("ptext")).as("h"),
-      (col("did").cast("long") * 1000 + col("para_idx") +
-        coalesce(assert_true(col("para_idx") < 1000,
-          lit("lineDedupIncremental: >1000 lines in one doc — widen the packing"))
-          .cast("long"), lit(0L))).as("pid"))
+      packedPid("lineDedupIncremental").as("pid"))
     val idx = paragraphs(corpus, idCol, textCol)
       .select(xxhash64(col("ptext")).as("h"), col("ptext")).distinct()
       .withColumn("in_corpus", lit(true))
     val w = Window.partitionBy(col("h"), col("ptext"))
-    batch
+    lineStatsAgg(batch
       .withColumn("first_in_batch", col("pid") === min(col("pid")).over(w))
       .join(idx, Seq("h", "ptext"), "left")
-      .withColumn("keep", col("first_in_batch") && col("in_corpus").isNull)
-      .groupBy(col("did")).agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("keep"), TextAnalysis.tokenCount(col("ptext")).cast("long"))
-          .otherwise(0L)).as("n_kept_tokens"))
+      .withColumn("keep", col("first_in_batch") && col("in_corpus").isNull))
   }
 
   /** Cross-doc EXACT substring duplication at `w`-token window

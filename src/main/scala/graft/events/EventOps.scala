@@ -174,7 +174,10 @@ object EventOps {
   def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
       periodMs: Long = 86400000L, maxOffset: Int = 7): DataFrame = {
     require(periodMs > 0 && maxOffset >= 0, "positive period, non-negative offset")
-    val periods = events.select(col(keyCol),
+    // null keys are excluded up front: groupBy would seat them in a
+    // cohort but the activity equi-join drops them, silently
+    // understating that cohort's retention (even at k = 0)
+    val periods = events.filter(col(keyCol).isNotNull).select(col(keyCol),
       floor(col(tsCol) / periodMs).cast("long").as("period")).distinct()
     val first = periods.groupBy(col(keyCol)).agg(min(col("period")).as("cohort"))
     val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))

@@ -22,6 +22,25 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Long, format: String,
       width: Long, height: Long, content_hash: String)
 
+  /** MD5-hex of `bytes[from, until)` on a reused digest — one
+    * StringBuilder and a nibble table, no per-byte Formatter
+    * allocation (the naive "%02x".format idiom allocates a Formatter
+    * per byte, measurable GC churn at per-frame hashing rates). */
+  private val hexChars = "0123456789abcdef".toCharArray
+  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte],
+      from: Int, until: Int): String = {
+    md.reset()
+    md.update(bytes, from, until - from)
+    val d = md.digest()
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(hexChars((d(i) >> 4) & 0xf)).append(hexChars(d(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Parse a media container's header: (format, width, height,
     * payloadOffset). BMP reads its pixel-data offset from the header
     * (bytes 10-13); PNG payload is taken from byte 24 (the first byte
@@ -111,10 +130,8 @@ object Multimodal {
           val n = (bytes.length - off) / frameBytes
           (0 until n by stride).iterator.map { i =>
             val lo = off + i * frameBytes
-            md.reset()
-            val hex = md.digest(java.util.Arrays.copyOfRange(bytes, lo, lo + frameBytes))
-              .map("%02x".format(_)).mkString
-            FrameSample(id, i.toLong, n.toLong, hex)
+            FrameSample(id, i.toLong, n.toLong,
+              md5Hex(md, bytes, lo, lo + frameBytes))
           }
         }
       }
@@ -160,10 +177,8 @@ object Multimodal {
               }
               r += 1
             }
-            md.reset()
-            val hex = md.digest(out).map("%02x".format(_)).mkString
             Iterator.single(ResizedMedia(id, width.toLong, inH.toLong,
-              outW.toLong, outH.toLong, hex))
+              outW.toLong, outH.toLong, md5Hex(md, out, 0, out.length)))
           }
         }
       }
@@ -177,12 +192,11 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val (fmt, w, h, off) = decodeHeader(bytes)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(java.util.Arrays.copyOfRange(bytes, off, bytes.length))
-            .map("%02x".format(_)).mkString
-          MediaFeatures(id, bytes.length.toLong, fmt, w, h, hex)
+          MediaFeatures(id, bytes.length.toLong, fmt, w, h,
+            md5Hex(md, bytes, off, bytes.length))
         }
       }
   }

@@ -157,6 +157,18 @@ object TrainQueries extends QuerySet {
     * halves joined by a blank line — near-dup DOCS then naturally carry
     * near-dup PARAGRAPHS, exercising passage-granularity dedup without
     * planting. Shared by d10/d11; [[paraDocsCtes]] is the SQL twin. */
+  /** Shared mm-family container corpus: documents packed behind BMP/PNG
+    * headers with doc-id-derived dimensions, every 97th left raw. The
+    * mm01/mm02 oracles mirror this construction — one definition keeps
+    * the two queries and their SQL twins in lockstep. */
+  private def mediaBytesDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = (lit(16) + col("doc_id") % 624).cast("int")
+    val h = (lit(16) + col("doc_id") % 464).cast("int")
+    val bytes = when(col("doc_id") % 97 === 0, col("text").cast("binary"))
+      .otherwise(Multimodal.packContainer(col("doc_id") % 2 === 1, w, h, col("text")))
+    Tables.load(s, dir, "documents").select(col("doc_id"), bytes.as("bytes"))
+  }
+
   private def paraDocsDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val t = TextAnalysis.tokens(col("text"))
     val n2 = floor(size(t) / 2).cast("int")
@@ -1106,15 +1118,8 @@ object TrainQueries extends QuerySet {
     // oracle recomputes all of it from the generator formula, so a
     // wrong offset, endianness, or magic check fails the gate.
     Q("mm01_media_features",
-      (s, dir) => {
-        val w = (lit(16) + col("doc_id") % 624).cast("int")
-        val h = (lit(16) + col("doc_id") % 464).cast("int")
-        val bytes = when(col("doc_id") % 97 === 0, col("text").cast("binary"))
-          .otherwise(Multimodal.packContainer(col("doc_id") % 2 === 1, w, h, col("text")))
-        Multimodal.extractFeatures(
-          Tables.load(s, dir, "documents").select(col("doc_id"), bytes.as("bytes")),
-          "doc_id", "bytes").toDF()
-      },
+      (s, dir) => Multimodal.extractFeatures(
+        mediaBytesDf(s, dir), "doc_id", "bytes").toDF(),
       Some("""SELECT doc_id,
              |  CAST(octet_length(encode(text)) +
              |    CASE WHEN doc_id % 97 = 0 THEN 0
@@ -1133,15 +1138,9 @@ object TrainQueries extends QuerySet {
     // driver corpus is single-byte ASCII (the same convention mm01's
     // md5(text) content hash already relies on).
     Q("mm02_frame_sample",
-      (s, dir) => {
-        val w = (lit(16) + col("doc_id") % 624).cast("int")
-        val h = (lit(16) + col("doc_id") % 464).cast("int")
-        val bytes = when(col("doc_id") % 97 === 0, col("text").cast("binary"))
-          .otherwise(Multimodal.packContainer(col("doc_id") % 2 === 1, w, h, col("text")))
-        Multimodal.sampleFrames(
-          Tables.load(s, dir, "documents").select(col("doc_id"), bytes.as("bytes")),
-          "doc_id", "bytes", frameBytes = 32, stride = 4).toDF()
-      },
+      (s, dir) => Multimodal.sampleFrames(
+        mediaBytesDf(s, dir), "doc_id", "bytes",
+        frameBytes = 32, stride = 4).toDF(),
       Some("""WITH n AS (SELECT doc_id, text,
              |            octet_length(encode(text))//32 AS n_frames
              |          FROM documents),
