@@ -734,6 +734,52 @@ object TrainQueries extends QuerySet {
              |          SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
              |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin)),
 
+    // D16 — dup-cluster size histogram with singleton accounting: the
+    // report a dedup run ends with (how much of the corpus is in
+    // near-dup clusters of what size). Reuses the d06 clustering;
+    // singletons (docs in no pair) are counted via one anti-join and
+    // appended as the size-1 row — every doc lands in exactly one row
+    // of the histogram.
+    Q("d16_cluster_size_histogram",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 1000).select(col("doc_id"))
+        val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 1000),
+          "doc_id", "text", shingleN = 2, threshold = 0.5))
+        val hist = clusters.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("size"))
+          .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+        val singles = docs
+          .join(clusters.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .agg(lit(1L).as("size"), count(lit(1)).as("n_clusters"))
+        hist.unionByName(singles)
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |              FROM documents WHERE doc_id < 1000),
+             |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+             |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b
+             |          FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+             |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
+             |          UNION
+             |          SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+             |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |sz AS (SELECT cluster, count(*) AS size FROM cl GROUP BY 1),
+             |h AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1)
+             |SELECT size, n_clusters FROM h
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT),
+             |       (SELECT count(*) FROM toks
+             |        WHERE doc_id NOT IN (SELECT id FROM cl))""".stripMargin)),
+
     // D5 — embedding-cosine near-dup pairs over a bounded id slice.
     Q("d05_embed_cosine_dup",
       (s, dir) => Dedup.embeddingCosinePairs(
