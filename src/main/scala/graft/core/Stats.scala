@@ -92,4 +92,22 @@ object Stats {
     }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Exact per-group mode with a deterministic tiebreak (highest count,
+    * then SMALLEST value — `mode()`'s tie winner is engine/partition
+    * luck) and the mode's count. Same two-aggregation shape as the
+    * quantiles: the first shuffle carries distinct (group, value)
+    * pairs with map-side partial counts, the second is a min_by argmax
+    * over the tiny per-group distribution — no window, no row sort.
+    * Nulls are ignored; an all-null group disappears. */
+  def groupedMode(df: DataFrame, groupCol: String, valueCol: String,
+      out: String = "mode"): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("c"))
+    // lexicographic min over (-count, value) = count desc, value asc
+    counts.groupBy(col(groupCol)).agg(
+      min_by(col(valueCol),
+        struct((-col("c")).as("nc"), col(valueCol).as("v"))).as(out),
+      max(col("c")).as(s"${out}_n"))
+  }
 }

@@ -82,6 +82,21 @@ object ExtraQueries extends QuerySet {
              |  min(CASE WHEN cum >= (n*99 + 99) // 100 THEN l_quantity END) AS p99_qty
              |FROM x GROUP BY 1""".stripMargin)),
 
+    // Q4 — exact per-group mode with a deterministic tiebreak (count
+    // desc, value asc): the distinct-pair-counts shape of q2/q3 with a
+    // min_by argmax instead of a per-group sort. Spark's own mode()
+    // resolves ties by partition luck; this one is engine-portable.
+    Q("q4_group_mode",
+      (s, dir) => graft.core.Stats.groupedMode(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+        out = "mode_qty"),
+      Some("""WITH c AS (SELECT l_returnflag, l_quantity AS v, count(*) AS c
+             |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+             |                ORDER BY c DESC, v ASC) AS rn FROM c)
+             |SELECT l_returnflag, v AS mode_qty, c AS mode_qty_n
+             |FROM r WHERE rn = 1""".stripMargin)),
+
     // J7/J9 — four-level null-padded join chain (CreateRatingTable4S
     // :4560-4630 / CreateSoilMoistureTable :4632-4718): mapunit ⟕
     // component ⟕ month-carrier ⟕ leaf table.

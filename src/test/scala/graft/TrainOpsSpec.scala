@@ -514,6 +514,17 @@ class TrainOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Stats.groupedQuantile(d, "g", "v", 0))
   }
 
+  test("groupedMode: highest count wins, ties break to smallest value, nulls ignored") {
+    import graft.core.Stats
+    val s = StructType(Seq(StructField("g", StringType), StructField("v", DoubleType)))
+    val d = df(s, Seq(
+      Row("a", 30.0), Row("a", 30.0), Row("a", 10.0), Row("a", null),
+      Row("b", 7.0), Row("b", 2.0), Row("b", 2.0), Row("b", 7.0),  // tie -> 2.0
+      Row("c", null)))                                             // all-null: no row
+    assert(rowsOf(Stats.groupedMode(d, "g", "v")) ===
+      Seq(Seq("a", 30.0, 2L), Seq("b", 2.0, 2L)))
+  }
+
   test("Stats cardinality guard: fails loudly past maxDistinct, approx fallback stays exact-safe") {
     import graft.core.Stats
     val s = StructType(Seq(StructField("g", StringType), StructField("v", DoubleType)))
