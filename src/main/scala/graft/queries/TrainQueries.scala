@@ -137,6 +137,40 @@ object TrainQueries extends QuerySet {
       |shs AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3),
       |sh AS (SELECT * FROM shl UNION ALL SELECT * FROM shs)""".stripMargin
 
+  /** Shared 2-gram shingle CTE chain over the doc_id<1000 slice
+    * (toks→sh→cnt/cm) INCLUDING the short-doc whole-text fallback —
+    * the SQL twin of Dedup.shingleRows at n=2, spliced by d04/d06/d16
+    * (same lockstep rule as [[shingle3Ctes]]; the first two copies of
+    * this chain omitted the fallback, a latent divergence for sub-2-
+    * token docs that the singleton accounting in d16 concentrates). */
+  private val shingle2Ctes =
+    """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |              FROM documents WHERE doc_id < 1000),
+      |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+      |        FROM toks WHERE len(t) >= 2),
+      |shl AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
+      |shs AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 2),
+      |sh AS (SELECT * FROM shl UNION ALL SELECT * FROM shs),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)""".stripMargin
+
+  /** [[shingle2Ctes]] extended to the ≥0.5 pair set and its
+    * connected-component closure cl(id, cluster) — shared by d06/d16
+    * (must run under WITH RECURSIVE). */
+  private val cc2Ctes =
+    s"""$shingle2Ctes,
+      |pairs AS (SELECT id_a, id_b
+      |          FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+      |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
+      |          UNION
+      |          SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+      |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   /** Exact all-pairs 3-gram Jaccard at threshold 0.5 over the full
     * documents table — the oracle for every LSH near-dup front-end
     * whose output contract is exact-verified (id_a, id_b, jaccard):
@@ -696,14 +730,7 @@ object TrainQueries extends QuerySet {
       (s, dir) => Dedup.ngramJaccardPairs(
         Tables.load(s, dir, "documents").filter(col("doc_id") < 1000),
         "doc_id", "text", shingleN = 2, threshold = 0.5),
-      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-             |              FROM documents WHERE doc_id < 1000),
-             |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
-             |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
-             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-             |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-             |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |       GROUP BY 1, 2)
+      Some(s"""WITH $shingle2Ctes
              |SELECT id_a, id_b,
              |       floor((CAST(c AS DOUBLE)/(na.n + nb.n - c))*1e4 + 0.5)/1e4 AS jaccard
              |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
@@ -716,23 +743,8 @@ object TrainQueries extends QuerySet {
       (s, dir) => Dedup.dupClusters(Dedup.ngramJaccardPairs(
         Tables.load(s, dir, "documents").filter(col("doc_id") < 1000),
         "doc_id", "text", shingleN = 2, threshold = 0.5)),
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-             |              FROM documents WHERE doc_id < 1000),
-             |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
-             |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
-             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-             |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-             |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |       GROUP BY 1, 2),
-             |pairs AS (SELECT id_a, id_b
-             |          FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
-             |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5),
-             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-             |          UNION ALL SELECT id_b, id_a FROM pairs),
-             |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
-             |          UNION
-             |          SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
-             |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin)),
+      Some(s"""WITH RECURSIVE $cc2Ctes
+             |SELECT id, cluster FROM cl""".stripMargin)),
 
     // D16 — dup-cluster size histogram with singleton accounting: the
     // report a dedup run ends with (how much of the corpus is in
@@ -742,36 +754,18 @@ object TrainQueries extends QuerySet {
     // of the histogram.
     Q("d16_cluster_size_histogram",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .filter(col("doc_id") < 1000).select(col("doc_id"))
+        val base = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
         val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(
-          Tables.load(s, dir, "documents").filter(col("doc_id") < 1000),
-          "doc_id", "text", shingleN = 2, threshold = 0.5))
+          base, "doc_id", "text", shingleN = 2, threshold = 0.5))
         val hist = clusters.groupBy(col("cluster"))
           .agg(count(lit(1)).as("size"))
           .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
-        val singles = docs
+        val singles = base.select(col("doc_id"))
           .join(clusters.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
           .agg(lit(1L).as("size"), count(lit(1)).as("n_clusters"))
         hist.unionByName(singles)
       },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-             |              FROM documents WHERE doc_id < 1000),
-             |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
-             |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
-             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-             |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-             |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |       GROUP BY 1, 2),
-             |pairs AS (SELECT id_a, id_b
-             |          FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
-             |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5),
-             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-             |          UNION ALL SELECT id_b, id_a FROM pairs),
-             |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
-             |          UNION
-             |          SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
-             |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $cc2Ctes,
              |sz AS (SELECT cluster, count(*) AS size FROM cl GROUP BY 1),
              |h AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1)
              |SELECT size, n_clusters FROM h
