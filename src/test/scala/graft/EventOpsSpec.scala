@@ -96,6 +96,46 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got(4L) === ((None, None, None, 0L)))
   }
 
+  test("funnel == greedy brute force on random event sets") {
+    val s = StructType(Seq(StructField("u", LongType),
+      StructField("t", LongType), StructField("ty", StringType)))
+    val types = Seq("a", "b", "c")
+    val rnd = new scala.util.Random(11)
+    val rows = for (_ <- 1 to 300) yield
+      Row(rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, types(rnd.nextInt(3)))
+    val got = EventOps.funnel(df(s, rows), "u", "t", "ty", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    // brute force: earliest 'a'; earliest 'b' strictly after; 'c' after that
+    val byUser = rows.groupBy(_.getLong(0))
+    for ((u, evs) <- byUser) {
+      def minAfter(ty: String, after: Option[Long]): Option[Long] = {
+        val ts = evs.filter(_.getString(2) == ty).map(_.getLong(1))
+          .filter(t => after.forall(t > _))
+        if (ts.isEmpty) None else Some(ts.min)
+      }
+      val t1 = minAfter("a", None)
+      val t2 = if (t1.isEmpty) None else minAfter("b", t1)
+      val t3 = if (t2.isEmpty) None else minAfter("c", t2)
+      assert(got(u) === ((t1, t2, t3)), s"user $u")
+    }
+  }
+
+  test("retentionCohorts == brute force on random activity") {
+    val s = StructType(Seq(StructField("u", LongType), StructField("t", LongType)))
+    val rnd = new scala.util.Random(23)
+    val rows = for (_ <- 1 to 400) yield
+      Row(rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong)
+    val got = EventOps.retentionCohorts(df(s, rows), "u", "t",
+        periodMs = 100L, maxOffset = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val periods = rows.map(r => (r.getLong(0), r.getLong(1) / 100)).distinct
+    val cohort = periods.groupBy(_._1).map { case (u, ps) => u -> ps.map(_._2).min }
+    val expect = periods.map { case (u, p) => (cohort(u), p - cohort(u)) }
+      .filter(_._2 <= 5).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === expect)
+  }
+
   test("retentionCohorts: first-period cohorts, multi-event days dedup, offset cap") {
     val s = StructType(Seq(StructField("u", LongType), StructField("t", LongType)))
     val d = df(s, Seq(
