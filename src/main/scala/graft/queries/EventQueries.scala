@@ -25,6 +25,31 @@ object EventQueries extends QuerySet {
       |             CAST(round(value*100) AS BIGINT) AS value_cents
       |      FROM events)""".stripMargin
 
+  /** The funnel oracle (view → $120+ click → $120+ purchase,
+    * strictly-after min chain) — spliced by BOTH e05 (relational
+    * engine) and st05 (typed fold engine); one definition keeps the
+    * two gates in lockstep. */
+  private val funnelSql =
+    s"""WITH $eCte,
+       |k AS (SELECT DISTINCT user_id FROM e),
+       |s1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(e.ts_ms) AS t2 FROM e
+       |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_ms > s1.t1
+       |       WHERE e.event_type = 'click' AND e.value_cents >= 12000
+       |       GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(e.ts_ms) AS t3 FROM e
+       |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_ms > s2.t2
+       |       WHERE e.event_type = 'purchase' AND e.value_cents >= 12000
+       |       GROUP BY 1)
+       |SELECT k.user_id, t1, t2, t3,
+       |       CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+       |          + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+       |          + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS stages_reached
+       |FROM k LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       |       LEFT JOIN s3 USING (user_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // E1 — backward as-of join: each click picks the latest view (same
@@ -139,25 +164,22 @@ object EventQueries extends QuerySet {
         col("event_type") === "view",
         col("event_type") === "click" && col("value_cents") >= 12000L,
         col("event_type") === "purchase" && col("value_cents") >= 12000L)),
-      Some(s"""WITH $eCte,
-              |k AS (SELECT DISTINCT user_id FROM e),
-              |s1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
-              |       WHERE event_type = 'view' GROUP BY 1),
-              |s2 AS (SELECT e.user_id, min(e.ts_ms) AS t2 FROM e
-              |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_ms > s1.t1
-              |       WHERE e.event_type = 'click' AND e.value_cents >= 12000
-              |       GROUP BY 1),
-              |s3 AS (SELECT e.user_id, min(e.ts_ms) AS t3 FROM e
-              |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_ms > s2.t2
-              |       WHERE e.event_type = 'purchase' AND e.value_cents >= 12000
-              |       GROUP BY 1)
-              |SELECT k.user_id, t1, t2, t3,
-              |       CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
-              |          + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
-              |          + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-              |         AS stages_reached
-              |FROM k LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-              |       LEFT JOIN s3 USING (user_id)""".stripMargin)),
+      Some(funnelSql)),
+
+    // ST5 — the funnel as INCREMENTAL per-user state: the typed
+    // greedy fold engine (streaming/FunnelStream — O(1) state, stage
+    // times never regress) run as its batch twin; the gate proves the
+    // fold equals the relational min-agg chain (same oracle as e05 +
+    // stages), StreamingSpec pins stream == batch across waves.
+    Q("st05_funnel_stateful",
+      (s, dir) => {
+        import s.implicits._
+        graft.streaming.FunnelStream.funnelBatch(
+          evts(s, dir).select(col("user_id"), col("ts_ms"),
+              col("event_type"), col("value_cents"))
+            .as[graft.streaming.FunnelStream.FEvent]).toDF()
+      },
+      Some(funnelSql)),
 
     // E6 — day-grain retention cohorts: users grouped by first-active
     // day, fraction still active k days later (k ≤ 7). Activity dedups

@@ -116,6 +116,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.count() > 0)
   }
 
+  test("st05: stateful streaming funnel == batch fold across event-time waves") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.FunnelStream
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf).select(col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"),
+        graft.core.Exprs.cents(col("value")).cast("long").as("value_cents"))
+    // two event-time-ordered waves (the repo's streaming-drop
+    // convention): a mid-range split timestamp
+    val cut = events.agg(
+      percentile_approx(col("ts_ms"), lit(0.5), lit(100))).head().getLong(0)
+    val dropDir = Files.createTempDirectory("graft_funnel_drop")
+    // checkpoint OUTSIDE the source glob — dropDir/* must see only waves
+    val ckptDir = Files.createTempDirectory("graft_funnel_ckpt")
+    events.filter(col("ts_ms") <= cut).coalesce(1)
+      .write.parquet(dropDir.resolve("w1").toString)
+
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema(events.schema).option("maxFilesPerTrigger", "1")
+      .parquet(dropDir.toString + "/*")
+      .as[FunnelStream.FEvent]
+    // one shared checkpoint: run 2 resumes the file log AND the state
+    // store, so wave-2 events fold into wave-1 stage times (the whole
+    // point of the incremental state demonstration). The memory sink
+    // cannot recover from a checkpoint, so updates collect through
+    // foreachBatch (st04's pattern).
+    val updates = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Long], Option[Long], Option[Long], Long)]
+    def run(): Unit = {
+      val q = FunnelStream.funnelStream(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckptDir.toString)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[FunnelStream.FunnelRow], _: Long) =>
+            updates.synchronized {
+              updates ++= b.collect().map(r =>
+                (r.user_id, r.t1, r.t2, r.t3, r.stages_reached))
+            }
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    events.filter(col("ts_ms") > cut).coalesce(1)
+      .write.parquet(dropDir.resolve("w2").toString)
+    run()
+    // latest update per user = the row with max stages_reached (stage
+    // times never regress; equal-stage rows are identical)
+    val latest = updates.groupBy(_._1).values
+      .map(_.maxBy(_._5)).toSeq.sortBy(_._1)
+    val batch = FunnelStream.funnelBatch(events.as[FunnelStream.FEvent])
+      .collect().map(r => (r.user_id, r.t1, r.t2, r.t3, r.stages_reached))
+      .toSeq.sortBy(_._1)
+    assert(latest === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("st04: incremental per-SSA Valu refresh == batch Valu build") {
     val sf = "/root/testdata/sf0.001"
     val inc = SparkEntry.queries("st04_valu_incremental")(spark, sf)
