@@ -20,7 +20,14 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   *
   * State is THREE optional longs per user — O(1), no event retention;
   * the streaming query's state store is bounded by the user key
-  * cardinality. */
+  * cardinality.
+  *
+  * Null contract: FEvent's primitive fields require non-null
+  * user_id/ts/value rows (the typed encoder fails LOUDLY on a null —
+  * no silent drop). A null-keyed event has no per-user state to live
+  * in; the relational [[graft.events.EventOps.funnel]] (e05) is the
+  * null-tolerant engine (a null user surfaces as a stages_reached=0
+  * row there, matching the shared oracle). */
 object FunnelStream {
 
   case class FEvent(user_id: Long, ts_ms: Long, event_type: String,
@@ -31,8 +38,9 @@ object FunnelStream {
 
   val empty: FunnelState = FunnelState(None, None, None)
 
-  /** The e05 stage predicates (view → $120+ click → $120+ purchase). */
-  def steps: IndexedSeq[FEvent => Boolean] = IndexedSeq(
+  /** The e05 stage predicates (view → $120+ click → $120+ purchase).
+    * A val — the fold consults it once per event. */
+  val steps: IndexedSeq[FEvent => Boolean] = IndexedSeq(
     e => e.event_type == "view",
     e => e.event_type == "click" && e.value_cents >= 12000L,
     e => e.event_type == "purchase" && e.value_cents >= 12000L)
