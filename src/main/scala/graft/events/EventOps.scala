@@ -160,6 +160,22 @@ object EventOps {
         .reduce(_ + _))
   }
 
+  /** Consecutive inter-event gaps per composite key: each event's
+    * distance to the key's previous event in (ord, tie) order — the
+    * raw material of cadence/gap analyses. First event per key emits
+    * no gap. The gap MULTISET is tie-order-invariant (consecutive
+    * differences of a sorted multiset don't depend on how equal
+    * values are ordered), but the tie column keeps each row's lag
+    * deterministic too. One shuffle; the window never spans keys. */
+  def interEventGaps(events: DataFrame, keyCols: Seq[String], ordCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol), col(tieCol))
+    events
+      .withColumn("gap", col(ordCol) - lag(col(ordCol), 1).over(w))
+      .filter(col("gap").isNotNull)
+  }
+
   /** Retention cohorts: keys grouped by their first-active period
     * (ts div `periodMs`), with the count and fraction still active
     * `k` periods later (k ≤ maxOffset) — the activation/retention

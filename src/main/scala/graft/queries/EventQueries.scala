@@ -181,6 +181,37 @@ object EventQueries extends QuerySet {
       },
       Some(funnelSql)),
 
+    // E7 — event cadence: exact p50/p90 of per-user inter-event gaps
+    // by event type, at MINUTE granularity (quantizing first keeps the
+    // distinct-value distribution small — the groupedQuantiles
+    // precondition — exactly how a 100 TB run would bucket a
+    // continuous gap domain). Gap multiset is tie-order invariant.
+    Q("e07_event_gaps",
+      (s, dir) => {
+        val gaps = EventOps.interEventGaps(evts(s, dir),
+            Seq("user_id", "event_type"), "ts_ms", "event_id")
+          .select(col("event_type"),
+            floor(col("gap") / 60000).cast("long").as("gap_min"))
+        graft.core.Stats.groupedQuantiles(gaps, "event_type", "gap_min",
+          Seq(50 -> "p50_gap_min", 90 -> "p90_gap_min"))
+      },
+      Some(s"""WITH $eCte,
+              |g AS (SELECT event_type,
+              |        ts_ms - lag(ts_ms) OVER (PARTITION BY user_id, event_type
+              |                                 ORDER BY ts_ms, event_id) AS gap
+              |      FROM e),
+              |gm AS (SELECT event_type, gap//60000 AS gap_min FROM g
+              |       WHERE gap IS NOT NULL),
+              |c AS (SELECT event_type, gap_min, count(*) AS c FROM gm GROUP BY 1, 2),
+              |x AS (SELECT event_type, gap_min,
+              |        sum(c) OVER (PARTITION BY event_type ORDER BY gap_min) AS cum,
+              |        sum(c) OVER (PARTITION BY event_type) AS n
+              |      FROM c)
+              |SELECT event_type,
+              |  min(CASE WHEN cum >= (n*50 + 99) // 100 THEN gap_min END) AS p50_gap_min,
+              |  min(CASE WHEN cum >= (n*90 + 99) // 100 THEN gap_min END) AS p90_gap_min
+              |FROM x GROUP BY 1""".stripMargin)),
+
     // E6 — day-grain retention cohorts: users grouped by first-active
     // day, fraction still active k days later (k ≤ 7). Activity dedups
     // to (user, day) before anything else — no raw-event shuffle.

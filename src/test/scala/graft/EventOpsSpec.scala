@@ -121,6 +121,19 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("interEventGaps: per-key consecutive differences, first event emits none") {
+    val s = StructType(Seq(StructField("u", LongType),
+      StructField("t", LongType), StructField("id", LongType)))
+    val d = df(s, Seq(
+      Row(1L, 10L, 1L), Row(1L, 25L, 2L), Row(1L, 25L, 3L), Row(1L, 100L, 4L),
+      Row(2L, 50L, 5L)))
+    val got = EventOps.interEventGaps(d, Seq("u"), "t", "id")
+      .select("u", "gap").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sorted
+    // u1: 15, 0 (tie), 75; u2: single event → nothing
+    assert(got === Seq((1L, 0L), (1L, 15L), (1L, 75L)))
+  }
+
   test("retentionCohorts == brute force on random activity") {
     val s = StructType(Seq(StructField("u", LongType), StructField("t", LongType)))
     val rnd = new scala.util.Random(23)
