@@ -137,6 +137,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"cutoffs not broadcast:\n$plan")
   }
 
+  test("event-analytics plans: partitioned windows, no cross joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import graft.events.EventOps
+    val s = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_ms", LongType), StructField("event_type", StringType),
+      StructField("event_id", LongType)))
+    val evts = df(s, (1L to 40L).map(i =>
+      Row(i % 5, i * 100L, Seq("view", "click", "purchase")(i.toInt % 3), i)))
+    val plans = Seq(
+      EventOps.funnel(evts, "user_id", "ts_ms", "event_type",
+        Seq("view", "click", "purchase")),
+      EventOps.retentionCohorts(evts, "user_id", "ts_ms", periodMs = 1000L),
+      EventOps.interEventGaps(evts, Seq("user_id", "event_type"), "ts_ms", "event_id"))
+    for (p <- plans) {
+      val wins = p.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned window:\n${p.queryExecution.optimizedPlan}")
+      val phys = p.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct"), s"cross join:\n$phys")
+    }
+  }
+
   test("DenseId: ids match the global sorted order, plan has no single-partition exchange") {
     val s = StructType(Seq(StructField("k", LongType)))
     // deliberately unsorted, duplicated, multi-partition input
