@@ -18,16 +18,17 @@ object OracleSql {
        |           ORDER BY comppct DESC, ord ${dir(tieLow)}, cokey DESC) AS rn
        |  FROM $src) t WHERE rn = 1""".stripMargin
 
-  /** Per-(mukey,rating) class sums CTE used by the DCD mirror. */
-  def dcdBr(src: String): String =
-    s"""dcd_br AS (SELECT mukey, rating, max(ord) AS ord, sum(comppct) AS sumpct
+  /** Per-(mukey,rating) class sums CTE used by the DCD mirror. The
+    * `name` parameter lets one oracle carry several DCD legs. */
+  def dcdBr(src: String, name: String = "dcd_br"): String =
+    s"""$name AS (SELECT mukey, rating, max(ord) AS ord, sum(comppct) AS sumpct
        |           FROM $src GROUP BY mukey, rating)""".stripMargin
 
   /** Mirror of SdvAgg.dominantCondition (needs dcdBr(src) in the CTE
     * list): class with max summed pct wins unless the dominant
     * component's pct >= 50 (the DCD trump, :5768-5787) — in which case
     * the reported pct is the dominant COMPONENT's pct (:5778-5780). */
-  def dcd(src: String, tieLow: Boolean = true): String =
+  def dcd(src: String, tieLow: Boolean = true, br: String = "dcd_br"): String =
     s"""SELECT w.mukey, w.rating, floor((100*w.wpct/t.totalpct)*1e4 + 0.5)/1e4 AS comppct
        |FROM (SELECT c.mukey,
        |             CASE WHEN d.dcppct >= 50 THEN d.dcprating ELSE c.rating END AS rating,
@@ -35,12 +36,12 @@ object OracleSql {
        |      FROM (SELECT mukey, rating, sumpct FROM (
        |              SELECT mukey, rating, sumpct, row_number() OVER (PARTITION BY mukey
        |                ORDER BY sumpct DESC, ord ${dir(tieLow)}) AS rn
-       |              FROM dcd_br) x WHERE rn = 1) c
+       |              FROM $br) x WHERE rn = 1) c
        |      JOIN (SELECT mukey, rating AS dcprating, comppct AS dcppct FROM (
        |              SELECT mukey, rating, comppct, row_number() OVER (PARTITION BY mukey
        |                ORDER BY comppct DESC, ord ${dir(tieLow)}, cokey DESC) AS rn
        |              FROM $src) y WHERE rn = 1) d ON c.mukey = d.mukey) w
-       |JOIN (SELECT mukey, sum(sumpct) AS totalpct FROM dcd_br GROUP BY mukey) t
+       |JOIN (SELECT mukey, sum(sumpct) AS totalpct FROM $br GROUP BY mukey) t
        |  ON t.mukey = w.mukey""".stripMargin
 
   /** Mirror of SdvAgg's raw class-sum winner (A11/A16,

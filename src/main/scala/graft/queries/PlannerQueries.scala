@@ -214,6 +214,60 @@ object PlannerQueries extends QuerySet {
           |         round(l_discount*100) AS rating
           |  FROM lineitem WHERE l_linenumber <> 7 AND l_returnflag <> 'N')""".stripMargin))),
 
+    // F3' — the bZero null-as-class branch of the property Dominant
+    // Condition (AggregateCo_DCD_Domain, gSSURGO_CreateSoilMap.py:
+    // 7375-7383): with bZero ON, components whose Choice rating is NULL
+    // stay in the aggregation as their own condition class — ranked
+    // after every domain value under tiebreak-Low, before them under
+    // High (:7458-7467) — and can WIN the mapunit (rating = NULL rows
+    // in the output). With bZero OFF they are excluded. Three legs
+    // through the same catalog row pin all three behaviors; the repo's
+    // former zero-fill would emit a '0.0' class and fail every leg.
+    Q("p07_planner_dcd_null_class",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val component = l.select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("cokey"),
+          col("l_orderkey").cast("string").as("mukey"),
+          col("l_quantity").cast("int").as("comppct_r"),
+          lit("Alpha").as("compname"),
+          when(col("l_returnflag") === "R", "Rare")
+            .when(col("l_returnflag") === "A", "Occasional").as("draincl"))
+        val t = ssurgoTables(s, dir) + ("component" -> component)
+        val dom = Map("drainage" -> Seq("Rare", "Occasional", "Frequent"))
+        val att = SdvAttribute("Drainage", "component", "draincl", "rating",
+          "Choice", "Dominant Condition", complevelattribflag = 1,
+          tiebreakdomainname = Some("drainage"))
+        def leg(tag: String, req: SdvRequest) =
+          Graft.soilMap(t, dom)(att, req).withColumn("variant", lit(tag))
+        leg("zon_low", SdvRequest(bZero = true))
+          .unionByName(leg("zon_high", SdvRequest(bZero = true, tieLow = Some(false))))
+          .unionByName(leg("zoff_low", SdvRequest()))
+      },
+      Some(withCtes(
+        Seq(("zon_low", "ASC"), ("zon_high", "DESC"), ("zoff_low", "ASC"))
+          .map { case (tag, d) =>
+            graft.analog.OracleSql.dcd(s"src_$tag", tieLow = d == "ASC", br = s"br_$tag")
+              .replace("SELECT w.mukey,", s"SELECT w.mukey, '$tag' AS variant,")
+          }.mkString("\nUNION ALL\n"),
+        // bZero legs keep the NULL-rating rows; null ord = 4 (after the
+        // 3-value domain) under Low, 0 (before it) under High
+        """src_zon_low AS (
+          |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
+          |         CAST(l_orderkey AS VARCHAR) AS mukey,
+          |         CAST(l_quantity AS DOUBLE) AS comppct,
+          |         CASE l_returnflag WHEN 'R' THEN 'Rare' WHEN 'A' THEN 'Occasional' END AS rating,
+          |         CASE l_returnflag WHEN 'R' THEN 1.0 WHEN 'A' THEN 2.0 ELSE 4.0 END AS ord
+          |  FROM lineitem)""".stripMargin,
+        """src_zon_high AS (
+          |  SELECT cokey, mukey, comppct, rating,
+          |         CASE WHEN rating IS NULL THEN 0.0 ELSE ord END AS ord
+          |  FROM src_zon_low)""".stripMargin,
+        "src_zoff_low AS (SELECT * FROM src_zon_low WHERE rating IS NOT NULL)",
+        graft.analog.OracleSql.dcdBr("src_zon_low", "br_zon_low"),
+        graft.analog.OracleSql.dcdBr("src_zon_high", "br_zon_high"),
+        graft.analog.OracleSql.dcdBr("src_zoff_low", "br_zoff_low")))),
+
     // R2 raster-path acreage: cell counts × cell acres per rating class
     // (gSSURGO_AcreageReport.py:186-243, raster branch).
     Q("r03_raster_acreage",

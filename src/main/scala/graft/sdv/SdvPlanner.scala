@@ -161,8 +161,20 @@ class SdvPlanner(
     val domain0 = att.tiebreakdomainname.flatMap(domains.get).getOrElse(Seq.empty)
     val domain = if (att.ruledesign.contains(2)) domain0.reverse else domain0
 
+    // F3' — bZero null handling is algorithm-shaped: component-level
+    // Dominant Condition over a domain'd Choice attribute ADMITS NULL
+    // as its own condition class (AggregateCo_DCD_Domain keeps null
+    // rows in its whereClause, gSSURGO_CreateSoilMap.py:7375-7383;
+    // AggregateCo_DCD likewise, :5588-5593/5631-5633), while the
+    // numeric/WTA paths zero-fill (:8088). With bZero off the null
+    // rows are excluded on every path.
+    val dcdNullClass = req.bZero && isChoice && domain.nonEmpty &&
+      algorithm == "Dominant Condition" &&
+      att.cmonthlevelattribflag != 1 && att.horzlevelattribflag != 1
+
     val rating: Column =
-      if (req.bZero) coalesce(ratingRaw, lit(0.0))
+      if (dcdNullClass) ratingRaw
+      else if (req.bZero) coalesce(ratingRaw, lit(0.0))
       else att.nullratingreplacementvalue match {
         case Some(v) if !isChoice => coalesce(ratingRaw, lit(v))
         case _ => ratingRaw
@@ -170,8 +182,15 @@ class SdvPlanner(
     // rating↔domain comparison is case-insensitive in the reference
     // (dValues keyed by upper(); SURVEY §7 risk register)
     val ratingOrd: Column =
-      if (isChoice && domain.nonEmpty)
-        Exprs.domainRank(upper(rating), domain.map(_.toUpperCase))
+      if (isChoice && domain.nonEmpty) {
+        val r = Exprs.domainRank(upper(rating), domain.map(_.toUpperCase))
+        // the null class ranks BEFORE every domain value under
+        // tiebreak-High (dValues[None] = [0, None], :7461-7463) and
+        // after them under Low (:7465-7467) — domainRank already puts
+        // null at domain.size+1, the Low placement
+        if (dcdNullClass && !tieLow) when(rating.isNull, lit(0.0)).otherwise(r)
+        else r
+      }
       else if (isChoice) lit(0.0)
       else rating.cast("double")
 
