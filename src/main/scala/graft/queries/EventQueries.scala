@@ -167,19 +167,72 @@ object EventQueries extends QuerySet {
       Some(funnelSql)),
 
     // ST5 — the funnel as INCREMENTAL per-user state: the typed
-    // greedy fold engine (streaming/FunnelStream — O(1) state, stage
-    // times never regress) run as its batch twin; the gate proves the
-    // fold equals the relational min-agg chain (same oracle as e05 +
-    // stages), StreamingSpec pins stream == batch across waves.
+    // greedy fold engine (streaming/FunnelStream — O(steps) state,
+    // stage times never regress) run as its batch twin, through TWO
+    // step sets (the e05 3-stage demo and a 2-stage big-purchase
+    // funnel) so the gate pins the engine as step-set-generic. The
+    // oracle mirrors each leg with the relational min-agg chain;
+    // StreamingSpec pins stream == batch across waves for both.
     Q("st05_funnel_stateful",
       (s, dir) => {
         import s.implicits._
-        graft.streaming.FunnelStream.funnelBatch(
-          evts(s, dir).select(col("user_id"), col("ts_ms"),
-              col("event_type"), col("value_cents"))
-            .as[graft.streaming.FunnelStream.FEvent]).toDF()
+        import graft.streaming.FunnelStream
+        // the typed engine's contract excludes null keys/fields (the
+        // FEvent encoder would fail loudly); filtering here makes a
+        // future null-bearing corpus degrade to a diagnosable row
+        // diff, not a job crash. e05 stays the null-tolerant engine.
+        val ev = evts(s, dir)
+          .select(col("user_id"), col("ts_ms"), col("event_type"),
+            col("value_cents"))
+          .filter(col("user_id").isNotNull && col("ts_ms").isNotNull &&
+            col("event_type").isNotNull && col("value_cents").isNotNull)
+          .as[FunnelStream.FEvent]
+        def leg(tag: String, f: FunnelStream.Funnel) =
+          f.funnelBatch(ev).toDF().select(
+            lit(tag).as("funnel"), col("user_id"),
+            col("times").getItem(0).as("t1"),
+            (if (f.steps.size > 1) col("times").getItem(1)
+             else lit(null).cast("long")).as("t2"),
+            (if (f.steps.size > 2) col("times").getItem(2)
+             else lit(null).cast("long")).as("t3"),
+            col("stages_reached"))
+        leg("main", FunnelStream.e05)
+          .unionByName(leg("big_buy", FunnelStream.bigPurchase))
       },
-      Some(funnelSql)),
+      // same min-chain shapes as funnelSql, but over the null-free key
+      // universe (the typed engine's contract); stage 1 (view) is
+      // shared by both funnel definitions
+      Some(
+        s"""WITH $eCte,
+           |k AS (SELECT DISTINCT user_id FROM e WHERE user_id IS NOT NULL),
+           |s1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+           |       WHERE event_type = 'view' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts_ms) AS t2 FROM e
+           |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_ms > s1.t1
+           |       WHERE e.event_type = 'click' AND e.value_cents >= 12000
+           |       GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts_ms) AS t3 FROM e
+           |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_ms > s2.t2
+           |       WHERE e.event_type = 'purchase' AND e.value_cents >= 12000
+           |       GROUP BY 1),
+           |b2 AS (SELECT e.user_id, min(e.ts_ms) AS t2 FROM e
+           |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_ms > s1.t1
+           |       WHERE e.event_type = 'purchase' AND e.value_cents >= 20000
+           |       GROUP BY 1)
+           |SELECT 'main' AS funnel, k.user_id, t1, t2, t3,
+           |       CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+           |          + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+           |          + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |         AS stages_reached
+           |FROM k LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           |       LEFT JOIN s3 USING (user_id)
+           |UNION ALL
+           |SELECT 'big_buy' AS funnel, k.user_id, t1, b2.t2,
+           |       CAST(NULL AS BIGINT) AS t3,
+           |       CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+           |          + CASE WHEN b2.t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |         AS stages_reached
+           |FROM k LEFT JOIN s1 USING (user_id) LEFT JOIN b2 USING (user_id)""".stripMargin)),
 
     // E7 — event cadence: exact p50/p90 of per-user inter-event gaps
     // by event type, at MINUTE granularity (quantizing first keeps the
@@ -217,8 +270,13 @@ object EventQueries extends QuerySet {
     // to (user, day) before anything else — no raw-event shuffle.
     Q("e06_retention",
       (s, dir) => EventOps.retentionCohorts(evts(s, dir), "user_id", "ts_ms"),
+      // null users are excluded HERE too (retentionCohorts filters them
+      // up front): without it a NULL user would seat in a cohort via
+      // the f/sz aggregates yet vanish from n_active's USING join —
+      // engine-divergent the day the generator emits one
       Some(s"""WITH $eCte,
-              |d AS (SELECT DISTINCT user_id, ts_ms//86400000 AS period FROM e),
+              |d AS (SELECT DISTINCT user_id, ts_ms//86400000 AS period FROM e
+              |      WHERE user_id IS NOT NULL),
               |f AS (SELECT user_id, min(period) AS cohort FROM d GROUP BY 1),
               |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
               |a AS (SELECT cohort, period - cohort AS k, count(*) AS n_active

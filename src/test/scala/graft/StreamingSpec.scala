@@ -116,7 +116,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.count() > 0)
   }
 
-  test("st05: stateful streaming funnel == batch fold across event-time waves") {
+  /** Drive a funnel definition through two event-time waves sharing ONE
+    * checkpoint (run 2 resumes the file log AND the state store, so
+    * wave-2 events fold into wave-1 stage times — the incremental-state
+    * demonstration), and pin stream == batch. Arity-generic: works for
+    * any step set. */
+  private def funnelWaveCheck(funnel: graft.streaming.FunnelStream.Funnel): Unit = {
     import org.apache.spark.sql.functions._
     import graft.streaming.FunnelStream
     val sf = "/root/testdata/sf0.001"
@@ -138,22 +143,19 @@ class StreamingSpec extends AnyFunSuite {
       .schema(events.schema).option("maxFilesPerTrigger", "1")
       .parquet(dropDir.toString + "/*")
       .as[FunnelStream.FEvent]
-    // one shared checkpoint: run 2 resumes the file log AND the state
-    // store, so wave-2 events fold into wave-1 stage times (the whole
-    // point of the incremental state demonstration). The memory sink
-    // cannot recover from a checkpoint, so updates collect through
-    // foreachBatch (st04's pattern).
+    // The memory sink cannot recover from a checkpoint, so updates
+    // collect through foreachBatch (st04's pattern).
     val updates = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Option[Long], Option[Long], Option[Long], Long)]
+      .empty[(Long, Seq[Option[Long]], Long)]
     def run(): Unit = {
-      val q = FunnelStream.funnelStream(stream)
+      val q = funnel.funnelStream(stream)
         .writeStream.outputMode("update")
         .option("checkpointLocation", ckptDir.toString)
         .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[FunnelStream.FunnelRow], _: Long) =>
+          (b: org.apache.spark.sql.Dataset[FunnelStream.StageTimes], _: Long) =>
             updates.synchronized {
               updates ++= b.collect().map(r =>
-                (r.user_id, r.t1, r.t2, r.t3, r.stages_reached))
+                (r.user_id, r.times, r.stages_reached))
             }
             ()
         }
@@ -168,12 +170,21 @@ class StreamingSpec extends AnyFunSuite {
     // latest update per user = the row with max stages_reached (stage
     // times never regress; equal-stage rows are identical)
     val latest = updates.groupBy(_._1).values
-      .map(_.maxBy(_._5)).toSeq.sortBy(_._1)
-    val batch = FunnelStream.funnelBatch(events.as[FunnelStream.FEvent])
-      .collect().map(r => (r.user_id, r.t1, r.t2, r.t3, r.stages_reached))
+      .map(_.maxBy(_._3)).toSeq.sortBy(_._1)
+    val batch = funnel.funnelBatch(events.as[FunnelStream.FEvent])
+      .collect().map(r => (r.user_id, r.times, r.stages_reached))
       .toSeq.sortBy(_._1)
     assert(latest === batch)
     assert(batch.nonEmpty)
+    assert(batch.head._2.size === funnel.steps.size)
+  }
+
+  test("st05: stateful streaming funnel == batch fold across event-time waves") {
+    funnelWaveCheck(graft.streaming.FunnelStream.e05)
+  }
+
+  test("st05: a DIFFERENT step set (2-stage big-purchase) through one checkpoint") {
+    funnelWaveCheck(graft.streaming.FunnelStream.bigPurchase)
   }
 
   test("st04: incremental per-SSA Valu refresh == batch Valu build") {
