@@ -305,10 +305,24 @@ object Dedup {
       .select(xxhash64(col("ptext")).as("h"), col("ptext")).distinct()
       .withColumn("in_corpus", lit(true))
     val w = Window.partitionBy(col("h"), col("ptext"))
-    lineStatsAgg(batch
+    val stats = lineStatsAgg(batch
       .withColumn("first_in_batch", col("pid") === min(col("pid")).over(w))
       .join(idx, Seq("h", "ptext"), "left")
       .withColumn("keep", col("first_in_batch") && col("in_corpus").isNull))
+    // Loud disjointness guard (the repo's fail-loud convention, as the
+    // packing-width assert above): a doc present in BOTH inputs would
+    // silently see every line flagged as a corpus repeat and its stats
+    // double-keyed at the caller. The check is an id-only anti-join
+    // probe riding the (batch-sized) stats output — column-pruned
+    // corpus scan, no text movement.
+    val corpusDids = corpus.select(col(idCol).as("did")).distinct()
+      .withColumn("_corpus_doc", lit(true))
+    stats.join(corpusDids, Seq("did"), "left")
+      .withColumn("n_lines", col("n_lines") +
+        coalesce(assert_true(col("_corpus_doc").isNull,
+          lit("lineDedupIncremental: batch and corpus share a doc id — " +
+            "ids must be disjoint")).cast("long"), lit(0L)))
+      .drop("_corpus_doc")
   }
 
   /** Cross-doc EXACT substring duplication at `w`-token window

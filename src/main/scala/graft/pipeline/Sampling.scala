@@ -88,21 +88,37 @@ object Sampling {
     * (binomial count). Rank is ([[hash32]], id) ascending — full
     * 32-bit hash granularity (the 100-bucket fold would bias selection
     * toward low ids inside a bucket); the id tiebreak makes it total.
-    * Plan: ONE shuffle — a per-stratum window; partitions are strata,
-    * exactly the per-group sort any exact top-k needs, and the window
-    * never spans the corpus. Strata with ≤ k rows keep everything.
-    * Null-id rows are excluded: they have no portable hash rank
-    * (Spark sorts nulls first, SQL engines last — an engine-dependent
-    * draw), matching [[mixtureSample]]'s no-bucket-no-survival rule
-    * for thinned domains.
+    *
+    * Plan: TWO-PHASE exact top-k. Phase 1 ranks within
+    * (stratum, hash mod `fanout`) — the corpus's one full shuffle —
+    * and keeps ≤ k rows per sub-stratum, so no task ever sorts a
+    * whole stratum (a handful of domains over 100 TB would otherwise
+    * put terabytes in one task). Phase 2 re-ranks the ≤ k·fanout
+    * survivors per stratum in a tiny window; top-k of the union of
+    * per-salt top-ks is exactly the global top-k, so the result (and
+    * the SQL oracle, which states the global rank directly) is
+    * unchanged. Strata with ≤ k rows keep everything. Null-id rows
+    * are excluded: they have no portable hash rank (Spark sorts nulls
+    * first, SQL engines last — an engine-dependent draw), matching
+    * [[mixtureSample]]'s no-bucket-no-survival rule for thinned
+    * domains. Negative ids fail LOUDLY ([[hash32]] is undefined on
+    * them: Spark's pmod and SQL's % disagree — a silent pass would
+    * diverge from the oracle instead of erroring).
     * Returns the input columns plus the stratum rank. */
   def stratifiedSample(df: DataFrame, idCol: String, domainCol: String,
-      k: Int): DataFrame = {
+      k: Int, fanout: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"stratifiedSample: k=$k must be positive")
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(hash32(col(idCol)), col(idCol))
+    require(fanout >= 1, s"stratifiedSample: fanout=$fanout must be positive")
+    val h = hash32(col(idCol))
+    val pre = Window.partitionBy(col(domainCol), pmod(h, lit(fanout.toLong)))
+      .orderBy(h, col(idCol))
+    val w = Window.partitionBy(col(domainCol)).orderBy(h, col(idCol))
     df.filter(col(idCol).isNotNull)
+      .filter(coalesce(assert_true(col(idCol) >= 0,
+        lit(s"stratifiedSample: negative $idCol unsupported (hash32)")), lit(true)))
+      .withColumn("_salt_rank", row_number().over(pre))
+      .filter(col("_salt_rank") <= k).drop("_salt_rank")
       .withColumn("stratum_rank", row_number().over(w).cast("long"))
       .filter(col("stratum_rank") <= k)
   }

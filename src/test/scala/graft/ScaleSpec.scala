@@ -127,6 +127,24 @@ class ScaleSpec extends AnyFunSuite {
       val plan = p.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"cross join:\n$plan")
     }
+    // t18 is two-phase exact top-k: the corpus-wide window must be the
+    // SALTED one ((stratum, hash%fanout) — 2 partition exprs) with the
+    // per-stratum window running only over the ≤ k·fanout survivors; a
+    // plan whose only window spans whole strata puts a whole domain in
+    // one task at 100 TB.
+    {
+      val sp = graft.pipeline.Sampling.stratifiedSample(docs, "doc_id", "source", 2)
+      val wins = sp.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.size === 2, s"expected 2-phase windows:\n${sp.queryExecution.optimizedPlan}")
+      // plan prints outer-first: the inner (first-executed) window is last
+      assert(wins.last.partitionSpec.size === 2,
+        s"pre-rank window not salted:\n${sp.queryExecution.optimizedPlan}")
+      assert(wins.head.partitionSpec.size === 1,
+        s"final window must be per-stratum:\n${sp.queryExecution.optimizedPlan}")
+      // and the salted pre-filter bound sits between them
+      assert(sp.queryExecution.optimizedPlan.toString.contains("_salt_rank"),
+        s"missing pre-filter bound:\n${sp.queryExecution.optimizedPlan}")
+    }
     // t19: the per-source cutoff table must come back as a broadcast
     // join, never a shuffle of the corpus against 20 rows
     val d = docs.select(col("doc_id"), col("source"),

@@ -145,6 +145,18 @@ class TrainOpsSpec extends AnyFunSuite {
       Seq(11L, 2L, 2L, 0L)))
   }
 
+  test("lineDedupIncremental: overlapping batch/corpus doc id fails LOUDLY") {
+    val corpus = df(docSchema, Seq(Row(1L, "corpus line one\n\ncorpus two")))
+    val batch = df(docSchema, Seq(
+      Row(1L, "corpus line one\n\nbatch text"), // same did as a corpus doc
+      Row(2L, "fresh content")))
+    val ex = intercept[Exception] {
+      Dedup.lineDedupIncremental(batch, corpus, "doc_id", "text").collect()
+    }
+    assert(ex.getMessage.contains("disjoint") ||
+      Option(ex.getCause).exists(_.getMessage.contains("disjoint")))
+  }
+
   test("lineDedupStats invariants on random corpora: reconcile, distinct-keeps, idempotent") {
     val rnd = new scala.util.Random(42)
     val rows = (1L to 30L).map { i =>
