@@ -339,11 +339,20 @@ object ExtraQueries extends QuerySet {
           |  sum(greatest(0.0, least(h.hzdepb, r.rzdepth) - greatest(h.hzdept, f.fmdept))) AS hzt
           |FROM hzme h JOIN rz r ON h.cokey = r.cokey JOIN fm f ON h.cokey = f.cokey
           |GROUP BY h.mukey, h.cokey, h.comppct)""".stripMargin,
-        """rzaws AS (SELECT mukey,
-          |  floor((sum(comppct*awsum)/sum(comppct)/10.0)*1e4 + 0.5)/1e4 AS rootznaws,
-          |  floor(least(sum(comppct*hzt)/sum(comppct), 150.0) + 0.5) AS rootznemc,
-          |  floor(floor((sum(comppct*awsum)/sum(comppct)/10.0)*1e4 + 0.5)/1e4 + 0.5) <= 152 AS droughty
-          |FROM pcz GROUP BY mukey)""".stripMargin,
+        // mapunit divisor = GetSumPct's component-table pctearthmc (sp),
+        // NOT the horizon-present comppct sum; pctearthmc = 0 leaves the
+        // RZAWS columns null (reference :1362)
+        """rzaws AS (SELECT a.mukey,
+          |  CASE WHEN p.pctearthmc > 0
+          |       THEN floor((a.wsum/p.pctearthmc/10.0)*1e4 + 0.5)/1e4 END AS rootznaws,
+          |  CASE WHEN p.pctearthmc > 0
+          |       THEN floor(least(a.hsum/p.pctearthmc, 150.0) + 0.5) END AS rootznemc,
+          |  CASE WHEN p.pctearthmc > 0
+          |       THEN floor(floor((a.wsum/p.pctearthmc/10.0)*1e4 + 0.5)/1e4 + 0.5) <= 152
+          |  END AS droughty
+          |FROM (SELECT mukey, sum(comppct*awsum) AS wsum, sum(comppct*hzt) AS hsum
+          |      FROM pcz GROUP BY mukey) a
+          |JOIN sp p ON a.mukey = p.mukey)""".stripMargin,
         """hzsoc AS (SELECT h.mukey, h.hzdept,
           |  least(h.hzdepb, coalesce(r.rzdepth, h.hzdepb)) AS hzdepb,
           |  h.comppct, h.om, h.db3i, h.fragvol

@@ -268,6 +268,54 @@ object PlannerQueries extends QuerySet {
         graft.analog.OracleSql.dcdBr("src_zon_high", "br_zon_high"),
         graft.analog.OracleSql.dcdBr("src_zoff_low", "br_zoff_low")))),
 
+    // Reference-exact fldPrecision (fldPrecision = max(0,
+    // attributeprecision), rounding at :4871 DCP / :8115 WTA): a
+    // catalog row carrying attributeprecision = 0 must emit INTEGER
+    // ratings with the half-up tiebreak pinned on both engine sides
+    // (Exprs.roundHalfUp ≡ floor(x + 0.5) — Spark's BigDecimal round
+    // and DuckDB's double round disagree on decimal .5 boundaries,
+    // which integer precision hits constantly). Two legs: the WTA
+    // mean (integral-cents ratio → fractional mean) and the DCP pick
+    // over exact binary quarters (x.25/x.5/x.75), where rounding
+    // happens AFTER the pick.
+    Q("p08_planner_int_precision",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val component = l.select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("cokey"),
+          col("l_orderkey").cast("string").as("mukey"),
+          col("l_quantity").cast("int").as("comppct_r"),
+          lit("Alpha").as("compname"),
+          Exprs.cents(col("l_extendedprice")).as("price_cents"),
+          (Exprs.cents(col("l_extendedprice")) / 4).as("price_q"))
+        val t = ssurgoTables(s, dir) + ("component" -> component)
+        def leg(tag: String, attCol: String, alg: String) =
+          Graft.soilMap(t)(
+            SdvAttribute("Price", "component", attCol, "rating",
+              "Float", alg, complevelattribflag = 1,
+              attributeprecision = Some(0)),
+            SdvRequest(cutOff = 5)).withColumn("variant", lit(tag))
+        leg("wta", "price_cents", "Weighted Average")
+          .unionByName(leg("dcp", "price_q", "Dominant Component"))
+      },
+      Some(withCtes(
+        """SELECT 'wta' AS variant, mukey,
+          |       floor((sum(comppct*rating)/sum(comppct)) + 0.5) AS rating,
+          |       sum(comppct) AS comppct
+          |FROM pint GROUP BY mukey
+          |UNION ALL
+          |SELECT 'dcp' AS variant, mukey, floor(rating/4 + 0.5) AS rating, comppct
+          |FROM (SELECT mukey, rating, comppct,
+          |        row_number() OVER (PARTITION BY mukey
+          |          ORDER BY comppct DESC, rating/4 ASC, cokey DESC) AS rn
+          |      FROM pint) t WHERE rn = 1""".stripMargin,
+        """pint AS (
+          |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
+          |         CAST(l_orderkey AS VARCHAR) AS mukey,
+          |         CAST(l_quantity AS DOUBLE) AS comppct,
+          |         round(l_extendedprice*100) AS rating
+          |  FROM lineitem WHERE l_quantity >= 5)""".stripMargin))),
+
     // R2 raster-path acreage: cell counts × cell acres per rating class
     // (gSSURGO_AcreageReport.py:186-243, raster branch).
     Q("r03_raster_acreage",

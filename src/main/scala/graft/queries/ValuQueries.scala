@@ -133,20 +133,33 @@ object ValuQueries extends QuerySet {
 
     // V8 — CalcRZAWS (gSSURGO_ValuTable.py:1150-1479): organic-surface
     // skip, restriction-limited bottom, major-earthy weighting, droughty.
+    // The mapunit divisor is the COMPONENT-table pctearthmc (GetSumPct,
+    // :1350/:1367), not the horizon-present comppct sum — in this analog
+    // ~half the components ('N'-only orders) have zero horizon rows
+    // after the filter yet still dilute their mapunit's mean, so a
+    // horizon-side divisor fails the gate on most mapunits.
     Q("v08_rz_aws",
       (s, dir) => {
         val full = hzNumeric(s, dir)
         val rz = Valu.rzDepth(full, restricted = col("rating") >= 8)
+        val pct = Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("mukey"),
+            (col("o_orderkey") % 97 + 1).cast("double").as("comppct"))
+          .groupBy(col("mukey")).agg(sum(col("comppct")).as("pctearthmc"))
         Valu.rzAws(full.filter(col("crating") =!= "N"),
-          organic = col("crating") === "A", rz = rz)
+          organic = col("crating") === "A", rz = rz, pct = pct)
       },
       Some(withCtes(
-        """SELECT mukey,
-          |  floor((sum(comppct*awsum)/sum(comppct)/10.0)*1e4 + 0.5)/1e4 AS rootznaws,
-          |  floor(least(sum(comppct*hzt)/sum(comppct), 150.0) + 0.5) AS rootznemc,
-          |  sum(comppct) AS pctearthmc,
-          |  floor(floor((sum(comppct*awsum)/sum(comppct)/10.0)*1e4 + 0.5)/1e4 + 0.5) <= 152 AS droughty
-          |FROM pc GROUP BY mukey""".stripMargin,
+        """SELECT a.mukey,
+          |  floor((a.wsum/p.pctearthmc/10.0)*1e4 + 0.5)/1e4 AS rootznaws,
+          |  floor(least(a.hsum/p.pctearthmc, 150.0) + 0.5) AS rootznemc,
+          |  p.pctearthmc,
+          |  floor(floor((a.wsum/p.pctearthmc/10.0)*1e4 + 0.5)/1e4 + 0.5) <= 152 AS droughty
+          |FROM (SELECT mukey, sum(comppct*awsum) AS wsum, sum(comppct*hzt) AS hsum
+          |      FROM pc GROUP BY mukey) a
+          |JOIN (SELECT o_custkey AS mukey,
+          |        sum(CAST(o_orderkey % 97 + 1 AS DOUBLE)) AS pctearthmc
+          |      FROM orders GROUP BY 1) p ON a.mukey = p.mukey""".stripMargin,
         hzCte,
         "hzme AS (SELECT * FROM hz WHERE crating <> 'N')",
         """rz AS (SELECT cokey,

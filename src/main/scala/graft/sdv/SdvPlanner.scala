@@ -251,7 +251,18 @@ class SdvPlanner(
         else if (isMonth && isChoice) SdvAgg.moDomainDominantComponent(rt, tieLow)
         else if (isMonth) SdvAgg.moDominantComponent(rt,
           most = !tieLow, att.nullratingreplacementvalue, tieLow)
-        else SdvAgg.dominantComponent(rt, tieLow)
+        else {
+          val dcp = SdvAgg.dominantComponent(rt, tieLow)
+          // reference-exact fldPrecision on the numeric DCP rating
+          // (AggregateCo_DCP :4858-4871 rounds at
+          // max(0, attributeprecision)): catalog-driven, half-up
+          // pinned on both engine sides via Exprs.roundHalfUp — only
+          // when the catalog row carries a precision (absent = raw
+          // passthrough, the engine default)
+          if (!isChoice && prec.isDefined)
+            dcp.withColumn("rating", Exprs.roundHalfUp(col("rating"), prec.get))
+          else dcp
+        }
       case "Dominant Condition" =>
         if (isHz && isKFactor) SdvAgg.hzMaxMinDcd(rt, req.top, req.bot, tieLow)
         else if (isHz) SdvAgg.dominantCondition(coHz(rt), tieLow) // Surface choice → Co_DCD_Domain, numeric → Co_DCD (:10780-10805)

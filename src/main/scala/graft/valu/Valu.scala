@@ -146,8 +146,16 @@ object Valu {
   //                capped at 150 then rounded to an integer (:1428-1434;
   //                thickness counts even where awc is null — the
   //                reference zero-fills awc but still adds hzT, :1263)
-  //   pctearthmc = the major-earthy comppct sum used as the divisor
-  def rzAws(hz: DataFrame, organic: Column, rz: DataFrame, scale: Int = 4): DataFrame = {
+  //   pctearthmc = the major-earthy comppct sum used as the divisor —
+  //                from the COMPONENT table (GetSumPct's dPct[mukey][1],
+  //                :1350/:1367), NOT the components present in the
+  //                horizon table: a major-earthy component with zero
+  //                horizon rows dilutes the mapunit mean. `pct` =
+  //                (mukey, pctearthmc), e.g. from [[sumPct]].
+  //                pctearthmc = 0 leaves the RZAWS columns null
+  //                (:1362 `if pctearthmc > 0`).
+  def rzAws(hz: DataFrame, organic: Column, rz: DataFrame, pct: DataFrame,
+      scale: Int = 4): DataFrame = {
     val fm = hz.groupBy(col("cokey"))
       .agg(coalesce(min(when(!organic, col("hzdept"))), lit(999.0)).as("fmdept"))
     val t = greatest(lit(0.0),
@@ -156,12 +164,17 @@ object Valu {
       .groupBy(m, col("cokey"), col("comppct"))
       .agg(sum(when(col("rating").isNotNull, t * col("rating"))).as("awsum"),
         sum(t).as("hzt"))
+    val pos = col("pctearthmc") > 0
     perCo.groupBy(m).agg(
-      Exprs.roundHalfUp(sum(col("comppct") * col("awsum")) / sum(col("comppct")) / 10.0, scale)
-        .as("rootznaws"),
-      Exprs.roundHalfUp(least(sum(col("comppct") * col("hzt")) / sum(col("comppct")), lit(150.0)), 0)
-        .as("rootznemc"),
-      sum(col("comppct")).as("pctearthmc"))
+        sum(col("comppct") * col("awsum")).as("wsum"),
+        sum(col("comppct") * col("hzt")).as("hsum"))
+      .join(pct.select(m, col("pctearthmc")), Seq("mukey"), "left")
+      .select(m,
+        when(pos, Exprs.roundHalfUp(col("wsum") / col("pctearthmc") / 10.0, scale))
+          .as("rootznaws"),
+        when(pos, Exprs.roundHalfUp(
+          least(col("hsum") / col("pctearthmc"), lit(150.0)), 0)).as("rootznemc"),
+        col("pctearthmc"))
       .withColumn("droughty", Exprs.roundHalfUp(col("rootznaws"), 0) <= 152)
   }
 

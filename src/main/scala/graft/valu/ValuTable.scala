@@ -52,10 +52,12 @@ object ValuTable {
         least(col("hzdepb"), coalesce(col("rzdepth"), col("hzdepb"))) > col("hzdept"),
       "musumcpcts")
     val aws = Valu.calcAws(cached)
-    // RZAWS runs over major-earthy components only (:1224-1227). The
-    // wide table keeps GetSumPct's pctearthmc (sumPct stage) — drop the
-    // stage-local divisor copy to avoid a duplicate column.
-    val rzaws = Valu.rzAws(cached.filter(major && earthy), organic, rz)
+    // RZAWS runs over major-earthy components only (:1224-1227), with
+    // GetSumPct's component-table pctearthmc as the mapunit divisor
+    // (:1350/:1367) — drop the stage-local copy of the divisor column
+    // to avoid a duplicate with the sumPct stage.
+    val rzaws = Valu.rzAws(cached.filter(major && earthy), organic, rz,
+        pct = gsum.select(col("mukey"), col("pctearthmc")))
       .drop("pctearthmc")
     // SOC stops at the root-zone restriction (:1765-1776)
     val soc = Valu.calcSoc(cached, socSlices, rz = Some(rz))

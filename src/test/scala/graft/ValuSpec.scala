@@ -76,7 +76,9 @@ class ValuSpec extends AnyFunSuite {
       Row("m1", 1L, 100.0, 20.0, 100.0, 0.10, false),
       Row("m1", 1L, 100.0, 100.0, 120.0, 0.20, true)))
     val rz = Valu.rzDepth(d, restricted = lit(false)) // no restriction → 150
-    val out = Valu.rzAws(d, organic = col("organic"), rz = rz)
+    val pct = d.select(col("mukey"), col("cokey"), col("comppct")).distinct()
+      .groupBy(col("mukey")).agg(sum(col("comppct")).as("pctearthmc"))
+    val out = Valu.rzAws(d, organic = col("organic"), rz = rz, pct = pct)
     val got = out.collect()(0)
     def at(name: String) = got.get(out.columns.indexOf(name))
     // aws = (80*.10 + 20*.20)*10/10 ... rzAws: sum(t*rating)/pct-weight/10
@@ -87,6 +89,27 @@ class ValuSpec extends AnyFunSuite {
     // usable thickness: 0 (surface organic) + 80 + 20 (buried organic)
     assert(at("rootznemc") === 100.0)
     assert(at("pctearthmc") === 100.0)
+  }
+
+  test("V8 RZAWS divisor: a major-earthy component with ZERO horizon rows dilutes the mean (:1350/:1367)") {
+    // comp 1 (pct 100) has horizons; comp 2 (pct 100) is major-earthy in
+    // the COMPONENT table but has no horizon rows — the reference's
+    // GetSumPct divisor (200) must halve every mapunit value vs a
+    // horizon-present divisor (100)
+    val d = df(hzNum, Seq(
+      Row("m1", 1L, 100.0, 0.0, 100.0, 0.10, false)))
+    val rz = Valu.rzDepth(d, restricted = lit(false))
+    val pct = df(
+      StructType(Seq(StructField("mukey", StringType),
+        StructField("pctearthmc", DoubleType))),
+      Seq(Row("m1", 200.0)))
+    val out = Valu.rzAws(d, organic = col("organic"), rz = rz, pct = pct)
+    val got = out.collect()(0)
+    def at(name: String) = got.get(out.columns.indexOf(name))
+    // wsum = 100·(100·0.1) = 1000 → /200/10 = 0.5 ; hzT: 100·100/200 = 50
+    assert(at("rootznaws") === 0.5)
+    assert(at("rootznemc") === 50.0)
+    assert(at("pctearthmc") === 200.0)
   }
 
   test("V9 fragvol: negatives clamped, sum capped at 100 (:1910-1951)") {
