@@ -22,12 +22,26 @@ object MiscQueries extends QuerySet {
     // reader (explicit schema, blank→NULL).
     Q("s01_pipe_csv_roundtrip",
       (s, dir) => {
+        // planted cp1252-only characters (curly quotes = bytes
+        // 0x91-0x94 on disk, en-dash, €, Œ, accent): the roundtrip
+        // must land them byte-for-byte where the reference's cp1252
+        // decode does — an iso-8859-1-only path would emit C1 control
+        // characters and fail the hash
+        val planted = s.createDataFrame(Seq(
+          (90, "Curly ‘single’ and “double” quotes"),
+          (91, "Café – dash … €1 Œuvre ™")))
+          .toDF("r_regionkey", "r_name")
         val region = Tables.load(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name")).unionByName(planted)
         val tmp = "/tmp/graft_s01_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         PipeCsv.write(region, tmp)
         PipeCsv.read(s, tmp, region.schema)
       },
-      Some("SELECT r_regionkey, r_name FROM region")),
+      Some("""SELECT r_regionkey, r_name FROM region
+             |UNION ALL
+             |SELECT * FROM (VALUES
+             |  (90, 'Curly ‘single’ and “double” quotes'),
+             |  (91, 'Café – dash … €1 Œuvre ™')) t(r_regionkey, r_name)""".stripMargin)),
 
     // S2 — metadata (mdstat*) import: WSS short-named text files land
     // in the tabular folder (msrsdet.txt, msdomdet.txt); loadMetadata
