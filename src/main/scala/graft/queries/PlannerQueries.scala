@@ -316,6 +316,77 @@ object PlannerQueries extends QuerySet {
           |         round(l_extendedprice*100) AS rating
           |  FROM lineitem WHERE l_quantity >= 5)""".stripMargin))),
 
+    // The catalog-sweep dispatch (CreateSoilMaps batch loop +
+    // MergeRatingTables, gSSURGO_CreateSoilMaps.py + the :10612-10918
+    // dispatch): a MULTI-ROW sdvattribute catalog — one row per
+    // (algorithm × level-flag) combination the fixture tables support —
+    // runs through Graft.soilMaps into ONE wide merged table. This pins
+    // the dispatch table itself (column swaps, level routing, rename
+    // plumbing), not just each algorithm in isolation.
+    Q("p09_planner_catalog_sweep",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val mucropyld = l.select(
+          col("l_orderkey").cast("string").as("mukey"),
+          when(col("l_linenumber") <= 2, "Corn").otherwise("Soybeans").as("cropname"),
+          col("l_quantity").cast("double").as("nonirryield_r"))
+        val t = ssurgoTables(s, dir) + ("mucropyld" -> mucropyld)
+        val dom = Map("flags" -> Seq("R", "A", "N"))
+        def comp(att: String, res: String, dt: String, alg: String) =
+          SdvAttribute(res, "component", att, res, dt, alg,
+            complevelattribflag = 1,
+            tiebreakdomainname = if (dt == "Choice") Some("flags") else None)
+        val catalog = Seq(
+          comp("price_cents", "dcp_price", "Float", "Dominant Component"),
+          comp("flag", "dcd_flag", "Choice", "Dominant Condition"),
+          comp("price_cents", "wta_price", "Float", "Weighted Average"),
+          comp("flag", "minmax_flag", "Choice", "Minimum or Maximum"),
+          SdvAttribute("Crop yield", "mucropyld", "nonirryield_r", "nonirryield",
+            "Float", "No Aggregation Necessary",
+            sqlwhereclause = Some("cropname = 'Corn'")),
+          comp("price_cents", "pp_pct", "Float", "Percent Present"))
+        Graft.soilMaps(t, dom)(catalog.map(a => (a, SdvRequest())))
+      },
+      Some(withCtes(
+        """SELECT m.mukey, dcp_price, dcd_flag, wta_price, minmax_flag,
+          |       nonirryield, coalesce(pp_pct, 0.0) AS pp_pct
+          |FROM (SELECT CAST(o_orderkey AS VARCHAR) AS mukey FROM orders) m
+          |LEFT JOIN (SELECT mukey, rating AS dcp_price FROM (
+          |    SELECT mukey, rating, row_number() OVER (PARTITION BY mukey
+          |      ORDER BY comppct DESC, rating ASC, cokey DESC) AS rn
+          |    FROM swsrc) WHERE rn = 1) q1 ON m.mukey = q1.mukey
+          |LEFT JOIN (SELECT mukey, rating AS dcd_flag
+          |           FROM (""".stripMargin +
+        graft.analog.OracleSql.dcd("swflag", br = "br_sweep") +
+        """) ) q2 ON m.mukey = q2.mukey
+          |LEFT JOIN (SELECT mukey,
+          |    floor((sum(comppct*rating)/sum(comppct))*1e4 + 0.5)/1e4 AS wta_price
+          |  FROM swsrc GROUP BY mukey) q3 ON m.mukey = q3.mukey
+          |LEFT JOIN (SELECT mukey, rating AS minmax_flag FROM (
+          |    SELECT mukey, rating, row_number() OVER (PARTITION BY mukey
+          |      ORDER BY ord ASC, rating ASC) AS rn
+          |    FROM swflag) WHERE rn = 1) q4 ON m.mukey = q4.mukey
+          |LEFT JOIN (SELECT CAST(l_orderkey AS VARCHAR) AS mukey,
+          |    round(CAST(l_quantity AS DOUBLE), 2) AS nonirryield
+          |  FROM lineitem WHERE l_linenumber <= 2) q5 ON m.mukey = q5.mukey
+          |LEFT JOIN (SELECT mukey, sum(comppct) AS pp_pct
+          |  FROM swsrc GROUP BY mukey) q6 ON m.mukey = q6.mukey""".stripMargin,
+        """swsrc AS (
+          |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
+          |         CAST(l_orderkey AS VARCHAR) AS mukey,
+          |         CAST(l_quantity AS DOUBLE) AS comppct,
+          |         round(l_extendedprice*100) AS rating
+          |  FROM lineitem)""".stripMargin,
+        """swflag AS (
+          |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
+          |         CAST(l_orderkey AS VARCHAR) AS mukey,
+          |         CAST(l_quantity AS DOUBLE) AS comppct,
+          |         l_returnflag AS rating,
+          |         CASE l_returnflag WHEN 'R' THEN 1.0 WHEN 'A' THEN 2.0
+          |                           WHEN 'N' THEN 3.0 ELSE 4.0 END AS ord
+          |  FROM lineitem)""".stripMargin,
+        graft.analog.OracleSql.dcdBr("swflag", "br_sweep")))),
+
     // R2 raster-path acreage: cell counts × cell acres per rating class
     // (gSSURGO_AcreageReport.py:186-243, raster branch).
     Q("r03_raster_acreage",

@@ -292,7 +292,11 @@ class SdvPlanner(
       case "Most Limiting" => SdvAgg.limiting(rt, most = false, notRatedOrd)
       case "Least Limiting" => SdvAgg.limiting(rt, most = true, notRatedOrd)
       case "Percent Present" =>
+        // the matched percent IS the rating (AggregateCo_PP_SUM writes
+        // muPct into the result column, :8290-8294) — rename so the
+        // generic resultcolumnname rename below lands on it
         SdvAgg.percentPresent(rt, tables("mapunit").select(col("mukey")), lit(true))
+          .withColumnRenamed("comppct", "rating")
       case other =>
         throw new IllegalArgumentException(s"unknown algorithm: $other")
     }
