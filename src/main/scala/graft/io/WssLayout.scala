@@ -23,6 +23,48 @@ object WssLayout {
   def tabularPath(root: String, areasymbol: String, table: String): String =
     s"$root/${surveyFolder(areasymbol)}/tabular/$table.txt"
 
+  /** The WSS download artifact name for a survey area + saverest date
+    * (SSURGO_BatchDownload.py:402). */
+  def zipName(areasymbol: String, date: String): String =
+    s"wss_SSA_${areasymbol}_[$date].zip"
+
+  /** Land one WSS download: zip bytes → the per-survey folder layout
+    * under `root` (unzip + rename to soil_<ssa>,
+    * SSURGO_BatchDownload.py:427-480). The zip's own top-level folder
+    * (the SSA name in real downloads) is stripped and replaced by the
+    * soil_<ssa> folder — the reference's os.rename. The byte source is
+    * injected (canned bytes here, an HTTP GET of the :402 URL in
+    * production — zero-egress sandbox), so the whole unzip → layout →
+    * import chain is testable offline. Entries containing `..` are
+    * rejected (zip-slip). Returns the landed survey folder. */
+  def landZip(conf: org.apache.hadoop.conf.Configuration, root: String,
+      zipName: String, bytes: Array[Byte]): String = {
+    val area = parseZipName(zipName).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"not a WSS zip name: $zipName"))
+    val dest = s"$root/${surveyFolder(area)}"
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(conf)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) {
+        val parts = e.getName.split("/").filter(_.nonEmpty).toSeq
+        require(!parts.contains(".."), s"zip-slip path in entry: ${e.getName}")
+        val rel = (if (parts.length > 1 &&
+            (parts.head.equalsIgnoreCase(area) || parts.head.startsWith("soil_")))
+          parts.tail else parts).mkString("/")
+        val out = fs.create(new org.apache.hadoop.fs.Path(dest, rel), true)
+        val buf = new Array[Byte](8192)
+        var n = zin.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+        out.close()
+      }
+      e = zin.getNextEntry
+    }
+    zin.close()
+    dest
+  }
+
   /** S2 — metadata (mdstat*) text files: WSS tabular short name →
     * physical table name (ImportMDTabular,
     * SSURGO_Convert_to_Geodatabase.py:846-849). */

@@ -43,6 +43,59 @@ object MiscQueries extends QuerySet {
              |  (90, 'Curly ‘single’ and “double” quotes'),
              |  (91, 'Café – dash … €1 Œuvre ™')) t(r_regionkey, r_name)""".stripMargin)),
 
+    // S4 — the WSS download connector end-to-end WITHOUT the network:
+    // canned zip bytes (the injected transport) → unzip into the
+    // soil_<ssa> per-survey layout (SSURGO_BatchDownload.py:427-480) →
+    // schema-registry import → areasymbol-partitioned lake → query.
+    // Two survey areas split the region dimension; the zips carry the
+    // real WSS shape (SSA-named top folder, tabular/*.txt pipe-CSV).
+    Q("s04_wss_canned_zip",
+      (s, dir) => {
+        import java.util.zip.{ZipEntry, ZipOutputStream}
+        val root = "/tmp/graft_s04_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(root)
+        val conf = s.sparkContext.hadoopConfiguration
+        p.getFileSystem(conf).delete(p, true)
+        // region is TPC-H's fixed 5-row dimension — bounded driver-side
+        // work to fabricate the download artifacts, not a data scan
+        val rows = Tables.load(s, dir, "region")
+          .select(col("r_regionkey").cast("string"), col("r_name")).collect()
+        def canned(area: String, lkey: String, keep: Int => Boolean): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new ZipOutputStream(bos)
+          def entry(path: String, lines: Seq[String]): Unit = {
+            z.putNextEntry(new ZipEntry(s"$area/$path"))
+            z.write(lines.mkString("\n").getBytes("ISO-8859-1"))
+            z.closeEntry()
+          }
+          entry("tabular/legend.txt", Seq(s"$lkey|$area"))
+          entry("tabular/mapunit.txt", rows.toSeq
+            .filter(r => keep(r.getString(0).toInt))
+            .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(1)}|$lkey"))
+          z.close()
+          bos.toByteArray
+        }
+        val transport: String => Array[Byte] = Map(
+          graft.io.WssLayout.zipName("XX001", "2025-01-01") ->
+            canned("XX001", "L1", _ % 2 == 0),
+          graft.io.WssLayout.zipName("XX002", "2025-01-01") ->
+            canned("XX002", "L2", _ % 2 == 1))
+        val landing = s"$root/landing"
+        val surveys = Seq("XX001", "XX002").map { a =>
+          val zn = graft.io.WssLayout.zipName(a, "2025-01-01")
+          graft.io.WssLayout.landZip(conf, landing, zn, transport(zn))
+          graft.Graft.loadSurvey(s, landing, a)
+        }
+        graft.Graft.landSurveys(surveys, s"$root/lake")
+        graft.io.Lake.read(s, s"$root/lake", "mapunit")
+          .join(graft.io.Lake.read(s, s"$root/lake", "legend"), Seq("lkey"))
+          .select(col("mukey"), col("musym"), col("areasymbol"))
+      },
+      Some("""SELECT CAST(r_regionkey AS VARCHAR) AS mukey, r_name AS musym,
+             |       CASE WHEN r_regionkey % 2 = 0 THEN 'XX001' ELSE 'XX002' END
+             |         AS areasymbol
+             |FROM region""".stripMargin)),
+
     // S2 — metadata (mdstat*) import: WSS short-named text files land
     // in the tabular folder (msrsdet.txt, msdomdet.txt); loadMetadata
     // maps them to mdstatrshipdet/mdstatdomdet through the schema

@@ -49,6 +49,32 @@ class LakeSessionSpec extends AnyFunSuite {
       === "/lake/soil_ne109/tabular/comp.txt")
   }
 
+  test("wss landZip: strips the SSA top folder, lands soil_<ssa> layout, rejects zip-slip") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      entries.foreach { case (p, c) =>
+        z.putNextEntry(new ZipEntry(p)); z.write(c.getBytes("ISO-8859-1")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_landzip").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = WssLayout.landZip(conf, root, "wss_SSA_NE109_[2024-01-15].zip",
+      zip("NE109/tabular/legend.txt" -> "L1|NE109"))
+    assert(dest === s"$root/soil_ne109")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/soil_ne109/tabular/legend.txt")))
+    intercept[IllegalArgumentException] {
+      WssLayout.landZip(conf, root, "wss_SSA_NE109_[2024-01-15].zip",
+        zip("NE109/../../evil.txt" -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      WssLayout.landZip(conf, root, "not_a_wss_name.zip", zip("a.txt" -> "x"))
+    }
+  }
+
   test("sessionize fold: gap splits sessions, counts correct") {
     val min = 60 * 1000L
     val ts = Seq(0L, 5 * min, 10 * min, 60 * min, 65 * min)
