@@ -67,15 +67,30 @@ object Bench {
     }
     else try runNoop(spark, sfDir, "q1_agg") catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try runNoop(spark, sfDir, name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Best-of-N (default 3): this VM shows uniform ±25-40% noise windows
+    // (rare ~2×) that have twice masqueraded as regressions in a
+    // single-run artifact. The minimum total is the least-contended
+    // window — the number that tracks code, not neighbors; per-run
+    // totals and the 1-minute load average ship alongside so a noisy
+    // record is self-diagnosing.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val allRuns = (1 to runs).map { _ =>
+      SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        val t0 = System.nanoTime()
+        try runNoop(spark, sfDir, name) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    val totals = allRuns.map(_.map(_._2).sum)
+    val results = allRuns(totals.indexOf(totals.min))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = totals.min
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val runTotals = totals.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""run_totals":$runTotals,"load_avg":$loadAvg,"sf":"$sfDir"}"""
     // the artifact of record goes to a FILE: two rounds of stdout-tail
     // truncation (Spark log interleaving + exit-time buffer cut) lost the
     // per-query timings mid-JSON-line; the file write is atomic-enough
