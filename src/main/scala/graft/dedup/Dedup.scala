@@ -613,6 +613,35 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then compare ONLY
+    * cluster-mates — a vector is removed iff a lower-id mate of its
+    * cluster sits at cosine ≥ `threshold` (first-occurrence retention,
+    * the d01/d14 convention, where the paper leaves the keeper choice
+    * open). Cluster bounding is the published trick that turns the
+    * corpus² pair stage into Σ|cluster|²; the centroid count is the
+    * scale knob that caps cluster size (the assignment itself is a
+    * broadcast of the small centroid table — Ann.ivfAssign, shared
+    * with the IVF search/training path, so one clustering artifact
+    * serves search AND dedup). Catches paraphrase-level duplication
+    * that shingle/minhash passes miss entirely.
+    * centroids: (cid, cvec). Returns (vid, cid, keep). */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = graft.ann.Ann.ivfAssign(
+      embs.select(col(idCol).as("vid"), col(vecCol).as("vec")), centroids)
+    val dup = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
+      .select(col("b.vid").as("vid"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("vid")).distinct().withColumn("dup", lit(true))
+    assigned.select(col("vid"), col("cid"))
+      .join(dup, Seq("vid"), "left")
+      .select(col("vid"), col("cid"), col("dup").isNull.as("keep"))
+  }
+
   /** Embedding-cosine near-dup pairs over a bounded id slice (the
     * all-pairs verification shape; LSH/IVF blocking is the scale path —
     * embeddingCosinePairsLsh). */

@@ -823,6 +823,46 @@ object TrainQueries extends QuerySet {
               |      FROM eq, ec WHERE id_a < id_b)
               |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95""".stripMargin)),
 
+    // D17 — SemDeDup (Abbas et al. 2023): semantic dedup by clustered
+    // embedding comparison — pairs are scored only WITHIN a cluster
+    // (Σ|cluster|², never corpus²), removal is first-occurrence (a
+    // vector dies iff a lower-id cluster-mate sits at cos ≥ 0.95).
+    // Same planted-perturbation corpus as d08: copies land at
+    // cos ≈ 0.9999 to their source — far above ambient (~0.51) — and
+    // the oracle mirrors the quantized centroid assignment, so the
+    // cluster-bounded semantics (a copy split across a centroid
+    // boundary from its source survives — correctly) hash-match.
+    Q("d17_semdedup",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val planted = e.filter(col("vec_id") < 200)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+        Dedup.semDedup(
+          e.select(col("vec_id"), col("embedding")).unionByName(planted),
+          "vec_id", "embedding",
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          threshold = 0.95)
+      },
+      Some(s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |            FROM embeddings),
+              |ep AS (SELECT vec_id, v FROM e0
+              |       UNION ALL
+              |       SELECT vec_id + 1000000,
+              |              list_transform(CAST(embedding AS FLOAT[]),
+              |                             x -> CAST(x + CAST(0.001 AS FLOAT) AS DOUBLE))
+              |       FROM embeddings WHERE vec_id < 200),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 8),
+              |${assignCtes("ep", "c", "sda")},
+              |sdd AS (SELECT DISTINCT b.vid
+              |        FROM sda a JOIN sda b ON a.cid = b.cid AND a.vid < b.vid
+              |        WHERE floor((list_dot_product(a.v, b.v)
+              |          /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e4 + 0.5)/1e4
+              |          >= 0.95)
+              |SELECT sda.vid, sda.cid, sdd.vid IS NULL AS keep
+              |FROM sda LEFT JOIN sdd ON sda.vid = sdd.vid""".stripMargin)),
+
     // D7 — the full curation pipeline: quality gate + language
     // agreement + dedup-cluster survivor selection, composed from the
     // individually-verified operators (graft.pipeline.Curation).

@@ -344,6 +344,38 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(lsh === exact) // full recall at high cosine margin
   }
 
+  test("semDedup: in-cluster near-dup dies to the lower id; cluster boundary shields a pair") {
+    val s = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    def vec(base: Seq[Double], eps: Double): Seq[Double] = base.map(_ + eps)
+    val a = Seq(1.0, 0.2, -0.5, 0.8, -0.1, 0.4, 0.9, -0.3)
+    val b = Seq(-0.7, 0.9, 0.1, -0.4, 0.6, -0.8, 0.2, 0.5)
+    val d = df(s, Seq(
+      Row(1L, vec(a, 0.0)), Row(2L, vec(a, 0.01)),  // cluster A dup pair
+      Row(3L, vec(b, 0.0)), Row(4L, vec(b, -0.02)), // cluster B dup pair
+      Row(5L, Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)))) // lone, cluster-mate of nobody similar
+    val cents = df(StructType(Seq(StructField("cid", LongType),
+      StructField("cvec", ArrayType(DoubleType)))), Seq(
+      Row(10L, vec(a, 0.0)), Row(20L, vec(b, 0.0)),
+      Row(30L, Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))))
+    val got = rowsOf(Dedup.semDedup(d, "vec_id", "embedding", cents, 0.95)
+      .select(col("vid"), col("keep")))
+    // first occurrence (lower id) survives in each cluster; the lone
+    // vector keeps — no cluster-mate above threshold
+    assert(got === Seq(Seq(1L, true), Seq(2L, false),
+      Seq(3L, true), Seq(4L, false), Seq(5L, true)))
+    // a dup-grade pair SPLIT across clusters is (correctly) untouched:
+    // same vectors, but centroids that pull 2 away from 1
+    val cents2 = df(StructType(Seq(StructField("cid", LongType),
+      StructField("cvec", ArrayType(DoubleType)))), Seq(
+      Row(10L, vec(a, 0.0)), Row(20L, vec(a, 0.011)), Row(30L, vec(b, 0.0))))
+    val got2 = Dedup.semDedup(d, "vec_id", "embedding", cents2, 0.95)
+      .filter(col("vid") <= 2).select(col("vid"), col("cid"), col("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    if (got2(0)._2 != got2(1)._2) // boundary actually split them
+      assert(got2.forall(_._3), "cross-cluster pair must both survive")
+  }
+
   test("CosineSim: codegen path == interpreted eval; nulls on mismatch/zero-norm/null-element") {
     import org.apache.spark.sql.graft.CosineSim
     import org.apache.spark.sql.catalyst.util.ArrayData
