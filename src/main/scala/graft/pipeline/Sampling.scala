@@ -123,6 +123,48 @@ object Sampling {
       .filter(col("stratum_rank") <= k)
   }
 
+  /** Deterministic corpus sharding + within-shard training order — the
+    * "global shuffle" of a pretraining data pipeline, reproducible
+    * across runs, engines, and partitionings: shard = [[hash32]](id)
+    * mod `nShards`, and within each shard documents are ordered by
+    * (hash, id) — a fixed pseudorandom permutation, so a training job
+    * can re-read any shard in the exact order of the original run.
+    *
+    * Plan (the [[graft.core.DenseId]] shape, NOT a per-shard window —
+    * a 100 TB corpus over a few thousand shards would put whole-shard
+    * sorts in single tasks): range-repartition on (shard, hash, id),
+    * sort within partitions (globally sorted because range partitions
+    * are ordered), zipWithIndex for the global rank, then subtract each
+    * shard's first rank (shard leads the sort key, so shard positions
+    * are the contiguous slice of global ranks — the per-shard offsets
+    * are an `nShards`-row broadcast). Positions depend only on the
+    * sorted order, not on partition bounds. Null ids are excluded;
+    * negative ids fail loudly ([[hash32]] is undefined on them).
+    * Returns (id, shard, shard_pos) with shard_pos dense from 0. */
+  def shardOrder(df: DataFrame, idCol: String, nShards: Int,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    require(nShards >= 1, s"shardOrder: nShards=$nShards must be positive")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val h = hash32(col(idCol))
+    val keyed = df.filter(col(idCol).isNotNull)
+      .filter(coalesce(assert_true(col(idCol) >= 0,
+        lit(s"shardOrder: negative $idCol unsupported (hash32)")), lit(true)))
+      .select(col(idCol), pmod(h, lit(nShards.toLong)).as("shard"), h.as("_h"))
+    val sorted = keyed.repartitionByRange(n, col("shard"), col("_h"), col(idCol))
+      .sortWithinPartitions("shard", "_h", idCol)
+    val schema = sorted.schema.add("_gidx", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    val g = spark.createDataFrame(rdd, schema)
+    val offs = g.groupBy(col("shard")).agg(min(col("_gidx")).as("_off"))
+    g.join(broadcast(offs), "shard")
+      .select(col(idCol), col("shard"), (col("_gidx") - col("_off")).as("shard_pos"))
+  }
+
   /** Contiguous token-budget packing: documents in ascending id order
     * are assigned to bins of ~`budget` tokens by their exclusive
     * token-prefix sum (bin = prefix div budget) — the deterministic,

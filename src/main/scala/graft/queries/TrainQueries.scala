@@ -212,23 +212,55 @@ object TrainQueries extends QuerySet {
         concat_ws(" ", slice(t, n2 + 1, size(t) - n2))).as("text"))
   }
 
-  /** CTE chain doc→paragraph token arrays (pid = doc_id·1000+idx), the
-    * exact twin of Dedup.paragraphs over [[paraDocsDf]]. Ends with
-    * paras(pid, pt) — shared by the shingle chain below and by the
-    * line-granularity queries (d14, t17). */
-  private val paraCtes =
+  /** CTE chain documents→two-line reconstructed docs, ending with
+    * pd(doc_id, text) — the exact twin of [[paraDocsDf]]. Shared by
+    * [[paraCtes]] and by t20 (which unions planted docs onto pd). */
+  private val pdCtes =
     """ptoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       |          FROM documents),
       |hp AS (SELECT doc_id, len(t)//2 AS n2, t FROM ptoks),
       |pd AS (SELECT doc_id,
       |         array_to_string(t[1:n2], ' ') || chr(10) || chr(10) ||
       |           array_to_string(t[n2+1:len(t)], ' ') AS text
-      |       FROM hp),
+      |       FROM hp)""".stripMargin
+
+  /** CTE chain doc→paragraph token arrays (pid = doc_id·1000+idx), the
+    * exact twin of Dedup.paragraphs over [[paraDocsDf]]. Ends with
+    * paras(pid, pt) — shared by the shingle chain below and by the
+    * line-granularity queries (d14, t17). */
+  private val paraCtes =
+    s"""$pdCtes,
       |pp0 AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts FROM pd),
       |pp1 AS (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM pp0),
       |paras AS (SELECT doc_id*1000 + (i-1) AS pid,
-      |                 string_split_regex(lower(trim(parts[i])), '\s+') AS pt
+      |                 string_split_regex(lower(trim(parts[i])), '\\s+') AS pt
       |          FROM pp1 WHERE trim(parts[i]) <> '')""".stripMargin
+
+  /** SQL string literal with newlines spelled as chr(10) concatenation
+    * (a planted multi-line doc must read identically in the Scala DF
+    * and the spliced oracle; raw newlines inside SQL literals survive
+    * JSON round-trips but not human diffing). */
+  private def sqlStr(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  /** t20's planted rule-breakers — one per Gopher rule (the ambient
+    * corpus is uniformly clean, so without these the bullet / ellipsis
+    * / symbol / mean-word-length flags would be vacuously true).
+    * 2000006 passes every rule. Shared by the Spark side and the
+    * spliced oracle VALUES — single source, the twins cannot drift. */
+  private lazy val gopherPlanted: Seq[(Long, String)] = {
+    val w = Seq.fill(5)(
+      "The quick brown fox jumps over that lazy dog again".split(' ').toSeq).flatten
+    Seq(
+      2000001L -> "- alpha one two\n\n- beta three four",
+      2000002L -> "the story ends well...\n\nbut then it continues...",
+      2000003L -> "# # tag # list # of # tags",
+      2000004L -> ("supercalifragilisticexpialidocious" +
+        " pneumonoultramicroscopicsilicovolcanoconiosis" +
+        " antidisestablishmentarianism"),
+      2000005L -> "1 2 3 4 5 6 7 8 9 10",
+      2000006L -> (w.take(25).mkString(" ") + "\n\n" + w.drop(25).mkString(" ")))
+  }
 
   /** [[paraCtes]] extended doc→paragraphs→3-gram shingles, the exact
     * twin of Dedup.paragraphs + shingleRows over [[paraDocsDf]]. Ends
@@ -583,6 +615,92 @@ object TrainQueries extends QuerySet {
              |        FROM cc GROUP BY 1)
              |SELECT doc_id, source, quality, cutoff
              |FROM q JOIN cut USING (source) WHERE quality >= cutoff""".stripMargin)),
+
+    // T20 — Gopher-style quality rule battery over the two-line corpus
+    // plus PLANTED rule-breakers (the ambient corpus is uniformly
+    // clean: without planting, the bullet/ellipsis/symbol/mean-length
+    // flags would be vacuously true). Each planted doc trips a
+    // different rule; 2000006 passes everything. The oracle replays
+    // every count and integer cross-product threshold.
+    Q("t20_gopher_rules",
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.gopherStats(
+          paraDocsDf(s, dir).unionByName(gopherPlanted.toDF("doc_id", "text")),
+          "doc_id", "text")
+      },
+      Some(s"""WITH $pdCtes,
+             |d AS (SELECT doc_id, text FROM pd
+             |      UNION ALL
+             |      SELECT * FROM (VALUES
+             |        ${gopherPlanted.map { case (id, t) => s"($id, ${sqlStr(t)})" }
+                        .mkString(",\n             |        ")}) p(doc_id, text)),
+             |tk2 AS (SELECT doc_id, text,
+             |          string_split_regex(lower(trim(text)), '\\s+') AS t FROM d),
+             |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+             |        CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+             |          AS n_alpha_words
+             |      FROM tk2),
+             |lp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts FROM d),
+             |li AS (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM lp),
+             |l AS (SELECT doc_id, trim(parts[i]) AS lt FROM li WHERE trim(parts[i]) <> ''),
+             |la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             |         CAST(sum(CASE WHEN lt LIKE '- %' OR lt LIKE '* %'
+             |                         OR lt LIKE '• %' THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_bullet_lines,
+             |         CAST(sum(CASE WHEN lt LIKE '%...' THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_ellipsis_lines
+             |       FROM l GROUP BY 1),
+             |b AS (SELECT doc_id,
+             |        CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS BIGINT)
+             |          AS n_word_chars,
+             |        CAST(length(text) - length(replace(text, '#', ''))
+             |          + (length(text) - length(replace(text, '...', '')))//3 AS BIGINT)
+             |          AS n_symbols,
+             |        CAST(${hitsSql("en")} AS BIGINT) AS n_stop_hits
+             |      FROM tk2),
+             |f AS (SELECT b.doc_id, n_words, n_word_chars, n_alpha_words,
+             |        n_stop_hits, n_symbols,
+             |        coalesce(n_lines, 0) AS n_lines,
+             |        coalesce(n_bullet_lines, 0) AS n_bullet_lines,
+             |        coalesce(n_ellipsis_lines, 0) AS n_ellipsis_lines
+             |      FROM b JOIN w USING (doc_id) LEFT JOIN la USING (doc_id))
+             |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop_hits,
+             |       n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
+             |       (n_words >= 50 AND n_words <= 100000) AS ok_words,
+             |       (3*n_words <= n_word_chars AND n_word_chars <= 10*n_words) AS ok_mean_len,
+             |       (10*n_symbols <= n_words) AS ok_symbol,
+             |       (5*n_alpha_words >= 4*n_words) AS ok_alpha,
+             |       (10*n_bullet_lines <= 9*n_lines) AS ok_bullet,
+             |       (10*n_ellipsis_lines <= 3*n_lines) AS ok_ellipsis,
+             |       (n_stop_hits >= 2) AS ok_stop,
+             |       (n_words >= 50 AND n_words <= 100000
+             |        AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+             |        AND 10*n_symbols <= n_words
+             |        AND 5*n_alpha_words >= 4*n_words
+             |        AND 10*n_bullet_lines <= 9*n_lines
+             |        AND 10*n_ellipsis_lines <= 3*n_lines
+             |        AND n_stop_hits >= 2) AS keep
+             |FROM f""".stripMargin)),
+
+    // T21 — deterministic corpus shard + training order (the "global
+    // shuffle" of a pretraining run): shard = hash32(id) mod 8, order
+    // within shard = (hash, id). Engine shape is the DenseId
+    // range-partitioned zipWithIndex, never a per-shard window; the
+    // oracle states the per-shard rank directly — identical output
+    // proves the distributed two-pass scan equals the global window.
+    Q("t21_shard_order",
+      (s, dir) => graft.pipeline.Sampling.shardOrder(
+        Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id",
+        nShards = 8),
+      Some {
+        val h = graft.pipeline.Sampling.hash32Sql("doc_id")
+        s"""WITH h AS (SELECT doc_id, $h AS hv FROM documents)
+           |SELECT doc_id, hv % 8 AS shard,
+           |       CAST(row_number() OVER (PARTITION BY hv % 8
+           |              ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos
+           |FROM h""".stripMargin
+      }),
 
     // T14 — PII-signal triage over the corpus plus PLANTED positives
     // (the synthetic corpus contains none — without planting, the

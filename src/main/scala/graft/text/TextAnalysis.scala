@@ -183,6 +183,73 @@ object TextAnalysis {
         (col("n_kept") * 2 >= col("n_lines")).as("keep_doc"))
   }
 
+  /** Gopher-style document quality rule battery (Rae et al. 2021 §A1.1,
+    * adapted to engine-exact arithmetic): per-document word, line, and
+    * symbol statistics with one boolean flag per rule plus the combined
+    * keep decision. Every ratio threshold compares as an integer
+    * cross-product (e.g. mean word length in [3, 10] is
+    * 3·nw ≤ chars ≤ 10·nw), never a float ratio — the cut is exact in
+    * any engine. Lines are the blank-line segments of
+    * [[graft.dedup.Dedup.paragraphs]] (the repo's line convention).
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; symbol-to-word ratio ('#' chars + non-terminal '...'
+    * runs) ≤ 1/10; ≥ 4/5 of words contain an alphabetic character;
+    * ≤ 9/10 of lines start with a bullet; ≤ 3/10 of lines end in an
+    * ellipsis; ≥ 2 English stopword hits.
+    *
+    * Plan: one token explode with a partial-aggregating per-doc rollup
+    * (word stats), one line explode with its own rollup (line stats),
+    * and per-row expression arithmetic on the doc itself (symbols,
+    * stopword hits via the native codegen'd StopwordHits) — three
+    * shuffle-light aggregates joined back on the doc id; no windows,
+    * no HOF lambdas, no sort. */
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val wordAgg = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha_words"))
+    val lines = graft.dedup.Dedup.paragraphs(docs, idCol, textCol)
+    val lt = trim(col("ptext"))
+    val lineAgg = lines.groupBy(col("did").as(idCol)).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(lt.startsWith("- ") || lt.startsWith("* ") ||
+        lt.startsWith("• "), 1L).otherwise(0L)).as("n_bullet_lines"),
+      sum(when(lt.endsWith("..."), 1L).otherwise(0L)).as("n_ellipsis_lines"))
+    val txt = col(textCol)
+    val base = docs.select(col(idCol),
+      // word chars without a second explode: strip ALL whitespace
+      length(regexp_replace(lower(trim(txt)), "\\s+", "")).cast("long").as("n_word_chars"),
+      (length(txt) - length(translate(txt, "#", "")) +
+        (length(txt) - length(expr(s"replace($textCol, '...', '')"))) / 3)
+        .cast("long").as("n_symbols"),
+      stopwordHits(tokens(txt), stopwords("en")).cast("long").as("n_stop_hits"))
+    val j = base
+      .join(wordAgg, Seq(idCol), "left")
+      .join(lineAgg, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_words", "n_alpha_words", "n_lines",
+        "n_bullet_lines", "n_ellipsis_lines"))
+    val okWords = col("n_words") >= minWords && col("n_words") <= maxWords
+    val okMeanLen = lit(3L) * col("n_words") <= col("n_word_chars") &&
+      col("n_word_chars") <= lit(10L) * col("n_words")
+    val okSymbol = lit(10L) * col("n_symbols") <= col("n_words")
+    val okAlpha = lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words")
+    val okBullet = lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines")
+    val okEllipsis = lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines")
+    val okStop = col("n_stop_hits") >= 2L
+    j.select(col(idCol), col("n_words"), col("n_word_chars"),
+      col("n_alpha_words"), col("n_stop_hits"), col("n_symbols"),
+      col("n_lines"), col("n_bullet_lines"), col("n_ellipsis_lines"),
+      okWords.as("ok_words"), okMeanLen.as("ok_mean_len"),
+      okSymbol.as("ok_symbol"), okAlpha.as("ok_alpha"),
+      okBullet.as("ok_bullet"), okEllipsis.as("ok_ellipsis"),
+      okStop.as("ok_stop"),
+      (okWords && okMeanLen && okSymbol && okAlpha && okBullet &&
+        okEllipsis && okStop).as("keep"))
+  }
+
   /** Gopher-style repetition metrics per document: token count,
     * distinct-token count, duplicate-token fraction
     * (1 − distinct/total) and top-token fraction (mode count / total) —

@@ -209,6 +209,45 @@ class TrainOpsSpec extends AnyFunSuite {
       Seq(2L, 2L, 1L, 0.5, true)))
   }
 
+  test("gopherStats: each rule trips on its breaker and passes on clean text") {
+    val clean = (Seq.fill(5)("the quick brown fox jumps over that lazy dog again")
+      .mkString(" ").split(' ').grouped(25).map(_.mkString(" ")).mkString("\n\n"))
+    val d = df(docSchema, Seq(
+      Row(1L, clean),                                     // passes everything
+      Row(2L, "- item one\n\n- item two"),                // all-bullet lines
+      Row(3L, "it drifts away...\n\nthe end comes..."),   // all-ellipsis lines
+      Row(4L, "# # # # heavy # tag # soup")))             // symbol-heavy
+    val got = TextAnalysis.gopherStats(d, "doc_id", "text")
+    val byId = rowsOf(got.select(col("doc_id"), col("ok_words"), col("ok_bullet"),
+      col("ok_ellipsis"), col("ok_symbol"), col("keep")).orderBy("doc_id"))
+    assert(byId === Seq(
+      Seq(1L, true, true, true, true, true),
+      Seq(2L, false, false, true, true, false),
+      Seq(3L, false, true, false, false, false), // '...' runs also count as symbols
+      Seq(4L, false, true, true, false, false)))
+    // counts on the bullet doc: 2 lines, both bullets, 6 words
+    val r2 = rowsOf(got.filter(col("doc_id") === 2L)
+      .select(col("n_words"), col("n_lines"), col("n_bullet_lines")))
+    assert(r2 === Seq(Seq(6L, 2L, 2L)))
+  }
+
+  test("shardOrder: positions match the global-window twin and ignore partitioning") {
+    import graft.pipeline.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.range(0, 400).toDF("doc_id")
+    val ref = {
+      val h = Sampling.hash32(col("doc_id"))
+      val w = Window.partitionBy(pmod(h, lit(8L))).orderBy(h, col("doc_id"))
+      rowsOf(d.select(col("doc_id"), pmod(h, lit(8L)).as("shard"),
+        (row_number().over(w) - 1).cast("long").as("shard_pos")).orderBy("doc_id"))
+    }
+    for (p <- Seq(3, 7)) {
+      val got = rowsOf(Sampling.shardOrder(d, "doc_id", nShards = 8,
+        partitions = p).orderBy("doc_id"))
+      assert(got === ref)
+    }
+  }
+
   test("legendColorRamp: equal-interval classes, truncated lerp endpoints, empty class kept") {
     import graft.report.Reports
     val schema = StructType(Seq(
