@@ -102,6 +102,100 @@ object Multimodal {
     when(png, pngB).otherwise(bmp)
   }
 
+  private def le2(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Test-fixture WAV builder: a complete canonical 44-byte RIFF/WAVE
+    * header (PCM format 1, 16-bit) at the real spec offsets — fmt
+    * chunk size 16, channels at 22 LE16, sample rate at 24 LE32, byte
+    * rate/block align derived, data-chunk length at 40 LE32 — followed
+    * by the payload as interleaved 16-bit LE samples. Codegen-clean
+    * expression (hex arithmetic + unhex), no UDF. */
+  def packWav(channels: Column, rate: Column, payload: Column): Column = {
+    val pay = payload.cast("binary")
+    val dataLen = length(pay)
+    val blockAlign = channels * 2
+    concat(
+      lit("RIFF").cast("binary"),
+      unhex(le4(dataLen + 36)),          // RIFF chunk size
+      lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"),
+      unhex(le4(lit(16))),               // fmt chunk size
+      unhex(le2(lit(1))),                // PCM
+      unhex(le2(channels)),
+      unhex(le4(rate)),
+      unhex(le4(rate * blockAlign)),     // byte rate
+      unhex(le2(blockAlign)),
+      unhex(le2(lit(16))),               // bits per sample
+      lit("data").cast("binary"),
+      unhex(le4(dataLen)),
+      pay)
+  }
+
+  case class AudioFeatures(doc_id: Long, n_bytes: Long, format: String,
+      channels: Option[Long], sample_rate: Option[Long], bits: Option[Long],
+      n_frames: Option[Long], duration_ms: Option[Long],
+      peak_abs: Option[Long], sum_abs: Option[Long])
+
+  /** Audio-modality decode — with mm01 (image), mm02 (video frames)
+    * and mm03 (resize) this completes the modality trio: parse the
+    * canonical RIFF/WAVE header (magic at 0/8/12, channels LE16 at 22,
+    * sample rate LE32 at 24, bits LE16 at 34, payload at 44), then
+    * scan the payload as interleaved SIGNED 16-bit LE samples for the
+    * per-doc loudness stats (peak |s|, Σ|s|) a curation pipeline keys
+    * on — exact integer arithmetic, oracle-replayable. Frame count =
+    * samples div channels; duration = frames·1000 div rate (integer
+    * ms). A trailing odd byte is dropped; non-PCM/non-16-bit or
+    * magic-less blobs degrade to `raw` with null audio columns (one
+    * bad blob must not kill the scan). Same partition-batched typed
+    * transform as [[extractFeatures]]; per-row work is O(bytes), no
+    * shuffle. */
+  def extractAudio(df: DataFrame, idCol: String, binCol: String): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          def u(i: Int): Int = bytes(i) & 0xff
+          def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+          def le32(i: Int): Long = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) |
+            (u(i + 3).toLong << 24)
+          val isWav = bytes.length >= 44 &&
+            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E' &&
+            bytes(12) == 'f' && bytes(13) == 'm' && bytes(14) == 't' && bytes(15) == ' ' &&
+            le16(20) == 1 && le16(34) == 16 && le16(22) >= 1
+          if (!isWav)
+            AudioFeatures(id, bytes.length.toLong, "raw",
+              None, None, None, None, None, None, None)
+          else {
+            val channels = le16(22).toLong
+            val rate = le32(24)
+            val nSamples = (bytes.length - 44) / 2
+            var i = 0
+            var peak = 0L
+            var sumAbs = 0L
+            while (i < nSamples) {
+              val s = le16(44 + 2 * i).toShort.toLong
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 1
+            }
+            val frames = nSamples / channels
+            AudioFeatures(id, bytes.length.toLong, "wav",
+              Some(channels), Some(rate), Some(16L), Some(frames),
+              Some(if (rate > 0) frames * 1000L / rate else 0L),
+              if (nSamples > 0) Some(peak) else None,
+              if (nSamples > 0) Some(sumAbs) else None)
+          }
+        }
+      }
+  }
+
   case class FrameSample(doc_id: Long, frame_idx: Long, n_frames: Long,
       frame_hash: String)
 

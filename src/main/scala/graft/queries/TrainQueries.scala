@@ -120,6 +120,34 @@ object TrainQueries extends QuerySet {
   private val embCte =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
+  /** PQ chain shared by n08/n09 — the exact twin of graft.ann.Pq at
+    * m=4 × ds=16, k=16 (init = vec_id < 16), one Lloyd round: integer
+    * 1e-6-unit subvector dims (sd), init codebook (cb0), assignment →
+    * retrained codebook (cb1), final encode (enc). Splice this; never
+    * re-derive (the assignCtes lockstep rule). */
+  private val pqCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |iv AS (SELECT vec_id,
+      |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS u
+      |       FROM e),
+      |sd AS (SELECT vec_id AS vid, CAST((d-1)//16 AS BIGINT) AS sub,
+      |              CAST((d-1)%16 AS BIGINT) AS dim, u[d] AS v
+      |       FROM (SELECT vec_id, u, unnest(generate_series(1, len(u))) AS d
+      |             FROM iv) z),
+      |cb0 AS (SELECT sub, vid AS cid, dim, v AS cv FROM sd WHERE vid < 16),
+      |a1 AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
+      |       FROM sd JOIN cb0 USING (sub, dim) GROUP BY 1, 2, 3),
+      |c1 AS (SELECT vid, sub, cid FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vid, sub
+      |           ORDER BY d2, cid) AS rn FROM a1) z WHERE rn = 1),
+      |cb1 AS (SELECT sub, cid, dim, CAST(floor(avg(v) + 0.5) AS BIGINT) AS cv
+      |        FROM sd JOIN c1 USING (vid, sub) GROUP BY 1, 2, 3),
+      |a2 AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
+      |       FROM sd JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
+      |enc AS (SELECT vid, sub, cid, d2 FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY vid, sub
+      |            ORDER BY d2, cid) AS rn FROM a2) z WHERE rn = 1)""".stripMargin
+
   private val cosSql =
     "list_dot_product(qv, v)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(v, v)))"
 
@@ -283,6 +311,20 @@ object TrainQueries extends QuerySet {
        |            CAST(c AS DOUBLE)/(na.n + nb.n - c) AS j
        |          FROM cm JOIN cnt na ON id_a = na.pid JOIN cnt nb ON id_b = nb.pid
        |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.6)""".stripMargin
+
+  /** mm04's planted WAV container: mono 8 kHz, three samples
+    * 0x8000 (−32768), 0x7FFF (32767), 0x0001 — the signed-decode pin.
+    * Header fields mirror [[graft.mm.Multimodal.packWav]] exactly.
+    * (Declared BEFORE `all`: the oracle strings interpolate these
+    * eagerly at object init — a forward reference would splice the
+    * string "null" into the SQL.) */
+  private val wavPlantedPayloadHex = "0080FF7F0100"
+  private val wavPlantedHex: String =
+    "52494646" + "2A000000" + "57415645" + "666D7420" + // RIFF size WAVE fmt␣
+      "10000000" + "0100" + "0100" +                     // fmt len 16, PCM, 1 ch
+      "401F0000" + "803E0000" + "0200" + "1000" +        // 8000 Hz, 16000 B/s, align, bits
+      "64617461" + "06000000" +                          // data, len 6
+      wavPlantedPayloadHex
 
   val all: Seq[Q] = Seq(
 
@@ -1306,6 +1348,56 @@ object TrainQueries extends QuerySet {
               |       er.err_e6
               |FROM qv LEFT JOIN er ON qv.vec_id = er.vec_id""".stripMargin)),
 
+    // N8 — product quantization, train + encode: 4 subspaces × 16 dims
+    // over the 64-dim embeddings, 16 codewords per subspace seeded from
+    // vec_id < 16 and trained one Lloyd round. All arithmetic is exact
+    // integer squared-L2 over 1e-6 units, so the oracle replays
+    // training AND the final encode bit-for-bit (the n05 trick for L2).
+    Q("n08_pq_encode",
+      (s, dir) => {
+        import graft.ann.Pq
+        val sd = Pq.subDims(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", ds = 16)
+        val cb0 = sd.filter(col("vid") < 16)
+          .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
+        val cb1 = Pq.retrain(sd, cb0)
+        Pq.assign(sd, cb1)
+          .select(col("vid").as("vec_id"), col("sub"),
+            col("cid").as("code"), col("d2"))
+      },
+      Some(s"WITH $pqCtes\nSELECT vid AS vec_id, sub, cid AS code, d2 FROM enc")),
+
+    // N9 — PQ asymmetric-distance (ADC) top-k search: per-query
+    // distance tables against the trained codebook (q·m·k rows,
+    // broadcast) summed over each corpus vector's codes — the corpus
+    // side carries ONLY the (vid, sub, cid) code table, never raw
+    // vectors (the IVF-PQ memory story: a 100 TB embedding corpus
+    // scans as m bytes per vector at query time). Integer distances →
+    // the oracle replays the whole search including ranking.
+    Q("n09_pq_adc",
+      (s, dir) => {
+        import graft.ann.Pq
+        val sd = Pq.subDims(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", ds = 16)
+        val cb0 = sd.filter(col("vid") < 16)
+          .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
+        val cb1 = Pq.retrain(sd, cb0)
+        val codes = Pq.assign(sd, cb1).select("vid", "sub", "cid")
+        Pq.adcTopK(sd.filter(col("vid") % 83 === 0), cb1, codes, k = 5)
+      },
+      Some(s"""WITH $pqCtes,
+              |q AS (SELECT vid, sub, dim, v FROM sd WHERE vid % 83 = 0),
+              |qd AS (SELECT q.vid AS qid, sub, cid,
+              |         CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS qd2
+              |       FROM q JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
+              |ad AS (SELECT qid, vid, CAST(sum(qd2) AS BIGINT) AS adc_d2
+              |       FROM enc JOIN qd USING (sub, cid) WHERE qid <> vid
+              |       GROUP BY 1, 2)
+              |SELECT qid, vid AS neighbor_id, adc_d2, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY adc_d2, vid) AS rn FROM ad) z
+              |WHERE rn <= 5""".stripMargin)),
+
     // MM1 — multimodal binary-column plumbing with a REAL header
     // decode: each doc's text payload is wrapped in a BMP (even ids) or
     // PNG (odd ids) header prefix carrying id-derived dimensions at the
@@ -1371,5 +1463,64 @@ object TrainQueries extends QuerySet {
              |           r2 -> list_transform(generate_series(0, 3),
              |             c -> r2*16 + c*2 + 1))),
              |         p -> substring(text, p, 1)), '')) AS resized_hash
-             |FROM r""".stripMargin)))
+             |FROM r""".stripMargin)),
+
+    // MM4 — audio-modality decode (completes the image/video/audio
+    // trio): each doc's text payload is wrapped in a complete canonical
+    // 44-byte RIFF/WAVE header with id-derived channels/sample-rate;
+    // every 97th doc ships headerless (the raw negative path), and one
+    // PLANTED container carries bytes ≥ 0x80 so the SIGNED 16-bit
+    // sample branch is differentially pinned (ASCII payloads never
+    // produce a negative sample). The oracle re-reads every sample
+    // from hex digit pairs (the t05 byte-recovery pattern) and replays
+    // channels/rate/frame/duration arithmetic from the id formulas.
+    Q("mm04_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        val ch = (lit(1) + col("doc_id") % 2).cast("int")
+        val rate = (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
+        val bytes = when(col("doc_id") % 97 === 0, col("text").cast("binary"))
+          .otherwise(Multimodal.packWav(ch, rate, col("text")))
+        val ambient = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), bytes.as("bytes"))
+        val planted = Seq(Tuple1(3000001L)).toDF("doc_id")
+          .select(col("doc_id"), unhex(lit(wavPlantedHex)).as("bytes"))
+        Multimodal.extractAudio(ambient.unionByName(planted),
+          "doc_id", "bytes").toDF()
+      },
+      Some(s"""WITH am AS (SELECT doc_id, hex(encode(text)) AS phx,
+             |              octet_length(encode(text)) AS np,
+             |              CASE WHEN doc_id % 97 = 0 THEN 'raw' ELSE 'wav' END AS fmt,
+             |              1 + doc_id % 2 AS ch,
+             |              8000 + (doc_id % 3)*4000 AS rate
+             |            FROM documents),
+             |d AS (SELECT doc_id,
+             |        CASE WHEN fmt = 'wav' THEN np + 44 ELSE np END AS n_bytes,
+             |        fmt, phx, np, ch, rate
+             |      FROM am
+             |      UNION ALL
+             |      SELECT 3000001, 50, 'wav', '$wavPlantedPayloadHex', 6, 1, 8000),
+             |pos AS (SELECT doc_id, phx, unnest(generate_series(1, np//2)) AS i
+             |        FROM d WHERE fmt = 'wav'),
+             |smp AS (SELECT doc_id,
+             |          (strpos('0123456789ABCDEF', substr(phx, 4*i-3, 1))-1)*16
+             |          + (strpos('0123456789ABCDEF', substr(phx, 4*i-2, 1))-1)
+             |          + 256*((strpos('0123456789ABCDEF', substr(phx, 4*i-1, 1))-1)*16
+             |                 + (strpos('0123456789ABCDEF', substr(phx, 4*i, 1))-1)) AS su
+             |        FROM pos),
+             |sa AS (SELECT doc_id,
+             |         CAST(max(abs(CASE WHEN su >= 32768 THEN su - 65536 ELSE su END)) AS BIGINT) AS peak_abs,
+             |         CAST(sum(abs(CASE WHEN su >= 32768 THEN su - 65536 ELSE su END)) AS BIGINT) AS sum_abs,
+             |         count(*) AS ns
+             |       FROM smp GROUP BY 1)
+             |SELECT d.doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, fmt AS format,
+             |  CASE WHEN fmt = 'wav' THEN CAST(ch AS BIGINT) END AS channels,
+             |  CASE WHEN fmt = 'wav' THEN CAST(rate AS BIGINT) END AS sample_rate,
+             |  CASE WHEN fmt = 'wav' THEN CAST(16 AS BIGINT) END AS bits,
+             |  CASE WHEN fmt = 'wav' THEN CAST(coalesce(ns, 0)//ch AS BIGINT) END AS n_frames,
+             |  CASE WHEN fmt = 'wav' THEN CAST((coalesce(ns, 0)//ch)*1000//rate AS BIGINT) END
+             |    AS duration_ms,
+             |  CASE WHEN fmt = 'wav' THEN peak_abs END AS peak_abs,
+             |  CASE WHEN fmt = 'wav' THEN sum_abs END AS sum_abs
+             |FROM d LEFT JOIN sa USING (doc_id)""".stripMargin)))
 }

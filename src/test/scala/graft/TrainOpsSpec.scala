@@ -66,6 +66,30 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got.n_bytes === 24L + "payload".length)
   }
 
+  test("extractAudio: signed 16-bit samples, stereo frames, raw fallback") {
+    import graft.mm.Multimodal
+    // stereo 4 kHz: samples 0x8000 (-32768), 0x7FFF, 0x0001, 0x0000 +
+    // one trailing odd byte that must be dropped
+    val payload = Array(0x00, 0x80, 0xFF, 0x7F, 0x01, 0x00, 0x00, 0x00, 0x7A)
+      .map(_.toByte)
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, payload), Row(2L, payload))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("p", org.apache.spark.sql.types.BinaryType))))
+    val packed = d.select(col("doc_id"),
+      when(col("doc_id") === 2L, col("p"))  // doc 2: headerless -> raw
+        .otherwise(Multimodal.packWav(lit(2), lit(4000), col("p"))).as("b"))
+    val got = Multimodal.extractAudio(packed, "doc_id", "b")
+      .collect().sortBy(_.doc_id)
+    val wav = got(0)
+    assert((wav.format, wav.channels, wav.sample_rate, wav.bits) ===
+      (("wav", Some(2L), Some(4000L), Some(16L))))
+    // 4 samples over 2 channels = 2 frames; 2 frames at 4 kHz = 0 ms
+    assert((wav.n_frames, wav.duration_ms) === ((Some(2L), Some(0L))))
+    assert((wav.peak_abs, wav.sum_abs) === ((Some(32768L), Some(65536L))))
+    assert(got(1).format === "raw" && got(1).channels.isEmpty)
+  }
+
   test("sampleFrames: header-offset payload, stride, partial tail dropped") {
     import graft.mm.Multimodal
     val d = df(docSchema, Seq(Row(1L, "a" * 70), Row(2L, "b" * 20)))
@@ -711,6 +735,33 @@ class TrainOpsSpec extends AnyFunSuite {
       if (!r.isNullAt(3)) assert(r.getDouble(3) <= scale / 2 + 1e-12, s"err: $r")
       if (r.getLong(0) >= 998L) assert(r.isNullAt(1)) // degenerate: null scale
     }
+  }
+
+  test("Pq: exact duplicate encodes at distance 0 and wins its ADC search") {
+    import graft.ann.Pq
+    val vS = StructType(Seq(StructField("vid", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    val a = Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)
+    // c sits nearer codeword 1 in sub 0 and exactly ON it in sub 1, so
+    // codeword 0 keeps only the {a, a} members and stays exactly a
+    val c = Array(0f, 1f, 1f, 0f, 1f, 0f, 0f, 0f)
+    // vid 2 duplicates vid 0 exactly; init codebook = vids 0 and 1
+    val corpus = df(vS, Seq(Row(0L, a), Row(1L, b), Row(2L, a), Row(3L, c)))
+    val sd = Pq.subDims(corpus, "vid", "vec", ds = 4)
+    val cb0 = sd.filter(col("vid") < 2)
+      .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
+    val cb1 = Pq.retrain(sd, cb0)
+    val enc = Pq.assign(sd, cb1)
+    // the duplicate's codes match vid 0's in both subspaces, at d2 = 0
+    // (the retrained codeword 0 is the mean of {a, a} = a exactly)
+    val dup = rowsOf(enc.filter(col("vid") === 2L)
+      .select(col("sub"), col("cid"), col("d2")).orderBy("sub"))
+    assert(dup === Seq(Seq(0L, 0L, 0L), Seq(1L, 0L, 0L)))
+    // ADC from the duplicate ranks vid 0 first at distance 0
+    val top = rowsOf(Pq.adcTopK(sd.filter(col("vid") === 2L), cb1,
+      enc.select("vid", "sub", "cid"), k = 1))
+    assert(top === Seq(Seq(2L, 0L, 0L, 1L)))
   }
 
   test("kmeansTrain: planted clusters recovered from off-center seeds") {
