@@ -165,6 +165,39 @@ object Sampling {
       .select(col(idCol), col("shard"), (col("_gidx") - col("_off")).as("shard_pos"))
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * token windows of at most `maxTokens` tokens, consecutive chunks
+    * sharing `overlap` tokens (stride = maxTokens − overlap) — the
+    * long-document split a pretraining pipeline runs between curation
+    * and sequence packing so no text is truncated away. A doc of
+    * n ≤ maxTokens tokens is one chunk; otherwise
+    * 1 + ceil((n − maxTokens)/stride) chunks with a shorter tail.
+    * Chunk text is the whitespace-normalized token slice. Pure per-row
+    * explode arithmetic — no shuffle, no window; chunk count and
+    * boundaries are exact integer expressions any engine replays.
+    * Returns (id, chunk_idx, n_tokens, chunk_text). */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens >= 1 && overlap >= 0 && overlap < maxTokens,
+      s"chunkDocs: need 0 <= overlap < maxTokens, got $overlap/$maxTokens")
+    val stride = maxTokens - overlap
+    val t = TextAnalysis.tokens(col(textCol))
+    val n = size(t).cast("long")
+    // ceil((n − max)/stride) as exact integer floor arithmetic (Column
+    // `/` is double division; the operands stay far below 2^52)
+    val nChunks = when(n <= maxTokens, lit(1L))
+      .otherwise(floor((n - maxTokens + (stride - 1)) / lit(stride.toDouble)) + 1)
+    docs.select(col(idCol), t.as("_t"), n.as("_n"), nChunks.cast("long").as("_nc"))
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("_t"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(maxTokens)).as("_c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
+
   /** Contiguous token-budget packing: documents in ascending id order
     * are assigned to bins of ~`budget` tokens by their exclusive
     * token-prefix sum (bin = prefix div budget) — the deterministic,

@@ -120,6 +120,23 @@ object TrainQueries extends QuerySet {
   private val embCte =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
+  /** The n08/n09 Spark-side PQ chain (m=4 × ds=16, k=16 seeded from
+    * vec_id < 16, one Lloyd round): (subvector dims, trained
+    * codebook). Both are consumed 2-4× inside each query plan (train,
+    * encode, ADC), so they localCheckpoint lazily — computed once at
+    * first action instead of re-deriving the explode/train subtree per
+    * consumer (the tfIdfTopK tradeoff; at corpus scale the codebook is
+    * the artifact you persist anyway). */
+  private def pqChain(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.ann.Pq
+    val sd = Pq.subDims(Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding", ds = 16).localCheckpoint(eager = false)
+    val cb0 = sd.filter(col("vid") < 16)
+      .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
+    val cb1 = Pq.retrain(sd, cb0).localCheckpoint(eager = false)
+    (sd, cb1)
+  }
+
   /** PQ chain shared by n08/n09 — the exact twin of graft.ann.Pq at
     * m=4 × ds=16, k=16 (init = vec_id < 16), one Lloyd round: integer
     * 1e-6-unit subvector dims (sd), init codebook (cb0), assignment →
@@ -744,6 +761,30 @@ object TrainQueries extends QuerySet {
            |FROM h""".stripMargin
       }),
 
+    // T22 — context-window chunking: 16-token windows with a 4-token
+    // overlap (stride 12) — the long-document split between curation
+    // and packing; the ~50-word corpus yields ~4 chunks per doc. The
+    // oracle replays chunk counts, boundaries, and the joined slice
+    // text with list arithmetic.
+    Q("t22_chunk_docs",
+      (s, dir) => graft.pipeline.Sampling.chunkDocs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 16, overlap = 4),
+      Some(s"""WITH $toksCte,
+              |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+              |nc AS (SELECT doc_id, t, n,
+              |         CASE WHEN n <= 16 THEN 1
+              |              ELSE (n - 16 + 11)//12 + 1 END AS n_chunks
+              |       FROM n),
+              |ch AS (SELECT doc_id, t, n,
+              |         unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS chunk_idx
+              |       FROM nc)
+              |SELECT doc_id, chunk_idx,
+              |       CAST(least(n, chunk_idx*12 + 16) - chunk_idx*12 AS BIGINT) AS n_tokens,
+              |       array_to_string(t[chunk_idx*12 + 1 : chunk_idx*12 + 16], ' ')
+              |         AS chunk_text
+              |FROM ch""".stripMargin)),
+
     // T14 — PII-signal triage over the corpus plus PLANTED positives
     // (the synthetic corpus contains none — without planting, the
     // detector columns would be all-zero and the gate vacuous; the
@@ -1355,13 +1396,8 @@ object TrainQueries extends QuerySet {
     // training AND the final encode bit-for-bit (the n05 trick for L2).
     Q("n08_pq_encode",
       (s, dir) => {
-        import graft.ann.Pq
-        val sd = Pq.subDims(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", ds = 16)
-        val cb0 = sd.filter(col("vid") < 16)
-          .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
-        val cb1 = Pq.retrain(sd, cb0)
-        Pq.assign(sd, cb1)
+        val (sd, cb1) = pqChain(s, dir)
+        graft.ann.Pq.assign(sd, cb1)
           .select(col("vid").as("vec_id"), col("sub"),
             col("cid").as("code"), col("d2"))
       },
@@ -1377,11 +1413,7 @@ object TrainQueries extends QuerySet {
     Q("n09_pq_adc",
       (s, dir) => {
         import graft.ann.Pq
-        val sd = Pq.subDims(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", ds = 16)
-        val cb0 = sd.filter(col("vid") < 16)
-          .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
-        val cb1 = Pq.retrain(sd, cb0)
+        val (sd, cb1) = pqChain(s, dir)
         val codes = Pq.assign(sd, cb1).select("vid", "sub", "cid")
         Pq.adcTopK(sd.filter(col("vid") % 83 === 0), cb1, codes, k = 5)
       },

@@ -155,6 +155,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"cutoffs not broadcast:\n$plan")
   }
 
+  test("PQ plans: codebook and ADC distance tables broadcast, corpus never cross-joined") {
+    import graft.ann.Pq
+    val embS = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val embs = df(embS, (0L to 30L).map(i =>
+      Row(i, Seq(i.toDouble, 1.0, -1.0, 0.5, 2.0, -i.toDouble, 0.0, 1.5))))
+    val sd = Pq.subDims(embs, "vec_id", "embedding", ds = 4)
+    val cb0 = sd.filter(col("vid") < 4)
+      .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
+    val cb1 = Pq.retrain(sd, cb0)
+    val codes = Pq.assign(sd, cb1).select("vid", "sub", "cid")
+    val adc = Pq.adcTopK(sd.filter(col("vid") < 3), cb1, codes, k = 2)
+    for (p <- Seq(Pq.assign(sd, cb1), adc)) {
+      val plan = p.queryExecution.executedPlan.toString
+      // every codebook/distance-table contact is an equi-join with the
+      // small side broadcast; a CartesianProduct or a shuffled join of
+      // the per-dimension corpus rows against the codebook dies at scale
+      assert(!plan.contains("CartesianProduct"), s"corpus cross join:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"codebook not broadcast:\n$plan")
+    }
+    // ADC's only window runs over the per-query candidate aggregates,
+    // partitioned by query id — never an unpartitioned corpus window
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = adc.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned ADC window:\n${adc.queryExecution.optimizedPlan}")
+  }
+
   test("event-analytics plans: partitioned windows, no cross joins") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import graft.events.EventOps

@@ -255,6 +255,23 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(r2 === Seq(Seq(6L, 2L, 2L)))
   }
 
+  test("chunkDocs: overlap boundaries, short-doc single chunk, exact tail") {
+    import graft.pipeline.Sampling
+    val d = df(docSchema, Seq(
+      Row(1L, (1 to 30).map(i => s"w$i").mkString(" ")),  // 30 tokens
+      Row(2L, "a b c")))                                  // short: 1 chunk
+    val got = rowsOf(Sampling.chunkDocs(d, "doc_id", "text",
+      maxTokens = 16, overlap = 4).orderBy("doc_id", "chunk_idx"))
+    // doc 1: stride 12 -> chunks at tokens 1-16, 13-28, 25-30
+    assert(got.map(r => (r(0), r(1), r(2))) ===
+      Seq((1L, 0L, 16L), (1L, 1L, 16L), (1L, 2L, 6L), (2L, 0L, 3L)))
+    assert(got(1)(3) === (13 to 28).map(i => s"w$i").mkString(" "))
+    assert(got(2)(3) === (25 to 30).map(i => s"w$i").mkString(" "))
+    // adjacent chunks share exactly the 4 overlap tokens
+    assert(got(0)(3).toString.split(" ").takeRight(4).toSeq ===
+      got(1)(3).toString.split(" ").take(4).toSeq)
+  }
+
   test("shardOrder: positions match the global-window twin and ignore partitioning") {
     import graft.pipeline.Sampling
     import org.apache.spark.sql.expressions.Window
