@@ -68,6 +68,31 @@ object Pq {
       .agg(floor(avg(col("v")) + 0.5).cast("long").as("cv"))
   }
 
+  /** IVF-PQ search: [[adcTopK]] restricted to each query's IVF bucket
+    * — the production composition (coarse quantizer prunes the
+    * candidate set, PQ codes price the survivors; raw vectors appear
+    * in neither step). `codes` must carry a `bucket` column (the
+    * corpus vector's IVF assignment) and `qBuckets` is (qid, bucket).
+    * Candidates meet the broadcast per-query distance tables on
+    * (bucket, sub, cid) — an equi-join bounded by bucket occupancy,
+    * never the corpus. Returns (qid, neighbor_id, adc_d2, rank ≤ k). */
+  def adcTopKBucketed(qSub: DataFrame, cb: DataFrame, codes: DataFrame,
+      qBuckets: DataFrame, k: Int): DataFrame = {
+    val qd = qSub.select(col("vid").as("qid"), col("sub"), col("dim"), col("v"))
+      .join(broadcast(cb), Seq("sub", "dim"))
+      .groupBy(col("qid"), col("sub"), col("cid"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("qd2"))
+      .join(qBuckets, "qid")
+    val approx = codes.join(broadcast(qd), Seq("bucket", "sub", "cid"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_d2").asc, col("vid").asc)
+    approx.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid").as("neighbor_id"), col("adc_d2"), col("rank"))
+  }
+
   /** ADC top-k: per-query squared-L2 distance tables against the
     * codebook (q·m·k rows, broadcast), summed over each corpus
     * vector's m codes — the corpus side never touches raw vectors,

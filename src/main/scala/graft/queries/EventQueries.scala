@@ -265,6 +265,36 @@ object EventQueries extends QuerySet {
               |  min(CASE WHEN cum >= (n*90 + 99) // 100 THEN gap_min END) AS p90_gap_min
               |FROM x GROUP BY 1""".stripMargin)),
 
+    // E8 — windowed top-k "trending": for each (day, event type), the
+    // top-3 users by event count with (count desc, user asc)
+    // deterministic ranking. Aggregate FIRST, window over the
+    // aggregated (day, type, user) rows only — the raw event table
+    // shuffles once into the partial-aggregating rollup and the window
+    // never sees it.
+    Q("e08_trending",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = evts(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(floor(col("ts_ms") / 86400000).cast("long").as("day"),
+            col("event_type"), col("user_id"))
+          .groupBy(col("day"), col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        val w = Window.partitionBy(col("day"), col("event_type"))
+          .orderBy(col("n_events").desc, col("user_id").asc)
+        byUser.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH $eCte,
+              |u AS (SELECT ts_ms//86400000 AS day, event_type, user_id,
+              |        count(*) AS n_events
+              |      FROM e WHERE user_id IS NOT NULL GROUP BY 1, 2, 3)
+              |SELECT day, event_type, user_id, n_events,
+              |       CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY day, event_type
+              |        ORDER BY n_events DESC, user_id) AS rn FROM u) z
+              |WHERE rn <= 3""".stripMargin)),
+
     // E6 — day-grain retention cohorts: users grouped by first-active
     // day, fraction still active k days later (k ≤ 7). Activity dedups
     // to (user, day) before anything else — no raw-event shuffle.

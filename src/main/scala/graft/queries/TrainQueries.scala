@@ -1430,6 +1430,49 @@ object TrainQueries extends QuerySet {
               |        ORDER BY adc_d2, vid) AS rn FROM ad) z
               |WHERE rn <= 5""".stripMargin)),
 
+    // N10 — IVF-PQ end to end, the production search composition: the
+    // coarse quantizer (n02's round-6-quantized cosine assignment)
+    // prunes candidates to the query's bucket, PQ codes (n08's trained
+    // codebook) price the survivors by ADC — raw vectors appear in
+    // NEITHER step of the search. Bucket membership and ADC distances
+    // are both engine-portable, so the oracle replays the whole
+    // two-stage search including ranking.
+    Q("n10_ivf_pq_search",
+      (s, dir) => {
+        import graft.ann.{Ann, Pq}
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val buckets = Ann.ivfAssign(
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")), cents)
+          .select(col("vid"), col("cid").as("bucket"))
+        val (sd, cb1) = pqChain(s, dir)
+        val codes = Pq.assign(sd, cb1).select("vid", "sub", "cid")
+          .join(buckets, "vid")
+        val qBuckets = buckets.filter(col("vid") < 10)
+          .select(col("vid").as("qid"), col("bucket"))
+        Pq.adcTopKBucketed(sd.filter(col("vid") < 10), cb1, codes, qBuckets, k = 5)
+      },
+      Some(s"""WITH $pqCtes,
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |${assignCtes("e", "c", "ca")},
+              |cbk AS (SELECT vid, cid AS bucket FROM ca),
+              |qs AS (SELECT vid, sub, dim, v FROM sd WHERE vid < 10),
+              |qd AS (SELECT qs.vid AS qid, sub, cid,
+              |         CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS qd2
+              |       FROM qs JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
+              |adq AS (SELECT qid, bucket, sub, cid, qd2
+              |        FROM qd JOIN (SELECT vid AS qid, bucket FROM cbk WHERE vid < 10) b
+              |        USING (qid)),
+              |cand AS (SELECT enc.vid, bucket, sub, cid FROM enc JOIN cbk USING (vid)),
+              |ad AS (SELECT qid, vid, CAST(sum(qd2) AS BIGINT) AS adc_d2
+              |       FROM cand JOIN adq USING (bucket, sub, cid) WHERE qid <> vid
+              |       GROUP BY 1, 2)
+              |SELECT qid, vid AS neighbor_id, adc_d2, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY adc_d2, vid) AS rn FROM ad) z
+              |WHERE rn <= 5""".stripMargin)),
+
     // MM1 — multimodal binary-column plumbing with a REAL header
     // decode: each doc's text payload is wrapped in a BMP (even ids) or
     // PNG (odd ids) header prefix carrying id-derived dimensions at the
