@@ -13,5 +13,10 @@ object GraftFunctions {
         require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
         org.apache.spark.sql.graft.CosineSim(exprs.head, exprs(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => {
+        require(exprs.length == 1, s"nfc_normalize expects 1 argument, got ${exprs.length}")
+        org.apache.spark.sql.graft.NfcNormalize(exprs.head)
+      }, "built-in")
   }
 }

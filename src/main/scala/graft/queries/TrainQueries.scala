@@ -127,46 +127,86 @@ object TrainQueries extends QuerySet {
     * first action instead of re-deriving the explode/train subtree per
     * consumer (the tfIdfTopK tradeoff; at corpus scale the codebook is
     * the artifact you persist anyway). */
-  private def pqChain(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def pqChain(s: org.apache.spark.sql.SparkSession, dir: String,
+      trainFilter: org.apache.spark.sql.Column = lit(true)) = {
     import graft.ann.Pq
     val sd = Pq.subDims(Tables.load(s, dir, "embeddings"),
       "vec_id", "embedding", ds = 16).localCheckpoint(eager = false)
-    val cb0 = sd.filter(col("vid") < 16)
+    val sdt = sd.filter(trainFilter)
+    val cb0 = sdt.filter(col("vid") < 16)
       .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
-    val cb1 = Pq.retrain(sd, cb0).localCheckpoint(eager = false)
+    val cb1 = Pq.retrain(sdt, cb0).localCheckpoint(eager = false)
     (sd, cb1)
   }
 
-  /** PQ chain shared by n08/n09 — the exact twin of graft.ann.Pq at
-    * m=4 × ds=16, k=16 (init = vec_id < 16), one Lloyd round: integer
-    * 1e-6-unit subvector dims (sd), init codebook (cb0), assignment →
-    * retrained codebook (cb1), final encode (enc). Splice this; never
-    * re-derive (the assignCtes lockstep rule). */
-  private val pqCtes =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |iv AS (SELECT vec_id,
-      |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS u
-      |       FROM e),
-      |sd AS (SELECT vec_id AS vid, CAST((d-1)//16 AS BIGINT) AS sub,
-      |              CAST((d-1)%16 AS BIGINT) AS dim, u[d] AS v
-      |       FROM (SELECT vec_id, u, unnest(generate_series(1, len(u))) AS d
-      |             FROM iv) z),
-      |cb0 AS (SELECT sub, vid AS cid, dim, v AS cv FROM sd WHERE vid < 16),
-      |a1 AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
-      |       FROM sd JOIN cb0 USING (sub, dim) GROUP BY 1, 2, 3),
-      |c1 AS (SELECT vid, sub, cid FROM (
-      |         SELECT *, row_number() OVER (PARTITION BY vid, sub
-      |           ORDER BY d2, cid) AS rn FROM a1) z WHERE rn = 1),
-      |cb1 AS (SELECT sub, cid, dim, CAST(floor(avg(v) + 0.5) AS BIGINT) AS cv
-      |        FROM sd JOIN c1 USING (vid, sub) GROUP BY 1, 2, 3),
-      |a2 AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
-      |       FROM sd JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
-      |enc AS (SELECT vid, sub, cid, d2 FROM (
-      |          SELECT *, row_number() OVER (PARTITION BY vid, sub
-      |            ORDER BY d2, cid) AS rn FROM a2) z WHERE rn = 1)""".stripMargin
+  /** PQ chain shared by n08/n09/n10/n11 — the exact twin of
+    * graft.ann.Pq at m=4 × ds=16, k=16 (init = vec_id < 16), one Lloyd
+    * round: integer 1e-6-unit subvector dims (sd), TRAINING slice sdt
+    * (`trainWhere` over vid — pqChain's trainFilter twin), init
+    * codebook (cb0), assignment → retrained codebook (cb1), final
+    * encode of the training slice (enc). Splice this; never re-derive
+    * (the assignCtes lockstep rule). */
+  private def pqCtesOn(trainWhere: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |iv AS (SELECT vec_id,
+       |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS u
+       |       FROM e),
+       |sd AS (SELECT vec_id AS vid, CAST((d-1)//16 AS BIGINT) AS sub,
+       |              CAST((d-1)%16 AS BIGINT) AS dim, u[d] AS v
+       |       FROM (SELECT vec_id, u, unnest(generate_series(1, len(u))) AS d
+       |             FROM iv) z),
+       |sdt AS (SELECT * FROM sd WHERE $trainWhere),
+       |cb0 AS (SELECT sub, vid AS cid, dim, v AS cv FROM sdt WHERE vid < 16),
+       |a1 AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
+       |       FROM sdt JOIN cb0 USING (sub, dim) GROUP BY 1, 2, 3),
+       |c1 AS (SELECT vid, sub, cid FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vid, sub
+       |           ORDER BY d2, cid) AS rn FROM a1) z WHERE rn = 1),
+       |cb1 AS (SELECT sub, cid, dim, CAST(floor(avg(v) + 0.5) AS BIGINT) AS cv
+       |        FROM sdt JOIN c1 USING (vid, sub) GROUP BY 1, 2, 3),
+       |a2 AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
+       |       FROM sdt JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
+       |enc AS (SELECT vid, sub, cid, d2 FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vid, sub
+       |            ORDER BY d2, cid) AS rn FROM a2) z WHERE rn = 1)""".stripMargin
+
+  private val pqCtes = pqCtesOn("TRUE")
 
   private val cosSql =
     "list_dot_product(qv, v)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(v, v)))"
+
+  /** BPE-training oracle chain (toks → wc → w1 → {p_i, m_i, w_{i+1}}):
+    * the DuckDB twin of graft.text.BpeTrain at `rounds` merges — word
+    * counts, char segmentation, and per round: adjacent-pair counts,
+    * top pair with (count desc, l, r) tiebreak, greedy fold merge
+    * (list_reduce with exact last-token matching — `acc || x` fuses l
+    * and r into one token exactly when x = r and the accumulator ends
+    * in token l). t23/t24 splice this; never re-derive (the assignCtes
+    * lockstep rule). */
+  private def bpeCtes(rounds: Int): String = {
+    val base =
+      s"""$toksCte,
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         |       FROM (SELECT unnest(t) AS w FROM toks) z
+         |       WHERE w <> '' GROUP BY 1),
+         |w1 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, n
+         |       FROM wc)""".stripMargin
+    val rds = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT t[j] AS l, t[j+1] AS r, CAST(sum(n) AS BIGINT) AS pn
+         |        FROM (SELECT n, t, unnest(generate_series(1, len(t)-1)) AS j
+         |              FROM (SELECT string_split(seq, ' ') AS t, n FROM w$i) z
+         |              WHERE len(t) >= 2) zz
+         |        GROUP BY 1, 2),
+         |m$i AS (SELECT CAST($i AS BIGINT) AS round, l, r, l || r AS merged, pn AS n
+         |        FROM p$i ORDER BY pn DESC, l, r LIMIT 1),
+         |w${i + 1} AS (SELECT wp.w, list_reduce(string_split(wp.seq, ' '),
+         |                (acc, x) -> CASE WHEN x = m.r AND (acc = m.l
+         |                       OR ends_with(acc, ' ' || m.l)) THEN acc || x
+         |                     ELSE acc || ' ' || x END) AS seq, wp.n
+         |              FROM w$i wp, m$i m)""".stripMargin
+    }
+    (base +: rds).mkString(",\n")
+  }
 
   /** Shared 3-gram shingle CTE chain (toks→sh): distinct word 3-grams
     * per doc, docs shorter than 3 tokens contributing their whole text
@@ -784,6 +824,97 @@ object TrainQueries extends QuerySet {
               |       array_to_string(t[chunk_idx*12 + 1 : chunk_idx*12 + 16], ' ')
               |         AS chunk_text
               |FROM ch""".stripMargin)),
+
+    // T23 — BPE tokenizer TRAINING (Sennrich et al. 2016): 8 merge
+    // rounds learned from the corpus. The only corpus-scale work is
+    // the word-count aggregation; every round after runs over the
+    // vocab-sized form table with a bounded one-row collect (the merge
+    // rule is the artifact). Counts are exact longs, the winner
+    // tiebreaks (count desc, left, right), and merge application is a
+    // greedy left-to-right fold — the oracle replays ALL 8 rounds of
+    // training, not just the outputs.
+    Q("t23_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.BpeTrain
+        val merges = BpeTrain.train(
+          BpeTrain.wordCounts(Tables.load(s, dir, "documents"), "text"),
+          rounds = 8)
+        merges.toDF().select(col("round").cast("long").as("round"),
+          col("left"), col("right"), col("merged"), col("n"))
+      },
+      Some(s"""WITH ${bpeCtes(8)}
+              |SELECT round, l AS "left", r AS "right", merged, n FROM (
+              |${(1 to 8).map(i => s"  SELECT * FROM m$i").mkString(" UNION ALL\n")}
+              |) z""".stripMargin)),
+
+    // T24 — exact per-document token accounting under the TRAINED BPE
+    // vocab (replacing the t06 regex heuristic once a vocab exists):
+    // the distinct-word vocab is re-segmented under the 8 learned
+    // merges (cost ∝ vocab, k folds over the form table), then the
+    // corpus meets the encoded vocab by BROADCAST join and sums per
+    // doc — encode work never scans documents per merge.
+    Q("t24_bpe_token_count",
+      (s, dir) => {
+        import graft.text.BpeTrain
+        val docs = Tables.load(s, dir, "documents")
+        val merges = BpeTrain.train(
+          BpeTrain.wordCounts(docs, "text"), rounds = 8)
+        BpeTrain.bpeTokenCount(docs, "doc_id", "text", merges)
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |enc AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub
+              |        FROM w9),
+              |tw AS (SELECT doc_id, unnest(t) AS w FROM toks)
+              |SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+              |FROM tw JOIN enc USING (w) WHERE w <> ''
+              |GROUP BY 1""".stripMargin)),
+
+    // T25 — corpus text normalization: Unicode NFC (native codegen'd
+    // NfcNormalize — ASCII rows pass through allocation-free), C0
+    // control/DEL strip, whitespace-run collapse. The ambient corpus
+    // is ASCII (pins the no-op side); PLANTED rows pin each behavior:
+    // combining-mark composition, the U+2126→U+03A9 singleton, an
+    // already-composed no-op, control stripping, whitespace collapse.
+    // JDK NFC and DuckDB's utf8proc agree codepoint-for-codepoint on
+    // these classes (verified); both `length`s count codepoints.
+    Q("t25_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val planted = Seq(
+          (900001L, "cafe\u0301 au lait"),
+          (900002L, "O\u0308l und A\u030Angstro\u0308m"),
+          (900003L, "\u2126 is the ohm sign"),
+          (900004L, "already \u00e9 composed"),
+          (900005L, "bell\u0007 and null\u0000 gone"),
+          (900006L, "  spaces\t\tand\r\nnewlines  collapse  ")
+        ).toDF("doc_id", "text")
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).unionByName(planted)
+        d.select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm"),
+          (TextAnalysis.nfc(col("text")) =!= col("text"))
+            .cast("long").as("nfc_changed"),
+          length(col("text")).cast("long").as("len_raw"))
+      },
+      Some("""WITH p AS (
+              |  SELECT 900001 AS doc_id, 'cafe' || chr(769) || ' au lait' AS text
+              |  UNION ALL SELECT 900002, 'O' || chr(776) || 'l und A' || chr(778)
+              |    || 'ngstro' || chr(776) || 'm'
+              |  UNION ALL SELECT 900003, chr(8486) || ' is the ohm sign'
+              |  UNION ALL SELECT 900004, 'already ' || chr(233) || ' composed'
+              |  UNION ALL SELECT 900005, 'bell' || chr(7) || ' and null' || chr(0) || ' gone'
+              |  UNION ALL SELECT 900006, '  spaces' || chr(9) || chr(9) || 'and'
+              |    || chr(13) || chr(10) || 'newlines  collapse  '),
+              |d AS (SELECT doc_id, text FROM documents
+              |      UNION ALL SELECT doc_id, text FROM p)
+              |SELECT doc_id,
+              |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+              |    '[ \t\r\n]+', ' ', 'g')) AS norm,
+              |  CAST(nfc_normalize(text) <> text AS BIGINT) AS nfc_changed,
+              |  CAST(length(text) AS BIGINT) AS len_raw
+              |FROM d""".stripMargin)),
 
     // T14 — PII-signal triage over the corpus plus PLANTED positives
     // (the synthetic corpus contains none — without planting, the
@@ -1472,6 +1603,47 @@ object TrainQueries extends QuerySet {
               |FROM (SELECT *, row_number() OVER (PARTITION BY qid
               |        ORDER BY adc_d2, vid) AS rn FROM ad) z
               |WHERE rn <= 5""".stripMargin)),
+
+    // N11 — incremental index maintenance, the ANN side of the
+    // incremental trio (d09 minhash bands / d13 substring windows /
+    // d15 lines): a batch of NEW vectors (vec_id >= 400, absent from
+    // training) is admitted into an EXISTING IVF-PQ index by
+    // assigning its IVF bucket and PQ-encoding it against the FROZEN
+    // codebook — no retrain, no corpus touch. Per-batch work is
+    // batch × broadcast(codebook/centroids): exactly what a streaming
+    // vector-ingest micro-batch does at 100 TB; the output rows ARE
+    // the index-append artifact. Oracle replays training on the
+    // corpus slice and both batch-side assignments.
+    Q("n11_index_add",
+      (s, dir) => {
+        import graft.ann.{Ann, Pq}
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val (sd, cb1) = pqChain(s, dir, trainFilter = col("vid") < 400)
+        val batch = sd.filter(col("vid") >= 400)
+        val codes = Pq.assign(batch, cb1)
+        val buckets = Ann.ivfAssign(
+          e.filter(col("vec_id") >= 400)
+            .select(col("vec_id").as("vid"), col("embedding").as("vec")), cents)
+          .select(col("vid"), col("cid").as("bucket"))
+        codes.join(buckets, "vid")
+          .select(col("vid").as("vec_id"), col("bucket"), col("sub"),
+            col("cid").as("code"), col("d2"))
+      },
+      Some(s"""WITH ${pqCtesOn("vid < 400")},
+              |sdb AS (SELECT * FROM sd WHERE vid >= 400),
+              |ab AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
+              |       FROM sdb JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
+              |encb AS (SELECT vid, sub, cid, d2 FROM (
+              |           SELECT *, row_number() OVER (PARTITION BY vid, sub
+              |             ORDER BY d2, cid) AS rn FROM ab) z WHERE rn = 1),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |eb AS (SELECT vec_id, v FROM e WHERE vec_id >= 400),
+              |${assignCtes("eb", "c", "cab")}
+              |SELECT encb.vid AS vec_id, cab.cid AS bucket, sub,
+              |       encb.cid AS code, d2
+              |FROM encb JOIN cab ON encb.vid = cab.vid""".stripMargin)),
 
     // MM1 — multimodal binary-column plumbing with a REAL header
     // decode: each doc's text payload is wrapped in a BMP (even ids) or

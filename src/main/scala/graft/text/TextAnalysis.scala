@@ -59,6 +59,26 @@ object TextAnalysis {
     floor(lenCredit * punctPenalty * stopCredit * 1e4 + 0.5) / 1e4
   }
 
+  /** Unicode NFC canonical normalization — the native codegen'd
+    * [[org.apache.spark.sql.graft.NfcNormalize]] expression (ASCII
+    * rows pass through allocation-free; see its scaladoc for the
+    * cross-engine parity contract with utf8proc). */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.NfcNormalize.ofColumn(text)
+
+  /** Full text-normalization pass of a corpus pipeline: NFC
+    * composition, C0 control / DEL stripping (tab and newline
+    * survive as whitespace), then whitespace-run collapse to single
+    * spaces with outer trim. Pure per-row expressions (regex classes
+    * chosen with identical semantics under Java regex and RE2) — the
+    * canonical form fed to tokenization, dedup shingling, and
+    * fingerprints downstream. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\r\\n]+", " "))
+
   /** Canonical content fingerprint: md5 over the sorted distinct token
     * set — robust to token order / duplication. */
   def fingerprint(text: Column): Column =

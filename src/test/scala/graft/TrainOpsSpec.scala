@@ -801,4 +801,63 @@ class TrainOpsSpec extends AnyFunSuite {
     // cluster-a centroid x ≈ mean(1.0, 1.01, 1.02) = 1.01; cluster-b x ≈ 0.01
     assert(math.abs(out(0)._3 - 1.01) < 1e-3 && math.abs(out(1)._3 - 0.01) < 1e-3)
   }
+  test("BpeTrain: greedy fold semantics, tiebreak, chained merges, single-char words") {
+    import graft.text.BpeTrain
+    val s = StructType(Seq(StructField("seq", StringType)))
+    // greedy left-to-right under rule (a,a): "a a a" -> "aa a"; boundaries
+    // are exact-token ("ba a b": last token "ba" ENDS with "a" but is not
+    // the token "a" -> no merge)
+    val folded = df(s, Seq(Row("a a a"), Row("b a a b"), Row("x"), Row("ba a b")))
+      .select(BpeTrain.applyMerge(col("seq"), "a", "a").as("m"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(folded === Seq("aa a", "b aa b", "ba a b", "x").sorted)
+    // training: "pepper" x2, "pep" x1. pepper pairs: p-e e-p p-p p-e e-r;
+    // pep pairs: p-e e-p -> (p,e) = 2*2+1 = 5 wins round 1
+    val wS = StructType(Seq(StructField("w", StringType), StructField("n", LongType)))
+    val words = df(wS, Seq(Row("pepper", 2L), Row("pep", 1L)))
+    val merges = BpeTrain.train(words, rounds = 2)
+    assert(merges.head.left === "p" && merges.head.right === "e" && merges.head.n === 5L)
+    // round 2 over MERGED forms "pe p p e r"? no: greedy fold gives
+    // pepper -> "pe p pe r", pep -> "pe p"; pairs: (pe,p)=2+1=3, (p,pe)=2,
+    // (pe,r)=2 -> (pe,p) wins with 3
+    assert(merges(1).left === "pe" && merges(1).right === "p" && merges(1).n === 3L)
+    // encode under the two ordered merges: pepper -> "pep pe r" (3 tokens)
+    val enc = BpeTrain.encodeVocab(words, merges).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(enc("pepper") === (("pep pe r", 3L)))
+    assert(enc("pep") === (("pep", 1L)))
+    // single-char vocab has no pairs: training stops empty, word survives folds
+    val one = BpeTrain.train(df(wS, Seq(Row("a", 5L))), rounds = 3)
+    assert(one.isEmpty)
+  }
+
+  test("NfcNormalize: codegen == eval, ASCII passthrough, composition classes") {
+    import org.apache.spark.sql.graft.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = StructType(Seq(StructField("t", StringType)))
+    val rows = Seq(
+      Row("plain ascii stays"),
+      Row("cafe\u0301"),       // e + combining acute: composes to U+00E9
+      Row("\u2126 ohm"),       // OHM SIGN singleton: composes to U+03A9
+      Row("A\u030Angstro\u0308m"),  // combining ring / diaeresis compositions
+      Row(null))
+    val got = df(s, rows).select(graft.text.TextAnalysis.nfc(col("t")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got(0) === "plain ascii stays")
+    assert(got(1) === "caf\u00e9" && got(1).length === 4)
+    assert(got(2) === "\u03a9 ohm")
+    assert(got(3) === "\u00c5ngstr\u00f6m")
+    assert(got(4) === null)
+    // static path: full-ASCII input returns the SAME instance (no alloc)
+    val ascii = UTF8String.fromString("abc")
+    assert(NfcNormalize.normalize(ascii) eq ascii)
+    // interpreted eval agrees with the DataFrame (codegen) path
+    assert(NfcNormalize(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+      .nullSafeEval(UTF8String.fromString("cafe\u0301")).toString === "caf\u00e9")
+    // normalizeText end-to-end: controls stripped, whitespace collapsed
+    val norm = df(s, Seq(Row("  ab\t\tc\r\nd  ")))
+      .select(graft.text.TextAnalysis.normalizeText(col("t")).as("n"))
+      .collect()(0).getString(0)
+    assert(norm === "ab c d")
+  }
 }
