@@ -183,6 +183,49 @@ class ScaleSpec extends AnyFunSuite {
       s"unpartitioned ADC window:\n${adc.queryExecution.optimizedPlan}")
   }
 
+  test("bucketed ADC + BPE plans: broadcast-bounded, corpus never cross-joined") {
+    import graft.ann.Pq
+    import graft.text.BpeTrain
+    val embS = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val embs = df(embS, (0L to 30L).map(i =>
+      Row(i, Seq(i.toDouble, 1.0, -1.0, 0.5, 2.0, -i.toDouble, 0.0, 1.5))))
+    val sd = Pq.subDims(embs, "vec_id", "embedding", ds = 4)
+    val cb0 = sd.filter(col("vid") < 4)
+      .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
+    val cb1 = Pq.retrain(sd, cb0)
+    // n10/n11 shape: codes carry an IVF bucket; candidates meet the
+    // per-query tables on (bucket, sub, cid) — broadcast, never a
+    // corpus cross join
+    val codes = Pq.assign(sd, cb1).select("vid", "sub", "cid")
+      .withColumn("bucket", pmod(col("vid"), lit(3)))
+    val qB = sd.filter(col("vid") < 3)
+      .select(col("vid").as("qid")).distinct()
+      .withColumn("bucket", pmod(col("qid"), lit(3)))
+    val bucketed = Pq.adcTopKBucketed(sd.filter(col("vid") < 3), cb1, codes, qB, k = 2)
+    val bPlan = bucketed.queryExecution.executedPlan.toString
+    assert(!bPlan.contains("CartesianProduct"), s"corpus cross join:\n$bPlan")
+    assert(bPlan.contains("BroadcastHashJoin"), s"distance tables not broadcast:\n$bPlan")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = bucketed.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned bucketed-ADC window:\n${bucketed.queryExecution.optimizedPlan}")
+    // BPE corpus accounting: the encoded vocab meets the corpus by
+    // BROADCAST join; the count plan carries no window and no cross
+    // join — per-merge work never rescans documents
+    val docs = df(StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType))), Seq(
+      Row(1L, "pepper pep pepper"), Row(2L, "pep per pepper pepper")))
+    val merges = BpeTrain.train(BpeTrain.wordCounts(docs, "text"), rounds = 2)
+    assert(merges.nonEmpty)
+    val cnt = BpeTrain.bpeTokenCount(docs, "doc_id", "text", merges)
+    val cPlan = cnt.queryExecution.executedPlan.toString
+    assert(cPlan.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$cPlan")
+    assert(!cPlan.contains("CartesianProduct"), s"cross join:\n$cPlan")
+    assert(cnt.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }.isEmpty, "BPE count must not window")
+  }
+
   test("event-analytics plans: partitioned windows, no cross joins") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import graft.events.EventOps
