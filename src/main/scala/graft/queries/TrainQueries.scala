@@ -172,6 +172,25 @@ object TrainQueries extends QuerySet {
 
   private val pqCtes = pqCtesOn("TRUE")
 
+  /** Shared n11/st06 oracle — frozen-codebook index add (train on
+    * vid < 400, encode + bucket-assign the vid ≥ 400 batch). The
+    * streaming query MUST equal the batch one; one oracle string
+    * keeps the twins in lockstep. */
+  private def indexAddOracle: String =
+    s"""WITH ${pqCtesOn("vid < 400")},
+       |sdb AS (SELECT * FROM sd WHERE vid >= 400),
+       |ab AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
+       |       FROM sdb JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
+       |encb AS (SELECT vid, sub, cid, d2 FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY vid, sub
+       |             ORDER BY d2, cid) AS rn FROM ab) z WHERE rn = 1),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |eb AS (SELECT vec_id, v FROM e WHERE vec_id >= 400),
+       |${assignCtes("eb", "c", "cab")}
+       |SELECT encb.vid AS vec_id, cab.cid AS bucket, sub,
+       |       encb.cid AS code, d2
+       |FROM encb JOIN cab ON encb.vid = cab.vid""".stripMargin
+
   private val cosSql =
     "list_dot_product(qv, v)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(v, v)))"
 
@@ -1631,19 +1650,48 @@ object TrainQueries extends QuerySet {
           .select(col("vid").as("vec_id"), col("bucket"), col("sub"),
             col("cid").as("code"), col("d2"))
       },
-      Some(s"""WITH ${pqCtesOn("vid < 400")},
-              |sdb AS (SELECT * FROM sd WHERE vid >= 400),
-              |ab AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
-              |       FROM sdb JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
-              |encb AS (SELECT vid, sub, cid, d2 FROM (
-              |           SELECT *, row_number() OVER (PARTITION BY vid, sub
-              |             ORDER BY d2, cid) AS rn FROM ab) z WHERE rn = 1),
-              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-              |eb AS (SELECT vec_id, v FROM e WHERE vec_id >= 400),
-              |${assignCtes("eb", "c", "cab")}
-              |SELECT encb.vid AS vec_id, cab.cid AS bucket, sub,
-              |       encb.cid AS code, d2
-              |FROM encb JOIN cab ON encb.vid = cab.vid""".stripMargin)),
+      Some(indexAddOracle)),
+
+    // ST06 — n11 as a STREAM: new vectors land as parquet drops in two
+    // waves; each micro-batch is bucket-assigned + PQ-encoded against
+    // the frozen broadcast codebook and APPENDED to the index
+    // (Ingest.encodeAppend — no streaming state, per-batch work ∝
+    // batch; both waves run through ONE checkpoint, so the second
+    // trigger's file log proves wave 1 is not re-encoded). The final
+    // index must equal n11's batch output — SAME oracle.
+    Q("st06_index_add_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import graft.ann.{Ann, Pq}
+        import graft.streaming.Ingest
+        val tmp = "/tmp/graft_st06_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val (_, cb1) = pqChain(s, dir, trainFilter = col("vid") < 400)
+        val encode: DataFrame => DataFrame = batch => {
+          val codes = Pq.assign(
+            Pq.subDims(batch, "vec_id", "embedding", ds = 16), cb1)
+          val buckets = Ann.ivfAssign(
+            batch.select(col("vec_id").as("vid"), col("embedding").as("vec")),
+            cents).select(col("vid"), col("cid").as("bucket"))
+          codes.join(buckets, "vid")
+            .select(col("vid").as("vec_id"), col("bucket"), col("sub"),
+              col("cid").as("code"), col("d2"))
+        }
+        val newV = e.filter(col("vec_id") >= 400)
+          .select(col("vec_id"), col("embedding"))
+        newV.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .write.mode("append").parquet(s"$tmp/drop")
+        Ingest.encodeAppend(s, s"$tmp/drop", newV.schema, s"$tmp/index", encode)
+        newV.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .write.mode("append").parquet(s"$tmp/drop")
+        Ingest.encodeAppend(s, s"$tmp/drop", newV.schema, s"$tmp/index", encode)
+        s.read.parquet(s"$tmp/index/rows")
+      },
+      Some(indexAddOracle)),
 
     // MM1 — multimodal binary-column plumbing with a REAL header
     // decode: each doc's text payload is wrapped in a BMP (even ids) or

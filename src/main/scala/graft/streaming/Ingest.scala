@@ -119,6 +119,30 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming index maintenance (the n11 contract as a stream): each
+    * micro-batch of arriving rows runs through `encode` — a STATELESS
+    * batch transform, e.g. IVF bucket-assign + PQ-encode against
+    * frozen broadcast codebooks — and the result is APPENDED to the
+    * index directory. Nothing accumulates in streaming state (the
+    * index lives in the sink; per-batch work ∝ batch size), and the
+    * checkpoint's processed-file log makes each landed FILE
+    * exactly-once across restarts and re-triggers. (File-source
+    * semantics: exactly-once is per file path — re-landing the same
+    * rows under a NEW path appends again; upstream drops are expected
+    * to be immutable landed files, the st04 convention.) */
+  def encodeAppend(spark: SparkSession, dropDir: String, schema: StructType,
+      indexDir: String, encode: DataFrame => DataFrame): Unit = {
+    val q = spark.readStream.schema(schema).parquet(dropDir)
+      .writeStream
+      .option("checkpointLocation", s"$indexDir/_checkpoints/encode")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        encode(batch.toDF()).write.mode("append").parquet(s"$indexDir/rows")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def streamIntoLake(spark: SparkSession, dropDir: String, schema: StructType,
       lakeRoot: String, table: String): Unit = {
     val q = spark.readStream.schema(schema).parquet(dropDir)
