@@ -108,6 +108,25 @@ object Ann {
       .join(cents, Seq("cid"))
   }
 
+  /** Recall@k — the evaluation harness every approximate index needs
+    * before it replaces the exact search: per query, the fraction of
+    * the ground-truth top-k (`truth`) that the approximate result
+    * (`approx`) recovered. Both inputs are (qid, neighbor_id) rank
+    * lists; queries whose approximate list missed everything still get
+    * a row (hits = 0). The hit count is one semi-join + aggregation on
+    * qid — both sides are top-k lists (q·k rows), never the corpus. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = truth.select(col("qid"), col("neighbor_id"))
+      .join(approx.select(col("qid"), col("neighbor_id")),
+        Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    truth.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        graft.core.Exprs.roundHalfUp(
+          coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** IVF search: queries probe only their own centroid bucket.
     * Returns (qid, neighbor_id, cosine, rank) with rank <= k. */
   def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,

@@ -93,6 +93,31 @@ object Pq {
       .select(col("qid"), col("vid").as("neighbor_id"), col("adc_d2"), col("rank"))
   }
 
+  /** Exact re-rank of an ADC shortlist — the refine step of a
+    * production IVF-PQ search (ADC distances are quantization
+    * approximations; the final ranking re-scores the few survivors
+    * against their RAW vectors). `shortlist` is (qid, neighbor_id, ...)
+    * from [[adcTopK]]/[[adcTopKBucketed]] at k' > k; this fetches raw
+    * vectors for shortlist rows only — the corpus scan is one
+    * broadcast-probed equi-join on vid (q·k' rows against the corpus,
+    * never a second distance scan) — and re-ranks on the exact round-6
+    * cosine with id tiebreak. Returns (qid, neighbor_id, cosine,
+    * rank ≤ k). */
+  def rerankExact(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val pairs = shortlist.select(col("qid"), col("neighbor_id"))
+      .join(queries.select(col("qid"), col("qvec")), "qid")
+    val scored = corpus.select(col("vid").as("neighbor_id"), col("vec"))
+      .join(broadcast(pairs), "neighbor_id")
+      .select(col("qid"), col("neighbor_id"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** ADC top-k: per-query squared-L2 distance tables against the
     * codebook (q·m·k rows, broadcast), summed over each corpus
     * vector's m codes — the corpus side never touches raw vectors,

@@ -50,4 +50,58 @@ object Decontam {
       .groupBy(col("did").as(idCol))
       .agg(count_distinct(col("s")).as("n_shared"))
   }
+
+  /** NEAR-duplicate decontamination — the fuzzy complement of
+    * [[contaminated]]: paraphrased or lightly-edited benchmark leakage
+    * moves every exact n-gram but leaves set similarity high, so this
+    * pass flags corpus docs whose n-gram Jaccard against ANY benchmark
+    * doc reaches `threshold`. Candidates come from the banded MinHash
+    * index ([[Dedup.minhashBanded]] — ONE signature pass over
+    * corpus ∪ eval, ReuseExchange shares it between the two join
+    * sides); only corpus×eval band collisions survive (corpus×corpus is
+    * never paired — the eval side is benchmarks, tiny next to the
+    * corpus, so the candidate volume is bounded by it), and every
+    * candidate is EXACT-verified ([[Dedup.verifyJaccard]]), so complete
+    * banding recall makes the output equal the exact corpus×eval twin.
+    * Defaults band r = 2 (16 bands over k = 32): near-threshold pairs
+    * at j = 0.5 are missed with p ≈ (1 − 0.5²)¹⁶ ≈ 1%, vs 10%+ at the
+    * dedup default r = 4 — decontamination is recall-critical (a missed
+    * pair trains on the benchmark), and the extra ambient candidates
+    * the shorter bands admit are bounded by the eval side and die in
+    * verification. Ids must be disjoint across the two inputs (loud
+    * guard below). Returns one row per contaminated corpus doc:
+    * (idCol, max_jaccard, n_bench_matches). */
+  def fuzzyContaminated(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 32, bands: Int = 16, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val all = eval.unionByName(corpus)
+    val bAll = Dedup.minhashBanded(all, idCol, textCol, k, bands, shingleN)
+    val evalIds = eval.select(col(idCol).as("did"))
+    val bEval = bAll.join(broadcast(evalIds), Seq("did"), "left_semi")
+    val bCorp = bAll.join(broadcast(evalIds), Seq("did"), "left_anti")
+    val cand = bCorp.as("a").join(bEval.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val report = Dedup.verifyJaccard(all, cand, idCol, textCol, shingleN, threshold)
+      .groupBy(col("id_a").as(idCol))
+      .agg(max(col("jaccard")).as("max_jaccard"),
+        count(lit(1)).as("n_bench_matches"))
+    // Loud disjointness guard (the lineDedupIncremental convention): a
+    // doc id present in BOTH inputs is carved out of the corpus side of
+    // the candidate join (and pollutes the shared signature/shingle
+    // passes), silently escaping decontamination — an id-equality probe
+    // on the report can never see it, so the guard is a one-row overlap
+    // COUNT (id-only column-pruned corpus scan, eval side broadcast)
+    // crossed onto the output as a broadcast one-row aggregate.
+    val overlap = corpus.select(col(idCol).as("did"))
+      .join(broadcast(evalIds), Seq("did"), "left_semi")
+      .agg(count(lit(1)).as("_n_overlap"))
+    report.crossJoin(broadcast(overlap))
+      .withColumn("n_bench_matches", col("n_bench_matches") +
+        coalesce(assert_true(col("_n_overlap") === 0,
+          lit("fuzzyContaminated: corpus and eval share doc ids — " +
+            "ids must be disjoint")).cast("long"), lit(0L)))
+      .drop("_n_overlap")
+  }
 }

@@ -40,17 +40,28 @@ object TrainQueries extends QuerySet {
        |  SELECT *, row_number() OVER (PARTITION BY vid
        |    ORDER BY cos6 DESC, cid) AS rn FROM ${out}j) z WHERE rn = 1)""".stripMargin
 
-  /** Bucket-scored top-k tail shared by the IVF-search oracles: scores
-    * `probe`(qid, qv, cid) against `ca` and keeps rank <= k. */
-  private def ivfTopKSql(probe: String, k: Int): String =
-    s"""sc AS (SELECT $probe.qid, ca.vid AS neighbor_id,
+  /** Bucket-scored candidate CTE shared by the IVF-search oracles
+    * (n02/n07/n13): scores `probe`(qid, qv, cid) against `ca` into a
+    * CTE named `out`. */
+  private def ivfScoredCte(probe: String, out: String): String =
+    s"""$out AS (SELECT $probe.qid, ca.vid AS neighbor_id,
        |         floor((list_dot_product(qv, ca.v)
        |           /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(ca.v, ca.v))))*1e6 + 0.5)/1e6 AS cosine
-       |       FROM $probe JOIN ca ON $probe.cid = ca.cid AND ca.vid <> $probe.qid)
+       |       FROM $probe JOIN ca ON $probe.cid = ca.cid AND ca.vid <> $probe.qid)""".stripMargin
+
+  /** [[ivfScoredCte]] plus the ranked top-k select. */
+  private def ivfTopKSql(probe: String, k: Int): String =
+    s"""${ivfScoredCte(probe, "sc")}
        |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
        |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
        |WHERE rn <= $k""".stripMargin
+
+  /** Brute-force scored CTE over q(qid, qv) × e — shared by n01/n13
+    * (the exact-search twin every recall evaluation ranks against). */
+  private def bfScoredCte(out: String): String =
+    s"""$out AS (SELECT qid, e.vec_id AS neighbor_id, floor(($cosSql)*1e6 + 0.5)/1e6 AS cosine
+       |       FROM q, e WHERE e.vec_id <> qid)""".stripMargin
 
   /** Substring-dedup oracle fragments shared by d12/d13: the bounded
     * base slice + donor span, and the docs→tokens→distinct-20-token-
@@ -172,6 +183,26 @@ object TrainQueries extends QuerySet {
 
   private val pqCtes = pqCtesOn("TRUE")
 
+  /** The n10/n12 IVF-PQ ADC search chain (coarse buckets → per-query
+    * bucket-restricted distance tables → summed ADC distances
+    * ad(qid, vid, adc_d2)). Splice after [[pqCtes]]; never re-derive
+    * (the assignCtes lockstep rule). */
+  private val ivfPqAdcCtes: String =
+    s"""c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |${assignCtes("e", "c", "ca")},
+       |cbk AS (SELECT vid, cid AS bucket FROM ca),
+       |qs AS (SELECT vid, sub, dim, v FROM sd WHERE vid < 10),
+       |qd AS (SELECT qs.vid AS qid, sub, cid,
+       |         CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS qd2
+       |       FROM qs JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
+       |adq AS (SELECT qid, bucket, sub, cid, qd2
+       |        FROM qd JOIN (SELECT vid AS qid, bucket FROM cbk WHERE vid < 10) b
+       |        USING (qid)),
+       |cand AS (SELECT enc.vid, bucket, sub, cid FROM enc JOIN cbk USING (vid)),
+       |ad AS (SELECT qid, vid, CAST(sum(qd2) AS BIGINT) AS adc_d2
+       |       FROM cand JOIN adq USING (bucket, sub, cid) WHERE qid <> vid
+       |       GROUP BY 1, 2)""".stripMargin
+
   /** Shared n11/st06 oracle — frozen-codebook index add (train on
     * vid < 400, encode + bucket-assign the vid ≥ 400 batch). The
     * streaming query MUST equal the batch one; one oracle string
@@ -232,14 +263,16 @@ object TrainQueries extends QuerySet {
     * as one shingle — the SINGLE SQL twin of Dedup.shingleRows /
     * Dedup.wordShingles at n=3. Oracles splice this; never re-derive
     * it (same lockstep rule as Sampling.hashBucketSql). */
-  private val shingle3Ctes =
-    """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      |              FROM documents),
+  private def shingle3CtesOn(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |              FROM $src),
       |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
       |        FROM toks WHERE len(t) >= 3),
       |shl AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
       |shs AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3),
       |sh AS (SELECT * FROM shl UNION ALL SELECT * FROM shs)""".stripMargin
+
+  private val shingle3Ctes = shingle3CtesOn("documents")
 
   /** Shared 2-gram shingle CTE chain over the doc_id<1000 slice
     * (toks→sh→cnt/cm) INCLUDING the short-doc whole-text fallback —
@@ -643,6 +676,79 @@ object TrainQueries extends QuerySet {
              |co AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
              |SELECT doc_id, count(*) AS n_shared
              |FROM co JOIN ev USING (s) GROUP BY doc_id""".stripMargin)),
+
+    // D18 — FUZZY decontamination (the near-dup complement of t10's
+    // exact n-gram pass): benchmark docs are lightly-edited copies of
+    // corpus docs (first token dropped — every exact long n-gram moves,
+    // Jaccard stays ~0.9), and the corpus is flagged by banded-MinHash
+    // candidates exact-verified at threshold 0.5. Band r=2 over 16
+    // bands — decontamination is recall-critical, and the extra
+    // ambient candidates short bands admit are bounded by the (tiny)
+    // benchmark side. The oracle is the exact corpus×bench all-pairs
+    // twin, so any banding miss fails the gate. Plants also surface
+    // secondary matches: a benchmark doc derived from corpus doc X
+    // flags X's generator near-twins too when their Jaccard clears the
+    // bar — both sides compute it identically.
+    Q("d18_fuzzy_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id").isin(5, 17, 42))
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            expr("array_join(slice(split(lower(trim(text)), '\\\\s+'), 2, 1000000), ' ')")
+              .as("text"))
+        graft.pipeline.Decontam.fuzzyContaminated(docs, bench, "doc_id", "text",
+          k = 32, bands = 16, shingleN = 3, threshold = 0.5)
+      },
+      Some(s"""WITH bench AS (SELECT doc_id + 3000000 AS doc_id,
+             |         array_to_string((string_split_regex(lower(trim(text)), '\\s+'))[2:], ' ') AS text
+             |       FROM documents WHERE doc_id IN (5, 17, 42)),
+             |dall AS (SELECT doc_id, text FROM documents
+             |         UNION ALL SELECT doc_id, text FROM bench),
+             |${shingle3CtesOn("dall")},
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             |       FROM sh a JOIN sh b
+             |         ON a.s = b.s AND a.doc_id < 3000000 AND b.doc_id >= 3000000
+             |       GROUP BY 1, 2),
+             |j AS (SELECT id_a, id_b,
+             |        floor((CAST(c AS DOUBLE)/(na.n + nb.n - c))*1e4 + 0.5)/1e4 AS jaccard
+             |      FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+             |      WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5)
+             |SELECT id_a AS doc_id, max(jaccard) AS max_jaccard,
+             |       count(*) AS n_bench_matches
+             |FROM j GROUP BY 1""".stripMargin)),
+
+    // T26 — the corpus data-card mixture report (every training run
+    // documents its mix): per (source, lang), doc and token counts and
+    // their corpus shares. One partial-aggregating rollup; the shares'
+    // totals come back as a broadcast ONE-ROW aggregate (never a
+    // window over the rollup).
+    Q("t26_corpus_mix",
+      (s, dir) => {
+        val g = Tables.load(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        val tot = g.agg(sum(col("n_docs")).as("_td"), sum(col("n_tokens")).as("_tt"))
+        g.crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+            graft.core.Exprs.roundHalfUp(col("n_docs") / col("_td"), 6).as("doc_share"),
+            graft.core.Exprs.roundHalfUp(col("n_tokens") / col("_tt"), 6).as("token_share"))
+      },
+      Some(s"""WITH tk AS (SELECT source, lang,
+             |         len(string_split_regex(lower(trim(text)), '\\s+')) AS nt
+             |       FROM documents),
+             |g AS (SELECT source, lang, count(*) AS n_docs,
+             |        CAST(sum(nt) AS BIGINT) AS n_tokens
+             |      FROM tk GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+             |        CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+             |SELECT source, lang, n_docs, n_tokens,
+             |       floor((CAST(n_docs AS DOUBLE)/td)*1e6 + 0.5)/1e6 AS doc_share,
+             |       floor((CAST(n_tokens AS DOUBLE)/tt)*1e6 + 0.5)/1e6 AS token_share
+             |FROM g, t""".stripMargin)),
 
     // T11 — Gopher-style repetition metrics (duplicate-token and
     // top-token fractions): explode once, two partial-agg shuffles.
@@ -1289,12 +1395,52 @@ object TrainQueries extends QuerySet {
       },
       Some(s"""WITH $embCte,
               |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-              |sc AS (SELECT qid, e.vec_id AS neighbor_id, floor(($cosSql)*1e6 + 0.5)/1e6 AS cosine
-              |       FROM q, e WHERE e.vec_id <> qid)
+              |${bfScoredCte("sc")}
               |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
               |FROM (SELECT *, row_number() OVER (PARTITION BY qid
               |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
               |WHERE rn <= 5""".stripMargin)),
+
+    // N13 — recall@k EVALUATION: the acceptance gate every approximate
+    // index must pass before it replaces the exact search — per query,
+    // the fraction of the brute-force top-5 the IVF top-5 recovered
+    // (IVF misses exactly the true neighbors living across the probed
+    // bucket's Voronoi boundary, so recall < 1 for boundary queries —
+    // the table is the recall/latency tradeoff, measured). Both rank
+    // lists are engine-portable (round-6 cosine, id tiebreaks), so the
+    // oracle replays both searches AND the hit accounting.
+    Q("n13_recall_eval",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Ann.recallAtK(
+          Ann.bruteForceTopK(qs, corpus, k = 5),
+          Ann.ivfSearch(qs, corpus, cents, k = 5), k = 5)
+      },
+      Some(s"""WITH $embCte,
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+              |${bfScoredCte("bfs")},
+              |bfr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM bfs) z
+              |        WHERE rn <= 5),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |${assignCtes("e", "c", "ca")},
+              |qa AS (SELECT vid AS qid, v AS qv, cid FROM ca WHERE vid < 10),
+              |${ivfScoredCte("qa", "ivs")},
+              |ivr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM ivs) z
+              |        WHERE rn <= 5),
+              |h AS (SELECT qid, count(*) AS hits
+              |      FROM bfr JOIN ivr USING (qid, neighbor_id) GROUP BY 1)
+              |SELECT qid, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+              |       floor((coalesce(hits, 0)/5.0)*1e4 + 0.5)/1e4 AS recall
+              |FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN h USING (qid)""".stripMargin)),
 
     // N2 — IVF-bucketed ANN (seeded centroids, broadcast assign,
     // within-bucket probe — the cross-join-free scale path), k=3.
@@ -1604,24 +1750,55 @@ object TrainQueries extends QuerySet {
         Pq.adcTopKBucketed(sd.filter(col("vid") < 10), cb1, codes, qBuckets, k = 5)
       },
       Some(s"""WITH $pqCtes,
-              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-              |${assignCtes("e", "c", "ca")},
-              |cbk AS (SELECT vid, cid AS bucket FROM ca),
-              |qs AS (SELECT vid, sub, dim, v FROM sd WHERE vid < 10),
-              |qd AS (SELECT qs.vid AS qid, sub, cid,
-              |         CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS qd2
-              |       FROM qs JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
-              |adq AS (SELECT qid, bucket, sub, cid, qd2
-              |        FROM qd JOIN (SELECT vid AS qid, bucket FROM cbk WHERE vid < 10) b
-              |        USING (qid)),
-              |cand AS (SELECT enc.vid, bucket, sub, cid FROM enc JOIN cbk USING (vid)),
-              |ad AS (SELECT qid, vid, CAST(sum(qd2) AS BIGINT) AS adc_d2
-              |       FROM cand JOIN adq USING (bucket, sub, cid) WHERE qid <> vid
-              |       GROUP BY 1, 2)
+              |$ivfPqAdcCtes
               |SELECT qid, vid AS neighbor_id, adc_d2, CAST(rn AS BIGINT) AS rank
               |FROM (SELECT *, row_number() OVER (PARTITION BY qid
               |        ORDER BY adc_d2, vid) AS rn FROM ad) z
               |WHERE rn <= 5""".stripMargin)),
+
+    // N12 — IVF-PQ with exact re-rank: the production REFINE step (ADC
+    // distances are quantization approximations — the deployed search
+    // takes an ADC shortlist at k' > k, fetches raw vectors for those
+    // few rows only, and re-ranks exactly). Shortlist k'=10 from n10's
+    // bucketed ADC, re-ranked to k=3 on the round-6 cosine; the corpus
+    // is touched once by the PQ scan and once by a broadcast-probed
+    // equi-join on the shortlist ids — never a second distance scan.
+    // Oracle replays both stages through the shared ADC chain.
+    Q("n12_pq_rerank",
+      (s, dir) => {
+        import graft.ann.{Ann, Pq}
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val buckets = Ann.ivfAssign(
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")), cents)
+          .select(col("vid"), col("cid").as("bucket"))
+        val (sd, cb1) = pqChain(s, dir)
+        val codes = Pq.assign(sd, cb1).select("vid", "sub", "cid")
+          .join(buckets, "vid")
+        val qBuckets = buckets.filter(col("vid") < 10)
+          .select(col("vid").as("qid"), col("bucket"))
+        val shortlist = Pq.adcTopKBucketed(
+          sd.filter(col("vid") < 10), cb1, codes, qBuckets, k = 10)
+        Pq.rerankExact(shortlist,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")), k = 3)
+      },
+      Some(s"""WITH $pqCtes,
+              |$ivfPqAdcCtes,
+              |sl AS (SELECT qid, vid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY qid
+              |           ORDER BY adc_d2, vid) AS rn FROM ad) z WHERE rn <= 10),
+              |rr AS (SELECT sl.qid, sl.vid AS neighbor_id,
+              |         floor((list_dot_product(q.v, n.v)
+              |           /(sqrt(list_dot_product(q.v, q.v))*sqrt(list_dot_product(n.v, n.v))))*1e6 + 0.5)/1e6 AS cosine
+              |       FROM sl JOIN e q ON q.vec_id = sl.qid
+              |                JOIN e n ON n.vec_id = sl.vid)
+              |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM rr) z
+              |WHERE rn <= 3""".stripMargin)),
 
     // N11 — incremental index maintenance, the ANN side of the
     // incremental trio (d09 minhash bands / d13 substring windows /

@@ -552,6 +552,64 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got === Seq(Seq(1L, 2L), Seq(3L, 1L)))
   }
 
+  test("Decontam.fuzzyContaminated: near-dup corpus docs flagged, corpus pairs never scored") {
+    // eval 100 is a near-copy of corpus docs 1 AND 4 (identical twins)
+    // and a weaker near-copy of 2; doc 3 is clean. Corpus-resident pair
+    // (1,4) shares everything but must NOT produce a row — only
+    // corpus×eval similarity is reported.
+    val eval = df(docSchema,
+      Seq(Row(100L, "quick brown fox jumps over the lazy dog")))
+    val got = rowsOf(graft.pipeline.Decontam.fuzzyContaminated(
+      docs, eval, "doc_id", "text", shingleN = 2, threshold = 0.5)
+      .orderBy("doc_id"))
+    assert(got.map(_.head) === Seq(1L, 2L, 4L))
+    assert(got.map(_(2)) === Seq(1L, 1L, 1L)) // one bench match each
+    // docs 1/4 differ from eval only by the leading "the"
+    assert(got.filter(r => r.head == 1L || r.head == 4L)
+      .forall(_(1).asInstanceOf[Double] > 0.8))
+  }
+
+  test("Decontam.fuzzyContaminated: overlapping ids fail loudly") {
+    val eval = df(docSchema,
+      Seq(Row(1L, "the quick brown fox jumps over the lazy dog")))
+    val ex = intercept[Exception] {
+      graft.pipeline.Decontam.fuzzyContaminated(
+        docs, eval, "doc_id", "text", shingleN = 2, threshold = 0.5).collect()
+    }
+    assert(ex.getMessage.contains("disjoint") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("disjoint"))
+  }
+
+  test("Ann.recallAtK: hit counting, zero-hit queries still get a row") {
+    val rs = StructType(Seq(StructField("qid", LongType),
+      StructField("neighbor_id", LongType)))
+    val truth = df(rs, Seq(Row(1L, 10L), Row(1L, 11L), Row(2L, 20L),
+      Row(2L, 21L), Row(3L, 30L), Row(3L, 31L)))
+    val approx = df(rs, Seq(Row(1L, 10L), Row(1L, 11L), Row(2L, 21L),
+      Row(2L, 99L), Row(3L, 98L), Row(3L, 99L)))
+    val got = rowsOf(graft.ann.Ann.recallAtK(truth, approx, k = 2).orderBy("qid"))
+    assert(got === Seq(Seq(1L, 2L, 1.0), Seq(2L, 1L, 0.5), Seq(3L, 0L, 0.0)))
+  }
+
+  test("Pq.rerankExact: exact cosine re-orders the ADC shortlist") {
+    val es = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val corpus = df(es, Seq(
+      Row(10L, Seq(1.0, 0.0)),   // cos to query = 1.0
+      Row(11L, Seq(1.0, 0.2)),   // ~0.981
+      Row(12L, Seq(0.0, 1.0))))  // 0.0
+      .select(col("id").as("vid"), col("v").as("vec"))
+    val queries = df(es, Seq(Row(1L, Seq(1.0, 0.0))))
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    // ADC put the worse neighbor first; exact re-rank must flip it
+    val sl = df(StructType(Seq(StructField("qid", LongType),
+      StructField("neighbor_id", LongType))),
+      Seq(Row(1L, 11L), Row(1L, 10L), Row(1L, 12L)))
+    val got = rowsOf(graft.ann.Pq.rerankExact(sl, queries, corpus, k = 2)
+      .select("qid", "neighbor_id", "rank"))
+    assert(got.toSet === Set(Seq(1L, 10L, 1L), Seq(1L, 11L, 2L)))
+  }
+
   test("repetitionMetrics: dup-token and top-token fractions") {
     val d = df(docSchema, Seq(Row(1L, "a a a b"), Row(2L, "a b c d")))
     val got = rowsOf(TextAnalysis.repetitionMetrics(d, "doc_id", "text").orderBy("doc_id"))
