@@ -50,6 +50,23 @@ object EventQueries extends QuerySet {
        |FROM k LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
        |       LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  /** The interval-join oracle (clicks ⨝ views within the trailing
+    * hour, exact-micros arithmetic) — spliced by BOTH e03 (batch
+    * relational engine) and st07 (watermarked stream-stream join);
+    * one definition keeps the two gates in lockstep. */
+  private val intervalJoinSql =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |             CAST(round(value*100) AS BIGINT) AS value_cents
+      |           FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+      |      FROM e WHERE event_type = 'click'),
+      |v AS (SELECT event_id AS view_id, user_id, ts_us AS view_us, value_cents
+      |      FROM e WHERE event_type = 'view')
+      |SELECT click_id, c.user_id, click_us, view_id, view_us, value_cents
+      |FROM c JOIN v ON c.user_id = v.user_id
+      | AND view_us > click_us - 3600000000 AND view_us <= click_us""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // E1 — backward as-of join: each click picks the latest view (same
@@ -102,17 +119,67 @@ object EventQueries extends QuerySet {
           .select(col("click_id"), col("user_id"), col("click_us"),
             col("view_id"), col("view_us"), col("value_cents"))
       },
-      Some("""WITH e AS (SELECT event_id, user_id, event_type,
-             |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-             |             CAST(round(value*100) AS BIGINT) AS value_cents
-             |           FROM events),
-             |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
-             |      FROM e WHERE event_type = 'click'),
-             |v AS (SELECT event_id AS view_id, user_id, ts_us AS view_us, value_cents
-             |      FROM e WHERE event_type = 'view')
-             |SELECT click_id, c.user_id, click_us, view_id, view_us, value_cents
-             |FROM c JOIN v ON c.user_id = v.user_id
-             | AND view_us > click_us - 3600000000 AND view_us <= click_us""".stripMargin)),
+      Some(intervalJoinSql)),
+
+    // ST07 — e03 as a STREAM-STREAM JOIN: clicks and views arrive as
+    // two watermarked streams and matches are emitted as soon as both
+    // sides exist — the facility that makes attribution viable on live
+    // data (join state is bounded by watermark + interval, never the
+    // history). Input lands in two TIME-SPLIT waves through ONE
+    // checkpoint: each wave is strictly later than the previous, so
+    // the persisted watermark can never drop later input, while a
+    // later-wave click within an hour of an earlier-wave view MUST
+    // find it in resumed join state (and the file-source log proves
+    // earlier waves are not re-joined). The two cutoffs are chosen to
+    // SPLIT a real match pair at every gated SF (T1 straddles a pair
+    // at sf0.001, T2 at sf0.01 and sf0.1), so the cross-wave
+    // state-retention path is non-vacuous everywhere. delay (2h) >
+    // interval (1h) keeps boundary-straddling view state alive across
+    // the resumes. The final output must equal the batch interval
+    // join — SAME oracle as e03.
+    Q("st07_stream_interval_join",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = "/tmp/graft_st07_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts"),
+          graft.core.Exprs.cents(col("value")).cast("long").as("value_cents"))
+        val cut1 = timestamp_micros(lit(1704432000000000L))
+        val cut2 = timestamp_micros(lit(1705607000000000L))
+        def run(): Unit = {
+          val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/drop")
+          val clicks = stream.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("c_ts"))
+          val views = stream.filter(col("event_type") === "view")
+            .select(col("event_id").as("view_id"), col("user_id"),
+              col("ts").as("v_ts"), col("value_cents"))
+          val q = EventOps.streamIntervalJoin(clicks, views, "user_id",
+              "c_ts", "v_ts", interval = "1 HOUR", delay = "2 hours")
+            .select(col("click_id"), col("user_id"),
+              unix_micros(col("c_ts")).as("click_us"),
+              col("view_id"), unix_micros(col("v_ts")).as("view_us"),
+              col("value_cents"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ck")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        ev.filter(col("ts") < cut1).coalesce(4)
+          .write.mode("append").parquet(s"$tmp/drop")
+        run()
+        ev.filter(col("ts") >= cut1 && col("ts") < cut2).coalesce(4)
+          .write.mode("append").parquet(s"$tmp/drop")
+        run()
+        ev.filter(col("ts") >= cut2).coalesce(4)
+          .write.mode("append").parquet(s"$tmp/drop")
+        run()
+        s.read.parquet(s"$tmp/out")
+      },
+      Some(intervalJoinSql)),
 
     // E4 — semi-structured extraction: pull a typed field out of the
     // JSON props column (get_json_object — Catalyst's native JSON path,
