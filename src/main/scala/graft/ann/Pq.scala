@@ -57,6 +57,24 @@ object Pq {
       Seq(-col("d2"), -col("cid")),
       Seq("cid" -> col("cid"), "d2" -> col("d2")))
 
+  /** Residual subvector rows — the canonical IVF-PQ composition
+    * (Jégou et al., "Product quantization for nearest neighbor
+    * search", IEEE TPAMI 2011): PQ quantizes the residual
+    * x − c(bucket) instead of x itself, concentrating codebook
+    * capacity on the within-cell displacement (much lower variance
+    * than raw vectors once the coarse quantizer has explained the
+    * cell). Inputs: vector subdims (vid, sub, dim, v), the coarse
+    * assignment (vid, bucket), and centroid subdims keyed by bucket
+    * (bucket, sub, dim, cv) — tiny, BROADCAST. Integer 1e-6 units
+    * subtract exactly, so the residual chain stays engine-portable end
+    * to end. Returns (vid, bucket, sub, dim, v). */
+  def residualSubDims(sd: DataFrame, buckets: DataFrame,
+      centSub: DataFrame): DataFrame =
+    sd.join(buckets, "vid")
+      .join(broadcast(centSub), Seq("bucket", "sub", "dim"))
+      .select(col("vid"), col("bucket"), col("sub"), col("dim"),
+        (col("v") - col("cv")).as("v"))
+
   /** One Lloyd round per subspace: assign, then recompute each
     * codeword as the per-dimension mean of its members (integral-unit
     * values, mean re-quantized half-up — exact in any summation order).

@@ -157,17 +157,26 @@ object TrainQueries extends QuerySet {
     * codebook (cb0), assignment → retrained codebook (cb1), final
     * encode of the training slice (enc). Splice this; never re-derive
     * (the assignCtes lockstep rule). */
-  private def pqCtesOn(trainWhere: String): String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |iv AS (SELECT vec_id,
-       |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS u
-       |       FROM e),
-       |sd AS (SELECT vec_id AS vid, CAST((d-1)//16 AS BIGINT) AS sub,
-       |              CAST((d-1)%16 AS BIGINT) AS dim, u[d] AS v
-       |       FROM (SELECT vec_id, u, unnest(generate_series(1, len(u))) AS d
-       |             FROM iv) z),
-       |sdt AS (SELECT * FROM sd WHERE $trainWhere),
-       |cb0 AS (SELECT sub, vid AS cid, dim, v AS cv FROM sdt WHERE vid < 16),
+  /** Integer-unit subdim construction (e → iv → sd) — the SQL twin of
+    * Pq.subDims at ds=16, shared by the raw and residual PQ chains. */
+  private val pqSubDimCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |iv AS (SELECT vec_id,
+      |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS u
+      |       FROM e),
+      |sd AS (SELECT vec_id AS vid, CAST((d-1)//16 AS BIGINT) AS sub,
+      |              CAST((d-1)%16 AS BIGINT) AS dim, u[d] AS v
+      |       FROM (SELECT vec_id, u, unnest(generate_series(1, len(u))) AS d
+      |             FROM iv) z)""".stripMargin
+
+  /** PQ train + encode chain (sdt → cb0 → a1 → c1 → cb1 → a2 → enc)
+    * over any subdim source `src` — the SQL twin of Pq.retrain/assign
+    * at k=16, one Lloyd round; `initWhere` picks the seed subvectors.
+    * n08-n12 run it over raw subdims (`sd`), n14 over residuals. */
+  private def pqTrainCtes(src: String, trainWhere: String,
+      initWhere: String = "vid < 16"): String =
+    s"""sdt AS (SELECT * FROM $src WHERE $trainWhere),
+       |cb0 AS (SELECT sub, vid AS cid, dim, v AS cv FROM sdt WHERE $initWhere),
        |a1 AS (SELECT vid, sub, cid, CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS d2
        |       FROM sdt JOIN cb0 USING (sub, dim) GROUP BY 1, 2, 3),
        |c1 AS (SELECT vid, sub, cid FROM (
@@ -181,17 +190,24 @@ object TrainQueries extends QuerySet {
        |          SELECT *, row_number() OVER (PARTITION BY vid, sub
        |            ORDER BY d2, cid) AS rn FROM a2) z WHERE rn = 1)""".stripMargin
 
+  private def pqCtesOn(trainWhere: String): String =
+    s"""$pqSubDimCtes,
+       |${pqTrainCtes("sd", trainWhere)}""".stripMargin
+
   private val pqCtes = pqCtesOn("TRUE")
 
-  /** The n10/n12 IVF-PQ ADC search chain (coarse buckets → per-query
-    * bucket-restricted distance tables → summed ADC distances
-    * ad(qid, vid, adc_d2)). Splice after [[pqCtes]]; never re-derive
-    * (the assignCtes lockstep rule). */
-  private val ivfPqAdcCtes: String =
+  /** Coarse-bucket CTEs (c → ca → cbk) shared by every IVF-PQ oracle. */
+  private val coarseBucketCtes: String =
     s"""c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
        |${assignCtes("e", "c", "ca")},
-       |cbk AS (SELECT vid, cid AS bucket FROM ca),
-       |qs AS (SELECT vid, sub, dim, v FROM sd WHERE vid < 10),
+       |cbk AS (SELECT vid, cid AS bucket FROM ca)""".stripMargin
+
+  /** Bucket-restricted ADC tail (qs → qd → adq → cand → ad) over any
+    * query subdim source (`sd` for raw PQ, `rsd` for residual PQ) —
+    * needs cb1/enc from [[pqTrainCtes]] and cbk from
+    * [[coarseBucketCtes]] in scope. */
+  private def adcTailCtes(qsrc: String): String =
+    s"""qs AS (SELECT vid, sub, dim, v FROM $qsrc WHERE vid < 10),
        |qd AS (SELECT qs.vid AS qid, sub, cid,
        |         CAST(sum((v-cv)*(v-cv)) AS BIGINT) AS qd2
        |       FROM qs JOIN cb1 USING (sub, dim) GROUP BY 1, 2, 3),
@@ -202,6 +218,14 @@ object TrainQueries extends QuerySet {
        |ad AS (SELECT qid, vid, CAST(sum(qd2) AS BIGINT) AS adc_d2
        |       FROM cand JOIN adq USING (bucket, sub, cid) WHERE qid <> vid
        |       GROUP BY 1, 2)""".stripMargin
+
+  /** The n10/n12 IVF-PQ ADC search chain (coarse buckets → per-query
+    * bucket-restricted distance tables → summed ADC distances
+    * ad(qid, vid, adc_d2)). Splice after [[pqCtes]]; never re-derive
+    * (the assignCtes lockstep rule). */
+  private val ivfPqAdcCtes: String =
+    s"""$coarseBucketCtes,
+       |${adcTailCtes("sd")}""".stripMargin
 
   /** Shared n11/st06 oracle — frozen-codebook index add (train on
     * vid < 400, encode + bucket-assign the vid ≥ 400 batch). The
@@ -1799,6 +1823,54 @@ object TrainQueries extends QuerySet {
               |FROM (SELECT *, row_number() OVER (PARTITION BY qid
               |        ORDER BY cosine DESC, neighbor_id) AS rn FROM rr) z
               |WHERE rn <= 3""".stripMargin)),
+
+    // N14 — RESIDUAL IVF-PQ (Jégou et al.'s canonical composition):
+    // PQ trains on and encodes x − c(bucket) instead of x — the coarse
+    // quantizer explains the cell, the codebook spends its 16 codewords
+    // on the within-cell displacement. The query side prices candidates
+    // against its OWN residual (single-probe: probed bucket = assigned
+    // bucket, so query and candidate residuals share the centroid).
+    // Integer units subtract exactly, so the oracle replays bucket
+    // assignment, residual computation, codebook training, encoding,
+    // AND the bucketed ADC search. Codebook seeds are vids 8-23 (0-7
+    // are the centroids themselves — their residuals are degenerate
+    // zeros).
+    Q("n14_ivf_pq_residual",
+      (s, dir) => {
+        import graft.ann.{Ann, Pq}
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val buckets = Ann.ivfAssign(
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")), cents)
+          .select(col("vid"), col("cid").as("bucket"))
+        val sd = Pq.subDims(e, "vec_id", "embedding", ds = 16)
+        val centSub = sd.filter(col("vid") < 8)
+          .select(col("vid").as("bucket"), col("sub"), col("dim"),
+            col("v").as("cv"))
+        val rsd = Pq.residualSubDims(sd, buckets, centSub)
+          .localCheckpoint(eager = false)
+        val cb0 = rsd.filter(col("vid") >= 8 && col("vid") < 24)
+          .select(col("sub"), col("vid").as("cid"), col("dim"), col("v").as("cv"))
+        val rs = rsd.select("vid", "sub", "dim", "v")
+        val cb1 = Pq.retrain(rs, cb0).localCheckpoint(eager = false)
+        val codes = Pq.assign(rs, cb1).select("vid", "sub", "cid")
+          .join(buckets, "vid")
+        val qBuckets = buckets.filter(col("vid") < 10)
+          .select(col("vid").as("qid"), col("bucket"))
+        Pq.adcTopKBucketed(rs.filter(col("vid") < 10), cb1, codes, qBuckets, k = 5)
+      },
+      Some(s"""WITH $pqSubDimCtes,
+              |$coarseBucketCtes,
+              |csd AS (SELECT vid AS bucket, sub, dim, v AS cv FROM sd WHERE vid < 8),
+              |rsd AS (SELECT sd.vid, bucket, sub, dim, sd.v - csd.cv AS v
+              |        FROM sd JOIN cbk USING (vid) JOIN csd USING (bucket, sub, dim)),
+              |${pqTrainCtes("rsd", "TRUE", "vid >= 8 AND vid < 24")},
+              |${adcTailCtes("rsd")}
+              |SELECT qid, vid AS neighbor_id, adc_d2, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY adc_d2, vid) AS rn FROM ad) z
+              |WHERE rn <= 5""".stripMargin)),
 
     // N11 — incremental index maintenance, the ANN side of the
     // incremental trio (d09 minhash bands / d13 substring windows /

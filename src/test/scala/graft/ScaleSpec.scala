@@ -210,6 +210,17 @@ class ScaleSpec extends AnyFunSuite {
     val wins = bucketed.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
       s"unpartitioned bucketed-ADC window:\n${bucketed.queryExecution.optimizedPlan}")
+    // n14 residual chain: centroid subdims meet the corpus subdims by
+    // BROADCAST (the centroid side is tiny) — never a shuffle keyed on
+    // the per-dimension rows, never a cross join
+    val centSub = sd.filter(col("vid") < 3)
+      .select(col("vid").as("bucket"), col("sub"), col("dim"), col("v").as("cv"))
+    val rsd = Pq.residualSubDims(sd,
+      sd.select(col("vid")).distinct().withColumn("bucket", pmod(col("vid"), lit(3))),
+      centSub)
+    val rPlan = rsd.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("CartesianProduct"), s"residual cross join:\n$rPlan")
+    assert(rPlan.contains("BroadcastHashJoin"), s"centroid subdims not broadcast:\n$rPlan")
     // BPE corpus accounting: the encoded vocab meets the corpus by
     // BROADCAST join; the count plan carries no window and no cross
     // join — per-merge work never rescans documents
