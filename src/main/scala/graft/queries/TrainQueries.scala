@@ -57,11 +57,13 @@ object TrainQueries extends QuerySet {
        |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
        |WHERE rn <= $k""".stripMargin
 
-  /** Brute-force scored CTE over q(qid, qv) × e — shared by n01/n13
-    * (the exact-search twin every recall evaluation ranks against). */
-  private def bfScoredCte(out: String): String =
+  /** Brute-force scored CTE over q(qid, qv) × `corpus` — shared by
+    * n01/n13 (float corpus `e`) and n15 (int8-code corpus `e8`); the
+    * corpus relation is aliased to `e` so the shared cosine fragment
+    * resolves against it. */
+  private def bfScoredCte(out: String, corpus: String = "e"): String =
     s"""$out AS (SELECT qid, e.vec_id AS neighbor_id, floor(($cosSql)*1e6 + 0.5)/1e6 AS cosine
-       |       FROM q, e WHERE e.vec_id <> qid)""".stripMargin
+       |       FROM q, $corpus e WHERE e.vec_id <> qid)""".stripMargin
 
   /** Substring-dedup oracle fragments shared by d12/d13: the bounded
     * base slice + donor span, and the docs→tokens→distinct-20-token-
@@ -1870,6 +1872,40 @@ object TrainQueries extends QuerySet {
               |SELECT qid, vid AS neighbor_id, adc_d2, CAST(rn AS BIGINT) AS rank
               |FROM (SELECT *, row_number() OVER (PARTITION BY qid
               |        ORDER BY adc_d2, vid) AS rn FROM ad) z
+              |WHERE rn <= 5""".stripMargin)),
+
+    // N15 — SQ8 flat search: brute-force cosine over the int8-quantized
+    // codes themselves (n06's 4× memory cut made searchable — the
+    // FAISS "SQ8 flat" tier between raw floats and PQ). The per-vector
+    // scale cancels out of the cosine, so the search ranks pure int8
+    // code arrays: every dot/norm term is an exactly-representable
+    // small integer and the only FP ops are one sqrt+divide per pair —
+    // engine-identical, so the oracle replays quantization AND the
+    // ranking. Quantization error visibly re-ranks vs the float search
+    // (the accuracy cost of the memory tier, measured by the gate).
+    Q("n15_sq8_search",
+      (s, dir) => {
+        import graft.ann.Vectors
+        val e8 = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(Vectors.quantizeInt8(col("embedding"))("q"),
+              x => x.cast("double")).as("v8"))
+        Ann.bruteForceTopK(
+          e8.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("v8").as("qvec")),
+          e8.select(col("vec_id").as("vid"), col("v8").as("vec")), k = 5)
+      },
+      Some(s"""WITH $embCte,
+              |s8 AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x)))/127.0 AS sc, v
+              |       FROM e),
+              |e8 AS (SELECT vec_id,
+              |         list_transform(v, x -> CAST(coalesce(floor(x/nullif(sc, 0) + 0.5), 0) AS DOUBLE)) AS v
+              |       FROM s8),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e8 WHERE vec_id < 10),
+              |${bfScoredCte("sc8", "e8")}
+              |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc8) t
               |WHERE rn <= 5""".stripMargin)),
 
     // N11 — incremental index maintenance, the ANN side of the
