@@ -16,6 +16,13 @@ object Stats {
     * need it back). */
   private def cumCounts(df: DataFrame, groupCol: String, valueCol: String,
       maxDistinct: Int): DataFrame = {
+    // the chain below introduces its own c/cum/n columns; a value or
+    // group column with one of those names would be silently replaced
+    // (withColumn) and the quantile would rank against the wrong data
+    require(!Set("c", "cum", "n").contains(valueCol) &&
+        !Set("c", "cum", "n").contains(groupCol),
+      s"Stats: column names c/cum/n are reserved by the quantile chain — " +
+        s"rename '$valueCol'/'$groupCol' before calling")
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("c"))
     val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))

@@ -362,6 +362,58 @@ object EventQueries extends QuerySet {
               |        ORDER BY n_events DESC, user_id) AS rn FROM u) z
               |WHERE rn <= 3""".stripMargin)),
 
+    // E9 — last-touch revenue attribution: each purchase credits the
+    // most recent click by the same user within a 7-day lookback, and
+    // the report rolls credited revenue up by day — the canonical
+    // marketing-attribution composition (as-of join → window test →
+    // rollup). The as-of picks the latest click via e01's union-scan
+    // machinery (one shuffle on user, never a range cross-join); ties
+    // at one timestamp resolve to the highest click id on both
+    // engines. Purchases with no qualifying click still count in
+    // n_purchases.
+    Q("e09_attribution",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("value_cents"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ms"),
+            col("event_id").as("click_id"),
+            struct(col("ts_ms").as("c_ms"),
+              col("event_id").as("c_id")).as("pay"))
+        val attributed = EventOps.asOfJoin(purchases, clicks, "user_id",
+            "ts_ms", tie = "click_id", payload = "pay", out = "last_click")
+          .withColumn("attr",
+            col("last_click.c_ms").isNotNull &&
+              col("last_click.c_ms") > col("ts_ms") - 604800000L)
+        attributed
+          .groupBy(floor(col("ts_ms") / 86400000).cast("long").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("attr"), 1L).otherwise(0L)).as("n_attributed"),
+            sum(when(col("attr"), col("value_cents")).otherwise(0L))
+              .as("attributed_cents"))
+      },
+      Some(s"""WITH $eCte,
+              |p AS (SELECT event_id, user_id, ts_ms, value_cents FROM e
+              |      WHERE event_type = 'purchase'),
+              |c AS (SELECT user_id, ts_ms AS c_ms, event_id AS c_id FROM e
+              |      WHERE event_type = 'click' AND user_id IS NOT NULL),
+              |m AS (SELECT p.event_id, p.ts_ms, p.value_cents, c_ms,
+              |        row_number() OVER (PARTITION BY p.event_id
+              |          ORDER BY c_ms DESC, c_id DESC) AS rn
+              |      FROM p LEFT JOIN c
+              |        ON p.user_id = c.user_id AND c.c_ms <= p.ts_ms),
+              |b AS (SELECT ts_ms, value_cents,
+              |        CASE WHEN c_ms IS NOT NULL
+              |               AND c_ms > ts_ms - 604800000 THEN 1 ELSE 0 END AS attr
+              |      FROM m WHERE rn = 1)
+              |SELECT ts_ms//86400000 AS day, count(*) AS n_purchases,
+              |       CAST(sum(attr) AS BIGINT) AS n_attributed,
+              |       CAST(sum(CASE WHEN attr = 1 THEN value_cents ELSE 0 END) AS BIGINT)
+              |         AS attributed_cents
+              |FROM b GROUP BY 1""".stripMargin)),
+
     // E6 — day-grain retention cohorts: users grouped by first-active
     // day, fraction still active k days later (k ≤ 7). Activity dedups
     // to (user, day) before anything else — no raw-event shuffle.

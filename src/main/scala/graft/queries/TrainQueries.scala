@@ -339,15 +339,23 @@ object TrainQueries extends QuerySet {
     * whose output contract is exact-verified (id_a, id_b, jaccard):
     * when banding recall is complete (verified on the gated corpora,
     * see d02/d03 notes) the LSH result literally equals this. */
-  private val jaccard3Sql =
-    s"""WITH $shingle3Ctes,
+  /** [[shingle3Ctes]] extended to the ≥0.5 verified pair set jp(id_a,
+    * id_b, jaccard) — spliced by d02/d03/d09 (via [[jaccard3Sql]]) and
+    * d19 (same lockstep rule as shingle2Ctes/cc2Ctes). */
+  private val jaccard3Ctes =
+    s"""$shingle3Ctes,
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2)
-      |SELECT id_a, id_b, floor((CAST(c AS DOUBLE)/(na.n + nb.n - c))*1e4 + 0.5)/1e4 AS jaccard
-      |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
-      |WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""".stripMargin
+      |       GROUP BY 1, 2),
+      |jp AS (SELECT id_a, id_b,
+      |         floor((CAST(c AS DOUBLE)/(na.n + nb.n - c))*1e4 + 0.5)/1e4 AS jaccard
+      |       FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+      |       WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5)""".stripMargin
+
+  private val jaccard3Sql =
+    s"""WITH $jaccard3Ctes
+      |SELECT id_a, id_b, jaccard FROM jp""".stripMargin
 
   /** Paragraph-bearing view of the documents table: the synthetic corpus
     * is single-paragraph, so each doc is recomposed as its two token
@@ -775,6 +783,98 @@ object TrainQueries extends QuerySet {
              |       floor((CAST(n_docs AS DOUBLE)/td)*1e6 + 0.5)/1e6 AS doc_share,
              |       floor((CAST(n_tokens AS DOUBLE)/tt)*1e6 + 0.5)/1e6 AS token_share
              |FROM g, t""".stripMargin)),
+
+    // D19 — per-document top-k SIMILAR-document search (the "related
+    // docs" query a curation UI runs, distinct from dedup's pair
+    // report): every ≥0.5 verified near-dup pair, both orientations,
+    // ranked per doc by (jaccard desc, id asc), top 3 kept. Candidates
+    // come from the d02 banded-MinHash machinery — the window only ever
+    // sees the verified pair set, never the corpus.
+    Q("d19_similar_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Dedup.minhashLshPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          k = 32, bands = 8, shingleN = 3, threshold = 0.5)
+        val sym = pairs
+          .select(col("id_a").as("doc_id"), col("id_b").as("sim_id"), col("jaccard"))
+          .unionByName(pairs
+            .select(col("id_b").as("doc_id"), col("id_a").as("sim_id"), col("jaccard")))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("sim_id").asc)
+        sym.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH $jaccard3Ctes,
+             |sym AS (SELECT id_a AS doc_id, id_b AS sim_id, jaccard FROM jp
+             |        UNION ALL
+             |        SELECT id_b, id_a, jaccard FROM jp)
+             |SELECT doc_id, sim_id, jaccard, CAST(rn AS BIGINT) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY jaccard DESC, sim_id) AS rn FROM sym) z
+             |WHERE rn <= 3""".stripMargin)),
+
+    // T27 — bigram novelty scoring: the n-gram-LM curation cut (a doc
+    // whose bigrams are all corpus-common is boilerplate; one full of
+    // corpus-rare bigrams is novel — the integer-exact stand-in for a
+    // perplexity filter). "Rare" is RELATIVE: global bigram occurrence
+    // count ≤ the nearest-rank p25 of the distinct-bigram count
+    // distribution (the t19 relative-cutoff pattern — an absolute
+    // threshold would not survive a corpus scale-up). Plan: one
+    // bigram-keyed count shuffle, a distinct-value quantile (never a
+    // row sort), the one-row cut broadcast back over the occurrence
+    // rows, one per-doc rollup.
+    Q("t27_bigram_novelty",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bg = docs
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+          .select(col("doc_id"), col("__t"), explode(
+            when(size(col("__t")) >= 2, sequence(lit(1), size(col("__t")) - 1))
+              .otherwise(array())).as("__i"))
+          .select(col("doc_id"), concat_ws(" ",
+            element_at(col("__t"), col("__i")),
+            element_at(col("__t"), col("__i") + 1)).as("bg"))
+        // "bn", not "n": the quantile chain reserves c/cum/n (loud
+        // require in Stats.cumCounts — this query is why it exists)
+        val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("bn"))
+          .localCheckpoint(eager = false)
+        val cut = graft.core.Stats.groupedQuantiles(
+          counts.withColumn("__g", lit(1)), "__g", "bn", Seq(25 -> "cut"))
+          .select(col("cut"))
+        val perDoc = bg.join(counts, "bg").crossJoin(broadcast(cut))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("bn") <= col("cut"), 1L).otherwise(0L)).as("n_rare"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+            when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+              graft.core.Exprs.roundHalfUp(
+                col("n_rare") / col("n_bigrams"), 4)).as("rare_frac"))
+      },
+      Some(s"""WITH $toksCte,
+             |b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+             |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+             |            FROM toks WHERE len(t) >= 2) z),
+             |c AS (SELECT bg, count(*) AS n FROM b GROUP BY 1),
+             |cc AS (SELECT n AS v, count(*) AS k FROM c GROUP BY 1),
+             |cx AS (SELECT v, sum(k) OVER (ORDER BY v) AS cum,
+             |              sum(k) OVER () AS tot FROM cc),
+             |cut AS (SELECT min(CASE WHEN cum >= (tot*25 + 99) // 100 THEN v END) AS cut
+             |        FROM cx),
+             |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+             |         CAST(sum(CASE WHEN n <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+             |       FROM b JOIN c USING (bg), cut GROUP BY doc_id),
+             |ids AS (SELECT doc_id FROM documents)
+             |SELECT ids.doc_id,
+             |       coalesce(n_bigrams, 0) AS n_bigrams,
+             |       coalesce(n_rare, 0) AS n_rare,
+             |       CASE WHEN coalesce(n_bigrams, 0) > 0
+             |            THEN floor((CAST(n_rare AS DOUBLE)/n_bigrams)*1e4 + 0.5)/1e4
+             |       END AS rare_frac
+             |FROM ids LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
     // T11 — Gopher-style repetition metrics (duplicate-token and
     // top-token fractions): explode once, two partial-agg shuffles.
