@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot change-data-capture: classify every key across two table
+  * snapshots as insert / delete / update / unchanged — the
+  * change-capture primitive behind the reference's merged-database
+  * append workflow (SSURGO_MergeDatabases*.py's append+dedup is the
+  * insert-only special case) and the first stage of any SCD/lakehouse
+  * merge.
+  *
+  * Plan: ONE full-outer join on the key — both snapshots shuffle once
+  * on the same key (no broadcast assumption: at 100 TB both sides are
+  * corpus-sized); classification is per-row arithmetic on the joined
+  * row. With both snapshots bucketed on the key ([[Lake.writeBucketed]])
+  * the shuffle disappears entirely. */
+object Cdc {
+
+  /** Diff two snapshots on `key`; `tracked` are the value columns
+    * change is detected on (null-safe `<=>` comparison, so a value
+    * moving to/from NULL is an update, not a tie). Keys must be unique
+    * per snapshot (snapshot semantics). Returns
+    * (key, op, old_<c>…, new_<c>…) with op ∈
+    * insert | delete | update | unchanged. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    require(tracked.nonEmpty, "snapshotDiff: no tracked columns")
+    val o = oldSnap.select(col(key).as("_ok") +:
+      tracked.map(c => col(c).as(s"old_$c")): _*)
+    val n = newSnap.select(col(key).as("_nk") +:
+      tracked.map(c => col(c).as(s"new_$c")): _*)
+    val changed = tracked.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, col("_ok") === col("_nk"), "full_outer")
+      .withColumn("op",
+        when(col("_ok").isNull, lit("insert"))
+          .when(col("_nk").isNull, lit("delete"))
+          .when(changed, lit("update"))
+          .otherwise(lit("unchanged")))
+      .withColumn(key, coalesce(col("_ok"), col("_nk")))
+      .drop("_ok", "_nk")
+  }
+
+  /** [[snapshotDiff]] restricted to actual changes — the rows a
+    * downstream merge applies. */
+  def changes(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame =
+    snapshotDiff(oldSnap, newSnap, key, tracked)
+      .filter(col("op") =!= "unchanged")
+}

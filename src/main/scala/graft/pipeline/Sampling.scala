@@ -123,6 +123,87 @@ object Sampling {
       .filter(col("stratum_rank") <= k)
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 54(6), 2007): the
+    * k highest-priority rows where priority q = w/u with
+    * u = (hash32(id)+1)/2³² ∈ (0,1] — a weight-sensitive sample without
+    * replacement whose inclusion probability grows with weight (heavy
+    * rows are near-certain members; light rows enter ∝ w). The draw
+    * comes from the engine-portable [[hash32]], not an RNG, so the
+    * sample is reproducible across runs, engines, and partitionings.
+    *
+    * Engine-portable FP: q is evaluated as (w·2³²)/(h+1) — w·2³² is
+    * exact in a double for w < 2²⁰ (loud-guarded) and the single
+    * division is IEEE-correctly-rounded, so both engines produce
+    * bit-identical doubles; ties break on id (total order).
+    *
+    * Plan: orderBy+limit compiles to TakeOrderedAndProject — each task
+    * keeps a k-row heap and only the heaps merge; the corpus is never
+    * globally sorted (ScaleSpec-pinned). Null ids are excluded (no
+    * portable draw); negative ids and weights outside [1, 2²⁰) fail
+    * LOUDLY — a silent pass would diverge from the SQL twin instead
+    * of erroring. */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column,
+      k: Int, out: String = "priority"): DataFrame = {
+    require(k >= 1, s"prioritySample: k=$k must be positive")
+    val w = weight.cast("long")
+    val q = (w.cast("double") * lit(4294967296.0)) /
+      (hash32(col(idCol)) + lit(1L)).cast("double")
+    df.filter(col(idCol).isNotNull)
+      .filter(coalesce(assert_true(col(idCol) >= 0,
+        lit(s"prioritySample: negative $idCol unsupported (hash32)")), lit(true)))
+      .filter(coalesce(assert_true(w >= 1 && w < 1048576L,
+        lit("prioritySample: weight outside [1, 2^20) — w*2^32 must stay " +
+          "exact in a double for the priority to be engine-portable")), lit(true)))
+      .withColumn(out, q)
+      .orderBy(col(out).desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-domain keep thresholds for [[rebalanceSqrt]]: keep rate
+    * r_d = √(n_min/n_d) expressed as the integer cut
+    * floor(r_d·2³²) that [[hash32]] draws compare against. Exposed so
+    * reports (and the SQL twin) state the thresholds themselves rather
+    * than re-deriving the formula. Returns (domain, n_docs,
+    * keep_threshold); the smallest domain's threshold is exactly 2³²
+    * (keeps everything). */
+  def rebalanceThresholds(df: DataFrame, domainCol: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min(col("n_docs")).as("_nmin"))
+    counts.crossJoin(broadcast(nmin))
+      .select(col(domainCol), col("n_docs"),
+        floor(sqrt(col("_nmin").cast("double") / col("n_docs").cast("double"))
+          * 4294967296L).cast("long").as("keep_threshold"))
+  }
+
+  /** Temperature-based domain rebalancing (the multilingual-corpus
+    * resampling of XLM-R / mC4, exponent pinned at ½): thin each
+    * domain toward a flatter mixture by keeping rows with probability
+    * √(n_min/n_d) — the smallest domain keeps everything; a domain 4×
+    * larger keeps half. The exponent is fixed at one half because sqrt
+    * is the one power IEEE requires correctly rounded: n_min/n_d (one
+    * division), sqrt, and the 2³² scale (exact — a power of two) are
+    * each single correctly-rounded ops, so the [[rebalanceThresholds]]
+    * cut is bit-identical on any engine. Membership is
+    * hash32(id) < threshold — the same deterministic per-row draw as
+    * [[mixtureSample]]. Null-id rows are dropped (no portable draw);
+    * negative ids fail loudly; null domains never match the threshold
+    * join and are dropped too.
+    *
+    * Plan: one partial-aggregating count per domain, a one-row min
+    * broadcast back over the (tiny) domain table, and one broadcast
+    * hash join of thresholds onto the corpus — the corpus itself
+    * never shuffles. */
+  def rebalanceSqrt(df: DataFrame, idCol: String, domainCol: String): DataFrame = {
+    val thr = rebalanceThresholds(df, domainCol)
+      .select(col(domainCol), col("keep_threshold"))
+    df.filter(col(idCol).isNotNull)
+      .filter(coalesce(assert_true(col(idCol) >= 0,
+        lit(s"rebalanceSqrt: negative $idCol unsupported (hash32)")), lit(true)))
+      .join(broadcast(thr), Seq(domainCol))
+      .filter(hash32(col(idCol)) < col("keep_threshold"))
+      .drop("keep_threshold")
+  }
+
   /** Deterministic corpus sharding + within-shard training order — the
     * "global shuffle" of a pretraining data pipeline, reproducible
     * across runs, engines, and partitionings: shard = [[hash32]](id)

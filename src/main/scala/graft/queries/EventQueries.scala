@@ -414,6 +414,50 @@ object EventQueries extends QuerySet {
               |         AS attributed_cents
               |FROM b GROUP BY 1""".stripMargin)),
 
+    // E10 — daily-volume anomaly report: every (event type, day)
+    // rollup row scored against the type's exact median daily count —
+    // ratio-to-median plus a 1.2× spike flag (the ops-dashboard
+    // "traffic anomaly" query). Aggregate FIRST: the raw events
+    // shuffle once into the (type, day) rollup; the median comes from
+    // the tiny distinct-count distribution (Stats.groupedQuantiles —
+    // never a row sort) and broadcasts back onto the 150-row rollup.
+    // The ratio is one correctly-rounded division then the repo's
+    // floor-form half-up rounding — engine-identical bits.
+    Q("e10_daily_anomaly",
+      (s, dir) => {
+        val daily = evts(s, dir)
+          .select(col("event_type"),
+            floor(col("ts_ms") / 86400000).cast("long").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val med = graft.core.Stats.groupedQuantiles(daily, "event_type",
+          "n_events", Seq(50 -> "p50_n"))
+        daily.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), col("day"), col("n_events"), col("p50_n"),
+            graft.core.Exprs.roundHalfUp(
+              col("n_events").cast("double") / col("p50_n").cast("double"), 4)
+              .as("ratio_to_median"),
+            (col("n_events") * 10 > col("p50_n") * 12).as("spike"))
+      },
+      Some(s"""WITH $eCte,
+              |dd AS (SELECT event_type, ts_ms//86400000 AS day,
+              |         count(*) AS n_events
+              |       FROM e GROUP BY 1, 2),
+              |c AS (SELECT event_type, n_events, count(*) AS c
+              |      FROM dd GROUP BY 1, 2),
+              |x AS (SELECT event_type, n_events,
+              |        sum(c) OVER (PARTITION BY event_type ORDER BY n_events) AS cum,
+              |        sum(c) OVER (PARTITION BY event_type) AS n
+              |      FROM c),
+              |m AS (SELECT event_type,
+              |        min(CASE WHEN cum >= (n*50 + 99)//100 THEN n_events END) AS p50_n
+              |      FROM x GROUP BY 1)
+              |SELECT dd.event_type, day, n_events, p50_n,
+              |       floor((CAST(n_events AS DOUBLE)/CAST(p50_n AS DOUBLE))*1e4 + 0.5)/1e4
+              |         AS ratio_to_median,
+              |       n_events * 10 > p50_n * 12 AS spike
+              |FROM dd JOIN m USING (event_type)""".stripMargin)),
+
     // E6 — day-grain retention cohorts: users grouped by first-active
     // day, fraction still active k days later (k ≤ 7). Activity dedups
     // to (user, day) before anything else — no raw-event shuffle.

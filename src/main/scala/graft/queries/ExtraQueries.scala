@@ -155,6 +155,28 @@ object ExtraQueries extends QuerySet {
       Some("""SELECT l_orderkey % 100 AS hot_key, l_orderkey, l_linenumber, n_name
              |FROM lineitem JOIN nation ON l_orderkey % 100 = n_nationkey * 4""".stripMargin)),
 
+    // J18 — bloom-prefiltered semijoin (the runtime-filter pattern for
+    // large⨝large joins): the build side's keys become a broadcast
+    // 2^20-bit bitmap that prunes probe rows BEFORE the exact semijoin
+    // shuffle — at 100 TB only bit-passing lineitem rows enter the
+    // exchange. False positives die in the exact join, false negatives
+    // are impossible, so the result IS the plain semijoin (the
+    // oracle). Bitmap hash is the engine-portable Sampling.hash32;
+    // ScaleSpec pins the broadcast bitmap join + prefilter pass-rate.
+    Q("j18_bloom_semijoin",
+      (s, dir) => {
+        val probe = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_quantity"))
+        val build = Tables.load(s, dir, "part")
+          .filter(col("p_size") >= 48).select(col("p_partkey"))
+        graft.core.BitmapFilter.bloomSemiJoin(
+          probe, "l_partkey", build, "p_partkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+             |FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)""".stripMargin)),
+
     // A-family legend side-output: the global [min,max] every aggregate
     // collects for the map legend (outputValues,
     // gSSURGO_CreateSoilMap.py:4766-4776).

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Cdc
+import graft.pipeline.{Profile, Sampling}
+import graft.text.TextAnalysis
+
+/** Corpus-engineering operators added in round 5's fifth session:
+  * weighted (priority) sampling, temperature rebalancing, column
+  * profiling, and snapshot CDC. All oracles splice the shared
+  * [[Sampling.hash32Sql]] twin — never a re-derived formula. */
+object SampleQueries extends QuerySet {
+
+  // plain (non-interpolated) literal so '\s' survives as regex text
+  private val toksCte =
+    """toks AS (SELECT doc_id,
+      |               string_split_regex(lower(trim(text)), '\s+') AS t
+      |        FROM documents)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // T28 — priority sampling (Duffield–Lund–Thorup): the k=50 docs
+    // with the highest w/u priority, w = token count, u the portable
+    // hash32 draw. The weighted-sample primitive of corpus curation
+    // ("sample 10M docs, long docs more likely") — deterministic,
+    // engine-portable, and top-k'd via TakeOrderedAndProject (per-task
+    // heaps; the corpus is never globally sorted — ScaleSpec-pinned).
+    // Priorities are bit-identical across engines: w·2^32 is exact in
+    // a double (w < 2^20 loud-guarded) and the single division is
+    // IEEE-correctly-rounded.
+    Q("t28_priority_sample",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Sampling.prioritySample(d, "doc_id", col("n_tokens"), 50)
+      },
+      Some(s"""WITH $toksCte,
+              |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+              |      FROM toks WHERE doc_id IS NOT NULL),
+              |q AS (SELECT doc_id, n_tokens,
+              |        (CAST(n_tokens AS DOUBLE) * 4294967296.0)
+              |          / CAST((${Sampling.hash32Sql("doc_id")}) + 1 AS DOUBLE)
+              |          AS priority
+              |      FROM w)
+              |SELECT doc_id, n_tokens, priority FROM q
+              |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // T29 — temperature rebalancing (XLM-R/mC4 style, exponent ½):
+    // per-language keep thresholds floor(sqrt(n_min/n_lang)·2^32) and
+    // the deterministic hash32-draw kept counts — the multilingual
+    // flattening pass of a pretraining mixture. sqrt is the one power
+    // IEEE requires correctly rounded, so thresholds are bit-portable;
+    // the corpus never shuffles (threshold broadcast, rollup partial).
+    Q("t29_lang_rebalance",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val kept = Sampling.rebalanceSqrt(d, "doc_id", "lang")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        Sampling.rebalanceThresholds(d, "lang")
+          .join(kept, Seq("lang"), "left")
+          .na.fill(0L, Seq("n_kept"))
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+              |m AS (SELECT min(n_docs) AS nmin FROM c),
+              |t AS (SELECT lang, n_docs,
+              |        CAST(floor(sqrt(CAST(nmin AS DOUBLE)/CAST(n_docs AS DOUBLE))
+              |             * 4294967296) AS BIGINT) AS keep_threshold
+              |      FROM c, m),
+              |k AS (SELECT lang, count(*) AS n_kept
+              |      FROM documents d JOIN t USING (lang)
+              |      WHERE d.doc_id IS NOT NULL
+              |        AND (${Sampling.hash32Sql("doc_id")}) < keep_threshold
+              |      GROUP BY 1)
+              |SELECT t.lang, t.n_docs, t.keep_threshold,
+              |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+              |FROM t LEFT JOIN k USING (lang)""".stripMargin)),
+
+    // T30 — column profiling: the data-card stats table (rows, nulls,
+    // exact distinct cardinality per column) in ONE scan — a single
+    // stacked generator pass and one partial-aggregating shuffle,
+    // never a per-column job. Values profile in canonical string form
+    // (exact for these integer/string columns).
+    Q("t30_profile",
+      (s, dir) => Profile.profile(Tables.load(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n"))),
+
+    // S09 — snapshot CDC diff (the S10 merged-DB append generalized to
+    // full change capture): one full-outer join on the key classifies
+    // every customer key as insert/delete/update/unchanged; the gate
+    // ships the non-trivial changes. The "new" snapshot is a
+    // deterministic mutation of the old one — %13 keys deleted, %7
+    // balances bumped, %17 keys re-inserted under a shifted key — so
+    // all three change classes are non-vacuously present and the
+    // oracle rebuilds both snapshots from the same table.
+    Q("s09_snapshot_cdc",
+      (s, dir) => {
+        val oldSnap = Tables.load(s, dir, "customer").select(
+          col("c_custkey"),
+          graft.core.Exprs.cents(col("c_acctbal")).cast("long").as("bal_cents"))
+        val newSnap = oldSnap.filter(col("c_custkey") % 13 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, col("bal_cents") + 1000L)
+              .otherwise(col("bal_cents")).as("bal_cents"))
+          .unionByName(oldSnap.filter(col("c_custkey") % 17 === 0)
+            .select((col("c_custkey") + 100000000L).as("c_custkey"),
+              lit(0L).as("bal_cents")))
+        Cdc.changes(oldSnap, newSnap, "c_custkey", Seq("bal_cents"))
+      },
+      Some("""WITH o AS (SELECT c_custkey AS k,
+             |             CAST(round(c_acctbal*100) AS BIGINT) AS bal
+             |           FROM customer),
+             |n AS (SELECT k, CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
+             |      FROM o WHERE k % 13 <> 0
+             |      UNION ALL
+             |      SELECT k + 100000000, CAST(0 AS BIGINT) FROM o WHERE k % 17 = 0),
+             |d AS (SELECT COALESCE(o.k, n.k) AS c_custkey,
+             |        CASE WHEN o.k IS NULL THEN 'insert'
+             |             WHEN n.k IS NULL THEN 'delete'
+             |             WHEN o.bal IS DISTINCT FROM n.bal THEN 'update'
+             |             ELSE 'unchanged' END AS op,
+             |        o.bal AS old_bal_cents, n.bal AS new_bal_cents
+             |      FROM o FULL JOIN n ON o.k = n.k)
+             |SELECT * FROM d WHERE op <> 'unchanged'""".stripMargin)))
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.BitmapFilter
+import graft.io.Cdc
+import graft.pipeline.{Profile, Sampling}
+
+/** Round-5 session-5 operators: priority sampling, temperature
+  * rebalancing, column profiling, snapshot CDC, bitmap semijoin. */
+class SampleOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Independent reference hash32 (straight BigInt formula — not the
+    * limb-split production expression). */
+  private def refHash32(id: Long): Long =
+    ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+
+  private val docS = StructType(Seq(StructField("doc_id", LongType),
+    StructField("w", LongType)))
+
+  test("prioritySample == exact-rational top-k (double ranking is faithful)") {
+    // weights spread over two orders of magnitude; ids break any tie
+    val rows = (0L to 300L).map(i => Row(i, 1L + (i * 37) % 400))
+    val d = df(docS, rows)
+    val got = Sampling.prioritySample(d, "doc_id", col("w"), 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // exact rational ranking: w/(h+1) compared by BigInt cross-mult
+    val expect = rows.map(r => (r.getLong(0), r.getLong(1)))
+      .sortWith { case ((id1, w1), (id2, w2)) =>
+        val l = BigInt(w1) * (BigInt(refHash32(id2)) + 1)
+        val r = BigInt(w2) * (BigInt(refHash32(id1)) + 1)
+        if (l != r) l > r else id1 < id2
+      }.take(25).map(_._1)
+    assert(got === expect)
+  }
+
+  test("prioritySample: zero weight fails loudly, null ids excluded") {
+    val d = df(docS, Seq(Row(1L, 0L), Row(2L, 5L)))
+    val e = intercept[Exception] {
+      Sampling.prioritySample(d, "doc_id", col("w"), 2).collect()
+    }
+    assert(e.getMessage.contains("weight outside"))
+    val withNull = df(docS, Seq(Row(null, 5L), Row(2L, 5L)))
+    assert(Sampling.prioritySample(withNull, "doc_id", col("w"), 5)
+      .count() === 1)
+  }
+
+  private val langS = StructType(Seq(StructField("doc_id", LongType),
+    StructField("lang", StringType)))
+
+  test("rebalanceSqrt: smallest domain keeps all; bigger domains thin by sqrt law") {
+    // en: 400 docs, de: 100, fr: 25 (4× steps — sqrt law halves twice)
+    val rows = (0L until 400L).map(Row(_, "en")) ++
+      (1000L until 1100L).map(Row(_, "de")) ++ (2000L until 2025L).map(Row(_, "fr"))
+    val d = df(langS, rows)
+    val thr = Sampling.rebalanceThresholds(d, "lang").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(thr("fr")._2 === 4294967296L)            // keeps everything
+    assert(thr("de")._2 === 2147483648L)            // sqrt(1/4) = 1/2
+    assert(thr("en")._2 === 1073741824L)            // sqrt(1/16) = 1/4
+    val kept = Sampling.rebalanceSqrt(d, "doc_id", "lang")
+    assert(kept.filter(col("lang") === "fr").count() === 25)
+    // kept set is a strict, deterministic subset of the big domains
+    val en = kept.filter(col("lang") === "en").count()
+    assert(en > 0 && en < 400)
+    assert(kept.count() === Sampling.rebalanceSqrt(d, "doc_id", "lang").count())
+  }
+
+  test("profile: nulls and distincts exact") {
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val d = df(s, Seq(Row(1L, "a"), Row(2L, "a"), Row(3L, null),
+      Row(4L, "b"), Row(null, null)))
+    val got = Profile.profile(d, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("id") === ((5L, 1L, 4L)))
+    assert(got("v") === ((5L, 2L, 2L)))
+  }
+
+  private val snapS = StructType(Seq(StructField("k", LongType),
+    StructField("v", StringType)))
+
+  test("snapshotDiff classifies all four ops; null transitions are updates") {
+    val o = df(snapS, Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"), Row(5L, null)))
+    val n = df(snapS, Seq(Row(2L, "b"), Row(3L, "C"), Row(4L, "d"), Row(5L, "x")))
+    val got = Cdc.snapshotDiff(o, n, "k", Seq("v")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("op")).toMap
+    assert(got === Map(1L -> "delete", 2L -> "unchanged", 3L -> "update",
+      4L -> "insert", 5L -> "update"))
+    assert(Cdc.changes(o, n, "k", Seq("v")).count() === 4)
+  }
+
+  private val keyS = StructType(Seq(StructField("k", LongType)))
+
+  test("bloomSemiJoin == plain semijoin; bitmap has no false negatives and prunes") {
+    val probe = df(keyS, (1L to 500L).map(Row(_)))
+    val build = df(keyS, (1L to 50L).map(Row(_))).withColumnRenamed("k", "bk")
+    val got = BitmapFilter.bloomSemiJoin(probe, "k", build, "bk", bits = 4096)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (1L to 50L))
+    // no false negative: every build key's bit is set in the bitmap
+    val words = BitmapFilter.keyBitmap(build, "bk", 4096).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 50L).foreach { k =>
+      val b = refHash32(k) % 4096
+      assert(((words(b / 64) >> (b % 64).toInt) & 1L) === 1L, s"key $k bit unset")
+    }
+    // the prefilter genuinely prunes: far fewer than all probe keys pass
+    val passed = probe.filter(col("k").isNotNull).collect().map(_.getLong(0))
+      .count { k =>
+        val b = refHash32(k) % 4096
+        words.get(b / 64).exists(m => ((m >> (b % 64).toInt) & 1L) == 1L)
+      }
+    assert(passed >= 50 && passed < 150, s"prefilter passed $passed of 500")
+  }
+}

@@ -273,6 +273,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
   }
 
+  test("priority/rebalance/bloom plans: top-k heaps, broadcast thresholds and bitmaps") {
+    val docS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("w", LongType), StructField("lang", StringType)))
+    val docs = df(docS, (1L to 40L).map(i => Row(i, 1L + i % 7, s"l${i % 3}")))
+    // t28: orderBy+limit must compile to TakeOrderedAndProject (each
+    // task keeps a k-row heap), never a global Sort of the corpus
+    val ps = graft.pipeline.Sampling.prioritySample(docs, "doc_id", col("w"), 5)
+    val psPlan = ps.queryExecution.executedPlan.toString
+    assert(psPlan.contains("TakeOrderedAndProject"), s"no top-k heap:\n$psPlan")
+    // t29: per-domain thresholds reach the corpus via a broadcast hash
+    // join (the corpus itself never shuffles); the one nested-loop join
+    // is the broadcast one-row n_min
+    val rb = graft.pipeline.Sampling.rebalanceSqrt(docs, "doc_id", "lang")
+    val rbPlan = rb.queryExecution.executedPlan.toString
+    assert(rbPlan.contains("BroadcastHashJoin"), s"thresholds not broadcast:\n$rbPlan")
+    assert(!rbPlan.contains("CartesianProduct"), s"cross join:\n$rbPlan")
+    // j18: the bitmap meets the probe in a broadcast hash join in front
+    // of the exact semijoin; nothing cross-joins
+    val probe = docs.select(col("doc_id").as("k"))
+    val build = docs.filter(col("doc_id") <= 10L).select(col("doc_id").as("bk"))
+    val bj = graft.core.BitmapFilter.bloomSemiJoin(probe, "k", build, "bk",
+      bits = 4096)
+    val bjPlan = bj.queryExecution.executedPlan.toString
+    assert(bjPlan.contains("BroadcastHashJoin"), s"bitmap not broadcast:\n$bjPlan")
+    assert(!bjPlan.contains("CartesianProduct"), s"cross join:\n$bjPlan")
+  }
+
   test("V6+V7: corestriction depth caps the horizon-rule root zone") {
     val hzS = StructType(Seq(StructField("mukey", StringType),
       StructField("cokey", StringType), StructField("comppct", DoubleType),
