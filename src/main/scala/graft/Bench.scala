@@ -35,6 +35,21 @@ object Bench {
     SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
+  /** Time a thunk, capturing any failure as a short message instead of
+    * letting it (or worse, a silent catch) distort the artifact. A dead
+    * query must surface in the JSON as an error, never as a 2 ms
+    * "success" — round 5 shipped 19 analysis-time failures as wins. */
+  def timed(run: () => Unit): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try { run(); None }
+      catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(300))
+      }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,20 +91,26 @@ object Bench {
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val allRuns = (1 to runs).map { _ =>
       SparkEntry.queries.keys.toSeq.sorted.map { name =>
-        val t0 = System.nanoTime()
-        try runNoop(spark, sfDir, name) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> timed(() => runNoop(spark, sfDir, name))
       }
     }
-    val totals = allRuns.map(_.map(_._2).sum)
+    val totals = allRuns.map(_.map(_._2._1).sum)
     val results = allRuns(totals.indexOf(totals.min))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // errors are deterministic (analysis-time) so the best run's set is
+    // the run's set; a non-empty set fails the process exit code
+    val errors = results.collect { case (k, (_, Some(e))) => k -> e }
+    val errsJson = errors.map { case (k, e) => s"${jstr(k)}: ${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = totals.min
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val runTotals = totals.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errsJson,"error_count":${errors.size},""" +
       s""""run_totals":$runTotals,"load_avg":$loadAvg,"sf":"$sfDir"}"""
     // the artifact of record goes to a FILE: two rounds of stdout-tail
     // truncation (Spark log interleaving + exit-time buffer cut) lost the
@@ -106,5 +127,9 @@ object Bench {
       System.err.println(s"[bench] artifact write failed: $e")
     }
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, e) => System.err.println(s"[bench] FAILED $k: $e") }
+      sys.exit(1)
+    }
   }
 }

@@ -35,14 +35,28 @@ object Tables {
         spark.read.parquet(s"$dir/$name.parquet").cache())
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
-    * nanoseconds. Convert to a proper TimestampType column (microsecond
-    * precision — sub-microsecond digits are dropped, so oracle queries
-    * must only compare truncated/derived time values). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
+  /** events.parquet has shipped `ts` under two physical encodings across
+    * testdata generations: TIMESTAMP(NANOS) (arrives as a long of
+    * nanoseconds under spark.sql.legacy.parquet.nanosAsLong) and
+    * TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ, or TIMESTAMP when NTZ
+    * inference is off). Dispatch on the loaded dtype so either lake
+    * vintage yields the same session-timezone TimestampType column at
+    * microsecond precision. Sessions run with UTC timezone, so the
+    * NTZ→TZ cast is instant-preserving. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"))
+
+  /** Normalize a `ts` column (batch OR streaming DataFrame) to session
+    * TimestampType regardless of the lake vintage it was read from. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet dtype $other — expected long nanos or timestamp")
+    }
   }
 }

@@ -17,18 +17,26 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-      // type for; read as long and convert via Tables.events.
+      // tolerate the TIMESTAMP(NANOS) events vintage (read as long,
+      // converted in Tables.normalizeTs); harmless for MICROS lakes
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query failures are recorded in errors.json so a query that is
+    // registered but absent from the dump is distinguishable from one
+    // that passed — round 5's events regression silently shrank the
+    // battery from 170 to 151 with no artifact trace.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(300)
+          errors(name) = msg
+          System.err.println(s"[verify] $name FAILED: $msg")
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +55,11 @@ object Verify {
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} of ${SparkEntry.queries.size} queries FAILED")
     spark.stop()
   }
 }

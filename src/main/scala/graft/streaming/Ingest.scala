@@ -29,8 +29,7 @@ object Ingest {
   /** Streaming twin: file-source stream over a parquet drop directory,
     * watermarked sliding-window rollup. */
   def streamHourlyRollup(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -57,8 +56,7 @@ object Ingest {
     * the deterministic contract (and the oracle) lives on the batch
     * twin. */
   def streamDedup(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
       // dedup on the SAME exact-cents key the batch twin groups by —
       // keying on the raw double would keep two events whose distinct
       // raw values round to the same cents, breaking twin equivalence

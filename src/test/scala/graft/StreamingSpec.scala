@@ -76,8 +76,8 @@ class StreamingSpec extends AnyFunSuite {
       e.filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts")))
 
-    val stream = spark.readStream.schema(schema).parquet(dropDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dropDir.toString))
     val (sc, sv) = sides(stream)
     val q = EventOps.streamIntervalJoin(sc, sv, "user_id", "c_ts", "v_ts",
         interval = "1 HOUR", delay = "2 hours")
