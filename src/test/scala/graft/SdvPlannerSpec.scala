@@ -230,4 +230,26 @@ class SdvPlannerSpec extends AnyFunSuite {
     val got = rowsOf(planner.plan(att, SdvRequest(cutOff = 50)))
     assert(got === Seq(Seq("100001", 0.9, 60.0))) // only c1 ≥ 50
   }
+
+  test("p10 fuzz sweep: 104 flag combinations, every leg non-vacuous") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    assert(queries.SweepQueries.legCount === 104)
+    val out = SparkEntry.queries("p10_planner_fuzz_sweep")(
+      spark, "/root/testdata/sf0.001")
+    val perCombo = out.groupBy(col("combo")).count().collect()
+    assert(perCombo.length === 104, "every grid combo must emit rows")
+    assert(perCombo.forall(_.getLong(1) > 0))
+    // flag dimensions must actually change results: the tie-direction
+    // twins of the numeric DCP family disagree somewhere, as do the
+    // bZero twins and the rv twins
+    def ratings(tag: String) =
+      out.filter(col("combo") === tag)
+        .select(col("mukey"), col("rating_num")).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(ratings("n_dcp_r_tl_z0_c0") !== ratings("n_dcp_r_th_z0_c0"))
+    assert(ratings("n_dcp_r_tl_z0_c0") !== ratings("n_dcp_r_tl_z1_c0"))
+    assert(ratings("n_dcp_r_tl_z0_c0") !== ratings("n_dcp_l_tl_z0_c0"))
+    assert(ratings("hz_wta_r_tl_0_30") !== ratings("hz_wta_r_tl_0_100"))
+  }
 }
