@@ -1256,6 +1256,36 @@ object TrainQueries extends QuerySet {
               |        ORDER BY score DESC, term) AS rn FROM sc) z
               |WHERE rn <= 3""".stripMargin)),
 
+    // T31 — query-driven top-k keyword retrieval (deterministic BM25
+    // stand-in): fixed multi-term queries broadcast against the corpus
+    // postings, integer-idf TF-IDF scoring, per-query top-5 with the
+    // (score DESC, doc_id) tiebreak. Candidates are posting-list-bounded
+    // — the corpus is never scanned per query.
+    Q("t31_keyword_search",
+      (s, dir) => TextAnalysis.keywordSearch(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        TextAnalysis.defaultQueries, k = 5),
+      Some {
+        val qvals = TextAnalysis.defaultQueries
+          .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+          .mkString(", ")
+        s"""WITH $toksCte,
+           |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |tot AS (SELECT count(*) AS n_total FROM documents),
+           |qt(query_id, term) AS (VALUES $qvals),
+           |cand AS (SELECT query_id, doc_id,
+           |           sum(tf * ((n_total * 10000) // df)) AS score
+           |         FROM tf JOIN dfq USING (term) JOIN qt USING (term), tot
+           |         GROUP BY query_id, doc_id)
+           |SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+           |       CAST(rn AS BIGINT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, doc_id) AS rn FROM cand) z
+           |WHERE rn <= 5""".stripMargin
+      }),
+
     // D1 — exact dedup by content hash.
     Q("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text"),

@@ -178,6 +178,58 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** The default t31 query battery (terms from the driver documents'
+    * generative vocabulary) — a shared constant so the Spark plan and
+    * the SQL oracle consume the identical query set. */
+  val defaultQueries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("join", "hash", "scan"),
+    "q2" -> Seq("window", "filter", "sort"),
+    "q3" -> Seq("spark", "table", "merge"),
+    "q4" -> Seq("vector", "batch", "stream"),
+    "q5" -> Seq("slow", "fast", "data"))
+
+  /** Query-driven top-k keyword retrieval — the deterministic BM25
+    * stand-in (the RAG/eval-retrieval op a curation pipeline runs over
+    * its corpus; reference analogy: the attribute-name search box of
+    * the SDV dialog, gSSURGO_CreateSoilMap.py:3590-3610, scaled to
+    * free text). score(q, d) = Σ_{t∈q} tf(d,t) · idf_int(t) with the
+    * t13 integer idf (N·10⁴ div df — log-free: a log() idf would
+    * hash-gate on libm last-ulp rounding; idf only needs to be
+    * monotone in df for ranking). Ranking is (score DESC, doc id ASC),
+    * fully deterministic.
+    *
+    * Plan at scale: the query set is a broadcast literal; candidates
+    * are the UNION OF POSTING LISTS of the query terms (inner join tf
+    * ⋈ queries — the corpus is never scanned per query); the per-query
+    * top-k runs in two stages (partition-local prune to k, then the
+    * global rank over ≤ k·partitions survivors) so a hot term's
+    * posting list never funnels through one partition's full sort. */
+  def keywordSearch(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // feeds df-agg AND the score join
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val cand = tf.join(dfreq, "term").join(broadcast(qt), "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("tf") * expr("(n_total * 10000) div df")).as("score"))
+    val pre = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("score").desc, col(idCol).asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    cand.withColumn("_p", row_number().over(pre)).filter(col("_p") <= k).drop("_p")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
   /** C4-style line-level quality filtering: each line (blank-line
     * paragraph) keeps or drops on per-line rules — minimum token count
     * and a minimum distinct-token fraction (the line-local repetition

@@ -300,6 +300,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(!bjPlan.contains("CartesianProduct"), s"cross join:\n$bjPlan")
   }
 
+  test("t31 keyword search plan: queries broadcast, two-phase top-k, no cross join") {
+    val docS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = df(docS, (1L to 30L).map(i =>
+      Row(i, s"alpha beta gamma doc $i shared tail")))
+    val ks = graft.text.TextAnalysis.keywordSearch(docs, "doc_id", "text",
+      Seq("q1" -> Seq("alpha", "tail")), k = 3)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = ks.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    // two-phase per-query top-k: the candidate-wide window is the
+    // partition-salted one (2 partition exprs); the final rank runs
+    // only over the ≤ k·partitions survivors
+    assert(wins.size === 2, s"expected 2-phase windows:\n${ks.queryExecution.optimizedPlan}")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window:\n${ks.queryExecution.optimizedPlan}")
+    assert(wins.last.partitionSpec.size === 2,
+      s"pre-rank window not partition-local:\n${ks.queryExecution.optimizedPlan}")
+    val plan = ks.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cross join:\n$plan")
+  }
+
   test("V6+V7: corestriction depth caps the horizon-rule root zone") {
     val hzS = StructType(Seq(StructField("mukey", StringType),
       StructField("cokey", StringType), StructField("comppct", DoubleType),

@@ -918,4 +918,21 @@ class TrainOpsSpec extends AnyFunSuite {
       .collect()(0).getString(0)
     assert(norm === "ab c d")
   }
+
+  test("t31 keyword search: integer-idf scoring, deterministic rank, posting-bounded") {
+    // corpus: 4 docs, 'spark' appears only in doc 3 (df=1, idf=40000),
+    // 'the' in 1/2/4 (df=3, idf=13333), 'dog' in 1 and 4 (df=2, idf=20000)
+    val got = graft.text.TextAnalysis.keywordSearch(docs, "doc_id", "text",
+        Seq("qa" -> Seq("spark", "dog"), "qb" -> Seq("the", "missing_term")), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    // qa: docs 1 and 4 score tf(dog)=1 * 20000; doc 3 scores 40000 → top-2
+    // = (3, 40000), then (1, 20000) by the doc_id tiebreak over doc 4
+    assert(got.filter(_._1 == "qa") ===
+      Seq(("qa", 3L, 40000L, 1L), ("qa", 1L, 20000L, 2L)))
+    // qb: 'missing_term' has no postings (dropped, not an error);
+    // 'the' tf=2 in docs 1/2/4 → ties broken by doc_id
+    assert(got.filter(_._1 == "qb") ===
+      Seq(("qb", 1L, 26666L, 1L), ("qb", 2L, 26666L, 2L)))
+  }
 }
