@@ -544,6 +544,11 @@ object Dedup {
     val prevAqe = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
     try {
+      // convergence check without a per-round join: labels only ever
+      // DECREASE under min-propagation, so Σcluster strictly decreases
+      // iff any label changed — one shuffle-free partial-agg scan of
+      // the fresh checkpoint replaces the old join+filter+count job
+      var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
       var changed = true
       var i = 0
       while (changed && i < maxIter) {
@@ -552,8 +557,9 @@ object Dedup {
         val next = labels.unionByName(prop)
           .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
           .localCheckpoint(true)
-        changed = next.as("n").join(labels.as("o"), "id")
-          .filter(col("n.cluster") < col("o.cluster")).limit(1).count() > 0
+        val sumNow = next.agg(sum(col("cluster"))).head().getLong(0)
+        changed = sumNow != prevSum
+        prevSum = sumNow
         labels = next
         i += 1
       }
