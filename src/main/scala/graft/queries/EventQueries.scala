@@ -478,5 +478,42 @@ object EventQueries extends QuerySet {
               |SELECT a.cohort, k, n_active, cohort_size,
               |       floor((CAST(n_active AS DOUBLE)/cohort_size)*1e4 + 0.5)/1e4
               |         AS retention
-              |FROM a JOIN sz USING (cohort)""".stripMargin)))
+              |FROM a JOIN sz USING (cohort)""".stripMargin)),
+
+    // E11 — Spark's NATIVE session_window operator (the declarative
+    // gap-session groupBy that runs unchanged in batch and Structured
+    // Streaming) — st02 demonstrates the same semantics via the typed
+    // flatMapGroupsWithState engine; this pins the built-in. Window
+    // end = last event + gap; session assignment happens at
+    // MICROSECOND precision, so the oracle folds over epoch_us and
+    // only truncates to ms at output (a ms-truncated fold can merge a
+    // pair the engine splits when the µs diff straddles a ms
+    // boundary). Spark's merge is GAP-INCLUSIVE — an event exactly
+    // 30 min after the previous one still merges (EventOpsSpec pins
+    // this on a synthetic boundary pair) — hence the strict > split
+    // below, the same rule as st02's hand fold.
+    Q("e11_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.core.Exprs.cents(col("value"))).cast("long").as("sum_cents"))
+        .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+          unix_millis(col("sw.end")).as("end_ms"), col("n_events"), col("sum_cents")),
+      Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             |                 CAST(round(value*100) AS BIGINT) AS cents
+             |            FROM events WHERE user_id IS NOT NULL),
+             |x AS (SELECT user_id, ts_us, cents,
+             |        CASE WHEN lag(ts_us) OVER w IS NULL
+             |               OR ts_us - lag(ts_us) OVER w > 1800000000
+             |             THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+             |y AS (SELECT user_id, ts_us, cents,
+             |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             |          ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM x)
+             |SELECT user_id, min(ts_us)//1000 AS start_ms,
+             |       max(ts_us)//1000 + 1800000 AS end_ms,
+             |       count(*) AS n_events, sum(cents) AS sum_cents
+             |FROM y GROUP BY user_id, sid""".stripMargin)))
 }

@@ -164,4 +164,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got((1L, 0L)) === ((1L, 1L, 1.0)))   // u3's own cohort
     assert(!got.contains((1L, 8L)))             // day9 activity past maxOffset
   }
+
+  test("e11 session_window boundary: exactly-gap merges (inclusive), gap+1ms splits") {
+    import org.apache.spark.sql.functions._
+    val s = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val gapUs = 30L * 60 * 1000 * 1000
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms fixtures
+    val events = df(s, Seq(
+      Row(1L, t(0L)),
+      Row(1L, t(gapUs)),                    // EXACTLY gap later → still merges
+      Row(1L, t(2 * gapUs + 1000)),         // gap + 1 ms later → new session
+      Row(2L, t(0L))))
+    val got = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("st"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 0L, 2L),                        // first two events merged
+      (1L, (2 * gapUs + 1000) / 1000, 1L), // the over-gap event alone
+      (2L, 0L, 1L)))
+  }
 }
