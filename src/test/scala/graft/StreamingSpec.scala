@@ -187,6 +187,41 @@ class StreamingSpec extends AnyFunSuite {
     funnelWaveCheck(graft.streaming.FunnelStream.bigPurchase)
   }
 
+  test("e11 streaming twin: watermarked session_window over a drop == batch sessions") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dropDir = Files.createTempDirectory("graft_sw_drop")
+    Files.copy(Paths.get(src), dropDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(src).schema
+
+    def sessions(e: org.apache.spark.sql.DataFrame) = e
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"), col("n_events"))
+
+    // the SAME transform compiles as a streaming query: session_window
+    // is the declarative gap-session operator in both engines — the
+    // watermark only bounds state retention, and with all input in one
+    // AvailableNow drain no session is dropped as late
+    val sdf = sessions(Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(dropDir.toString))
+      .withWatermark("ts", "1 hour"))
+    val q = sdf.writeStream.outputMode("complete")
+      .format("memory").queryName("sw_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val stream = rowsOf(spark.sql(
+      "SELECT user_id, start_ms, end_ms, n_events FROM sw_out"))
+    val batch = rowsOf(sessions(Tables.events(spark, "/root/testdata/sf0.001")))
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("st04: incremental per-SSA Valu refresh == batch Valu build") {
     val sf = "/root/testdata/sf0.001"
     val inc = SparkEntry.queries("st04_valu_incremental")(spark, sf)
