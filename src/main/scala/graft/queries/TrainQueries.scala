@@ -2038,6 +2038,48 @@ object TrainQueries extends QuerySet {
               |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc8) t
               |WHERE rn <= 5""".stripMargin)),
 
+    // N16 — Matryoshka (MRL-style) prefix search: coarse scoring on
+    // the 16-dim PREFIX of the 64-dim embeddings (the nested-
+    // representation trick — a prefix of an MRL embedding is itself a
+    // usable embedding, so the coarse scan reads ¼ of the vector
+    // bytes; the flat tier beside n15's SQ8, trading dimensions
+    // instead of precision), shortlist k'=10, then n12's exact
+    // full-dimension re-rank of the shortlist only (broadcast-probed
+    // equi-join — never a second full-distance scan). The prefix
+    // re-ranks visibly vs the full search, the measured accuracy cost
+    // of the truncation tier; both stages replay in the oracle.
+    Q("n16_matryoshka_search",
+      (s, dir) => {
+        import graft.ann.{Ann, Pq}
+        val e = Tables.load(s, dir, "embeddings")
+        val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val shortlist = Ann.bruteForceTopK(
+          queries.select(col("qid"), slice(col("qvec"), 1, 16).as("qvec")),
+          corpus.select(col("vid"), slice(col("vec"), 1, 16).as("vec")), k = 10)
+        Pq.rerankExact(shortlist, queries, corpus, k = 3)
+      },
+      Some(s"""WITH $embCte,
+              |ep AS (SELECT vec_id, v[1:16] AS v FROM e),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM ep WHERE vec_id < 10),
+              |${bfScoredCte("scp", "ep")},
+              |sl AS (SELECT qid, neighbor_id FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY qid
+              |           ORDER BY cosine DESC, neighbor_id) AS rn FROM scp) z
+              |       WHERE rn <= 10),
+              |qf AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+              |re AS (SELECT s.qid, s.neighbor_id,
+              |         floor((list_dot_product(qf.qv, e.v)
+              |           /(sqrt(list_dot_product(qf.qv, qf.qv))
+              |             *sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cosine
+              |       FROM sl s JOIN qf ON qf.qid = s.qid
+              |                 JOIN e ON e.vec_id = s.neighbor_id)
+              |SELECT qid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM re) t
+              |WHERE rn <= 3""".stripMargin)),
+
     // N11 — incremental index maintenance, the ANN side of the
     // incremental trio (d09 minhash bands / d13 substring windows /
     // d15 lines): a batch of NEW vectors (vec_id >= 400, absent from
