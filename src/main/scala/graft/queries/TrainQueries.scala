@@ -1286,6 +1286,34 @@ object TrainQueries extends QuerySet {
            |WHERE rn <= 5""".stripMargin
       }),
 
+    // T32 — model-based quality filtering: a broadcast linear
+    // classifier (weight table = the trained artifact) scores integer
+    // document features; keep = logit ≥ 0. The weights here are a
+    // fixture "model" whose cut keeps ~57% of the corpus — the oracle
+    // replays features, weighted sum, and the threshold decision.
+    Q("t32_classifier_filter",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(("n_words", 3L), ("n_punct", -40L),
+          ("n_stop", 25L), ("n_distinct", 5L), ("n_chars", -1L))
+          .toDF("feature", "w")
+        TextAnalysis.linearClassifierScore(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          weights, bias = -60L)
+      },
+      Some(s"""WITH $toksCte,
+              |f AS (SELECT doc_id,
+              |        CAST(len(t) AS BIGINT) AS n_words,
+              |        CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+              |        CAST(${hitsSql("en")} AS BIGINT) AS n_stop,
+              |        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+              |        CAST(length(text) AS BIGINT) AS n_chars
+              |      FROM toks)
+              |SELECT doc_id,
+              |       3*n_words - 40*n_punct + 25*n_stop + 5*n_distinct - n_chars - 60 AS logit,
+              |       3*n_words - 40*n_punct + 25*n_stop + 5*n_distinct - n_chars - 60 >= 0 AS keep
+              |FROM f""".stripMargin)),
+
     // D1 — exact dedup by content hash.
     Q("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text"),

@@ -178,6 +178,37 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Model-based quality filtering — the linear-classifier curation
+    * step (the FineWeb-Edu-style "train a small classifier, score the
+    * corpus, keep above threshold" pass). The model is a broadcast
+    * weight TABLE (feature, w) — the trained artifact arrives as data,
+    * not code — applied to integer document features; logit = bias +
+    * Σ w·f in pure integer arithmetic. No sigmoid: it is monotone, so
+    * thresholding the logit makes the identical keep decision and
+    * stays engine-exact (a transcendental would hash-gate on libm).
+    * Features absent from the weight table contribute nothing (sparse
+    * model, inner join). Plan: per-row feature extraction → explode to
+    * (id, feature, f) → broadcast-join weights → one partial-agg
+    * rollup per doc; the corpus never shuffles against the model. */
+  def linearClassifierScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bias: Long): DataFrame = {
+    val t = tokens(col(textCol))
+    val feats = docs.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_words"),
+      punctCount(col(textCol)).cast("long").as("n_punct"),
+      stopwordHits(t, stopwords("en")).cast("long").as("n_stop"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    val unpiv = feats.select(col(idCol), explode(map(
+      lit("n_words"), col("n_words"), lit("n_punct"), col("n_punct"),
+      lit("n_stop"), col("n_stop"), lit("n_distinct"), col("n_distinct"),
+      lit("n_chars"), col("n_chars"))).as(Seq("feature", "f")))
+    unpiv.join(broadcast(weights), "feature")
+      .groupBy(col(idCol))
+      .agg((sum(col("w") * col("f")) + lit(bias)).as("logit"))
+      .withColumn("keep", col("logit") >= 0)
+  }
+
   /** The default t31 query battery (terms from the driver documents'
     * generative vocabulary) — a shared constant so the Spark plan and
     * the SQL oracle consume the identical query set. */
