@@ -518,6 +518,35 @@ object Dedup {
           col("c").cast("double") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| — the
+    * quote / partial-copy detector symmetric Jaccard misses (a short
+    * doc fully contained in a long one has LOW Jaccard — the union is
+    * dominated by the long doc — but containment ≈ 1 from the short
+    * side). Same shingle equi-join and per-doc distinct-shingle counts
+    * as [[ngramJaccardPairs]]; a pair is reported when EITHER
+    * direction's containment clears the threshold, with both
+    * directions on the row. At corpus scale the same banding caveat as
+    * d04 applies — this exact form is the oracle shape, the MinHash
+    * path the candidate generator. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    val cnt = sh.groupBy(col("did")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val contAb = col("c").cast("double") / col("na")
+    val contBa = col("c").cast("double") / col("nb")
+    common
+      .join(cnt.select(col("did").as("id_a"), col("n").as("na")), "id_a")
+      .join(cnt.select(col("did").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(contAb >= threshold || contBa >= threshold)
+      .select(col("id_a"), col("id_b"),
+        graft.core.Exprs.roundHalfUp(contAb, 4).as("cont_ab"),
+        graft.core.Exprs.roundHalfUp(contBa, 4).as("cont_ba"))
+  }
+
   /** Duplicate-cluster assignment: connected components over near-dup
     * pairs via iterative min-label propagation — the standard
     * large-graph CC shape (one shuffle join per round, converges in

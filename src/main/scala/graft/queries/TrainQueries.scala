@@ -1377,6 +1377,45 @@ object TrainQueries extends QuerySet {
              |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
              |WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""".stripMargin)),
 
+    // D20 — asymmetric n-gram CONTAINMENT pairs: C(A→B) = |A∩B|/|A|,
+    // the quote/partial-copy detector symmetric Jaccard misses (a
+    // short doc inside a long one has low J but C≈1 from the short
+    // side). The ambient corpus has edit-near-dups (high BOTH metrics)
+    // but no partial copies, so — the d12 donor-span pattern — the
+    // first 20 docs contribute a 15-token PREFIX CLIP under id+10000:
+    // each clip is containment≈1 from its side yet Jaccard≈0.3 with
+    // its source, below the d04 gate. Pair reported when either
+    // direction clears 0.8; both directions on the row.
+    Q("d20_ngram_containment",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 1000).select(col("doc_id"), col("text"))
+        val clips = base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 15)).as("text"))
+        Dedup.ngramContainmentPairs(base.unionByName(clips),
+          "doc_id", "text", shingleN = 2, threshold = 0.8)
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |            FROM documents WHERE doc_id < 1000),
+             |toks AS (SELECT doc_id, t FROM t0
+             |         UNION ALL
+             |         SELECT doc_id + 10000, t[1:15] FROM t0 WHERE doc_id < 20),
+             |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+             |        FROM toks WHERE len(t) >= 2),
+             |shl AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
+             |shs AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 2),
+             |sh AS (SELECT * FROM shl UNION ALL SELECT * FROM shs),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       floor((CAST(c AS DOUBLE)/na.n)*1e4 + 0.5)/1e4 AS cont_ab,
+             |       floor((CAST(c AS DOUBLE)/nb.n)*1e4 + 0.5)/1e4 AS cont_ba
+             |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+             |WHERE CAST(c AS DOUBLE)/na.n >= 0.8 OR CAST(c AS DOUBLE)/nb.n >= 0.8""".stripMargin)),
+
     // D6 — duplicate-cluster assignment: connected components over the
     // exact-Jaccard near-dup pairs (min-label propagation; oracle is a
     // recursive-CTE transitive closure over the same pairs).
