@@ -222,6 +222,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("st08: a checkpoint-restored watermark drops late rows, exactly counted") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val Row2 = events.agg(
+      percentile_approx(unix_micros(col("ts")), lit(0.5), lit(100))).head()
+    val cutUs = Row2.getLong(0)
+    val hourUs = 3600L * 1000 * 1000
+    // wave 1 establishes watermark ≈ cut − 1h (the rollup's delay);
+    // wave 2 lands rows far BELOW it (≤ cut − 3h — never seen before:
+    // wave 1 starts above that) plus fresh rows beyond the cut
+    val wave1 = events.filter(unix_micros(col("ts")).between(cutUs - 2 * hourUs, cutUs))
+    val stale = events.filter(unix_micros(col("ts")) <= cutUs - 3 * hourUs)
+    val fresh = events.filter(unix_micros(col("ts")) > cutUs)
+    // numRowsDroppedByWatermark counts rows arriving at the STATE
+    // operator — i.e. AFTER map-side partial aggregation — so the
+    // expected count is the stale (window, type) GROUP count, not the
+    // stale event count (probed: 492 events → 423 dropped group rows)
+    val staleGroups = stale
+      .select(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .distinct().count()
+    assert(staleGroups > 0, "fixture must have genuinely late rows")
+
+    val dropDir = Files.createTempDirectory("graft_late_drop")
+    val ckpt = Files.createTempDirectory("graft_late_ckpt")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.parquet(dropDir.resolve(name).toString)
+    land(wave1, "w1")
+
+    val schema = spark.read.parquet(dropDir.resolve("w1").toString).schema
+    def run(): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+      val sdf = spark.readStream.schema(schema).parquet(dropDir.toString + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = sdf.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(); () // evaluate every partition so state stores commit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+    }
+    val p1 = run()
+    assert(p1.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum === 0L)
+    land(stale, "w2stale")
+    land(fresh, "w2fresh")
+    val p2 = run()
+    // run 2 restores the checkpointed watermark, so every stale group —
+    // 2h+ older than it — is dropped, and the drop is OBSERVABLE: the
+    // silent-late-data failure mode surfaces as an exact metric
+    assert(p2.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum === staleGroups)
+  }
+
   test("st04: incremental per-SSA Valu refresh == batch Valu build") {
     val sf = "/root/testdata/sf0.001"
     val inc = SparkEntry.queries("st04_valu_incremental")(spark, sf)
