@@ -27,6 +27,30 @@ object Lake {
       .partitionBy("areasymbol")
       .parquet(s"$root/$table")
 
+  /** Schema-evolution-tolerant read across lake VINTAGES: each
+    * directory (one writer generation) is reconciled to the canonical
+    * schema — columns the vintage lacks arrive as typed NULLs, columns
+    * whose physical type drifted (float→double widening, int→long,
+    * the round-6 TIMESTAMP(NANOS)→MICROS regeneration) are cast — and
+    * the generations union. Spark's own mergeSchema only handles
+    * added columns with IDENTICAL types; a dtype drift throws at scan
+    * time, which is exactly how 19 queries died in round 5. The cast
+    * set is per-vintage and resolved at PLAN time from each
+    * directory's footer schema, so the scan itself stays
+    * pushdown/prune-friendly per generation. */
+  def readEvolved(spark: SparkSession, dirs: Seq[String],
+      canonical: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    dirs.map { d =>
+      val df = spark.read.parquet(d)
+      val have = df.columns.toSet
+      df.select(canonical.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Bucketed catalog table: co-locates the SSURGO join keys so the
     * repeated mapunit⟕component⟕chorizon joins run with NO shuffle at
     * all (both sides pre-hashed into the same bucket layout). This is

@@ -127,5 +127,48 @@ object SampleQueries extends QuerySet {
              |             ELSE 'unchanged' END AS op,
              |        o.bal AS old_bal_cents, n.bal AS new_bal_cents
              |      FROM o FULL JOIN n ON o.k = n.k)
-             |SELECT * FROM d WHERE op <> 'unchanged'""".stripMargin)))
+             |SELECT * FROM d WHERE op <> 'unchanged'""".stripMargin)),
+
+    // S10 — schema-evolution-tolerant lake read (Lake.readEvolved):
+    // two writer VINTAGES of the events table — v1 narrow (no
+    // event_type/props, value stored as FLOAT) and v2 full — are
+    // written side by side, then read back through per-vintage
+    // reconcile-to-canonical (typed null-fill + cast) and unioned.
+    // This is the generalized fix for the round-5 events.ts dtype
+    // regression: Spark's own mergeSchema only tolerates ADDED
+    // columns of identical type; a physical-type drift kills the
+    // scan. The oracle replays both vintages (including the
+    // float-narrowing round trip) from the source table.
+    Q("s10_schema_evolution",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val e = Tables.events(s, dir)
+        val base = java.nio.file.Files.createTempDirectory("graft_evo").toString
+        e.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"),
+            col("value").cast("float").as("value"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        e.filter(col("event_id") % 2 =!= 0)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("props"))
+          .write.mode("overwrite").parquet(s"$base/v2")
+        val canonical = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("props", StringType)))
+        graft.io.Lake.readEvolved(s, Seq(s"$base/v1", s"$base/v2"), canonical)
+          .groupBy(coalesce(col("event_type"), lit("__legacy__")).as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(graft.core.Exprs.cents(col("value"))).cast("long").as("sum_cents"))
+      },
+      Some("""WITH v1 AS (SELECT event_id, user_id, CAST(NULL AS VARCHAR) AS event_type,
+             |              CAST(CAST(value AS FLOAT) AS DOUBLE) AS value
+             |            FROM events WHERE event_id % 2 = 0),
+             |v2 AS (SELECT event_id, user_id, event_type, value
+             |       FROM events WHERE event_id % 2 <> 0),
+             |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+             |SELECT coalesce(event_type, '__legacy__') AS event_type,
+             |       count(*) AS n,
+             |       CAST(sum(round(value*100)) AS BIGINT) AS sum_cents
+             |FROM u GROUP BY 1""".stripMargin)))
 }
