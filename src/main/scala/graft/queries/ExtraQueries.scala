@@ -177,6 +177,39 @@ object ExtraQueries extends QuerySet {
              |FROM lineitem
              |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)""".stripMargin)),
 
+    // J19 — the bucketed co-located join as a DRIVER-GATED query (the
+    // ScaleSpec "zero exchanges" pin, now with a values oracle): both
+    // sides land as 8-bucket external tables on the join key, the join
+    // runs shuffle-free off the bucket layout (broadcast disabled at
+    // scale — neither side of a 100 TB join broadcasts), and the
+    // result must equal the plain parquet join. Bucketing changes the
+    // PLAN, never the values — the gate proves the layout round-trip
+    // loses nothing.
+    Q("j19_bucketed_join",
+      (s, dir) => {
+        val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"/tmp/graft_bkt_$suffix"
+        def land(df: org.apache.spark.sql.DataFrame, name: String, key: String): String = {
+          val t = s"bkt_${name}_$suffix"
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$name").format("parquet").saveAsTable(t)
+          t
+        }
+        val o = land(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")), "orders", "o_orderkey")
+        val l = land(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice")), "lineitem", "l_orderkey")
+        s.table(o).join(s.table(l), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(Exprs.cents(col("l_extendedprice"))).cast("long").as("sum_cents"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |       CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS sum_cents
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1""".stripMargin)),
+
     // A-family legend side-output: the global [min,max] every aggregate
     // collects for the map legend (outputValues,
     // gSSURGO_CreateSoilMap.py:4766-4776).
