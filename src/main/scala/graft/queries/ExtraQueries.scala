@@ -97,6 +97,60 @@ object ExtraQueries extends QuerySet {
              |SELECT l_returnflag, v AS mode_qty, c AS mode_qty_n
              |FROM r WHERE rn = 1""".stripMargin)),
 
+    // Q5 — CUBE grouping sets with grouping ids: the acreage report's
+    // per-class + total rollup (r05) generalized to the full lattice —
+    // every (status × priority) subtotal combination in ONE
+    // aggregation pass, each row tagged by which dimensions are
+    // aggregated away (grouping() per column: engine-portable, unlike
+    // the engines' differing grouping_id bit orders).
+    Q("q5_grouping_cube",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(Exprs.cents(col("o_totalprice"))).cast("long").as("sum_cents"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |       CAST(sum(round(o_totalprice*100)) AS BIGINT) AS sum_cents,
+             |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // E12 — user-journey transition matrix: per-user time-ordered
+    // (prev event_type → event_type) transition counts and
+    // probabilities — the Markov-chain view of the event stream that
+    // feeds funnel design (which step usually follows which). Ordering
+    // ties break on event_id, so the lag is fully deterministic; the
+    // per-prev normalization runs over the 5×5 transition table, never
+    // the events.
+    Q("e12_transition_matrix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val trans = e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)).as("n"))
+        val wp = Window.partitionBy(col("prev_type"))
+        trans.withColumn("p",
+          Exprs.roundHalfUp(col("n") / sum(col("n")).over(wp), 4))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             |                  event_id, event_type
+             |           FROM events WHERE user_id IS NOT NULL),
+             |t AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+             |              ORDER BY ts_us, event_id) AS prev_type, event_type
+             |      FROM e),
+             |c AS (SELECT prev_type, event_type, count(*) AS n FROM t
+             |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, event_type, n,
+             |       floor((CAST(n AS DOUBLE)
+             |         / sum(n) OVER (PARTITION BY prev_type))*1e4 + 0.5)/1e4 AS p
+             |FROM c""".stripMargin)),
+
     // J7/J9 — four-level null-padded join chain (CreateRatingTable4S
     // :4560-4630 / CreateSoilMoistureTable :4632-4718): mapunit ⟕
     // component ⟕ month-carrier ⟕ leaf table.
