@@ -122,5 +122,61 @@ object ValidateQueries extends QuerySet {
       Some("""SELECT user_id, event_type, round(value*100) AS value_cents,
              |       min(CAST(epoch_ms(ts) AS BIGINT)) AS first_ms,
              |       count(*) AS n_dups
-             |FROM events GROUP BY 1, 2, 3""".stripMargin)))
+             |FROM events GROUP BY 1, 2, 3""".stripMargin)),
+
+    // §5.1' — referential-integrity orphan report across the FK
+    // hierarchy (gSSURGO_ValidateData.py's child-without-parent walk,
+    // generalized): one anti-join per edge, a one-row summary each.
+    // The customer→nation edge checks against a deliberately TRUNCATED
+    // authority (nations < 20) so the orphan path is non-vacuous at
+    // every SF — the val04 deliberate-wrongness pattern.
+    Q("val05_fk_orphans",
+      (s, dir) => {
+        def edge(tag: String, child: org.apache.spark.sql.DataFrame, fk: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val orphans = child.select(col(fk).as("__k"))
+            .join(parent.select(col(pk).as("__k")), Seq("__k"), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .select(lit(tag).as("edge"), col("n_child"), col("n_orphans"),
+              (col("n_orphans") === 0).as("ok"))
+        }
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+        edge("lineitem->orders", Tables.load(s, dir, "lineitem"), "l_orderkey",
+            Tables.load(s, dir, "orders"), "o_orderkey")
+          .unionByName(edge("orders->customer", Tables.load(s, dir, "orders"),
+            "o_custkey", c, "c_custkey"))
+          .unionByName(edge("customer->nation20", c, "c_nationkey",
+            n.filter(col("n_nationkey") < 20), "n_nationkey"))
+          .unionByName(edge("nation->region", n, "n_regionkey",
+            Tables.load(s, dir, "region"), "r_regionkey"))
+      },
+      Some("""SELECT 'lineitem->orders' AS edge,
+             |  (SELECT count(*) FROM lineitem) AS n_child,
+             |  (SELECT count(*) FROM lineitem
+             |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans,
+             |  (SELECT count(*) FROM lineitem
+             |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0 AS ok
+             |UNION ALL
+             |SELECT 'orders->customer',
+             |  (SELECT count(*) FROM orders),
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+             |UNION ALL
+             |SELECT 'customer->nation20',
+             |  (SELECT count(*) FROM customer),
+             |  (SELECT count(*) FROM customer
+             |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 20)),
+             |  (SELECT count(*) FROM customer
+             |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 20)) = 0
+             |UNION ALL
+             |SELECT 'nation->region',
+             |  (SELECT count(*) FROM nation),
+             |  (SELECT count(*) FROM nation
+             |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)),
+             |  (SELECT count(*) FROM nation
+             |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)) = 0""".stripMargin)))
 }
