@@ -2341,5 +2341,43 @@ object TrainQueries extends QuerySet {
              |    AS duration_ms,
              |  CASE WHEN fmt = 'wav' THEN peak_abs END AS peak_abs,
              |  CASE WHEN fmt = 'wav' THEN sum_abs END AS sum_abs
-             |FROM d LEFT JOIN sa USING (doc_id)""".stripMargin)))
+             |FROM d LEFT JOIN sa USING (doc_id)""".stripMargin)),
+
+    // MM5 — image–caption PAIR curation (the LAION-style CLIP-score
+    // filtering shape): the image side is DECODED from the mm01 binary
+    // containers (real byte-level width/height reads — a wrong offset
+    // fails this gate too), the caption side is the doc's token count,
+    // and pairs keep when the alignment score clears 0.5. The SCORER
+    // is the mandate's deterministic stand-in for a real CLIP model
+    // (the container holds no actual image): a mixing hash of
+    // (width, height, n_tokens) into [0,1) — clearly fake, fully
+    // engine-replayable; the pair plumbing (binary decode → pair join
+    // → score → threshold) is the real deliverable. Headerless docs
+    // (the mm01 'raw' negative path) are excluded as undecodable.
+    Q("mm05_pair_filter",
+      (s, dir) => {
+        val feats = Multimodal.extractFeatures(
+          mediaBytesDf(s, dir), "doc_id", "bytes").toDF()
+        val caps = Tables.load(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        feats.filter(col("format") =!= "raw")
+          .join(caps, "doc_id")
+          .withColumn("score",
+            pmod(col("width") * 31 + col("height") * 17 + col("n_tokens") * 13,
+              lit(1000)).cast("double") / 1000.0)
+          .filter(col("score") >= 0.5)
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("n_tokens"), col("score"))
+      },
+      Some(s"""WITH $toksCte,
+              |f AS (SELECT doc_id,
+              |        CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS format,
+              |        CAST(16 + doc_id % 624 AS BIGINT) AS width,
+              |        CAST(16 + doc_id % 464 AS BIGINT) AS height,
+              |        CAST(len(t) AS BIGINT) AS n_tokens
+              |      FROM toks WHERE doc_id % 97 <> 0)
+              |SELECT doc_id, format, width, height, n_tokens,
+              |       CAST((width*31 + height*17 + n_tokens*13) % 1000 AS DOUBLE)/1000.0 AS score
+              |FROM f
+              |WHERE CAST((width*31 + height*17 + n_tokens*13) % 1000 AS DOUBLE)/1000.0 >= 0.5""".stripMargin)))
 }
