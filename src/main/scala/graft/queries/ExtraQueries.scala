@@ -151,6 +151,35 @@ object ExtraQueries extends QuerySet {
              |         / sum(n) OVER (PARTITION BY prev_type))*1e4 + 0.5)/1e4 AS p
              |FROM c""".stripMargin)),
 
+    // E13 — DAU / trailing-7-day WAU: the standard active-user report.
+    // Everything runs on the (day, user) DEDUPED activity table (one
+    // row per active user-day — the e06 pre-dedup rule), so the WAU
+    // range join fans the 30-row day dimension (broadcast) against
+    // user-days, never raw events; per-day distinct users then
+    // aggregate a bounded ≤7× blowup of the deduped table.
+    Q("e13_active_users",
+      (s, dir) => {
+        val d = Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .select((unix_millis(col("ts")).cast("long") / 86400000L)
+            .cast("long").as("day"), col("user_id"))
+          .distinct()
+        val days = d.select(col("day")).distinct()
+        val dau = d.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = broadcast(days.select(col("day").as("d0")))
+          .join(d, col("day").between(col("d0") - 6, col("d0")))
+          .groupBy(col("d0").as("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, Seq("day"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT CAST(epoch_ms(ts) AS BIGINT)//86400000 AS day, user_id
+             |           FROM events WHERE user_id IS NOT NULL),
+             |days AS (SELECT DISTINCT day FROM d),
+             |a AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+             |w AS (SELECT days.day, count(DISTINCT d.user_id) AS wau
+             |      FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+             |      GROUP BY 1)
+             |SELECT day, dau, wau FROM a JOIN w USING (day)""".stripMargin)),
+
     // J7/J9 — four-level null-padded join chain (CreateRatingTable4S
     // :4560-4630 / CreateSoilMoistureTable :4632-4718): mapunit ⟕
     // component ⟕ month-carrier ⟕ leaf table.
