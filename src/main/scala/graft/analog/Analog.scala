@@ -37,7 +37,7 @@ object Analog {
        |  SELECT l_orderkey AS mukey,
        |         l_orderkey*10 + l_linenumber AS cokey,
        |         l_quantity AS comppct,
-       |         round(l_extendedprice*100) AS rating,
+       |         floor(l_extendedprice*100 + 0.5) AS rating,
        |         l_returnflag AS crating,
        |         $flagOrdSql AS cord
        |  FROM lineitem)""".stripMargin
@@ -89,7 +89,7 @@ object Analog {
        |         o_orderkey AS cokey,
        |         CAST(1 + o_orderkey % 97 AS DOUBLE) AS comppct,
        |         CAST(month(l_shipdate) AS DOUBLE) AS month,
-       |         round(l_extendedprice*100) AS rating,
+       |         floor(l_extendedprice*100 + 0.5) AS rating,
        |         l_returnflag AS crating,
        |         $flagOrdSql AS cord
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin
@@ -126,7 +126,7 @@ object Analog {
        |         CAST(1 + o_orderkey % 97 AS DOUBLE) AS comppct,
        |         CAST((l_linenumber-1)*30 AS DOUBLE) AS hzdept,
        |         CAST(l_linenumber*30 AS DOUBLE) AS hzdepb,
-       |         round(l_discount*100) AS rating,
+       |         floor(l_discount*100 + 0.5) AS rating,
        |         l_returnflag AS crating,
        |         $flagOrdSql AS cord
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin

@@ -55,8 +55,16 @@ object Exprs {
 
   /** Exact-cents encoding used by the analog oracle queries: a 2-decimal
     * double becomes an integral double so downstream sums are exact in
-    * IEEE754 and hash-comparable across engines. */
-  def cents(c: Column): Column = round(c * 100, 0)
+    * IEEE754 and hash-comparable across engines. Uses the floor form
+    * (see roundHalfUp below) rather than Spark round(): round() takes
+    * BigDecimal's exact decimal expansion of the double while DuckDB's
+    * round() scales in double math, and the two disagree when the
+    * expansion sits on a .5 boundary (e11 r6 hash-fail was exactly one
+    * such value summed over every event row). floor(c*100 + 0.5) is
+    * plain double arithmetic — bit-identical in any engine — and the
+    * SQL oracles mirror it as floor(x*100 + 0.5). Cast back to double
+    * (Spark floor yields LONG) to keep the pre-existing column dtype. */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("double")
 
   /** Cross-engine-stable half-up rounding: floor(x·10^s + 0.5)/10^s.
     * Spark's round() goes through BigDecimal's exact decimal expansion

@@ -25,7 +25,7 @@ object CoreQueries extends QuerySet {
           count(lit(1)).as("n_rows")),
       Some("""SELECT l_returnflag, l_linestatus,
              |       sum(l_quantity) AS sum_qty,
-             |       round(sum(round(l_extendedprice*100))/100, 2) AS sum_base,
+             |       round(sum(floor(l_extendedprice*100 + 0.5))/100, 2) AS sum_base,
              |       count(*) AS n_rows
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 

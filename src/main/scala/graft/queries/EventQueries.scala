@@ -22,7 +22,7 @@ object EventQueries extends QuerySet {
   private val eCte =
     """e AS (SELECT event_id, user_id, event_type,
       |             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
-      |             CAST(round(value*100) AS BIGINT) AS value_cents
+      |             CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents
       |      FROM events)""".stripMargin
 
   /** The funnel oracle (view → $120+ click → $120+ purchase,
@@ -57,7 +57,7 @@ object EventQueries extends QuerySet {
   private val intervalJoinSql =
     """WITH e AS (SELECT event_id, user_id, event_type,
       |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-      |             CAST(round(value*100) AS BIGINT) AS value_cents
+      |             CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents
       |           FROM events),
       |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
       |      FROM e WHERE event_type = 'click'),
@@ -501,7 +501,7 @@ object EventQueries extends QuerySet {
         .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
           unix_millis(col("sw.end")).as("end_ms"), col("n_events"), col("sum_cents")),
       Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-             |                 CAST(round(value*100) AS BIGINT) AS cents
+             |                 CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
              |            FROM events WHERE user_id IS NOT NULL),
              |x AS (SELECT user_id, ts_us, cents,
              |        CASE WHEN lag(ts_us) OVER w IS NULL

@@ -111,7 +111,7 @@ object ExtraQueries extends QuerySet {
           grouping(col("o_orderstatus")).cast("long").as("g_status"),
           grouping(col("o_orderpriority")).cast("long").as("g_prio")),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             |       CAST(sum(round(o_totalprice*100)) AS BIGINT) AS sum_cents,
+             |       CAST(sum(floor(o_totalprice*100 + 0.5)) AS BIGINT) AS sum_cents,
              |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
              |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
@@ -198,7 +198,7 @@ object ExtraQueries extends QuerySet {
       },
       Some("""SELECT c_custkey AS mukey, o_orderkey AS cokey,
              |       CAST(month(l_shipdate) AS DOUBLE) AS monthno,
-             |       round(p_retailprice*100) AS rating
+             |       floor(p_retailprice*100 + 0.5) AS rating
              |FROM customer
              |LEFT JOIN orders ON o_custkey = c_custkey
              |LEFT JOIN lineitem ON l_orderkey = o_orderkey
@@ -289,7 +289,7 @@ object ExtraQueries extends QuerySet {
             sum(Exprs.cents(col("l_extendedprice"))).cast("long").as("sum_cents"))
       },
       Some("""SELECT o_orderpriority, count(*) AS n_items,
-             |       CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS sum_cents
+             |       CAST(sum(floor(l_extendedprice*100 + 0.5)) AS BIGINT) AS sum_cents
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY 1""".stripMargin)),
 

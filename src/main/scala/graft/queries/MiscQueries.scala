@@ -265,7 +265,7 @@ object MiscQueries extends QuerySet {
           |       floor((sum(a.area)*0.000247105/100)*1e2 + 0.5)/1e2 AS acres,
           |       count(*) AS n_mapunits
           |FROM dcp d
-          |JOIN (SELECT o_orderkey AS mukey, round(o_totalprice*100) AS area
+          |JOIN (SELECT o_orderkey AS mukey, floor(o_totalprice*100 + 0.5) AS area
           |      FROM orders) a ON d.mukey = a.mukey
           |GROUP BY ROLLUP(d.rating)""".stripMargin,
         compCte,
@@ -405,7 +405,7 @@ object MiscQueries extends QuerySet {
           |         WHEN 'A' THEN 1.0 WHEN 'N' THEN 2.0 WHEN 'R' THEN 3.0
           |         ELSE 4.0 END AS rank
           |FROM dcp d
-          |JOIN (SELECT o_orderkey AS mukey, round(o_totalprice*100) AS area
+          |JOIN (SELECT o_orderkey AS mukey, floor(o_totalprice*100 + 0.5) AS area
           |      FROM orders) a ON d.mukey = a.mukey
           |GROUP BY coalesce(d.rating, 'Not rated')""".stripMargin,
         compCte,

@@ -43,7 +43,7 @@ object PlannerQueries extends QuerySet {
       |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
       |         CAST(l_orderkey AS VARCHAR) AS mukey,
       |         CAST(l_quantity AS INT) AS comppct_r,
-      |         round(l_extendedprice*100) AS price_cents,
+      |         floor(l_extendedprice*100 + 0.5) AS price_cents,
       |         l_returnflag AS flag
       |  FROM lineitem)""".stripMargin
 
@@ -131,7 +131,7 @@ object PlannerQueries extends QuerySet {
         """srv AS (
           |  SELECT CAST(l_orderkey AS VARCHAR) AS mukey,
           |         CAST(l_quantity AS DOUBLE) AS comppct,
-          |         round(l_extendedprice*100) - l_linenumber*100 AS rating
+          |         floor(l_extendedprice*100 + 0.5) - l_linenumber*100 AS rating
           |  FROM lineitem WHERE l_quantity >= 5)""".stripMargin))),
 
     // R8 — floodBandaid driven end-to-end (gSSURGO_CreateSoilMap.py:
@@ -211,7 +211,7 @@ object PlannerQueries extends QuerySet {
           |  FROM lineitem WHERE l_quantity >= 5)""".stripMargin,
         """scif AS (
           |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
-          |         round(l_discount*100) AS rating
+          |         floor(l_discount*100 + 0.5) AS rating
           |  FROM lineitem WHERE l_linenumber <> 7 AND l_returnflag <> 'N')""".stripMargin))),
 
     // F3' — the bZero null-as-class branch of the property Dominant
@@ -313,7 +313,7 @@ object PlannerQueries extends QuerySet {
           |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
           |         CAST(l_orderkey AS VARCHAR) AS mukey,
           |         CAST(l_quantity AS DOUBLE) AS comppct,
-          |         round(l_extendedprice*100) AS rating
+          |         floor(l_extendedprice*100 + 0.5) AS rating
           |  FROM lineitem WHERE l_quantity >= 5)""".stripMargin))),
 
     // The catalog-sweep dispatch (CreateSoilMaps batch loop +
@@ -375,7 +375,7 @@ object PlannerQueries extends QuerySet {
           |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,
           |         CAST(l_orderkey AS VARCHAR) AS mukey,
           |         CAST(l_quantity AS DOUBLE) AS comppct,
-          |         round(l_extendedprice*100) AS rating
+          |         floor(l_extendedprice*100 + 0.5) AS rating
           |  FROM lineitem)""".stripMargin,
         """swflag AS (
           |  SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cokey,

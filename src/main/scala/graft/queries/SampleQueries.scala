@@ -114,7 +114,7 @@ object SampleQueries extends QuerySet {
         Cdc.changes(oldSnap, newSnap, "c_custkey", Seq("bal_cents"))
       },
       Some("""WITH o AS (SELECT c_custkey AS k,
-             |             CAST(round(c_acctbal*100) AS BIGINT) AS bal
+             |             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
              |           FROM customer),
              |n AS (SELECT k, CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
              |      FROM o WHERE k % 13 <> 0
@@ -169,6 +169,6 @@ object SampleQueries extends QuerySet {
              |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
              |SELECT coalesce(event_type, '__legacy__') AS event_type,
              |       count(*) AS n,
-             |       CAST(sum(round(value*100)) AS BIGINT) AS sum_cents
+             |       CAST(sum(floor(value*100 + 0.5)) AS BIGINT) AS sum_cents
              |FROM u GROUP BY 1""".stripMargin)))
 }

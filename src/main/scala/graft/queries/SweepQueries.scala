@@ -200,7 +200,7 @@ object SweepQueries extends QuerySet {
   private def numSrcName(rv: String, z: Boolean, c: Int) = s"cn_${rv}_${zTag(z)}_c$c"
 
   private def numSrcCte(rv: String, z: Boolean, c: Int): String = {
-    val base = "CASE WHEN l_returnflag = 'N' THEN NULL ELSE round(l_extendedprice*100) END"
+    val base = "CASE WHEN l_returnflag = 'N' THEN NULL ELSE floor(l_extendedprice*100 + 0.5) END"
     val swapped = rv match {
       case "r" => base
       case "l" => s"(($base) - l_linenumber*100)"
@@ -244,7 +244,7 @@ object SweepQueries extends QuerySet {
        |  CASE WHEN rating IS NULL THEN 0.0 ELSE ord END AS ord FROM ccz_c$c)""".stripMargin
 
   private def hzSrcCte(rv: String): String = {
-    val base = "CASE WHEN l_returnflag = 'N' THEN NULL ELSE round(l_discount*100) END"
+    val base = "CASE WHEN l_returnflag = 'N' THEN NULL ELSE floor(l_discount*100 + 0.5) END"
     val swapped = if (rv == "l") s"(($base) - l_linenumber)" else base
     // the rt-stage null filter (bZero off drops null-rated horizon rows)
     s"""hs_$rv AS (

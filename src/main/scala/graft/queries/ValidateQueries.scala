@@ -108,7 +108,7 @@ object ValidateQueries extends QuerySet {
           col("n_events"), col("sum_value")),
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
              |       event_type, count(*) AS n_events,
-             |       round(sum(round(value*100))/100.0, 2) AS sum_value
+             |       round(sum(floor(value*100 + 0.5))/100.0, 2) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // Streaming ingestion dedup — batch twin of
@@ -119,7 +119,7 @@ object ValidateQueries extends QuerySet {
     // surviving-payload choice cannot provide.
     Q("st03_stream_dedup",
       (s, dir) => Ingest.firstArrival(Tables.events(s, dir)),
-      Some("""SELECT user_id, event_type, round(value*100) AS value_cents,
+      Some("""SELECT user_id, event_type, floor(value*100 + 0.5) AS value_cents,
              |       min(CAST(epoch_ms(ts) AS BIGINT)) AS first_ms,
              |       count(*) AS n_dups
              |FROM events GROUP BY 1, 2, 3""".stripMargin)),

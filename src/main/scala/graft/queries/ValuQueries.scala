@@ -214,7 +214,7 @@ object ValuQueries extends QuerySet {
           col("event_type").as("rule"), Exprs.cents(col("value")).as("fuzzy")),
       Some("""SELECT user_id % 50 AS mukey, user_id AS cokey,
              |       CAST(user_id % 97 + 1 AS DOUBLE) AS comppct,
-             |       event_type AS rule, round(value*100) AS fuzzy
+             |       event_type AS rule, floor(value*100 + 0.5) AS fuzzy
              |FROM events
              |WHERE event_type IN ('click','view','purchase','signup')""".stripMargin)),
 
@@ -232,7 +232,7 @@ object ValuQueries extends QuerySet {
       Some("""WITH interp AS (
              |  SELECT user_id % 50 AS mukey, user_id AS cokey,
              |         CAST(user_id % 97 + 1 AS DOUBLE) AS comppct,
-             |         event_type AS rule, round(value*100) AS fuzzy
+             |         event_type AS rule, floor(value*100 + 0.5) AS fuzzy
              |  FROM events
              |  WHERE event_type IN ('click','view','purchase','signup')),
              |den AS (SELECT mukey, sum(comppct) AS sumpct
