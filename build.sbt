@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 183-query bench session caches base tables plus
+  // per-query scratch; at 8g the unified region (~4.6 GiB) ran at the
+  // edge of the working set and GC/eviction churn showed up in round-6
+  // timings. The box has 128 GiB; tests and single-query runs simply
+  // don't grow into the headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

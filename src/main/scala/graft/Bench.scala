@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
@@ -9,6 +12,29 @@ import org.apache.spark.sql.SparkSession
   * action first pays JIT/classloading so per-query numbers are
   * comparable. */
 object Bench {
+
+  /** Executor-side counters accumulated from task-end events. Round 6's
+    * 1.73× bench regression (23 unchanged queries 2-42× slower under a
+    * load_avg-6.6 window) was unattributable from wall time alone; the
+    * split that answers it is wall vs executor CPU: contention inflates
+    * wall while CPU stays flat, a real code regression moves both.
+    * Task-end events are delivered asynchronously, so per-query deltas
+    * can lag a few ms — diagnostic precision, not accounting. */
+  private final class Counters extends SparkListener {
+    val runMs, cpuNs, gcMs, memSpill, diskSpill = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snap: Array[Long] =
+      Array(runMs.get, cpuNs.get, gcMs.get, memSpill.get, diskSpill.get)
+  }
 
   /** The benchmark session configuration — shared with
     * graft.tools.TimeOne so single-query timings predict full-bench
@@ -50,10 +76,19 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, err)
   }
 
+  private def loadAvg: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** One timed pass over `name` → (wall s, task-run s, executor-CPU s,
+    * GC s, error). */
+  private type QRec = (String, Double, Double, Double, Double, Option[String])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = session(cpus)
+    val counters = new Counters
+    spark.sparkContext.addSparkListener(counters)
 
     // Warmup: one pass of the WHOLE suite at the smallest SF (same
     // schemas → identical generated code → janino cache hits; JIT +
@@ -85,33 +120,58 @@ object Bench {
     // Best-of-N (default 3): this VM shows uniform ±25-40% noise windows
     // (rare ~2×) that have twice masqueraded as regressions in a
     // single-run artifact. The minimum total is the least-contended
-    // window — the number that tracks code, not neighbors; per-run
-    // totals and the 1-minute load average ship alongside so a noisy
-    // record is self-diagnosing.
+    // window — the number that tracks code, not neighbors; EVERY run's
+    // per-query wall/task/CPU/GC plus its load average ship alongside,
+    // so a noisy record is self-diagnosing from the artifact alone.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val allRuns = (1 to runs).map { _ =>
-      SparkEntry.queries.keys.toSeq.sorted.map { name =>
-        name -> timed(() => runNoop(spark, sfDir, name))
+    val allRuns: Seq[(Seq[QRec], Double, Array[Long])] = (1 to runs).map { _ =>
+      val la = loadAvg
+      val s0 = counters.snap
+      val recs = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        val b = counters.snap
+        val (wall, err) = timed(() => runNoop(spark, sfDir, name))
+        val a = counters.snap
+        (name, wall, (a(0) - b(0)) / 1e3, (a(1) - b(1)) / 1e9,
+          (a(2) - b(2)) / 1e3, err)
       }
+      (recs, la, counters.snap.zip(s0).map { case (a, b) => a - b })
     }
-    val totals = allRuns.map(_.map(_._2._1).sum)
-    val results = allRuns(totals.indexOf(totals.min))
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    val totals = allRuns.map(_._1.map(_._2).sum)
+    val results = allRuns(totals.indexOf(totals.min))._1
+    def jstr(s: String): String = Json.str(s)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, _, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     // errors are deterministic (analysis-time) so the best run's set is
     // the run's set; a non-empty set fails the process exit code
-    val errors = results.collect { case (k, (_, Some(e))) => k -> e }
+    val errors = results.collect { case (k, _, _, _, _, Some(e)) => k -> e }
     val errsJson = errors.map { case (k, e) => s"${jstr(k)}: ${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = totals.min
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     val runTotals = totals.mkString("[", ",", "]")
+    // per-run diagnostics: each query as [wall, taskRun, cpu, gc] (s) —
+    // taskRun ≫ wall×cores ⇒ stragglers; wall up with cpu flat ⇒
+    // neighbor contention; gc up ⇒ heap pressure (cache churn)
+    val runsJson = allRuns.map { case (recs, la, d) =>
+      val rq = recs.map { case (k, w, t, c, g, _) =>
+        jstr(k) + s":[${r3(w)},${r3(t)},${r3(c)},${r3(g)}]"
+      }.mkString("{", ",", "}")
+      s"""{"total":${r3(recs.map(_._2).sum)},"load_avg":$la,""" +
+        s""""task_sec":${r3(d(0) / 1e3)},"cpu_sec":${r3(d(1) / 1e9)},""" +
+        s""""gc_sec":${r3(d(2) / 1e3)},"spill_mb":${r3((d(3) + d(4)) / 1e6)},""" +
+        s""""queries":$rq}"""
+    }.mkString("[", ",", "]")
+    // cache residency at end of the timed runs: eviction shows up as
+    // disk > 0 or total ≪ the expected working set
+    val rdds = spark.sparkContext.getRDDStorageInfo
+    val cacheJson = s"""{"n_rdds":${rdds.length},""" +
+      s""""mem_mb":${r3(rdds.map(_.memSize).sum / 1e6)},""" +
+      s""""disk_mb":${r3(rdds.map(_.diskSize).sum / 1e6)}}"""
+    val heapMb = Runtime.getRuntime.maxMemory / (1 << 20)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errsJson,"error_count":${errors.size},""" +
-      s""""run_totals":$runTotals,"load_avg":$loadAvg,"sf":"$sfDir"}"""
+      s""""run_totals":$runTotals,"load_avg":$loadAvg,"runs":$runsJson,""" +
+      s""""cache":$cacheJson,"heap_max_mb":$heapMb,"sf":${jstr(sfDir)}}"""
     // the artifact of record goes to a FILE: two rounds of stdout-tail
     // truncation (Spark log interleaving + exit-time buffer cut) lost the
     // per-query timings mid-JSON-line; the file write is atomic-enough
