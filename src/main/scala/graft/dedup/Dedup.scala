@@ -576,8 +576,19 @@ object Dedup {
       // convergence check without a per-round join: labels only ever
       // DECREASE under min-propagation, so Σcluster strictly decreases
       // iff any label changed — one shuffle-free partial-agg scan of
-      // the fresh checkpoint replaces the old join+filter+count job
-      var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
+      // the fresh checkpoint replaces the old join+filter+count job.
+      // The sum runs in decimal(38,0): a Long sum over hash-derived
+      // 63-bit labels wraps silently under non-ANSI semantics, and a
+      // wrapped collision between rounds would declare convergence
+      // early and ship wrong clusters; the decimal partial-agg is
+      // exact for any label magnitude (overflow would need ~10^19
+      // rows and surfaces as a loud null, not a collision).
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val v = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+        require(!v.isNullAt(0), "dupClusters: label sum overflowed decimal(38,0)")
+        v.getDecimal(0)
+      }
+      var prevSum = labelSum(labels)
       var changed = true
       var i = 0
       while (changed && i < maxIter) {
@@ -586,8 +597,8 @@ object Dedup {
         val next = labels.unionByName(prop)
           .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
           .localCheckpoint(true)
-        val sumNow = next.agg(sum(col("cluster"))).head().getLong(0)
-        changed = sumNow != prevSum
+        val sumNow = labelSum(next)
+        changed = sumNow.compareTo(prevSum) != 0
         prevSum = sumNow
         labels = next
         i += 1

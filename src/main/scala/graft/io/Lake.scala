@@ -41,12 +41,27 @@ object Lake {
   def readEvolved(spark: SparkSession, dirs: Seq[String],
       canonical: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(dirs.nonEmpty, "readEvolved: no vintage directories given")
     dirs.map { d =>
       val df = spark.read.parquet(d)
-      val have = df.columns.toSet
+      val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
       df.select(canonical.fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        have.get(f.name) match {
+          case None => lit(null).cast(f.dataType).as(f.name)
+          case Some(dt) =>
+            // only LOSSLESS physical drift reconciles (float→double,
+            // int→long, the nanos→micros class); an incompatible drift
+            // (string→long, …) must fail HERE naming the vintage — a
+            // lenient cast would silently turn the column to NULLs and
+            // corrupt every query downstream, the exact failure mode
+            // this reader exists to prevent
+            if (dt != f.dataType && !org.apache.spark.sql.catalyst.expressions
+                  .Cast.canUpCast(dt, f.dataType))
+              throw new IllegalStateException(
+                s"readEvolved: vintage $d column ${f.name} has $dt, " +
+                s"not losslessly castable to canonical ${f.dataType}")
+            col(f.name).cast(f.dataType).as(f.name)
+        }
       }: _*)
     }.reduce(_ unionByName _)
   }

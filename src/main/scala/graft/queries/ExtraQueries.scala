@@ -270,19 +270,7 @@ object ExtraQueries extends QuerySet {
     // loses nothing.
     Q("j19_bucketed_join",
       (s, dir) => {
-        val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-        val base = s"/tmp/graft_bkt_$suffix"
-        def land(df: org.apache.spark.sql.DataFrame, name: String, key: String): String = {
-          val t = s"bkt_${name}_$suffix"
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
-            .option("path", s"$base/$name").format("parquet").saveAsTable(t)
-          t
-        }
-        val o = land(Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderpriority")), "orders", "o_orderkey")
-        val l = land(Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_extendedprice")), "lineitem", "l_orderkey")
+        val (o, l) = landBuckets(s, dir)
         s.table(o).join(s.table(l), col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_items"),
@@ -381,6 +369,34 @@ object ExtraQueries extends QuerySet {
         graft.io.Lake.read(s, s"$tmp/lake", "valu1").drop("areasymbol")
       },
       Some(valuWideOracle)))
+
+  /** j19's bucketed-table landing, once per (session, dir): a 3-rep
+    * bench (plus warmup) otherwise re-writes both tables every
+    * invocation — write time polluting the join measurement — and two
+    * concurrent invocations would race on DROP/CREATE of the shared
+    * catalog names. The landed layout is immutable for a given dir, so
+    * the memoized names stay valid for the session's lifetime; the
+    * fixed per-dir path overwrites rather than accumulating. */
+  private val bucketMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+
+  private def landBuckets(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    bucketMemo.getOrElseUpdate((s, dir), {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_bkt_$suffix"
+      def land(df: org.apache.spark.sql.DataFrame, name: String, key: String): String = {
+        val t = s"bkt_${name}_$suffix"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$name").format("parquet").saveAsTable(t)
+        t
+      }
+      (land(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")), "orders", "o_orderkey"),
+        land(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice")), "lineitem", "l_orderkey"))
+    })
 
   /** V14 analog horizon rows: om rides the rating, db3i/fragvol are
     * key-derived (integral doubles — exact sums, see Analog scaladoc). */
