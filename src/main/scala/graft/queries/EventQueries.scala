@@ -515,5 +515,88 @@ object EventQueries extends QuerySet {
              |SELECT user_id, min(ts_us)//1000 AS start_ms,
              |       max(ts_us)//1000 + 1800000 AS end_ms,
              |       count(*) AS n_events, sum(cents) AS sum_cents
-             |FROM y GROUP BY user_id, sid""".stripMargin)))
+             |FROM y GROUP BY user_id, sid""".stripMargin)),
+
+    // ST08 — watermark late-drop ACCOUNTING as a driver gate (the
+    // silent-late-data failure mode surfaced as an exact metric;
+    // StreamingSpec pins the mechanism, this pins the numbers against
+    // the oracle). Two AvailableNow runs share one checkpoint: run 1
+    // processes an on-time wave ([cut−2h, cut], cut = midpoint of the
+    // event-time span) and persists watermark ≈ max(wave1)−1h; run 2
+    // lands rows ≥3h staler than the cut — far below the RESTORED
+    // watermark — plus fresh rows past the cut. Every stale (hour,
+    // type) group must be dropped and counted by
+    // numRowsDroppedByWatermark, while all on-time rows reach state.
+    // The metric counts rows arriving at the state operator AFTER
+    // map-side partial aggregation, so each wave lands as ONE file
+    // (one map task → one partial-agg row per group) to make the
+    // expected count the exact stale GROUP count. Final state is
+    // reconstructed from the update-mode sink (last batch wins per
+    // key) — state_groups/state_rows prove the on-time side landed
+    // intact. All three numbers are recomputed relationally by the
+    // oracle from the same cut arithmetic.
+    Q("st08_watermark_drop",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = "/tmp/graft_st08_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val ev = Tables.events(s, dir).select(col("ts"), col("event_type"))
+        val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+        val hr = 3600000000L
+        val us = unix_micros(col("ts"))
+        def land(f: org.apache.spark.sql.Column, name: String): Unit =
+          ev.filter(f).coalesce(1).write.parquet(s"$tmp/drop/$name")
+        land(us.between(cut - 2 * hr, cut), "w1")
+        val schema = ev.schema
+        def run(): Long = {
+          val q = s.readStream.schema(schema).parquet(s"$tmp/drop/*")
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(unix_millis(col("win.start")).as("w_ms"), col("event_type"), col("n"))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", s"$tmp/ck")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              b.withColumn("batch_id", lit(id))
+                .write.mode("append").parquet(s"$tmp/out")
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          q.recentProgress.toSeq.flatMap(_.stateOperators)
+            .map(_.numRowsDroppedByWatermark).sum
+        }
+        run()
+        land(us <= cut - 3 * hr, "w2stale")
+        land(us > cut, "w2fresh")
+        val dropped = run()
+        // final state = last emitted update per key (update mode emits
+        // the key's cumulative count each time it changes; batch ids
+        // are monotone across the checkpoint-shared runs)
+        val out = s.read.parquet(s"$tmp/out")
+        val last = out.groupBy(col("w_ms"), col("event_type"))
+          .agg(max_by(col("n"), col("batch_id")).as("n"))
+        val st = last.agg(count(lit(1)).as("g"), sum(col("n")).as("r")).head()
+        import s.implicits._
+        Seq(("dropped_groups", dropped),
+          ("state_groups", st.getLong(0)), ("state_rows", st.getLong(1)))
+          .toDF("metric", "value")
+      },
+      Some("""WITH b AS (SELECT (CAST(min(epoch_us(ts)) AS BIGINT)
+             |                 + CAST(max(epoch_us(ts)) AS BIGINT))//2 AS cut
+             |           FROM events),
+             |e AS (SELECT date_trunc('hour', ts) AS w, event_type,
+             |             CAST(epoch_us(ts) AS BIGINT) AS us
+             |      FROM events),
+             |keep AS (SELECT * FROM e, b
+             |         WHERE us BETWEEN cut - 7200000000 AND cut OR us > cut),
+             |stale AS (SELECT * FROM e, b WHERE us <= cut - 10800000000)
+             |SELECT 'dropped_groups' AS metric,
+             |       (SELECT count(*) FROM (SELECT DISTINCT w, event_type FROM stale)) AS value
+             |UNION ALL
+             |SELECT 'state_groups',
+             |       (SELECT count(*) FROM (SELECT DISTINCT w, event_type FROM keep))
+             |UNION ALL
+             |SELECT 'state_rows', (SELECT count(*) FROM keep)""".stripMargin)))
 }
