@@ -16,7 +16,7 @@ object SparkEntry {
   def sets: Seq[QuerySet] =
     Seq(CoreQueries, SdvQueries, HzMoQueries, ValuQueries, MiscQueries,
       TrainQueries, ValidateQueries, ExtraQueries, PlannerQueries,
-      SweepQueries, EventQueries, SampleQueries)
+      SweepQueries, EventQueries, SampleQueries, GeoQueries)
 
   private lazy val allQ: Seq[Q] = sets.flatMap(_.all)
 

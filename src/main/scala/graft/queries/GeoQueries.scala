@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.geo.Geo
+
+/** Real-geometry upgrades for the spatial operators previously modeled
+  * key-relationally (J16 clip → gSSURGO_Clip.py:63-336; S7 raster cell
+  * lookup → SSURGO_ExportMuRaster.py:1252-1357). Geometries are
+  * synthesized deterministically from the mapunit key on a BIGINT
+  * fixed-point grid (the raster cell space), so every predicate is
+  * integer-exact and the DuckDB oracles replay the identical
+  * arithmetic — no float tolerance anywhere.
+  *
+  * Scale: each query is per-row expression work over the mapunit
+  * universe; the clip's AOI test is the grid-cell candidate filter of
+  * a distributed spatial join (bucket by cell, then exact predicate —
+  * the LSH-dedup blocked-candidates shape applied to space). */
+object GeoQueries extends QuerySet {
+
+  /** Shared synthesis (SQL twin of the column expressions below):
+    * box (x0,y0)-(x0+w,y0+h), trapezoid (x0,y0),(x0+w,y0),
+    * (x0+w-s1,y0+h),(x0+s2,y0+h) — simple because w ≥ 12 > s1+s2. */
+  private val synthCte =
+    """g AS (SELECT c_custkey AS mukey,
+      |             (c_custkey*73) % 1000 AS x0, (c_custkey*137) % 1000 AS y0,
+      |             c_custkey % 50 + 12 AS w, c_custkey % 30 + 7 AS h,
+      |             c_custkey % 7 AS s1, c_custkey % 5 AS s2
+      |      FROM customer)""".stripMargin
+
+  private def synth(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("mukey"),
+      (col("c_custkey") * 73) % 1000 as "x0",
+      (col("c_custkey") * 137) % 1000 as "y0",
+      col("c_custkey") % 50 + 12 as "w",
+      col("c_custkey") % 30 + 7 as "h",
+      col("c_custkey") % 7 as "s1",
+      col("c_custkey") % 5 as "s2")
+
+  private val trapXs = array(col("x0"), col("x0") + col("w"),
+    col("x0") + col("w") - col("s1"), col("x0") + col("s2"))
+  private val trapYs = array(col("y0"), col("y0"),
+    col("y0") + col("h"), col("y0") + col("h"))
+
+  private val trapXsSql =
+    "[x0, x0 + w, x0 + w - s1, x0 + s2]::BIGINT[]"
+  private val trapYsSql =
+    "[y0, y0, y0 + h, y0 + h]::BIGINT[]"
+
+  val all: Seq[Q] = Seq(
+
+    // J20 — AOI clip with real coordinates (gSSURGO_Clip.py:63-336):
+    // each mapunit's bounding box against the fixed AOI rectangle;
+    // non-intersecting mapunits drop (the clip's row-reduction), the
+    // survivors carry the clipped extent and its area. Half-open
+    // boxes: edge-touching is NOT an intersection.
+    Q("j20_bbox_clip",
+      (s, dir) => synth(s, dir)
+        .withColumn("c", Geo.bboxClip(col("x0"), col("y0"),
+          col("x0") + col("w"), col("y0") + col("h"),
+          250L, 200L, 750L, 700L))
+        .filter(col("c.area") > 0)
+        .select(col("mukey"), col("c.ix0").as("ix0"), col("c.iy0").as("iy0"),
+          col("c.ix1").as("ix1"), col("c.iy1").as("iy1"),
+          col("c.area").as("clip_area")),
+      Some(s"""WITH $synthCte
+              |SELECT mukey,
+              |       greatest(x0, 250) AS ix0, greatest(y0, 200) AS iy0,
+              |       least(x0 + w, 750) AS ix1, least(y0 + h, 700) AS iy1,
+              |       (least(x0 + w, 750) - greatest(x0, 250))
+              |         * (least(y0 + h, 700) - greatest(y0, 200)) AS clip_area
+              |FROM g
+              |WHERE least(x0 + w, 750) > greatest(x0, 250)
+              |  AND least(y0 + h, 700) > greatest(y0, 200)""".stripMargin)),
+
+    // J21 — exact polygon area via the integer shoelace (the acreage
+    // denominator of the muareaacres join, gSSURGO_Clip.py:318-326
+    // CalculateField geometry area): doubled area keeps odd values
+    // integer-exact; per-row O(vertices) expression work, no shuffle.
+    Q("j21_polygon_area",
+      (s, dir) => synth(s, dir)
+        .select(col("mukey"), Geo.polygonArea2(trapXs, trapYs).as("area2"),
+          lit(4L).as("n_vertices")),
+      Some(s"""WITH $synthCte,
+              |p AS (SELECT mukey, $trapXsSql AS xs, $trapYsSql AS ys FROM g)
+              |SELECT mukey,
+              |  CAST(abs(list_sum(list_transform(range(1, len(xs)+1),
+              |    i -> xs[i]*ys[(i % len(xs))+1] - xs[(i % len(xs))+1]*ys[i]))) AS BIGINT)
+              |    AS area2,
+              |  CAST(4 AS BIGINT) AS n_vertices
+              |FROM p""".stripMargin)),
+
+    // S11 — point-in-polygon raster lookup (SSURGO_ExportMuRaster.py
+    // :1252-1357, PolygonToRaster CELL_CENTER): three probe cells per
+    // mapunit, seeded near its polygon so inside and outside are both
+    // non-vacuous; integer ray casting, identical boundary convention
+    // in both engines.
+    Q("s11_point_in_polygon",
+      (s, dir) => synth(s, dir)
+        .select(col("mukey"), col("x0"), col("y0"), col("w"), col("h"),
+          col("s1"), col("s2"), explode(sequence(lit(0L), lit(2L))).as("pt_id"))
+        .withColumn("px",
+          col("x0") + (col("mukey") * 7 + col("pt_id") * 13) % (col("w") + 10) - 4)
+        .withColumn("py",
+          col("y0") + (col("mukey") * 11 + col("pt_id") * 17) % (col("h") + 8) - 3)
+        .select(col("mukey"), col("pt_id"), col("px"), col("py"),
+          Geo.pointInPolygon(col("px"), col("py"), trapXs, trapYs).as("inside")),
+      Some(s"""WITH $synthCte,
+              |pt AS (SELECT g.*, j AS pt_id,
+              |         x0 + (mukey*7 + j*13) % (w + 10) - 4 AS px,
+              |         y0 + (mukey*11 + j*17) % (h + 8) - 3 AS py
+              |       FROM g, unnest([0,1,2]::BIGINT[]) AS u(j)),
+              |p AS (SELECT mukey, pt_id, px, py,
+              |        $trapXsSql AS xs, $trapYsSql AS ys FROM pt)
+              |SELECT mukey, pt_id, px, py,
+              |  CAST(list_sum(list_transform(range(1, len(xs)+1), i ->
+              |    CASE WHEN ((ys[i] <= py) != (ys[(i % len(xs))+1] <= py))
+              |          AND (((xs[i]-px)*(ys[(i % len(xs))+1]-ys[i])
+              |               + (xs[(i % len(xs))+1]-xs[i])*(py-ys[i]) > 0)
+              |               = (ys[(i % len(xs))+1] > ys[i]))
+              |          AND (xs[i]-px)*(ys[(i % len(xs))+1]-ys[i])
+              |               + (xs[(i % len(xs))+1]-xs[i])*(py-ys[i]) <> 0
+              |    THEN 1 ELSE 0 END)) AS BIGINT) % 2 = 1 AS inside
+              |FROM p""".stripMargin)))
+}
