@@ -1314,6 +1314,24 @@ object TrainQueries extends QuerySet {
               |       3*n_words - 40*n_punct + 25*n_stop + 5*n_distinct - n_chars - 60 >= 0 AS keep
               |FROM f""".stripMargin)),
 
+    // T33 — unigram-LM quality score (the CCNet-style LM filter made
+    // engine-portable): mean frequency bucket floor(log2 n)+1 of a
+    // doc's tokens against corpus-trained unigram counts — integer
+    // arithmetic end to end (binary digit count, floored 1e4 mean),
+    // so no cross-engine float-log drift. Rare-token gibberish scores
+    // low; the count table is vocab-sized (broadcastable at scale).
+    Q("t33_lm_score",
+      (s, dir) => TextAnalysis.lmFrequencyScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+              |c AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+              |j AS (SELECT doc_id, CAST(length(bin(n)) AS BIGINT) AS b
+              |      FROM tok JOIN c USING (tok))
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |       CAST(sum(b)*10000 // count(*) AS BIGINT) AS score_e4
+              |FROM j GROUP BY doc_id""".stripMargin)),
+
     // D1 — exact dedup by content hash.
     Q("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text"),
@@ -1689,6 +1707,36 @@ object TrainQueries extends QuerySet {
               |${assignCtes("e", "c", "ca")},
               |qa AS (SELECT vid AS qid, v AS qv, cid FROM ca WHERE vid < 10),
               |${ivfTopKSql("qa", 3)}""".stripMargin)),
+
+    // N17 — metadata-FILTERED ANN (the filtered-vector-search facility
+    // every retrieval stack needs): the index is built over only the
+    // label-predicate survivors — filter BEFORE centroid assignment,
+    // so bucket lists never hold excluded vectors and per-query work
+    // is ∝ the filtered corpus, not the full one (post-filtering a
+    // top-k over the full index under-fills k when the predicate is
+    // selective). Queries come from the UNFILTERED set — searching a
+    // restricted corpus with arbitrary queries is the point.
+    Q("n17_filtered_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val f = e.filter(col("label") % 2 === 0)
+        Ann.ivfSearch(
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          f.select(col("vec_id").as("vid"), col("embedding").as("vec")),
+          f.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 5)
+      },
+      Some(s"""WITH el AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              |            FROM embeddings),
+              |fe AS (SELECT vec_id, v FROM el WHERE label % 2 = 0),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM fe WHERE vec_id < 20),
+              |${assignCtes("fe", "c", "ca")},
+              |q0 AS (SELECT vec_id, v FROM el WHERE vec_id < 10),
+              |${assignCtes("q0", "c", "qas")},
+              |qa AS (SELECT vid AS qid, v AS qv, cid FROM qas),
+              |${ivfTopKSql("qa", 5)}""".stripMargin)),
 
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient

@@ -209,6 +209,32 @@ object TextAnalysis {
       .withColumn("keep", col("logit") >= 0)
   }
 
+  /** Unigram-LM quality score (the CCNet/Wikipedia-LM filter shape,
+    * made engine-portable): train corpus-wide unigram occurrence
+    * counts, score each document by the mean frequency BUCKET of its
+    * tokens — bucket(n) = floor(log2 n)+1 computed as the binary
+    * digit count, so the whole score is INTEGER arithmetic and any
+    * ANSI engine reproduces it bit-for-bit (a float log would drift
+    * at the last ulp across engines). Low scores = rare-token
+    * gibberish, the docs an LM filter drops. score_e4 = mean bucket
+    * ×1e4, floored.
+    *
+    * Scale: the count table is vocab-sized (Zipf — orders smaller
+    * than the corpus), so the score join broadcasts; the only full
+    * shuffle is the unigram count itself, which partial-aggregates
+    * map-side. */
+  def lmFrequencyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("did"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    tok.join(counts, "tok")
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(conv(col("n"), 10, 2)).cast("long")).as("sb"))
+      .select(col("did").as(idCol), col("n_tokens"),
+        expr("sb * 10000 div n_tokens").as("score_e4"))
+  }
+
   /** The default t31 query battery (terms from the driver documents'
     * generative vocabulary) — a shared constant so the Spark plan and
     * the SQL oracle consume the identical query set. */
