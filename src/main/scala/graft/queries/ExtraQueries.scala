@@ -418,7 +418,7 @@ object ExtraQueries extends QuerySet {
         when(col("hzdept") === 0, "corn").when(col("hzdept") === 30, "soy")
           .otherwise("cotton").as("rule"),
         (col("rating") * 1000).as("fuzzy"))
-    ValuTable.build(base, h, cmp,
+    ValuTable.buildFused(base, h, cmp,
       major = col("crating") =!= "N", earthy = col("comppct") >= 10,
       organic = col("crating") === "A", restricted = col("rating") >= 8,
       water = col("crating") === "N", hydric = col("comppct") >= 40,
