@@ -322,6 +322,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cross join:\n$plan")
   }
 
+  test("buildFused plan: the horizon side runs in two shuffles, cokey reused") {
+    import graft.valu.ValuTable
+    val dir = "/root/testdata/sf0.001"
+    val h = graft.analog.Analog.hz(spark, dir).select(col("mukey"), col("cokey"),
+      col("comppct"), col("hzdept"), col("hzdepb"), col("rating"), col("crating"),
+      col("rating").as("om"), (col("cokey") % 5 + 10).cast("double").as("db3i"),
+      col("comppct").as("fragvol"))
+    val base = Tables.load(spark, dir, "customer").select(col("c_custkey").as("mukey"))
+    val cmp = h.groupBy(col("mukey"), col("cokey"), col("comppct"))
+      .agg(max(col("crating")).as("crating"))
+    val interp = h.filter(col("crating") =!= "N")
+      .select(col("mukey"), col("cokey"), col("comppct"), lit("corn").as("rule"),
+        (col("rating") * 1000).as("fuzzy"))
+    val wide = ValuTable.buildFused(base, h, cmp,
+      col("crating") =!= "N", col("comppct") >= 10, col("crating") === "A",
+      col("rating") >= 8, col("crating") === "N", col("comppct") >= 40,
+      interp, Seq("corn" -> "nccpi_corn"))
+    val plan = wide.queryExecution.executedPlan.toString
+    // shuffle budget: base sort, comp agg, interp agg, hz window (cokey),
+    // hz mapunit rollup — the cokey-level ~50-column aggregation must
+    // REUSE the window's cokey exchange (the whole point of the fusion);
+    // build() runs ~20 shuffles on the same inputs
+    val shuffles = "(?<!Broadcast|Reused)Exchange".r.findAllIn(plan).size
+    assert(shuffles <= 7, s"fused Valu plan shuffles regressed ($shuffles):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("V6+V7: corestriction depth caps the horizon-rule root zone") {
     val hzS = StructType(Seq(StructField("mukey", StringType),
       StructField("cokey", StringType), StructField("comppct", DoubleType),
