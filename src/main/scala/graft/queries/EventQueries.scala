@@ -168,15 +168,28 @@ object EventQueries extends QuerySet {
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
         }
-        ev.filter(col("ts") < cut1).coalesce(4)
-          .write.mode("append").parquet(s"$tmp/drop")
-        run()
-        ev.filter(col("ts") >= cut1 && col("ts") < cut2).coalesce(4)
-          .write.mode("append").parquet(s"$tmp/drop")
-        run()
-        ev.filter(col("ts") >= cut2).coalesce(4)
-          .write.mode("append").parquet(s"$tmp/drop")
-        run()
+        // the stream's STATE partition count is fixed at first start by
+        // spark.sql.shuffle.partitions and re-used from the checkpoint;
+        // at 32 each of the 3 runs commits 32 join-state stores per
+        // side per batch and the store churn dominates wall time
+        // (measured ~23 s → ~8 s at 8). State volume here is bounded
+        // by watermark+interval, so fewer/bigger stores is strictly
+        // better; a production deployment sizes this to state volume,
+        // not to the batch session's CPU count.
+        val spKey = "spark.sql.shuffle.partitions"
+        val prevSp = s.conf.get(spKey)
+        s.conf.set(spKey, "8")
+        try {
+          ev.filter(col("ts") < cut1).coalesce(4)
+            .write.mode("append").parquet(s"$tmp/drop")
+          run()
+          ev.filter(col("ts") >= cut1 && col("ts") < cut2).coalesce(4)
+            .write.mode("append").parquet(s"$tmp/drop")
+          run()
+          ev.filter(col("ts") >= cut2).coalesce(4)
+            .write.mode("append").parquet(s"$tmp/drop")
+          run()
+        } finally s.conf.set(spKey, prevSp)
         s.read.parquet(s"$tmp/out")
       },
       Some(intervalJoinSql)),
