@@ -37,7 +37,15 @@ object Dedup {
     * did-partitioned sort feeds the downstream groupBy(did) without a
     * second exchange. Docs shorter than n contribute their whole text
     * as one shingle (parity with wordShingles). */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRowsAll(docs, idCol, textCol, n).distinct()
+
+  /** [[shingleRows]] WITHOUT the distinct — the shared construction.
+    * Consumers that only need shingle-set digests should distinct at
+    * the digest level ([[shingleDigests]]): the dedup exchange then
+    * carries 8-byte longs instead of multi-word shingle strings. */
+  private def shingleRowsAll(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol).as("did"),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -50,8 +58,20 @@ object Dedup {
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) < n)
       .select(col("did"), concat_ws(" ", col("__tk")).as("s"))
-    long.unionByName(short).distinct()
+    long.unionByName(short)
   }
+
+  /** Distinct 64-bit shingle digests (did, h) — the form every hashing
+    * consumer (minhash signatures, Jaccard verification) actually
+    * needs. Distinct-ing AFTER the digest means the dedup shuffle
+    * moves 8-byte longs, not shingle strings. Set cardinality equals
+    * the string-level distinct barring an in-doc xxhash64 collision
+    * (~|S|²/2⁶⁴ — negligible, deterministic for fixed inputs; the
+    * same caveat verifyJaccard has always documented). */
+  def shingleDigests(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleRowsAll(docs, idCol, textCol, n)
+      .select(col("did"), xxhash64(col("s")).as("h")).distinct()
 
   /** MinHash signature: k seeded-xxhash64 minima over the shingle set
     * (array-expression form, used for ad-hoc column-level work).
@@ -105,8 +125,8 @@ object Dedup {
       k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
-    val hashed = sh.select(col("did"), col("s"), xxhash64(col("s")).as("h0"))
+    val hashed = shingleDigests(docs, idCol, textCol, shingleN)
+      .select(col("did"), col("h").as("h0"))
     val lanes = (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"mh$i"))
     val sig = hashed.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
     sig.select(col("did"), explode(array((0 until bands).map(b =>
@@ -161,10 +181,10 @@ object Dedup {
     // cardinalities are unchanged barring an xxhash64 collision
     // within a doc pair's shingle sets (~|S|²/2⁶⁴ — negligible, and
     // deterministic for fixed inputs, so it cannot flake a gate).
-    val shArr = shingleRows(
+    val shArr = shingleDigests(
         docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
         idCol, textCol, shingleN)
-      .groupBy(col("did")).agg(collect_list(xxhash64(col("s"))).as("sh"))
+      .groupBy(col("did")).agg(collect_list(col("h")).as("sh"))
     val pairs = cand
       .join(shArr.select(col("did").as("id_a"), col("sh").as("sha")), "id_a")
       .join(shArr.select(col("did").as("id_b"), col("sh").as("shb")), "id_b")
