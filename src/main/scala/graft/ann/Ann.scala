@@ -127,6 +127,30 @@ object Ann {
           coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
   }
 
+  /** k-nearest-neighbor GRAPH construction — every corpus vector's
+    * top-k neighbors among its IVF bucket-mates (the input artifact of
+    * graph-based dedup/clustering passes: SemDeDup-style pruning,
+    * label propagation, kNN classifiers). Distinct from search: the
+    * query set IS the corpus, so the scale problem is the all-pairs
+    * blow-up, and the bucket equi-join bounds it to Σ|bucket|² — the
+    * SemDeDup shape; at corpus scale the centroid count grows with the
+    * corpus to hold per-bucket cost constant. Ranking is the
+    * round-6-quantized cosine with neighbor-id tiebreak, so the whole
+    * graph is engine-portable. Vectors alone in their bucket emit no
+    * rows (no neighbors at this probe radius — the standard contract). */
+  def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val ca = ivfAssign(corpus, centroids)
+    val scored = ca.as("a").join(ca.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("vid"), col("b.vid").as("neighbor_id"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF search: queries probe only their own centroid bucket.
     * Returns (qid, neighbor_id, cosine, rank) with rank <= k. */
   def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,

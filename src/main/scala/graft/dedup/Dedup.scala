@@ -627,6 +627,42 @@ object Dedup {
     } finally spark.conf.set(aqeKey, prevAqe)
   }
 
+  /** Integer PageRank over the near-dup pair graph — template/
+    * boilerplate HUB detection: in a web-scale corpus the documents
+    * with the most near-dup edges are shared templates (nav chrome,
+    * license boilerplate), and their centrality — not just degree —
+    * ranks which ones anchor whole duplication neighborhoods. The
+    * classic damped iteration runs in exact integer arithmetic (ranks
+    * in 1e-6 units, floor division for the out-degree split and the
+    * 0.85 damping), so a fixed iteration count is engine-portable —
+    * no float convergence drift. The pair graph is symmetric, so
+    * every node both emits and receives each round: no dangling-mass
+    * correction is needed.
+    *
+    * Scale: each iteration is one |E|-sized equi-join + a partial-
+    * aggregating rollup keyed on the receiving doc; degree and rank
+    * tables are node-sized. Iterations are a fixed small constant —
+    * centrality ordering stabilizes in a few rounds on the tiny
+    * components a near-dup graph has. Returns (doc_id, outdeg, rank)
+    * for every node of the pair graph. */
+  def pairPageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var rank = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      rank = edges.join(deg, "src")
+        .join(rank, col("src") === col("id"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("85 * s div 100")).as("pr"))
+    }
+    rank.join(deg, col("id") === col("src"))
+      .select(col("id").as("doc_id"), col("outdeg"), col("pr").as("rank"))
+  }
+
   /** Random-hyperplane LSH near-dup pairs — the scale path for
     * embeddingCosinePairs. Each of `bands`×`bits` Rademacher
     * hyperplanes is derived deterministically from xxhash64(plane,

@@ -23,7 +23,7 @@ object GeoQueries extends QuerySet {
     * box (x0,y0)-(x0+w,y0+h), trapezoid (x0,y0),(x0+w,y0),
     * (x0+w-s1,y0+h),(x0+s2,y0+h) — simple because w ≥ 12 > s1+s2. */
   private val synthCte =
-    """g AS (SELECT c_custkey AS mukey,
+    """g AS (SELECT c_custkey AS mukey, c_nationkey AS zone,
       |             (c_custkey*73) % 1000 AS x0, (c_custkey*137) % 1000 AS y0,
       |             c_custkey % 50 + 12 AS w, c_custkey % 30 + 7 AS h,
       |             c_custkey % 7 AS s1, c_custkey % 5 AS s2
@@ -32,6 +32,7 @@ object GeoQueries extends QuerySet {
   private def synth(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "customer").select(
       col("c_custkey").as("mukey"),
+      col("c_nationkey").as("zone"),
       (col("c_custkey") * 73) % 1000 as "x0",
       (col("c_custkey") * 137) % 1000 as "y0",
       col("c_custkey") % 50 + 12 as "w",
@@ -48,6 +49,19 @@ object GeoQueries extends QuerySet {
     "[x0, x0 + w, x0 + w - s1, x0 + s2]::BIGINT[]"
   private val trapYsSql =
     "[y0, y0, y0 + h, y0 + h]::BIGINT[]"
+
+  /** SQL twin of [[Geo.pointInPolygon]] over columns px/py/xs/ys —
+    * shared by the s11 and s12 oracles so the ray-cast convention
+    * cannot drift between them. */
+  private val pipSql =
+    """CAST(list_sum(list_transform(range(1, len(xs)+1), i ->
+      |    CASE WHEN ((ys[i] <= py) != (ys[(i % len(xs))+1] <= py))
+      |          AND (((xs[i]-px)*(ys[(i % len(xs))+1]-ys[i])
+      |               + (xs[(i % len(xs))+1]-xs[i])*(py-ys[i]) > 0)
+      |               = (ys[(i % len(xs))+1] > ys[i]))
+      |          AND (xs[i]-px)*(ys[(i % len(xs))+1]-ys[i])
+      |               + (xs[(i % len(xs))+1]-xs[i])*(py-ys[i]) <> 0
+      |    THEN 1 ELSE 0 END)) AS BIGINT) % 2 = 1""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -115,13 +129,54 @@ object GeoQueries extends QuerySet {
               |p AS (SELECT mukey, pt_id, px, py,
               |        $trapXsSql AS xs, $trapYsSql AS ys FROM pt)
               |SELECT mukey, pt_id, px, py,
-              |  CAST(list_sum(list_transform(range(1, len(xs)+1), i ->
-              |    CASE WHEN ((ys[i] <= py) != (ys[(i % len(xs))+1] <= py))
-              |          AND (((xs[i]-px)*(ys[(i % len(xs))+1]-ys[i])
-              |               + (xs[(i % len(xs))+1]-xs[i])*(py-ys[i]) > 0)
-              |               = (ys[(i % len(xs))+1] > ys[i]))
-              |          AND (xs[i]-px)*(ys[(i % len(xs))+1]-ys[i])
-              |               + (xs[(i % len(xs))+1]-xs[i])*(py-ys[i]) <> 0
-              |    THEN 1 ELSE 0 END)) AS BIGINT) % 2 = 1 AS inside
-              |FROM p""".stripMargin)))
+              |  $pipSql AS inside
+              |FROM p""".stripMargin)),
+
+    // S12 — zonal statistics over the rasterized mapunit polygons (the
+    // ZonalStatisticsAsTable step of the reference's raster workflow,
+    // SSURGO_ExportMuRaster.py's PolygonToRaster feeding per-zone
+    // summaries): each polygon is rasterized to the stride-4 cell
+    // centers of its own bbox (cells ∝ polygon area — never a global
+    // grid materialization), cells keep only ray-cast interior hits,
+    // and a per-zone rollup (zone = the mapunit's nation) reports cell
+    // count, area, touched mapunits, and the exact integer-division
+    // rating mean. Pure expression fan-out + ONE rollup shuffle; at
+    // 100 TB the cell fan-out partitions by mapunit with no skew (bbox
+    // sizes are bounded) and the rollup is a 25-row aggregate.
+    Q("s12_zonal_stats",
+      (s, dir) => {
+        val cellsX = synth(s, dir)
+          .select(col("mukey"), col("zone"), col("x0"), col("y0"), col("w"),
+            col("h"), col("s1"), col("s2"),
+            explode(expr("sequence(0L, w div 4)")).as("i"))
+        val cells = cellsX
+          .select(col("mukey"), col("zone"), col("x0"), col("y0"), col("w"),
+            col("h"), col("s1"), col("s2"), col("i"),
+            explode(expr("sequence(0L, h div 4)")).as("j"))
+          .withColumn("px", col("x0") + col("i") * 4 + 1)
+          .withColumn("py", col("y0") + col("j") * 4 + 1)
+        cells
+          .filter(Geo.pointInPolygon(col("px"), col("py"), trapXs, trapYs))
+          .withColumn("rating", col("mukey") % 100)
+          .groupBy(col("zone"))
+          .agg(count(lit(1)).as("n_cells"),
+            (count(lit(1)) * 16).as("area"),
+            countDistinct(col("mukey")).as("n_mapunits"),
+            sum(col("rating")).as("sum_rating"))
+          .withColumn("mean_rating_e4",
+            expr("sum_rating * 10000L div n_cells"))
+      },
+      Some(s"""WITH $synthCte,
+              |cx AS (SELECT g.*, i FROM g, unnest(generate_series(0, w // 4)) AS ui(i)),
+              |cell AS (SELECT cx.*, x0 + i*4 + 1 AS px, y0 + j*4 + 1 AS py
+              |         FROM cx, unnest(generate_series(0, h // 4)) AS uj(j)),
+              |p AS (SELECT zone, mukey, px, py,
+              |        $trapXsSql AS xs, $trapYsSql AS ys FROM cell),
+              |ins AS (SELECT zone, mukey, mukey % 100 AS rating
+              |        FROM p WHERE $pipSql)
+              |SELECT zone, count(*) AS n_cells, count(*) * 16 AS area,
+              |       count(DISTINCT mukey) AS n_mapunits,
+              |       CAST(sum(rating) AS BIGINT) AS sum_rating,
+              |       CAST(sum(rating) * 10000 // count(*) AS BIGINT) AS mean_rating_e4
+              |FROM ins GROUP BY zone""".stripMargin)))
 }

@@ -1332,6 +1332,33 @@ object TrainQueries extends QuerySet {
               |       CAST(sum(b)*10000 // count(*) AS BIGINT) AS score_e4
               |FROM j GROUP BY doc_id""".stripMargin)),
 
+    // T34 — DSIR-style data selection (importance resampling toward a
+    // target domain, Xie et al. 2023): bigram-feature importance
+    // weights as integer log2-bucket differences between the target
+    // (lang='en', the labeled reference sample) and raw corpus
+    // distributions — the float log-ratio made engine-portable (see
+    // TextAnalysis.dsirScore). The oracle replays feature extraction,
+    // both count tables, and the per-doc weighted sum.
+    Q("t34_dsir_select",
+      (s, dir) => TextAnalysis.dsirScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en"),
+      Some(s"""WITH $toksCte,
+              |bg AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS f
+              |       FROM (SELECT doc_id, lang, t,
+              |               unnest(generate_series(1, len(t)-1)) AS i
+              |             FROM toks WHERE len(t) >= 2) z),
+              |rc AS (SELECT f, count(*) AS nr FROM bg GROUP BY 1),
+              |tc AS (SELECT f, count(*) AS nt FROM bg WHERE lang = 'en' GROUP BY 1),
+              |w AS (SELECT doc_id,
+              |        CASE WHEN nt IS NULL THEN 0
+              |             ELSE length(bin(nt)) END - length(bin(nr)) AS wgt
+              |      FROM bg JOIN rc USING (f) LEFT JOIN tc USING (f))
+              |SELECT doc_id, count(*) AS n_feats,
+              |       CAST(sum(wgt) AS BIGINT) AS score,
+              |       sum(wgt) >= 0 AS keep
+              |FROM w GROUP BY doc_id""".stripMargin)),
+
     // D1 — exact dedup by content hash.
     Q("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text"),
@@ -1433,6 +1460,33 @@ object TrainQueries extends QuerySet {
              |       floor((CAST(c AS DOUBLE)/nb.n)*1e4 + 0.5)/1e4 AS cont_ba
              |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
              |WHERE CAST(c AS DOUBLE)/na.n >= 0.8 OR CAST(c AS DOUBLE)/nb.n >= 0.8""".stripMargin)),
+
+    // D21 — template-hub centrality: integer PageRank over the
+    // verified near-dup pair graph (Dedup.pairPageRank scaladoc for
+    // the curation story — boilerplate templates anchor duplication
+    // neighborhoods and centrality ranks them). Ranks are exact 1e-6
+    // integer units with floor-division damping, so the oracle unrolls
+    // the same three iterations relationally; edges are the d02 LSH
+    // pair set, whose equality with the exact all-pairs jp CTE is the
+    // d02 gate's standing contract.
+    Q("d21_dup_pagerank",
+      (s, dir) => Dedup.pairPageRank(
+        Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5),
+        iters = 3),
+      Some(s"""WITH $jaccard3Ctes,
+              |ed AS (SELECT id_a AS src, id_b AS dst FROM jp
+              |       UNION ALL SELECT id_b, id_a FROM jp),
+              |dg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+              |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM dg),
+              |r1 AS (SELECT dst AS id, 150000 + (85 * sum(pr // outdeg)) // 100 AS pr
+              |       FROM ed JOIN dg USING (src) JOIN r0 ON r0.id = ed.src GROUP BY dst),
+              |r2 AS (SELECT dst AS id, 150000 + (85 * sum(pr // outdeg)) // 100 AS pr
+              |       FROM ed JOIN dg USING (src) JOIN r1 ON r1.id = ed.src GROUP BY dst),
+              |r3 AS (SELECT dst AS id, 150000 + (85 * sum(pr // outdeg)) // 100 AS pr
+              |       FROM ed JOIN dg USING (src) JOIN r2 ON r2.id = ed.src GROUP BY dst)
+              |SELECT id AS doc_id, outdeg, CAST(pr AS BIGINT) AS rank
+              |FROM r3 JOIN dg ON dg.src = r3.id""".stripMargin)),
 
     // D6 — duplicate-cluster assignment: connected components over the
     // exact-Jaccard near-dup pairs (min-label propagation; oracle is a
@@ -1737,6 +1791,34 @@ object TrainQueries extends QuerySet {
               |${assignCtes("q0", "c", "qas")},
               |qa AS (SELECT vid AS qid, v AS qv, cid FROM qas),
               |${ivfTopKSql("qa", 5)}""".stripMargin)),
+
+    // N18 — kNN-GRAPH construction: every corpus vector's top-3
+    // neighbors among its IVF bucket-mates (the artifact graph-based
+    // dedup/clustering passes consume — see Ann.knnGraph for the
+    // Σ|bucket|² scale contract). Distinct from the n02 search: the
+    // query set IS the corpus. Same engine-portable round-6 ranking,
+    // so the oracle replays assignment, the bucket self-join, and the
+    // per-vector top-k.
+    Q("n18_knn_graph",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Ann.knnGraph(
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")),
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 3)
+      },
+      Some(s"""WITH $embCte,
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |${assignCtes("e", "c", "ca")},
+              |sc AS (SELECT a.vid, b.vid AS neighbor_id,
+              |         floor((list_dot_product(a.v, b.v)
+              |           /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |       FROM ca a JOIN ca b ON a.cid = b.cid AND a.vid <> b.vid)
+              |SELECT vid, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY vid
+              |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
+              |WHERE rn <= 3""".stripMargin)),
 
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient

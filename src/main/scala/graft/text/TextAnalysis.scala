@@ -235,6 +235,47 @@ object TextAnalysis {
         expr("sb * 10000 div n_tokens").as("score_e4"))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023 — data selection
+    * via importance resampling): score each document by how much more
+    * likely its n-gram features are under a TARGET domain's feature
+    * distribution than under the raw corpus's, here in engine-portable
+    * integer form — weight(f) = bitlen(n_target(f)) − bitlen(n_raw(f))
+    * (binary digit count = floor(log2)+1, the t33 idiom; a float
+    * log-ratio would drift at the last ulp across engines), summed
+    * over the doc's bigram occurrences with multiplicity. Positive
+    * scores read "target-like"; `keep` is the ≥ 0 selection. Docs with
+    * fewer than two tokens have no features and emit no row (both
+    * engines, consistently).
+    *
+    * Scale: feature counts partial-aggregate map-side into a
+    * vocab-sized table (at 100 TB the string bigram hashes to 64 bits
+    * first — the shuffles then carry longs); the score join is a plain
+    * equi-join on the feature, and the per-doc rollup is the only
+    * other shuffle. isTarget is any row predicate over `docs` (the
+    * hand-labeled target sample of DSIR). */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("did"), isTarget.as("is_t"),
+        tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val feats = base.select(col("did"), col("is_t"),
+      explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1)))).as("f"))
+    val rawC = feats.groupBy(col("f")).agg(count(lit(1)).as("nr"))
+    val tgtC = feats.filter(col("is_t")).groupBy(col("f"))
+      .agg(count(lit(1)).as("nt"))
+    feats.join(rawC, "f").join(tgtC, Seq("f"), "left")
+      .withColumn("wgt",
+        coalesce(length(conv(col("nt"), 10, 2)).cast("long"), lit(0L))
+          - length(conv(col("nr"), 10, 2)).cast("long"))
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wgt")).as("score"))
+      .select(col("did").as(idCol), col("n_feats"), col("score"),
+        (col("score") >= 0).as("keep"))
+  }
+
   /** The default t31 query battery (terms from the driver documents'
     * generative vocabulary) — a shared constant so the Spark plan and
     * the SQL oracle consume the identical query set. */

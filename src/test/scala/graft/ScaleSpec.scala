@@ -107,6 +107,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(mp.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$mp")
   }
 
+  test("knnGraph/pageRank plans: bucket equi-join, partitioned window, no corpus cross join") {
+    val embS = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val embs = df(embS, (1L to 20L).map(i => Row(i, Seq(i.toDouble, 1.0, -1.0, 0.5))))
+    val corpus = embs.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val cents = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // the corpus self-pairing must meet on the bucket id (equi-join);
+    // the only nested-loop join allowed is the broadcast centroid cross
+    val g = graft.ann.Ann.knnGraph(corpus, cents, k = 2)
+    val gp = g.queryExecution.executedPlan.toString
+    assert(!gp.contains("CartesianProduct"), s"corpus cross join:\n$gp")
+    // the per-vector top-k window is partitioned on vid, never global
+    val winParts = g.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(winParts.nonEmpty && winParts.forall(_.nonEmpty),
+      "knnGraph window must be partitioned")
+    val pS = StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))
+    val pr = graft.dedup.Dedup.pairPageRank(
+      df(pS, Seq(Row(1L, 2L), Row(2L, 3L))), iters = 2)
+    val prp = pr.queryExecution.executedPlan.toString
+    assert(!prp.contains("CartesianProduct"), s"pagerank cross join:\n$prp")
+  }
+
   test("line/stratum/cutoff plans: windows are partitioned, cutoffs broadcast") {
     val docS = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType), StructField("source", StringType)))

@@ -406,6 +406,49 @@ class TrainOpsSpec extends AnyFunSuite {
       Seq(8L, 8L), Seq(9L, 8L)))
   }
 
+  test("pairPageRank: hand-computed 3-iteration integer ranks on a star graph") {
+    val pS = StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))
+    // star 1-{2,3}: hub 1 has outdeg 2, leaves send full rank to 1
+    val pairs = df(pS, Seq(Row(1L, 2L), Row(1L, 3L)))
+    val got = rowsOf(Dedup.pairPageRank(pairs, iters = 3)
+      .select(col("doc_id"), col("outdeg"), col("rank")))
+    // iter1: r1=150000+85*2000000//100=1850000, r2=r3=150000+85*500000//100=575000
+    // iter2: r1=150000+85*1150000//100=1127500, r2=r3=150000+85*925000//100=936250
+    // iter3: r1=150000+85*1872500//100=1741625, r2=r3=150000+85*563750//100=629187
+    assert(got === Seq(Seq(1L, 2L, 1741625L),
+      Seq(2L, 1L, 629187L), Seq(3L, 1L, 629187L)))
+  }
+
+  test("dsirScore: target-only bigram scores 0, off-target bigram penalized, short doc dropped") {
+    val d = df(docSchema, Seq(
+      Row(1L, "a b a b"),   // target: feats "a b"(x2), "b a"
+      Row(2L, "a b c"),     // raw-only: "a b", "b c"
+      Row(3L, "solo")))     // 1 token: no features, no row
+    val got = rowsOf(TextAnalysis.dsirScore(d, "doc_id", "text",
+      col("doc_id") === 1L))
+    // nt("a b")=2, nr("a b")=3 → wgt 2-2=0; "b a": 1-1=0; "b c": 0-1=-1
+    assert(got === Seq(Seq(1L, 3L, 0L, true), Seq(2L, 2L, -1L, false)))
+  }
+
+  test("knnGraph with one bucket equals brute-force all-pairs top-k") {
+    import graft.ann.Ann
+    val s = StructType(Seq(StructField("vid", LongType),
+      StructField("vec", ArrayType(DoubleType))))
+    val d = df(s, Seq(
+      Row(1L, Seq(1.0, 0.1, 0.0)), Row(2L, Seq(0.9, 0.2, 0.1)),
+      Row(3L, Seq(-0.5, 0.8, 0.3)), Row(4L, Seq(0.0, 0.1, 1.0)),
+      Row(5L, Seq(0.4, -0.6, 0.7))))
+    val cS = StructType(Seq(StructField("cid", LongType),
+      StructField("cvec", ArrayType(DoubleType))))
+    val one = df(cS, Seq(Row(0L, Seq(1.0, 1.0, 1.0))))
+    val graph = rowsOf(Ann.knnGraph(d, one, k = 2))
+    val brute = rowsOf(Ann.bruteForceTopK(
+      d.select(col("vid").as("qid"), col("vec").as("qvec")), d, k = 2)
+      .select(col("qid").as("vid"), col("neighbor_id"), col("cosine"), col("rank")))
+    assert(graph === brute)
+    assert(graph.size === 10) // 5 vectors x top-2
+  }
+
   test("embedding LSH near-dup: pairs match the exact cross-join twin on high-margin vectors") {
     val s = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(DoubleType))))
