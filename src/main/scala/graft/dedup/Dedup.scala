@@ -646,21 +646,54 @@ object Dedup {
     * components a near-dup graph has. Returns (doc_id, outdeg, rank)
     * for every node of the pair graph. */
   def pairPageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    // edges materialize HERE (first action on the checkpoint) — before
+    // AQE is toggled off, so the candidate-pair pipeline feeding
+    // `pairs` keeps adaptive handling for its big shuffles
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var rank = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
-    for (_ <- 1 to iters) {
-      rank = edges.join(deg, "src")
-        .join(rank, col("src") === col("id"))
-        .select(col("dst"), expr("pr div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        .select(col("dst").as("id"),
-          (lit(150000L) + expr("85 * s div 100")).as("pr"))
+    // the per-iteration jobs are graph-sized (tiny next to the corpus
+    // work that produced the pairs); as in dupClusters, AQE's re-plan
+    // latency per micro-stage dominates the actual work — measured
+    // ~4.5 s of pure planning on a 50-node graph. Run the iterations
+    // as eagerly-checkpointed tiny jobs with AQE off, restoring the
+    // session's setting after.
+    val spark = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    val prevParts = spark.conf.get(partKey, "32")
+    // size the loop's shuffles to the GRAPH, not the session CPU
+    // count (the st07 stream-state lesson): a near-dup graph is tiny
+    // next to the corpus that produced it, and 6 micro-jobs × 32+
+    // tasks of pure scheduling overhead dominate. ~500k edges per
+    // partition; the session's own setting stays the ceiling so a
+    // genuinely large graph keeps its parallelism.
+    val nEdges = edges.count()
+    val parts = math.max(1L, math.min(prevParts.toLong,
+      (nEdges + 499999L) / 500000L)).toString
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(partKey, parts)
+    try {
+      val e = edges.coalesce(parts.toInt)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint(true)
+      var rank = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
+      for (_ <- 1 to iters) {
+        rank = e.join(deg, "src")
+          .join(rank, col("src") === col("id"))
+          .select(col("dst"), expr("pr div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("85 * s div 100")).as("pr"))
+          .localCheckpoint(true)
+      }
+      rank.join(deg, col("id") === col("src"))
+        .select(col("id").as("doc_id"), col("outdeg"), col("pr").as("rank"))
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(partKey, prevParts)
     }
-    rank.join(deg, col("id") === col("src"))
-      .select(col("id").as("doc_id"), col("outdeg"), col("pr").as("rank"))
   }
 
   /** Random-hyperplane LSH near-dup pairs — the scale path for

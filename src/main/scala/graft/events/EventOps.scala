@@ -65,6 +65,60 @@ object EventOps {
       .select(col("__row.*"), col("__m.__p").as(out))
   }
 
+  /** Nearest-in-time as-of join with a tolerance: each left row picks
+    * the right row (same `key`) whose timestamp is closest to its own
+    * in EITHER direction, within `tol` ts units — pandas
+    * merge_asof(direction='nearest') semantics, the alignment shape
+    * for lagging-or-leading lookups (sensor sync, price marks).
+    * Backward is ts-inclusive, forward strictly after (an equal-ts
+    * right row is a backward match); distance ties prefer backward
+    * (the pandas convention). `ts` must be a numeric epoch column so
+    * the delta arithmetic is engine-exact. Null-key/ts rules follow
+    * [[asOfJoin]].
+    *
+    * Physical shape: the SAME single union scan as asOfJoin — one
+    * shuffle on `key`, ONE sort, and two frame aggregates over that
+    * sort (running last and running first of the right-row marker) —
+    * never a range join or a second exchange. Adds `out` (payload),
+    * `<out>_dir` ('backward'/'forward'), `<out>_delta` (|Δts|, ≥ 0);
+    * all three null when no right row is within tolerance. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+      tie: String, payload: String, tol: Long,
+      out: String = "nearest"): DataFrame = {
+    val pType = right.schema(payload).dataType
+    val tieType = right.schema(tie).dataType
+    val leftCols = left.columns.map(col).toSeq
+    val lt = left.select(col(key), col(ts), lit(1).as("__side"),
+      lit(null).cast(pType).as("__p"), lit(null).cast(tieType).as("__tie"),
+      struct(leftCols: _*).as("__row"))
+    val rt = right.filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key), col(ts), lit(0).as("__side"),
+        col(payload).as("__p"), col(tie).as("__tie"),
+        lit(null).cast(lt.schema("__row").dataType).as("__row"))
+    val ord = Seq(col(ts).asc_nulls_first, col("__side").asc,
+      col("__tie").asc_nulls_first)
+    val wb = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marker = when(col("__side") === 0,
+      struct(col(ts).as("__rts"), col("__p")))
+    val u = lt.unionByName(rt)
+      .withColumn("__b", last(marker, ignoreNulls = true).over(wb))
+      .withColumn("__f", first(marker, ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val db = col(ts) - col("__b.__rts")
+    val df = col("__f.__rts") - col(ts)
+    val bOk = col("__b").isNotNull && db <= tol
+    val fOk = col("__f").isNotNull && df <= tol
+    val useB = bOk && (!fOk || db <= df)
+    val useF = fOk && !useB
+    u.select(col("__row.*"),
+      when(useB, col("__b.__p")).when(useF, col("__f.__p")).as(out),
+      when(useB, lit("backward")).when(useF, lit("forward")).as(s"${out}_dir"),
+      when(useB, db).when(useF, df).as(s"${out}_delta"))
+  }
+
   /** Interval (range) join: all (left, right) pairs with equal `key`
     * and right timestamp in `(leftTs − lookback, leftTs]` — the
     * candidate-generation shape behind attribution windows and

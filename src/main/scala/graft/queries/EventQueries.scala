@@ -103,6 +103,66 @@ object EventQueries extends QuerySet {
     // same user with the view in the click's trailing hour. Joined in
     // MICROSECONDS so the batch result is bit-equivalent to the
     // streaming twin's INTERVAL arithmetic (StreamingSpec pins it).
+    // E14 — NEAREST as-of join (pandas merge_asof direction='nearest'):
+    // each click picks its time-closest view either direction within a
+    // 6-hour tolerance — backward inclusive, forward strictly after,
+    // distance ties backward (EventOps.asOfNearest scaladoc). The
+    // oracle replays the identical single union scan with DuckDB's
+    // IGNORE NULLS frame aggregates, so marker selection, tolerance,
+    // and the tie rule are all engine-pinned. Matched, forward-matched,
+    // and out-of-tolerance-null rows are all non-vacuous at the gate
+    // scales.
+    Q("e14_asof_nearest",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_ms")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ms"), col("event_id"), col("value_cents"))
+        EventOps.asOfNearest(clicks, views, "user_id", "ts_ms",
+          tie = "event_id", payload = "value_cents", tol = 21600000L,
+          out = "near_view_cents")
+      },
+      Some(s"""WITH $eCte,
+              |u AS (
+              |  SELECT event_id, user_id, ts_ms, 1 AS side,
+              |         CAST(NULL AS BIGINT) AS rts, CAST(NULL AS BIGINT) AS p,
+              |         CAST(NULL AS BIGINT) AS tie
+              |  FROM e WHERE event_type = 'click'
+              |  UNION ALL
+              |  SELECT event_id, user_id, ts_ms, 0, ts_ms, value_cents, event_id
+              |  FROM e WHERE event_type = 'view'),
+              |x AS (SELECT *,
+              |    last_value(CASE WHEN side = 0 THEN struct_pack(rts := rts, v := p) END
+              |        IGNORE NULLS) OVER (
+              |      PARTITION BY user_id
+              |      ORDER BY ts_ms NULLS FIRST, side, tie NULLS FIRST
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mb,
+              |    first_value(CASE WHEN side = 0 THEN struct_pack(rts := rts, v := p) END
+              |        IGNORE NULLS) OVER (
+              |      PARTITION BY user_id
+              |      ORDER BY ts_ms NULLS FIRST, side, tie NULLS FIRST
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mf
+              |  FROM u),
+              |y AS (SELECT event_id, user_id, ts_ms,
+              |        ts_ms - struct_extract(mb, 'rts') AS db,
+              |        struct_extract(mf, 'rts') - ts_ms AS df,
+              |        struct_extract(mb, 'v') AS bv,
+              |        struct_extract(mf, 'v') AS fv
+              |      FROM x WHERE side = 1),
+              |z AS (SELECT *,
+              |        (db IS NOT NULL AND db <= 21600000
+              |         AND (df IS NULL OR df > 21600000 OR db <= df)) AS use_b,
+              |        (df IS NOT NULL AND df <= 21600000) AS f_ok
+              |      FROM y)
+              |SELECT event_id, user_id, ts_ms,
+              |       CASE WHEN use_b THEN bv WHEN f_ok THEN fv END AS near_view_cents,
+              |       CASE WHEN use_b THEN 'backward' WHEN f_ok THEN 'forward' END
+              |         AS near_view_cents_dir,
+              |       CASE WHEN use_b THEN db WHEN f_ok THEN df END
+              |         AS near_view_cents_delta
+              |FROM z""".stripMargin)),
+
     Q("e03_interval_join",
       (s, dir) => {
         val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),

@@ -45,6 +45,15 @@ object GeoQueries extends QuerySet {
   private val trapYs = array(col("y0"), col("y0"),
     col("y0") + col("h"), col("y0") + col("h"))
 
+  /** The trapezoid as explicit vertex pairs (Geo.pointInPolygonEdges
+    * scaladoc: the array form re-inlines into every crossing term and
+    * kills codegen on cell-fan plans). */
+  private val trapPts: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = Seq(
+    (col("x0"), col("y0")),
+    (col("x0") + col("w"), col("y0")),
+    (col("x0") + col("w") - col("s1"), col("y0") + col("h")),
+    (col("x0") + col("s2"), col("y0") + col("h")))
+
   private val trapXsSql =
     "[x0, x0 + w, x0 + w - s1, x0 + s2]::BIGINT[]"
   private val trapYsSql =
@@ -120,7 +129,8 @@ object GeoQueries extends QuerySet {
         .withColumn("py",
           col("y0") + (col("mukey") * 11 + col("pt_id") * 17) % (col("h") + 8) - 3)
         .select(col("mukey"), col("pt_id"), col("px"), col("py"),
-          Geo.pointInPolygon(col("px"), col("py"), trapXs, trapYs).as("inside")),
+          org.apache.spark.sql.graft.PointInPolygon
+            .ofColumns(col("px"), col("py"), trapXs, trapYs).as("inside")),
       Some(s"""WITH $synthCte,
               |pt AS (SELECT g.*, j AS pt_id,
               |         x0 + (mukey*7 + j*13) % (w + 10) - 4 AS px,
@@ -156,7 +166,8 @@ object GeoQueries extends QuerySet {
           .withColumn("px", col("x0") + col("i") * 4 + 1)
           .withColumn("py", col("y0") + col("j") * 4 + 1)
         cells
-          .filter(Geo.pointInPolygon(col("px"), col("py"), trapXs, trapYs))
+          .filter(org.apache.spark.sql.graft.PointInPolygon
+            .ofColumns(col("px"), col("py"), trapXs, trapYs))
           .withColumn("rating", col("mukey") % 100)
           .groupBy(col("zone"))
           .agg(count(lit(1)).as("n_cells"),

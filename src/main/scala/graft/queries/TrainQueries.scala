@@ -1488,6 +1488,50 @@ object TrainQueries extends QuerySet {
               |SELECT id AS doc_id, outdeg, CAST(pr AS BIGINT) AS rank
               |FROM r3 JOIN dg ON dg.src = r3.id""".stripMargin)),
 
+    // D22 — SEMANTIC decontamination: benchmark vectors (perturbed
+    // corpus copies, the n04 plant — cos ≈ 0.9999 to their sources)
+    // probe their 2 nearest IVF buckets and every bucket-mate at
+    // cosine ≥ 0.95 is reported — the paraphrase-contamination class
+    // that n-gram decontam (t10/d18) structurally cannot see; no
+    // top-k cap because decontam reports EVERY hit (see
+    // Decontam.semanticContaminated). The oracle replays the plant,
+    // probe selection, bucket candidates, and the rollup.
+    Q("d22_semantic_decontam",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val bench = e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000).as("qid"),
+            transform(col("embedding"), x => x.cast("double") + lit(0.001d)).as("qvec"))
+        graft.pipeline.Decontam.semanticContaminated(
+          e.select(col("vec_id").as("vid"), col("embedding").as("vec")),
+          bench,
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          nprobe = 2, threshold = 0.95)
+      },
+      Some(s"""WITH $embCte,
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |${assignCtes("e", "c", "ca")},
+              |q AS (SELECT vec_id + 1000000 AS qid,
+              |             list_transform(CAST(embedding AS DOUBLE[]),
+              |                            x -> x + 0.001) AS qv
+              |      FROM embeddings WHERE vec_id % 50 = 0),
+              |pj AS (SELECT qid, qv, cid,
+              |         floor((list_dot_product(qv, cv)
+              |           /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))))*1e6 + 0.5)/1e6 AS pcos
+              |       FROM q, c),
+              |qp AS (SELECT qid, qv, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY qid
+              |           ORDER BY pcos DESC, cid) AS rn FROM pj) z
+              |       WHERE rn <= 2),
+              |sc AS (SELECT qid, ca.vid,
+              |         floor((list_dot_product(qv, ca.v)
+              |           /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(ca.v, ca.v))))*1e6 + 0.5)/1e6 AS cosine
+              |       FROM qp JOIN ca ON qp.cid = ca.cid)
+              |SELECT vid, max(cosine) AS max_cosine,
+              |       count(*) AS n_bench_matches
+              |FROM sc WHERE cosine >= 0.95 GROUP BY vid""".stripMargin)),
+
     // D6 — duplicate-cluster assignment: connected components over the
     // exact-Jaccard near-dup pairs (min-label propagation; oracle is a
     // recursive-CTE transitive closure over the same pairs).

