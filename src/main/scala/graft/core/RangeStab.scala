@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range-STAB join: for each probe value, every range containing it —
+  * the keyless interval-lookup shape (IP→geo blocks, genomic interval
+  * annotation, price-tier lookup) that EventOps.intervalJoin's per-key
+  * residual cannot express (there is no equi-key: any probe may hit
+  * any range).
+  *
+  * The naive form is an inequality theta-join — a cross product at
+  * scale. The scale path here is the LSH blocked-candidates shape
+  * applied to 1-D space: each range explodes to the fixed-width
+  * BUCKETS it overlaps (≤ len/bucket + 1 rows — bounded when range
+  * lengths are), a probe lives in exactly ONE bucket (v div bucket),
+  * candidates meet on a plain equi-join, and exact containment
+  * verifies bucket-mates. Because the probe has a single bucket, a
+  * (range, probe) pair can meet at most once — no dedup pass. Pick
+  * `bucket` near the typical range length: shorter buckets cut false
+  * candidates, longer ones cut the range fan-out. */
+object RangeStab {
+
+  /** ranges must carry `startCol`/`endCol` (half-open [start, end),
+    * BIGINT units); probes carry `vCol`. Returns every (probe row ×
+    * containing range row) inner-joined, both sides' columns kept
+    * (minus the internal bucket key). */
+  def stab(ranges: DataFrame, probes: DataFrame, startCol: String,
+      endCol: String, vCol: String, bucket: Long): DataFrame = {
+    require(bucket > 0, "RangeStab: bucket width must be positive")
+    val rb = ranges.withColumn("__b",
+      explode(expr(s"sequence($startCol div ${bucket}L, ($endCol - 1) div ${bucket}L)")))
+    val pb = probes.withColumn("__b", expr(s"$vCol div ${bucket}L"))
+    pb.join(rb, Seq("__b"))
+      .filter(col(vCol) >= col(startCol) && col(vCol) < col(endCol))
+      .drop("__b")
+  }
+}

@@ -48,4 +48,27 @@ object Cdc {
       tracked: Seq[String]): DataFrame =
     snapshotDiff(oldSnap, newSnap, key, tracked)
       .filter(col("op") =!= "unchanged")
+
+  /** Apply a [[changes]] set back onto a snapshot — the MERGE/upsert
+    * step that closes the CDC loop (Delta MERGE INTO / Iceberg
+    * copy-on-write semantics): deleted keys drop, updated and inserted
+    * keys take the change set's new values, untouched rows pass
+    * through. applyChanges(old, changes(old, new)) == new — the
+    * round-trip identity the s15 gate pins; applying the same change
+    * set twice is a no-op (upsert idempotence).
+    *
+    * Plan: one left-anti join carves the untouched rows (both sides
+    * shuffle once on the key — no broadcast assumption at snapshot
+    * scale; bucketed layouts remove the exchange), then a union with
+    * the change rows' new values. Nothing rewrites rows outside the
+    * touched key set — the partition-overwrite frugality st04 applies
+    * at the file level, here at row granularity. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    val touched = changes.select(col(key))
+    val survivors = snapshot.join(touched, Seq(key), "left_anti")
+    val upserts = changes.filter(col("op") =!= "delete")
+      .select(col(key) +: tracked.map(c => col(s"new_$c").as(c)): _*)
+    survivors.unionByName(upserts)
+  }
 }

@@ -238,6 +238,36 @@ object ExtraQueries extends QuerySet {
       Some("""SELECT l_orderkey % 100 AS hot_key, l_orderkey, l_linenumber, n_name
              |FROM lineitem JOIN nation ON l_orderkey % 100 = n_nationkey * 4""".stripMargin)),
 
+    // J22 — range-STAB join (keyless interval lookup — IP→geo blocks,
+    // price tiers): each probe finds every containing range via
+    // fixed-width bucket candidates + exact containment (see
+    // core.RangeStab — the LSH blocked-candidates shape on 1-D space;
+    // a probe lives in ONE bucket so no pair dedup). Ranges overlap
+    // deliberately (spacing 50, lengths 10-99 → some probes hit 2
+    // ranges, some hit 0); the oracle is the direct inequality join.
+    Q("j22_range_stab",
+      (s, dir) => {
+        val ranges = Tables.load(s, dir, "part").select(
+          col("p_partkey").as("range_id"),
+          (col("p_partkey") * 50).as("rstart"),
+          (col("p_partkey") * 50 + col("p_partkey") % 90 + 10).as("rend"))
+        val probes = Tables.load(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          ((col("l_orderkey") * 37 + col("l_linenumber") * 997) % 10000).as("v"))
+        graft.core.RangeStab.stab(ranges, probes, "rstart", "rend", "v",
+          bucket = 64L)
+          .select(col("l_orderkey"), col("l_linenumber"), col("v"),
+            col("range_id"), col("rstart"), col("rend"))
+      },
+      Some("""WITH r AS (SELECT p_partkey AS range_id, p_partkey * 50 AS rstart,
+             |             p_partkey * 50 + p_partkey % 90 + 10 AS rend
+             |           FROM part),
+             |p AS (SELECT l_orderkey, l_linenumber,
+             |        (l_orderkey * 37 + l_linenumber * 997) % 10000 AS v
+             |      FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, v, range_id, rstart, rend
+             |FROM p JOIN r ON v >= rstart AND v < rend""".stripMargin)),
+
     // J18 — bloom-prefiltered semijoin (the runtime-filter pattern for
     // large⨝large joins): the build side's keys become a broadcast
     // 2^20-bit bitmap that prunes probe rows BEFORE the exact semijoin

@@ -129,6 +129,37 @@ object SampleQueries extends QuerySet {
              |      FROM o FULL JOIN n ON o.k = n.k)
              |SELECT * FROM d WHERE op <> 'unchanged'""".stripMargin)),
 
+    // S15 — CDC APPLY (the merge side closing s09's capture loop):
+    // the change set diffed from two snapshots is applied back onto
+    // the old one — deletes drop, updates/inserts upsert, untouched
+    // rows pass through — and the result must equal the new snapshot
+    // row-for-row (the round-trip identity; see Cdc.applyChanges).
+    // The oracle is simply the new snapshot's construction.
+    Q("s15_cdc_apply",
+      (s, dir) => {
+        val oldSnap = Tables.load(s, dir, "customer").select(
+          col("c_custkey"),
+          graft.core.Exprs.cents(col("c_acctbal")).cast("long").as("bal_cents"))
+        val newSnap = oldSnap.filter(col("c_custkey") % 13 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, col("bal_cents") + 1000L)
+              .otherwise(col("bal_cents")).as("bal_cents"))
+          .unionByName(oldSnap.filter(col("c_custkey") % 17 === 0)
+            .select((col("c_custkey") + 100000000L).as("c_custkey"),
+              lit(0L).as("bal_cents")))
+        Cdc.applyChanges(oldSnap,
+          Cdc.changes(oldSnap, newSnap, "c_custkey", Seq("bal_cents")),
+          "c_custkey", Seq("bal_cents"))
+      },
+      Some("""WITH o AS (SELECT c_custkey AS k,
+             |             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+             |           FROM customer),
+             |n AS (SELECT k, CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
+             |      FROM o WHERE k % 13 <> 0
+             |      UNION ALL
+             |      SELECT k + 100000000, CAST(0 AS BIGINT) FROM o WHERE k % 17 = 0)
+             |SELECT k AS c_custkey, bal AS bal_cents FROM n""".stripMargin)),
+
     // S10 — schema-evolution-tolerant lake read (Lake.readEvolved):
     // two writer VINTAGES of the events table — v1 narrow (no
     // event_type/props, value stored as FLOAT) and v2 full — are

@@ -94,6 +94,37 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(Cdc.changes(o, n, "k", Seq("v")).count() === 4)
   }
 
+  test("applyChanges: round-trip identity applyChanges(old, changes(old,new)) == new, idempotent") {
+    val o = df(snapS, Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"), Row(5L, null)))
+    val n = df(snapS, Seq(Row(2L, "b"), Row(3L, "C"), Row(4L, "d"), Row(5L, "x")))
+    val ch = Cdc.changes(o, n, "k", Seq("v"))
+    val applied = Cdc.applyChanges(o, ch, "k", Seq("v"))
+    assert(rowsOf(applied) === rowsOf(n))
+    // upsert idempotence: re-applying the same change set is a no-op
+    // (the delete keys are already gone; upserts overwrite themselves)
+    val again = Cdc.applyChanges(applied, ch, "k", Seq("v"))
+    assert(rowsOf(again) === rowsOf(n))
+  }
+
+  test("RangeStab == brute-force inequality join on random ranges, including empty hits") {
+    import graft.core.RangeStab
+    val rS = StructType(Seq(StructField("rid", LongType),
+      StructField("s", LongType), StructField("e", LongType)))
+    val pS = StructType(Seq(StructField("pid", LongType), StructField("v", LongType)))
+    val rnd = new scala.util.Random(7)
+    val ranges = df(rS, (1L to 40L).map { i =>
+      val s0 = rnd.nextInt(900).toLong; Row(i, s0, s0 + 1 + rnd.nextInt(120))
+    })
+    val probes = df(pS, (1L to 200L).map(i => Row(i, rnd.nextInt(1100).toLong)))
+    val got = rowsOf(RangeStab.stab(ranges, probes, "s", "e", "v", bucket = 64L)
+      .select("pid", "rid"))
+    val brute = rowsOf(probes.join(ranges,
+        col("v") >= col("s") && col("v") < col("e"))
+      .select("pid", "rid"))
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
   private val keyS = StructType(Seq(StructField("k", LongType)))
 
   test("bloomSemiJoin == plain semijoin; bitmap has no false negatives and prunes") {
