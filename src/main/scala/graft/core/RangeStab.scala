@@ -24,15 +24,22 @@ object RangeStab {
   /** ranges must carry `startCol`/`endCol` (half-open [start, end),
     * BIGINT units); probes carry `vCol`. Returns every (probe row ×
     * containing range row) inner-joined, both sides' columns kept
-    * (minus the internal bucket key). */
+    * (minus the internal bucket key). The join/containment references
+    * are dataframe-scoped, so a column name shared between the two
+    * inputs (even vCol == startCol) stays unambiguous — the output
+    * then simply carries both same-named columns, Spark's usual join
+    * contract. Neither input may already have a `__b` column (loud
+    * require, it would be silently clobbered otherwise). */
   def stab(ranges: DataFrame, probes: DataFrame, startCol: String,
       endCol: String, vCol: String, bucket: Long): DataFrame = {
     require(bucket > 0, "RangeStab: bucket width must be positive")
+    require(!ranges.columns.contains("__b") && !probes.columns.contains("__b"),
+      "RangeStab: inputs must not carry a __b column (internal bucket key)")
     val rb = ranges.withColumn("__b",
       explode(expr(s"sequence($startCol div ${bucket}L, ($endCol - 1) div ${bucket}L)")))
     val pb = probes.withColumn("__b", expr(s"$vCol div ${bucket}L"))
-    pb.join(rb, Seq("__b"))
-      .filter(col(vCol) >= col(startCol) && col(vCol) < col(endCol))
-      .drop("__b")
+    pb.join(rb, pb("__b") === rb("__b"))
+      .filter(pb(vCol) >= rb(startCol) && pb(vCol) < rb(endCol))
+      .drop(pb("__b")).drop(rb("__b"))
   }
 }

@@ -59,7 +59,15 @@ object Geo {
     * cross-product side test — no division, no floats, so the
     * boundary convention is identical in every engine that evaluates
     * the same arithmetic. Points exactly on an edge line (t = 0) are
-    * NOT counted as crossings (consistently, both engines). */
+    * NOT counted as crossings (consistently, both engines).
+    *
+    * PERFORMANCE: this higher-order form is CodegenFallback —
+    * interpreted per row. Fine for per-polygon probes (s11's 3/row);
+    * for cell-fan hot paths (millions of tests, the s12 zonal shape)
+    * use the native codegen expression
+    * org.apache.spark.sql.graft.PointInPolygon (≈20× faster,
+    * GeoSpec pins the equivalence; NULL on malformed vertices where
+    * this form emits a garbage verdict). */
   def pointInPolygon(px: Column, py: Column, xs: Column, ys: Column): Column = {
     val n = size(xs)
     val crossings = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
@@ -83,31 +91,4 @@ object Geo {
     * measured ~20× slower when the test fans out to millions of
     * raster cells, exactly the s12 zonal shape). Identical crossing
     * arithmetic and boundary convention, term for term. */
-  def pointInPolygonN(px: Column, py: Column, xs: Column, ys: Column,
-      n: Int): Column =
-    pointInPolygonEdges(px, py,
-      (1 to n).map(i => (element_at(xs, lit(i)), element_at(ys, lit(i)))))
-
-  /** [[pointInPolygon]] over EXPLICIT vertex column pairs — the form
-    * that stays compilable when the test fans out: wrapping the
-    * vertices in array()/element_at inlines the whole array
-    * construction into every one of the ~4n crossing references
-    * (CollapseProject re-substitutes aliases), and the resulting
-    * predicate blows past janino's method limit — whole-stage codegen
-    * silently falls back to interpreted eval over millions of raster
-    * cells (measured 15 s → 0.6 s on the s12 zonal scan). With bare
-    * arithmetic vertex columns the unrolled predicate is ~15 scalar
-    * ops per edge and compiles. Identical crossing arithmetic and
-    * boundary convention as [[pointInPolygon]], term for term. */
-  def pointInPolygonEdges(px: Column, py: Column,
-      pts: Seq[(Column, Column)]): Column = {
-    val n = pts.size
-    val crossings = (0 until n).map { i =>
-      val (x1, y1) = pts(i); val (x2, y2) = pts((i + 1) % n)
-      val straddles = (y1 <= py) =!= (y2 <= py)
-      val t = (x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1)
-      when(straddles && ((t > 0) === (y2 > y1)) && t =!= 0, 1L).otherwise(0L)
-    }.reduce(_ + _)
-    crossings % 2 === 1
-  }
 }

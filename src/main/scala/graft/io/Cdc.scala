@@ -62,9 +62,17 @@ object Cdc {
     * scale; bucketed layouts remove the exchange), then a union with
     * the change rows' new values. Nothing rewrites rows outside the
     * touched key set — the partition-overwrite frugality st04 applies
-    * at the file level, here at row granularity. */
+    * at the file level, here at row granularity.
+    *
+    * `tracked` must enumerate EVERY non-key column of the snapshot
+    * (loud require): a change row carries only the tracked values, so
+    * an untracked column would be unfillable on inserted keys. */
   def applyChanges(snapshot: DataFrame, changes: DataFrame, key: String,
       tracked: Seq[String]): DataFrame = {
+    require(snapshot.columns.toSet == (key +: tracked).toSet,
+      s"applyChanges: tracked must cover every non-key snapshot column — " +
+        s"snapshot has ${snapshot.columns.mkString(", ")}, " +
+        s"key+tracked covers ${(key +: tracked).mkString(", ")}")
     val touched = changes.select(col(key))
     val survivors = snapshot.join(touched, Seq(key), "left_anti")
     val upserts = changes.filter(col("op") =!= "delete")

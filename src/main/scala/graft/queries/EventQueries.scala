@@ -99,10 +99,6 @@ object EventQueries extends QuerySet {
               |SELECT event_id, user_id, ts_ms, struct_extract(m, 'v') AS last_view_cents
               |FROM x WHERE side = 1""".stripMargin)),
 
-    // E3 — attribution interval join: every (click, view) pair of the
-    // same user with the view in the click's trailing hour. Joined in
-    // MICROSECONDS so the batch result is bit-equivalent to the
-    // streaming twin's INTERVAL arithmetic (StreamingSpec pins it).
     // E14 — NEAREST as-of join (pandas merge_asof direction='nearest'):
     // each click picks its time-closest view either direction within a
     // 6-hour tolerance — backward inclusive, forward strictly after,
@@ -163,6 +159,10 @@ object EventQueries extends QuerySet {
               |         AS near_view_cents_delta
               |FROM z""".stripMargin)),
 
+    // E3 — attribution interval join: every (click, view) pair of the
+    // same user with the view in the click's trailing hour. Joined in
+    // MICROSECONDS so the batch result is bit-equivalent to the
+    // streaming twin's INTERVAL arithmetic (StreamingSpec pins it).
     Q("e03_interval_join",
       (s, dir) => {
         val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),

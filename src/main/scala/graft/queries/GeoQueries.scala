@@ -45,14 +45,6 @@ object GeoQueries extends QuerySet {
   private val trapYs = array(col("y0"), col("y0"),
     col("y0") + col("h"), col("y0") + col("h"))
 
-  /** The trapezoid as explicit vertex pairs (Geo.pointInPolygonEdges
-    * scaladoc: the array form re-inlines into every crossing term and
-    * kills codegen on cell-fan plans). */
-  private val trapPts: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = Seq(
-    (col("x0"), col("y0")),
-    (col("x0") + col("w"), col("y0")),
-    (col("x0") + col("w") - col("s1"), col("y0") + col("h")),
-    (col("x0") + col("s2"), col("y0") + col("h")))
 
   private val trapXsSql =
     "[x0, x0 + w, x0 + w - s1, x0 + s2]::BIGINT[]"

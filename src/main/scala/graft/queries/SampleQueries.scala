@@ -288,14 +288,19 @@ object SampleQueries extends QuerySet {
     * dir): the fragmented form is 64 round-robin files (an explicit
     * repartition count — AQE never coalesces it), the compacted form
     * is ceil(rows/25k) files. Both are pure functions of the source
-    * table, so re-landing per bench rep buys nothing. */
+    * table, so re-landing per bench rep buys nothing. The on-disk
+    * path carries the session identity too — a dir-only path would
+    * let a second session's overwrite race a first session's lazy
+    * reads of the same landing (the memo key alone can't prevent it:
+    * each session misses independently). */
   private val fragMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
   private def landFragmented(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     fragMemo.getOrElseUpdate((s, dir), {
-      val base = "/tmp/graft_cmp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = "/tmp/graft_cmp_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
       val l = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
       l.repartition(64).write.mode("overwrite").parquet(s"$base/frag")

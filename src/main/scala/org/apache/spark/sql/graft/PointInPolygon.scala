@@ -22,10 +22,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, Dat
   * compiles it, HotSpot JITs it, and whole-stage codegen keeps the
   * surrounding plan fused.
   *
-  * Semantics are exactly graft.geo.Geo.pointInPolygon, term for term:
-  * half-open straddle rule ((y1<=py) != (y2<=py)), integer
-  * cross-product side test, t == 0 (point on the edge line) never
-  * counts. Null inputs or a null vertex yield null. */
+  * Semantics match graft.geo.Geo.pointInPolygon term for term on
+  * WELL-FORMED input: half-open straddle rule ((y1<=py) != (y2<=py)),
+  * integer cross-product side test, t == 0 (point on the edge line)
+  * never counts. DELIBERATE CHANGE on malformed input (the CosineSim
+  * precedent): mismatched xs/ys lengths or a null vertex yield NULL —
+  * the HOF form's null arithmetic silently falls through its
+  * when(...) to "edge doesn't cross" and still emits a verdict over
+  * the garbage polygon; a null row drops out of filters instead of
+  * posing as an answer. */
 case class PointInPolygon(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
     extends QuaternaryExpression with ImplicitCastInputTypes {
