@@ -134,6 +134,52 @@ object GeoQueries extends QuerySet {
               |  $pipSql AS inside
               |FROM p""".stripMargin)),
 
+    // J23 — the FULL distributed spatial join (gSSURGO_Clip.py's
+    // Clip_analysis point-in-mapunit assignment, done the way a
+    // 1000-executor cluster must): polygons explode to the 64-unit
+    // grid CELLS their bbox overlaps (≤ 2×2 here — per-polygon fan
+    // bounded by polygon size), points live in exactly ONE cell, the
+    // candidate join is a plain equi-join on the packed cell id, and
+    // the native ray cast verifies bucket-mates — the RangeStab /
+    // LSH blocked-candidates shape in 2D; no geometry cross join
+    // exists at any scale. A point in exactly one cell means a
+    // (point, polygon) pair meets at most once — no dedup. The
+    // oracle replays the bucketing AND the verification (all integer
+    // arithmetic), pinning the algorithm end to end.
+    Q("j23_spatial_join",
+      (s, dir) => {
+        val polys = synth(s, dir).withColumn("cell", explode(expr(
+          """flatten(transform(sequence(x0 div 64, (x0 + w) div 64), cx ->
+            |  transform(sequence(y0 div 64, (y0 + h) div 64), cy ->
+            |    cx * 1000000L + cy)))""".stripMargin)))
+        val points = Tables.load(s, dir, "orders").select(
+          col("o_orderkey").as("point_id"),
+          ((col("o_orderkey") * 13) % 1000).as("px"),
+          ((col("o_orderkey") * 29) % 1000).as("py"))
+          .withColumn("cell", expr("(px div 64) * 1000000L + py div 64"))
+        points.join(polys, Seq("cell"))
+          .filter(org.apache.spark.sql.graft.PointInPolygon
+            .ofColumns(col("px"), col("py"), trapXs, trapYs))
+          .select(col("point_id"), col("px"), col("py"), col("mukey"),
+            col("zone"))
+      },
+      Some(s"""WITH $synthCte,
+              |pc AS (SELECT g.*, cx * 1000000 + cy AS cell
+              |       FROM g,
+              |            unnest(generate_series(x0 // 64, (x0 + w) // 64)) AS ux(cx),
+              |            unnest(generate_series(y0 // 64, (y0 + h) // 64)) AS uy(cy)),
+              |pt AS (SELECT o_orderkey AS point_id,
+              |              (o_orderkey * 13) % 1000 AS px,
+              |              (o_orderkey * 29) % 1000 AS py,
+              |              ((o_orderkey * 13) % 1000) // 64 * 1000000
+              |                + ((o_orderkey * 29) % 1000) // 64 AS cell
+              |       FROM orders),
+              |cand AS (SELECT pt.point_id, pt.px, pt.py, pc.mukey, pc.zone,
+              |                $trapXsSql AS xs, $trapYsSql AS ys
+              |         FROM pt JOIN pc ON pt.cell = pc.cell)
+              |SELECT point_id, px, py, mukey, zone
+              |FROM cand WHERE $pipSql""".stripMargin)),
+
     // S12 — zonal statistics over the rasterized mapunit polygons (the
     // ZonalStatisticsAsTable step of the reference's raster workflow,
     // SSURGO_ExportMuRaster.py's PolygonToRaster feeding per-zone

@@ -132,6 +132,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(!prp.contains("CartesianProduct"), s"pagerank cross join:\n$prp")
   }
 
+  test("RangeStab plan: bucket equi-join, no inequality cross join") {
+    val rS = StructType(Seq(StructField("rid", LongType),
+      StructField("s", LongType), StructField("e", LongType)))
+    val pS2 = StructType(Seq(StructField("pid", LongType), StructField("v", LongType)))
+    val st = graft.core.RangeStab.stab(
+      df(rS, Seq(Row(1L, 0L, 100L))), df(pS2, Seq(Row(1L, 50L))),
+      "s", "e", "v", bucket = 64L)
+    val plan = st.queryExecution.executedPlan.toString
+    // the containment inequality must ride an equi-join on the bucket
+    // key as a residual — a CartesianProduct/BroadcastNestedLoop over
+    // the raw inequality is the shape that dies at scale
+    assert(!plan.contains("CartesianProduct"), s"range cross join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"range NL join:\n$plan")
+  }
+
   test("line/stratum/cutoff plans: windows are partitioned, cutoffs broadcast") {
     val docS = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType), StructField("source", StringType)))
