@@ -160,6 +160,50 @@ object SampleQueries extends QuerySet {
              |      SELECT k + 100000000, CAST(0 AS BIGINT) FROM o WHERE k % 17 = 0)
              |SELECT k AS c_custkey, bal AS bal_cents FROM n""".stripMargin)),
 
+    // ST09 — STREAMING CDC apply (the Delta-style streaming MERGE
+    // INTO): the s15 change set lands as a file stream in two waves
+    // (even keys, then odd), each micro-batch merges into the lake
+    // snapshot via Cdc.applyChanges under a shared checkpoint
+    // (exactly-once per landed file; disjoint-key batches commute, so
+    // micro-batch splits reach the same lake). The final lake must
+    // equal the batch-built new snapshot — the same round-trip oracle
+    // as s15, now through the streaming machinery.
+    Q("st09_stream_cdc_apply",
+      (s, dir) => {
+        val tmp = "/tmp/graft_st09_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val oldSnap = Tables.load(s, dir, "customer").select(
+          col("c_custkey"),
+          graft.core.Exprs.cents(col("c_acctbal")).cast("long").as("bal_cents"))
+        val newSnap = oldSnap.filter(col("c_custkey") % 13 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, col("bal_cents") + 1000L)
+              .otherwise(col("bal_cents")).as("bal_cents"))
+          .unionByName(oldSnap.filter(col("c_custkey") % 17 === 0)
+            .select((col("c_custkey") + 100000000L).as("c_custkey"),
+              lit(0L).as("bal_cents")))
+        oldSnap.write.mode("overwrite").parquet(s"$tmp/lake/snap")
+        val ch = Cdc.changes(oldSnap, newSnap, "c_custkey", Seq("bal_cents"))
+        ch.filter(col("c_custkey") % 2 === 0)
+          .write.mode("append").parquet(s"$tmp/drop")
+        graft.streaming.Ingest.streamCdcApply(s, s"$tmp/drop", ch.schema,
+          s"$tmp/lake", "c_custkey", Seq("bal_cents"))
+        ch.filter(col("c_custkey") % 2 =!= 0)
+          .write.mode("append").parquet(s"$tmp/drop")
+        graft.streaming.Ingest.streamCdcApply(s, s"$tmp/drop", ch.schema,
+          s"$tmp/lake", "c_custkey", Seq("bal_cents"))
+        s.read.parquet(s"$tmp/lake/snap")
+      },
+      Some("""WITH o AS (SELECT c_custkey AS k,
+             |             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+             |           FROM customer),
+             |n AS (SELECT k, CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
+             |      FROM o WHERE k % 13 <> 0
+             |      UNION ALL
+             |      SELECT k + 100000000, CAST(0 AS BIGINT) FROM o WHERE k % 17 = 0)
+             |SELECT k AS c_custkey, bal AS bal_cents FROM n""".stripMargin)),
+
     // S10 — schema-evolution-tolerant lake read (Lake.readEvolved):
     // two writer VINTAGES of the events table — v1 narrow (no
     // event_type/props, value stored as FLOAT) and v2 full — are

@@ -141,6 +141,38 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming CDC APPLY — the Delta-style streaming MERGE INTO: each
+    * micro-batch of change rows (the Cdc.changes shape: key, op, and
+    * the old_/new_ value columns) merges into the lake snapshot via
+    * Cdc.applyChanges (deletes drop, updates/inserts upsert). The
+    * merged result is localCheckpoint'd EAGERLY before the overwrite —
+    * the write's plan must not lazily re-read the very files the
+    * overwrite deletes (a persist() could still re-scan on eviction;
+    * the checkpoint stores every partition). The checkpoint's
+    * processed-file log makes each landed change file exactly-once
+    * across restarts; change keys unique per drop make batch splits
+    * commute, so AvailableNow splitting a drop into several
+    * micro-batches reaches the same final lake. At a real deployment
+    * the sink is an ACID table format whose MERGE is row-granular;
+    * with plain parquet the rewrite is snapshot-sized — the semantics
+    * gate (s15's round-trip identity) is the contract here. */
+  def streamCdcApply(spark: SparkSession, dropDir: String,
+      schema: StructType, lakeDir: String, key: String,
+      tracked: Seq[String]): Unit = {
+    val q = spark.readStream.schema(schema).parquet(dropDir)
+      .writeStream
+      .option("checkpointLocation", s"$lakeDir/_checkpoints/cdc")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val cur = spark.read.parquet(s"$lakeDir/snap")
+        val next = graft.io.Cdc.applyChanges(cur, batch.toDF(), key, tracked)
+          .localCheckpoint(true)
+        next.write.mode("overwrite").parquet(s"$lakeDir/snap")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def streamIntoLake(spark: SparkSession, dropDir: String, schema: StructType,
       lakeRoot: String, table: String): Unit = {
     val q = spark.readStream.schema(schema).parquet(dropDir)

@@ -84,6 +84,45 @@ class EventOpsSpec extends AnyFunSuite {
       104L -> null, 105L -> null))
   }
 
+  test("asOfNearest == brute-force nearest on random event sets (incl. ts ties)") {
+    val rnd = new scala.util.Random(11)
+    // small ts domain forces ties; 7 users force multi-row partitions
+    val leftRows = (1L to 120L).map(i =>
+      (i, (i % 7) + 1, rnd.nextInt(60).toLong))
+    val rightRows = (1L to 80L).map(i =>
+      ((i % 7) + 1, rnd.nextInt(60).toLong, 1000L + i, i * 10))
+    val left = df(leftSchema, leftRows.map { case (e, u, t) => Row(e, u, t) })
+    val right = df(rightSchema, rightRows.map { case (u, t, e, p) => Row(u, t, e, p) })
+    val tol = 7L
+    val got = EventOps.asOfNearest(left, right, "user_id", "ts_ms",
+        tie = "event_id", payload = "p", tol = tol, out = "nv")
+      .collect().map { r =>
+        r.getLong(0) -> (
+          if (r.isNullAt(3)) null
+          else (r.getLong(3), r.getString(4), r.getLong(5)))
+      }.toMap
+    val byUser = rightRows.groupBy(_._1)
+    val want = leftRows.map { case (eid, u, lt) =>
+      val rs = byUser.getOrElse(u, Seq.empty)
+      // backward: ts <= lt, winner = max (ts, event_id); forward: ts > lt,
+      // winner = min (ts, event_id) — the window-order tie rule
+      val back = rs.filter(_._2 <= lt).sortBy(r => (r._2, r._3)).lastOption
+      val fwd = rs.filter(_._2 > lt).sortBy(r => (r._2, r._3)).headOption
+      val db = back.map(lt - _._2); val dfw = fwd.map(_._2 - lt)
+      val bOk = db.exists(_ <= tol); val fOk = dfw.exists(_ <= tol)
+      val useB = bOk && (!fOk || db.get <= dfw.get)
+      eid -> (
+        if (useB) (back.get._4, "backward", db.get)
+        else if (fOk) (fwd.get._4, "forward", dfw.get)
+        else null)
+    }.toMap
+    assert(got === want)
+    // both directions and the null class must be present for the
+    // comparison to be non-vacuous
+    val dirs = got.values.collect { case (_, d: String, _) => d }.toSet
+    assert(dirs === Set("backward", "forward") && got.values.exists(_ == null))
+  }
+
   test("rollingRange: trailing range frame, value-based (ties share a frame)") {
     val s = StructType(Seq(StructField("k", LongType),
       StructField("t", LongType), StructField("v", LongType)))
