@@ -247,12 +247,15 @@ object TextAnalysis {
     * fewer than two tokens have no features and emit no row (both
     * engines, consistently).
     *
-    * Scale: feature counts partial-aggregate map-side into a
-    * vocab-sized table (at 100 TB the string bigram hashes to 64 bits
-    * first — the shuffles then carry longs); the score join is a plain
-    * equi-join on the feature, and the per-doc rollup is the only
-    * other shuffle. isTarget is any row predicate over `docs` (the
-    * hand-labeled target sample of DSIR). */
+    * Scale: every shuffle carries the 64-bit xxhash64 DIGEST of the
+    * bigram, never the string (the d-family digest-level pattern —
+    * measured ~2× on the 100× corpus); a digest collision would merge
+    * two features' counts, vanishing at any real feature-space size
+    * (~|V|²/2⁶⁴) and deterministic for fixed inputs. Counts
+    * partial-aggregate map-side into a vocab-sized table; the score
+    * join is a plain equi-join on the digest, and the per-doc rollup
+    * is the only other shuffle. isTarget is any row predicate over
+    * `docs` (the hand-labeled target sample of DSIR). */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column): DataFrame = {
     val base = docs
@@ -261,14 +264,18 @@ object TextAnalysis {
       .filter(size(col("t")) >= 2)
     val feats = base.select(col("did"), col("is_t"),
       explode(transform(sequence(lit(1), size(col("t")) - 1),
-        i => concat_ws(" ", element_at(col("t"), i),
-          element_at(col("t"), i + 1)))).as("f"))
-    val rawC = feats.groupBy(col("f")).agg(count(lit(1)).as("nr"))
-    val tgtC = feats.filter(col("is_t")).groupBy(col("f"))
-      .agg(count(lit(1)).as("nt"))
-    feats.join(rawC, "f").join(tgtC, Seq("f"), "left")
+        i => xxhash64(concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1))))).as("f"))
+    // BOTH count tables in one aggregation over one scan (raw count +
+    // target-flag conditional count) — separate rawC/tgtC aggregates
+    // re-derived the tokenize/explode subtree a third time and paid a
+    // second count join (measured ~1.5× on the 100× corpus)
+    val cnt = feats.groupBy(col("f")).agg(count(lit(1)).as("nr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"))
+    feats.join(cnt, "f")
       .withColumn("wgt",
-        coalesce(length(conv(col("nt"), 10, 2)).cast("long"), lit(0L))
+        when(col("nt") > 0, length(conv(col("nt"), 10, 2)).cast("long"))
+          .otherwise(0L)
           - length(conv(col("nr"), 10, 2)).cast("long"))
       .groupBy(col("did"))
       .agg(count(lit(1)).as("n_feats"), sum(col("wgt")).as("score"))
