@@ -19,6 +19,18 @@ object SampleQueries extends QuerySet {
       |               string_split_regex(lower(trim(text)), '\s+') AS t
       |        FROM documents)""".stripMargin
 
+  // NOTE: declared BEFORE `all` — an oracle string interpolating a
+  // constant declared later splices the literal "null" (the round-5
+  // init-order hazard).
+  private val snapPairCtes =
+    """o AS (SELECT c_custkey AS k,
+      |             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+      |           FROM customer),
+      |n AS (SELECT k, CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
+      |      FROM o WHERE k % 13 <> 0
+      |      UNION ALL
+      |      SELECT k + 100000000, CAST(0 AS BIGINT) FROM o WHERE k % 17 = 0)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // T28 — priority sampling (Duffield–Lund–Thorup): the k=50 docs
@@ -101,25 +113,10 @@ object SampleQueries extends QuerySet {
     // oracle rebuilds both snapshots from the same table.
     Q("s09_snapshot_cdc",
       (s, dir) => {
-        val oldSnap = Tables.load(s, dir, "customer").select(
-          col("c_custkey"),
-          graft.core.Exprs.cents(col("c_acctbal")).cast("long").as("bal_cents"))
-        val newSnap = oldSnap.filter(col("c_custkey") % 13 =!= 0)
-          .select(col("c_custkey"),
-            when(col("c_custkey") % 7 === 0, col("bal_cents") + 1000L)
-              .otherwise(col("bal_cents")).as("bal_cents"))
-          .unionByName(oldSnap.filter(col("c_custkey") % 17 === 0)
-            .select((col("c_custkey") + 100000000L).as("c_custkey"),
-              lit(0L).as("bal_cents")))
+        val (oldSnap, newSnap) = snapshotPair(s, dir)
         Cdc.changes(oldSnap, newSnap, "c_custkey", Seq("bal_cents"))
       },
-      Some("""WITH o AS (SELECT c_custkey AS k,
-             |             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
-             |           FROM customer),
-             |n AS (SELECT k, CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
-             |      FROM o WHERE k % 13 <> 0
-             |      UNION ALL
-             |      SELECT k + 100000000, CAST(0 AS BIGINT) FROM o WHERE k % 17 = 0),
+      Some(s"""WITH $snapPairCtes,
              |d AS (SELECT COALESCE(o.k, n.k) AS c_custkey,
              |        CASE WHEN o.k IS NULL THEN 'insert'
              |             WHEN n.k IS NULL THEN 'delete'
@@ -137,27 +134,12 @@ object SampleQueries extends QuerySet {
     // The oracle is simply the new snapshot's construction.
     Q("s15_cdc_apply",
       (s, dir) => {
-        val oldSnap = Tables.load(s, dir, "customer").select(
-          col("c_custkey"),
-          graft.core.Exprs.cents(col("c_acctbal")).cast("long").as("bal_cents"))
-        val newSnap = oldSnap.filter(col("c_custkey") % 13 =!= 0)
-          .select(col("c_custkey"),
-            when(col("c_custkey") % 7 === 0, col("bal_cents") + 1000L)
-              .otherwise(col("bal_cents")).as("bal_cents"))
-          .unionByName(oldSnap.filter(col("c_custkey") % 17 === 0)
-            .select((col("c_custkey") + 100000000L).as("c_custkey"),
-              lit(0L).as("bal_cents")))
+        val (oldSnap, newSnap) = snapshotPair(s, dir)
         Cdc.applyChanges(oldSnap,
           Cdc.changes(oldSnap, newSnap, "c_custkey", Seq("bal_cents")),
           "c_custkey", Seq("bal_cents"))
       },
-      Some("""WITH o AS (SELECT c_custkey AS k,
-             |             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
-             |           FROM customer),
-             |n AS (SELECT k, CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
-             |      FROM o WHERE k % 13 <> 0
-             |      UNION ALL
-             |      SELECT k + 100000000, CAST(0 AS BIGINT) FROM o WHERE k % 17 = 0)
+      Some(s"""WITH $snapPairCtes
              |SELECT k AS c_custkey, bal AS bal_cents FROM n""".stripMargin)),
 
     // ST09 — STREAMING CDC apply (the Delta-style streaming MERGE
@@ -173,18 +155,12 @@ object SampleQueries extends QuerySet {
         val tmp = "/tmp/graft_st09_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        val oldSnap = Tables.load(s, dir, "customer").select(
-          col("c_custkey"),
-          graft.core.Exprs.cents(col("c_acctbal")).cast("long").as("bal_cents"))
-        val newSnap = oldSnap.filter(col("c_custkey") % 13 =!= 0)
-          .select(col("c_custkey"),
-            when(col("c_custkey") % 7 === 0, col("bal_cents") + 1000L)
-              .otherwise(col("bal_cents")).as("bal_cents"))
-          .unionByName(oldSnap.filter(col("c_custkey") % 17 === 0)
-            .select((col("c_custkey") + 100000000L).as("c_custkey"),
-              lit(0L).as("bal_cents")))
-        oldSnap.write.mode("overwrite").parquet(s"$tmp/lake/snap")
+        val (oldSnap, newSnap) = snapshotPair(s, dir)
+        graft.streaming.Ingest.initSnapshot(oldSnap, s"$tmp/lake")
+        // checkpoint the full-outer diff once — both wave writes read
+        // the materialized change set instead of re-running the join
         val ch = Cdc.changes(oldSnap, newSnap, "c_custkey", Seq("bal_cents"))
+          .localCheckpoint(true)
         ch.filter(col("c_custkey") % 2 === 0)
           .write.mode("append").parquet(s"$tmp/drop")
         graft.streaming.Ingest.streamCdcApply(s, s"$tmp/drop", ch.schema,
@@ -193,15 +169,9 @@ object SampleQueries extends QuerySet {
           .write.mode("append").parquet(s"$tmp/drop")
         graft.streaming.Ingest.streamCdcApply(s, s"$tmp/drop", ch.schema,
           s"$tmp/lake", "c_custkey", Seq("bal_cents"))
-        s.read.parquet(s"$tmp/lake/snap")
+        graft.streaming.Ingest.currentSnapshot(s, s"$tmp/lake")
       },
-      Some("""WITH o AS (SELECT c_custkey AS k,
-             |             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
-             |           FROM customer),
-             |n AS (SELECT k, CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
-             |      FROM o WHERE k % 13 <> 0
-             |      UNION ALL
-             |      SELECT k + 100000000, CAST(0 AS BIGINT) FROM o WHERE k % 17 = 0)
+      Some(s"""WITH $snapPairCtes
              |SELECT k AS c_custkey, bal AS bal_cents FROM n""".stripMargin)),
 
     // S10 — schema-evolution-tolerant lake read (Lake.readEvolved):
@@ -353,6 +323,27 @@ object SampleQueries extends QuerySet {
       frag.repartition(nFiles).write.mode("overwrite").parquet(s"$base/compact")
       base
     })
+
+
+  /** The s09/s15/st09 snapshot pair — ONE definition of the CDC
+    * change-set recipe (%13 deletes, %7 balance bumps, %17 shifted-key
+    * re-inserts) consumed by all three gates, with [[snapPairCtes]] as
+    * its SQL twin; a drift between copies would silently break the
+    * round-trip identities the apply gates pin. */
+  private def snapshotPair(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val oldSnap = Tables.load(s, dir, "customer").select(
+      col("c_custkey"),
+      graft.core.Exprs.cents(col("c_acctbal")).cast("long").as("bal_cents"))
+    val newSnap = oldSnap.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, col("bal_cents") + 1000L)
+          .otherwise(col("bal_cents")).as("bal_cents"))
+      .unionByName(oldSnap.filter(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 100000000L).as("c_custkey"),
+          lit(0L).as("bal_cents")))
+    (oldSnap, newSnap)
+  }
 
   /** s10's two writer vintages, landed once per (session, dir) at a
     * fixed per-dir path: a fresh createTempDirectory per invocation

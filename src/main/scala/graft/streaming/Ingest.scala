@@ -144,33 +144,65 @@ object Ingest {
   /** Streaming CDC APPLY — the Delta-style streaming MERGE INTO: each
     * micro-batch of change rows (the Cdc.changes shape: key, op, and
     * the old_/new_ value columns) merges into the lake snapshot via
-    * Cdc.applyChanges (deletes drop, updates/inserts upsert). The
-    * merged result is localCheckpoint'd EAGERLY before the overwrite —
-    * the write's plan must not lazily re-read the very files the
-    * overwrite deletes (a persist() could still re-scan on eviction;
-    * the checkpoint stores every partition). The checkpoint's
-    * processed-file log makes each landed change file exactly-once
-    * across restarts; change keys unique per drop make batch splits
-    * commute, so AvailableNow splitting a drop into several
-    * micro-batches reaches the same final lake. At a real deployment
-    * the sink is an ACID table format whose MERGE is row-granular;
-    * with plain parquet the rewrite is snapshot-sized — the semantics
-    * gate (s15's round-trip identity) is the contract here. */
+    * Cdc.applyChanges (deletes drop, updates/inserts upsert).
+    *
+    * Crash safety is copy-on-write: every merged snapshot lands in a
+    * FRESH versioned directory (snap_v<batchId>) and only then does
+    * the tiny `_latest` pointer flip — the pre-image is never deleted,
+    * so a crash mid-write leaves the pointer on the old version and
+    * the replayed batch (foreachBatch commits its epoch AFTER the
+    * function returns) overwrites the uncommitted version dir
+    * idempotently. (An in-place snap overwrite would delete the
+    * pre-image before the epoch commits — a crash there loses every
+    * untouched row with nothing to replay from.) The pointer file
+    * itself is a single tiny create(overwrite) — on an object store
+    * or HDFS swap in an atomic-rename committer; the pre-image stays
+    * intact either way. Change keys unique per drop make batch splits
+    * commute, so AvailableNow splitting a drop reaches the same lake.
+    * At a real deployment the sink is an ACID table format whose
+    * MERGE is row-granular; the semantics gate (s15's round-trip
+    * identity) is the contract here. */
   def streamCdcApply(spark: SparkSession, dropDir: String,
       schema: StructType, lakeDir: String, key: String,
       tracked: Seq[String]): Unit = {
     val q = spark.readStream.schema(schema).parquet(dropDir)
       .writeStream
       .option("checkpointLocation", s"$lakeDir/_checkpoints/cdc")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val cur = spark.read.parquet(s"$lakeDir/snap")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val cur = currentSnapshot(spark, lakeDir)
         val next = graft.io.Cdc.applyChanges(cur, batch.toDF(), key, tracked)
-          .localCheckpoint(true)
-        next.write.mode("overwrite").parquet(s"$lakeDir/snap")
+        val version = s"snap_v$batchId"
+        next.write.mode("overwrite").parquet(s"$lakeDir/$version")
+        writePointer(spark, lakeDir, version)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Seed the versioned-snapshot lake [[streamCdcApply]] maintains. */
+  def initSnapshot(df: DataFrame, lakeDir: String): Unit = {
+    df.write.mode("overwrite").parquet(s"$lakeDir/snap_init")
+    writePointer(df.sparkSession, lakeDir, "snap_init")
+  }
+
+  /** Resolve the lake's current snapshot through the `_latest` pointer. */
+  def currentSnapshot(spark: SparkSession, lakeDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$lakeDir/_latest")
+    val in = fs.open(p)
+    val version = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    spark.read.parquet(s"$lakeDir/$version")
+  }
+
+  private def writePointer(spark: SparkSession, lakeDir: String,
+      version: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$lakeDir/_latest"), true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
   }
 
   def streamIntoLake(spark: SparkSession, dropDir: String, schema: StructType,
