@@ -35,7 +35,12 @@ object RangeStab {
     require(bucket > 0, "RangeStab: bucket width must be positive")
     require(!ranges.columns.contains("__b") && !probes.columns.contains("__b"),
       "RangeStab: inputs must not carry a __b column (internal bucket key)")
-    val rb = ranges.withColumn("__b",
+    // half-open contract guard: an inverted range (end <= start) would
+    // make the two-arg sequence() below auto-select step -1 and fan
+    // out a huge DESCENDING bucket list (all killed by the containment
+    // filter, but the explosion is silent) — empty ranges simply match
+    // nothing, which is what [start, start) means
+    val rb = ranges.filter(col(endCol) > col(startCol)).withColumn("__b",
       explode(expr(s"sequence($startCol div ${bucket}L, ($endCol - 1) div ${bucket}L)")))
     val pb = probes.withColumn("__b", expr(s"$vCol div ${bucket}L"))
     pb.join(rb, pb("__b") === rb("__b"))

@@ -83,12 +83,4 @@ object Geo {
     })
     crossings % 2 === 1
   }
-
-  /** [[pointInPolygon]] with the vertex count known at PLAN time —
-    * the edge loop unrolls into n static crossing terms, which keeps
-    * the whole predicate inside whole-stage codegen (the higher-order
-    * `aggregate` above is CodegenFallback: interpreted per row —
-    * measured ~20× slower when the test fans out to millions of
-    * raster cells, exactly the s12 zonal shape). Identical crossing
-    * arithmetic and boundary convention, term for term. */
 }

@@ -587,7 +587,7 @@ object EventQueries extends QuerySet {
              |      FROM x)
              |SELECT user_id, min(ts_us)//1000 AS start_ms,
              |       max(ts_us)//1000 + 1800000 AS end_ms,
-             |       count(*) AS n_events, sum(cents) AS sum_cents
+             |       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM y GROUP BY user_id, sid""".stripMargin)),
 
     // ST08 — watermark late-drop ACCOUNTING as a driver gate (the

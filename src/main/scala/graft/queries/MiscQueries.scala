@@ -401,9 +401,9 @@ object MiscQueries extends QuerySet {
       Some(withCtes(
         """SELECT coalesce(d.rating, 'Not rated') AS rating,
           |       floor((sum(a.area)*0.000247105/100)*1e2 + 0.5)/1e2 AS acres,
-          |       CASE coalesce(d.rating, 'Not rated')
+          |       CAST(CASE coalesce(d.rating, 'Not rated')
           |         WHEN 'A' THEN 1.0 WHEN 'N' THEN 2.0 WHEN 'R' THEN 3.0
-          |         ELSE 4.0 END AS rank
+          |         ELSE 4.0 END AS DOUBLE) AS rank
           |FROM dcp d
           |JOIN (SELECT o_orderkey AS mukey, floor(o_totalprice*100 + 0.5) AS area
           |      FROM orders) a ON d.mukey = a.mukey

@@ -1350,10 +1350,15 @@ object TrainQueries extends QuerySet {
               |             FROM toks WHERE len(t) >= 2) z),
               |rc AS (SELECT f, count(*) AS nr FROM bg GROUP BY 1),
               |tc AS (SELECT f, count(*) AS nt FROM bg WHERE lang = 'en' GROUP BY 1),
+              |n AS (SELECT (SELECT count(*) FROM bg) AS tnr,
+              |             (SELECT count(*) FROM bg WHERE lang = 'en') AS tnt),
               |w AS (SELECT doc_id,
               |        CASE WHEN nt IS NULL THEN 0
-              |             ELSE length(bin(nt)) END - length(bin(nr)) AS wgt
-              |      FROM bg JOIN rc USING (f) LEFT JOIN tc USING (f))
+              |             ELSE length(bin(nt)) END - length(bin(nr))
+              |        + length(bin(tnr))
+              |        - CASE WHEN tnt = 0 THEN 0
+              |               ELSE length(bin(tnt)) END AS wgt
+              |      FROM bg JOIN rc USING (f) LEFT JOIN tc USING (f) CROSS JOIN n)
               |SELECT doc_id, count(*) AS n_feats,
               |       CAST(sum(wgt) AS BIGINT) AS score,
               |       sum(wgt) >= 0 AS keep

@@ -152,9 +152,16 @@ object Ingest {
     * so a crash mid-write leaves the pointer on the old version and
     * the replayed batch (foreachBatch commits its epoch AFTER the
     * function returns) overwrites the uncommitted version dir
-    * idempotently. (An in-place snap overwrite would delete the
-    * pre-image before the epoch commits — a crash there loses every
-    * untouched row with nothing to replay from.) The pointer file
+    * idempotently. A crash in the OTHER window — after the pointer
+    * flip but before the epoch commit — leaves the pointer already on
+    * snap_v<batchId>; the replayed batch detects that (pointer ==
+    * this batch's version ⇒ the merge committed) and skips the merge
+    * entirely, otherwise it would read currentSnapshot from the very
+    * path it is about to overwrite (Spark aborts on
+    * read-what-you-overwrite). (An in-place snap overwrite would
+    * delete the pre-image before the epoch commits — a crash there
+    * loses every untouched row with nothing to replay from.) The
+    * pointer file
     * itself is a single tiny create(overwrite) — on an object store
     * or HDFS swap in an atomic-rename committer; the pre-image stays
     * intact either way. Change keys unique per drop make batch splits
@@ -169,11 +176,13 @@ object Ingest {
       .writeStream
       .option("checkpointLocation", s"$lakeDir/_checkpoints/cdc")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        val cur = currentSnapshot(spark, lakeDir)
-        val next = graft.io.Cdc.applyChanges(cur, batch.toDF(), key, tracked)
         val version = s"snap_v$batchId"
-        next.write.mode("overwrite").parquet(s"$lakeDir/$version")
-        writePointer(spark, lakeDir, version)
+        if (pointerVersion(spark, lakeDir) != version) {
+          val cur = currentSnapshot(spark, lakeDir)
+          val next = graft.io.Cdc.applyChanges(cur, batch.toDF(), key, tracked)
+          next.write.mode("overwrite").parquet(s"$lakeDir/$version")
+          writePointer(spark, lakeDir, version)
+        } // else: replay of a batch whose merge already committed — skip
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -187,14 +196,16 @@ object Ingest {
   }
 
   /** Resolve the lake's current snapshot through the `_latest` pointer. */
-  def currentSnapshot(spark: SparkSession, lakeDir: String): DataFrame = {
+  def currentSnapshot(spark: SparkSession, lakeDir: String): DataFrame =
+    spark.read.parquet(s"$lakeDir/${pointerVersion(spark, lakeDir)}")
+
+  /** The version name the `_latest` pointer currently holds. */
+  private def pointerVersion(spark: SparkSession, lakeDir: String): String = {
     val fs = new org.apache.hadoop.fs.Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$lakeDir/_latest")
-    val in = fs.open(p)
-    val version = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$lakeDir/_latest"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
-    spark.read.parquet(s"$lakeDir/$version")
   }
 
   private def writePointer(spark: SparkSession, lakeDir: String,

@@ -239,13 +239,20 @@ object TextAnalysis {
     * via importance resampling): score each document by how much more
     * likely its n-gram features are under a TARGET domain's feature
     * distribution than under the raw corpus's, here in engine-portable
-    * integer form — weight(f) = bitlen(n_target(f)) − bitlen(n_raw(f))
-    * (binary digit count = floor(log2)+1, the t33 idiom; a float
+    * integer form — the normalized log-ratio log(p_t(f)/p_r(f)) =
+    * (log n_t(f) − log N_t) − (log n_r(f) − log N_r) as bitlen
+    * differences: weight(f) = bitlen(n_t(f)) − bitlen(n_r(f)) +
+    * bitlen(N_r) − bitlen(N_t), where N_r/N_t are the distributions'
+    * total feature occurrences and bitlen = binary digit count =
+    * floor(log2)+1 with bitlen(0) = 0 (the t33 idiom; a float
     * log-ratio would drift at the last ulp across engines), summed
-    * over the doc's bigram occurrences with multiplicity. Positive
-    * scores read "target-like"; `keep` is the ≥ 0 selection. Docs with
-    * fewer than two tokens have no features and emit no row (both
-    * engines, consistently).
+    * over the doc's bigram occurrences with multiplicity. The
+    * bitlen(N_r) − bitlen(N_t) term is the per-occurrence constant
+    * that makes the two counts comparable — without it n_t ≤ n_r
+    * always (target ⊆ corpus) and a positive score is unreachable.
+    * Positive scores read "target-like"; `keep` is the ≥ 0 selection.
+    * Docs with fewer than two tokens have no features and emit no row
+    * (both engines, consistently).
     *
     * Scale: every shuffle carries the 64-bit xxhash64 DIGEST of the
     * bigram, never the string (the d-family digest-level pattern —
@@ -272,11 +279,17 @@ object TextAnalysis {
     // second count join (measured ~1.5× on the 100× corpus)
     val cnt = feats.groupBy(col("f")).agg(count(lit(1)).as("nr"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"))
-    feats.join(cnt, "f")
+    // distribution totals N_r / N_t — one broadcast one-row aggregate
+    // over the vocab-sized count table (never a second corpus scan)
+    val tot = cnt.agg(sum(col("nr")).as("tnr"), sum(col("nt")).as("tnt"))
+    feats.join(cnt, "f").crossJoin(broadcast(tot))
       .withColumn("wgt",
         when(col("nt") > 0, length(conv(col("nt"), 10, 2)).cast("long"))
           .otherwise(0L)
-          - length(conv(col("nr"), 10, 2)).cast("long"))
+          - length(conv(col("nr"), 10, 2)).cast("long")
+          + length(conv(col("tnr"), 10, 2)).cast("long")
+          - when(col("tnt") > 0, length(conv(col("tnt"), 10, 2)).cast("long"))
+              .otherwise(0L))
       .groupBy(col("did"))
       .agg(count(lit(1)).as("n_feats"), sum(col("wgt")).as("score"))
       .select(col("did").as(idCol), col("n_feats"), col("score"),

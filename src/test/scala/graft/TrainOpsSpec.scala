@@ -419,15 +419,18 @@ class TrainOpsSpec extends AnyFunSuite {
       Seq(2L, 1L, 629187L), Seq(3L, 1L, 629187L)))
   }
 
-  test("dsirScore: target-only bigram scores 0, off-target bigram penalized, short doc dropped") {
+  test("dsirScore: normalized log-ratio — target bigrams score above off-target, short doc dropped") {
     val d = df(docSchema, Seq(
       Row(1L, "a b a b"),   // target: feats "a b"(x2), "b a"
       Row(2L, "a b c"),     // raw-only: "a b", "b c"
       Row(3L, "solo")))     // 1 token: no features, no row
     val got = rowsOf(TextAnalysis.dsirScore(d, "doc_id", "text",
       col("doc_id") === 1L))
-    // nt("a b")=2, nr("a b")=3 → wgt 2-2=0; "b a": 1-1=0; "b c": 0-1=-1
-    assert(got === Seq(Seq(1L, 3L, 0L, true), Seq(2L, 2L, -1L, false)))
+    // totals: N_r=5, N_t=3 → offset bitlen(5)-bitlen(3) = 3-2 = +1/feat
+    // wgt("a b") = bitlen(2)-bitlen(3)+1 = 1; "b a": 1-1+1 = 1;
+    // "b c" (nt=0): 0-1+1 = 0 — off-target sits BELOW target-resident
+    // bigrams, and a positive (target-like) score is reachable
+    assert(got === Seq(Seq(1L, 3L, 3L, true), Seq(2L, 2L, 1L, true)))
   }
 
   test("knnGraph with one bucket equals brute-force all-pairs top-k") {
