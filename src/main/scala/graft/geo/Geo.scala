@@ -83,4 +83,82 @@ object Geo {
     })
     crossings % 2 === 1
   }
+
+  /** Sutherland–Hodgman clip of the polygon (parallel BIGINT vertex
+    * arrays xs/ys, implicitly closed) against the axis-aligned AOI
+    * rectangle [a0,a1]×[b0,b1] (closed: boundary vertices are inside) —
+    * the polygon-level Clip_analysis the reference runs through arcpy
+    * (gSSURGO_Clip.py:63-336; the clipped ring feeds acreage via
+    * [[polygonArea2]], mirroring gSSURGO_Clip.py:318-326). Returns
+    * struct(xs, ys) of the clipped ring; fully-outside polygons yield
+    * empty arrays.
+    *
+    * One `aggregate` fold over the four clip half-planes, each pass
+    * the standard per-edge emission (entering edge → intersection +
+    * vertex, leaving edge → intersection, inside edge → vertex) built
+    * from pure array expressions — per-row O(4·vertices) work, no
+    * shuffle, no UDF. The expression is written once and iterated, so
+    * the plan never inlines pass N into pass N+1 (the s12
+    * expression-blowup cliff).
+    *
+    * Exactness contract: intersection vertices are computed with an
+    * exact integer division — they are bit-exact across engines when
+    * they land on the coordinate grid (true whenever every edge slope
+    * is ±1 or axis-parallel, as in the gated fixtures; general slopes
+    * need the caller to pre-scale coordinates by the slope
+    * denominators, the usual fixed-point doubling). Duplicate output
+    * vertices can appear when a vertex lies exactly on a clip line —
+    * harmless to the shoelace (zero-area contribution). Subject
+    * polygons should be convex or simple; for concave subjects
+    * Sutherland–Hodgman may emit zero-area bridge edges (standard
+    * behavior, area still correct). */
+  def clipPolygonAoi(xs: Column, ys: Column,
+      a0: Long, b0: Long, a1: Long, b1: Long): Column = {
+    // half-planes in fixed order (x≥a0, x≤a1, y≥b0, y≤b1) — the pass
+    // order is part of the contract (intermediate rings depend on it)
+    // and the SQL oracle replays the identical order
+    val planes = array(
+      struct(lit(true).as("isx"), lit(-1L).as("sgn"), lit(a0).as("c")),
+      struct(lit(true).as("isx"), lit(1L).as("sgn"), lit(a1).as("c")),
+      struct(lit(false).as("isx"), lit(-1L).as("sgn"), lit(b0).as("c")),
+      struct(lit(false).as("isx"), lit(1L).as("sgn"), lit(b1).as("c")))
+    aggregate(planes, struct(xs.as("xs"), ys.as("ys")), (acc, p) => {
+      val axs = acc.getField("xs"); val ays = acc.getField("ys")
+      val n = size(axs)
+      val isx = p.getField("isx"); val sgn = p.getField("sgn")
+      val c = p.getField("c")
+      def prevI(i: Column) = when(i === 1, n).otherwise(i - 1)
+      def xAt(i: Column) = element_at(axs, i)
+      def yAt(i: Column) = element_at(ays, i)
+      def inside(i: Column) =
+        sgn * when(isx, xAt(i)).otherwise(yAt(i)) <= sgn * c
+      // intersection of edge prev→cur with the clip line; the guard
+      // (inside(cur) != inside(prev)) makes the denominator nonzero,
+      // and the exactness contract makes the division exact (so the
+      // double round-trip is lossless)
+      def interX(i: Column) = {
+        val pi = prevI(i)
+        when(isx, c).otherwise(
+          xAt(pi) + ((xAt(i) - xAt(pi)) * (c - yAt(pi))).cast("double")
+            ./((yAt(i) - yAt(pi)).cast("double")).cast("long"))
+      }
+      def interY(i: Column) = {
+        val pi = prevI(i)
+        when(isx,
+          yAt(pi) + ((yAt(i) - yAt(pi)) * (c - xAt(pi))).cast("double")
+            ./((xAt(i) - xAt(pi)).cast("double")).cast("long"))
+          .otherwise(c)
+      }
+      def pass(coordAt: Column => Column, inter: Column => Column) =
+        filter(
+          flatten(transform(sequence(lit(1), n), i => array(
+            when(inside(i) =!= inside(prevI(i)), inter(i)),
+            when(inside(i), coordAt(i))))),
+          v => v.isNotNull)
+      // n == 0 guard: sequence(1, 0) would auto-step DOWN — an empty
+      // ring stays empty through every remaining pass
+      when(n === 0, acc)
+        .otherwise(struct(pass(xAt, interX).as("xs"), pass(yAt, interY).as("ys")))
+    })
+  }
 }

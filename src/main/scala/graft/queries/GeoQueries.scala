@@ -64,7 +64,93 @@ object GeoQueries extends QuerySet {
       |               + (xs[(i % len(xs))+1]-xs[i])*(py-ys[i]) <> 0
       |    THEN 1 ELSE 0 END)) AS BIGINT) % 2 = 1""".stripMargin
 
+  /** SQL twin of one [[Geo.clipPolygonAoi]] Sutherland–Hodgman pass
+    * against the half-plane (isx, sgn, c) — inside test
+    * sgn·coord ≤ sgn·c, per-edge emission [intersection?, vertex?]
+    * with NULL slots filtered, reading and re-emitting columns xs/ys
+    * so passes chain as CTEs. Generated from the same plane constants
+    * the engine folds over (one Scala value, both sides). */
+  private def shPassSql(src: String, isx: Boolean, sgn: Int, c: Long): String = {
+    val pi = "(CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END)"
+    def inside(idx: String) =
+      if (isx) s"($sgn)*xs[$idx] <= ($sgn)*($c)"
+      else s"($sgn)*ys[$idx] <= ($sgn)*($c)"
+    val straddle = s"(${inside("i")}) != (${inside(pi)})"
+    val ix =
+      if (isx) s"$c"
+      else s"xs[$pi] + (xs[i]-xs[$pi]) * (($c)-ys[$pi]) // (ys[i]-ys[$pi])"
+    val iy =
+      if (isx) s"ys[$pi] + (ys[i]-ys[$pi]) * (($c)-xs[$pi]) // (xs[i]-xs[$pi])"
+      else s"$c"
+    def emit(inter: String, cur: String) =
+      s"""list_filter(flatten(list_transform(range(1, len(xs)+1), i ->
+         |      [CASE WHEN $straddle THEN $inter END,
+         |       CASE WHEN ${inside("i")} THEN $cur[i] END])), v -> v IS NOT NULL)"""
+        .stripMargin
+    s"""SELECT * EXCLUDE (xs, ys),
+       |    ${emit(ix, "xs")} AS xs,
+       |    ${emit(iy, "ys")} AS ys
+       |  FROM $src""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // J24 — polygon–polygon AOI clip (gSSURGO_Clip.py:63-336
+    // Clip_analysis — the actual Clip output: new vertex rings +
+    // clipped acreage via the j21 shoelace, :318-326), the last J16
+    // geometry primitive. Subject polygons are slope-±1 parallelograms
+    // so every Sutherland–Hodgman intersection lands on the integer
+    // grid (the Geo.clipPolygonAoi exactness contract) and DuckDB
+    // replays all four passes bit-for-bit. Output is one row per
+    // clipped vertex (ring order pinned) carrying the ring size,
+    // doubled clipped area, and the inside/straddle/outside class;
+    // fully-outside polygons keep one NULL-vertex row so the
+    // row-reduction itself is gated. Per-row O(vertices) expression
+    // work, no shuffle — the same scale shape as j20/j21.
+    Q("j24_polygon_clip",
+      (s, dir) => {
+        val paraXs = array(col("x0"), col("x0") + col("w"),
+          col("x0") + col("w") + col("h"), col("x0") + col("h"))
+        val paraYs = array(col("y0"), col("y0"),
+          col("y0") + col("h"), col("y0") + col("h"))
+        synth(s, dir)
+          .withColumn("clip",
+            Geo.clipPolygonAoi(paraXs, paraYs, 250L, 200L, 750L, 700L))
+          .withColumn("n_out", size(col("clip.xs")).cast("long"))
+          .withColumn("area2_clip", when(col("n_out") === 0, 0L)
+            .otherwise(Geo.polygonArea2(col("clip.xs"), col("clip.ys"))))
+          .withColumn("cls", when(col("n_out") === 0, lit("outside"))
+            .when(col("area2_clip") === col("w") * col("h") * 2, lit("inside"))
+            .otherwise(lit("straddle")))
+          .select(col("mukey"), col("zone"), col("n_out"), col("area2_clip"),
+            col("cls"), col("clip"),
+            posexplode_outer(col("clip.xs")).as(Seq("pos", "vx")))
+          .select(col("mukey"), col("zone"), col("n_out"), col("area2_clip"),
+            col("cls"), (col("pos") + 1).cast("long").as("vi"), col("vx"),
+            element_at(col("clip.ys"), col("pos") + 1).as("vy"))
+      },
+      Some(s"""WITH $synthCte,
+              |p0 AS (SELECT mukey, zone, w, h,
+              |         [x0, x0 + w, x0 + w + h, x0 + h]::BIGINT[] AS xs,
+              |         [y0, y0, y0 + h, y0 + h]::BIGINT[] AS ys FROM g),
+              |p1 AS (${shPassSql("p0", isx = true, sgn = -1, c = 250L)}),
+              |p2 AS (${shPassSql("p1", isx = true, sgn = 1, c = 750L)}),
+              |p3 AS (${shPassSql("p2", isx = false, sgn = -1, c = 200L)}),
+              |p4 AS (${shPassSql("p3", isx = false, sgn = 1, c = 700L)}),
+              |f AS (SELECT mukey, zone, w, h, xs, ys,
+              |        CAST(len(xs) AS BIGINT) AS n_out,
+              |        CASE WHEN len(xs) = 0 THEN 0
+              |          ELSE CAST(abs(list_sum(list_transform(range(1, len(xs)+1),
+              |            i -> xs[i]*ys[(i % len(xs))+1] - xs[(i % len(xs))+1]*ys[i])))
+              |            AS BIGINT) END AS area2_clip
+              |      FROM p4)
+              |SELECT mukey, zone, n_out, area2_clip,
+              |       CASE WHEN n_out = 0 THEN 'outside'
+              |            WHEN area2_clip = 2*w*h THEN 'inside'
+              |            ELSE 'straddle' END AS cls,
+              |       CAST(u.i AS BIGINT) AS vi, xs[u.i] AS vx, ys[u.i] AS vy
+              |FROM f, unnest(CASE WHEN len(xs) = 0 THEN [NULL]::BIGINT[]
+              |               ELSE range(1, len(xs)+1) END) AS u(i)""".stripMargin)),
 
     // J20 — AOI clip with real coordinates (gSSURGO_Clip.py:63-336):
     // each mapunit's bounding box against the fixed AOI rectangle;
@@ -227,5 +313,66 @@ object GeoQueries extends QuerySet {
               |       count(DISTINCT mukey) AS n_mapunits,
               |       CAST(sum(rating) AS BIGINT) AS sum_rating,
               |       CAST(sum(rating) * 10000 // count(*) AS BIGINT) AS mean_rating_e4
-              |FROM ins GROUP BY zone""".stripMargin)))
+              |FROM ins GROUP BY zone""".stripMargin)),
+
+    // S16 — the composed mukey raster END TO END: the reference's
+    // flagship raster product (SSURGO_ExportMuRaster.py:1410-1486
+    // PolygonToRaster at CELL_CENTER + the :1252-1357 mukey→CELLVALUE
+    // table, then gSSURGO_ExportRasters.py's rating join). Pipeline:
+    // snapped 8-unit AOI grid cells generated PER POLYGON BBOX (the
+    // s12 shape — cells ∝ polygon area, the full AOI grid is never
+    // materialized), native ray-cast CELL_CENTER assignment, overlap
+    // resolution min(mukey) per cell (PolygonToRaster's deterministic
+    // winner), DenseId dense-rank CELLVALUE lookup (s07 — no
+    // global-order window), and a broadcast rating join (S8). The
+    // oracle replays every stage including the dense rank. Scale: one
+    // rollup shuffle on (cx, cy), a vocab-sized dense-id table, and a
+    // broadcast dim — the exact 1000-executor shape.
+    Q("s16_mukey_raster",
+      (s, dir) => {
+        // AOI [250,750)x[200,700): centers cx*8+4 land inside for
+        // cx in [31,93], cy in [25,86]; pre-filter keeps every
+        // sequence() ascending (empty bbox∩AOI would flip it)
+        val polys = synth(s, dir).filter(expr(
+          "x0 div 8 <= 93 AND (x0 + w) div 8 >= 31 AND " +
+            "y0 div 8 <= 86 AND (y0 + h) div 8 >= 25"))
+        val cellsX = polys.withColumn("cx", explode(expr(
+          "sequence(greatest(x0 div 8, 31L), least((x0 + w) div 8, 93L))")))
+        val cells = cellsX.withColumn("cy", explode(expr(
+          "sequence(greatest(y0 div 8, 25L), least((y0 + h) div 8, 86L))")))
+          .withColumn("px", col("cx") * 8 + 4)
+          .withColumn("py", col("cy") * 8 + 4)
+        val assigned = cells
+          .filter(org.apache.spark.sql.graft.PointInPolygon
+            .ofColumns(col("px"), col("py"), trapXs, trapYs))
+          .groupBy(col("cx"), col("cy")).agg(min(col("mukey")).as("mukey"))
+        val rating = synth(s, dir)
+          .select(col("mukey"), ((col("mukey") * 37) % 500).as("rating"))
+        assigned
+          .join(graft.core.DenseId.lookup(assigned, "mukey"), Seq("mukey"))
+          .join(broadcast(rating), Seq("mukey"))
+          .select(col("cx"), col("cy"), col("mukey"), col("cellvalue"),
+            col("rating"))
+      },
+      Some(s"""WITH $synthCte,
+              |gp AS (SELECT * FROM g
+              |       WHERE x0 // 8 <= 93 AND (x0 + w) // 8 >= 31
+              |         AND y0 // 8 <= 86 AND (y0 + h) // 8 >= 25),
+              |cellx AS (SELECT gp.*, cx FROM gp,
+              |          unnest(generate_series(greatest(x0 // 8, 31),
+              |                                 least((x0 + w) // 8, 93))) AS ux(cx)),
+              |cell AS (SELECT cellx.*, cy, cx*8 + 4 AS px, cy*8 + 4 AS py
+              |         FROM cellx,
+              |          unnest(generate_series(greatest(y0 // 8, 25),
+              |                                 least((y0 + h) // 8, 86))) AS uy(cy)),
+              |p AS (SELECT cx, cy, px, py, mukey,
+              |        $trapXsSql AS xs, $trapYsSql AS ys FROM cell),
+              |asn AS (SELECT cx, cy, min(mukey) AS mukey
+              |        FROM p WHERE $pipSql GROUP BY cx, cy),
+              |dk AS (SELECT mukey, CAST(dense_rank() OVER (ORDER BY mukey) AS BIGINT)
+              |         AS cellvalue
+              |       FROM (SELECT DISTINCT mukey FROM asn)),
+              |r AS (SELECT mukey, (mukey*37) % 500 AS rating FROM g)
+              |SELECT a.cx, a.cy, a.mukey, dk.cellvalue, r.rating
+              |FROM asn a JOIN dk USING (mukey) JOIN r USING (mukey)""".stripMargin)))
 }

@@ -104,4 +104,30 @@ class GeoSpec extends AnyFunSuite {
       .select(col("id"), col("c.area")))
     assert(got === Seq(Seq(1L, 25L), Seq(2L, 4L), Seq(3L, 0L), Seq(4L, 0L)))
   }
+
+  test("clipPolygonAoi: hand-traced rings — inside, outside, edge straddle, corner-cut triangle") {
+    // AOI [5,20]x[5,20]; subjects have slope-±1 or axis-parallel edges
+    // so every intersection is grid-exact (the exactness contract)
+    val d = polys(
+      // fully inside: ring unchanged, original vertex order
+      (1L, Seq(6L, 10L, 10L, 6L), Seq(6L, 6L, 10L, 10L)),
+      // fully outside: empty ring
+      (2L, Seq(30L, 40L, 40L, 30L), Seq(30L, 30L, 40L, 40L)),
+      // straddles the AOI corner: clipped to the square (5,5)-(10,10),
+      // ring order from the S-H emission (intersection-then-vertex)
+      (3L, Seq(0L, 10L, 10L, 0L), Seq(0L, 0L, 10L, 10L)),
+      // slope -1 hypotenuse crossing x=5 at y=3 (exact division);
+      // clip is the square (5,5)-(8,8)
+      (4L, Seq(0L, 8L, 8L), Seq(8L, 0L, 8L)))
+    val got = rowsOf(d.withColumn("c",
+        Geo.clipPolygonAoi(col("xs"), col("ys"), 5L, 5L, 20L, 20L))
+      .select(col("id"), col("c.xs"), col("c.ys"),
+        when(size(col("c.xs")) === 0, 0L)
+          .otherwise(Geo.polygonArea2(col("c.xs"), col("c.ys"))).as("a2")))
+    assert(got === Seq(
+      Seq(1L, Seq(6L, 10L, 10L, 6L), Seq(6L, 6L, 10L, 10L), 32L),
+      Seq(2L, Seq(), Seq(), 0L),
+      Seq(3L, Seq(5L, 10L, 10L, 5L), Seq(5L, 5L, 10L, 10L), 50L),
+      Seq(4L, Seq(5L, 5L, 8L, 8L), Seq(8L, 5L, 5L, 8L), 18L)))
+  }
 }
