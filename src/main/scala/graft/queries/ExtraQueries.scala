@@ -390,12 +390,22 @@ object ExtraQueries extends QuerySet {
             // mapunit-level output is tiny relative to its inputs; one
             // file per touched partition instead of one per shuffle task
             .coalesce(1)
-        signal.filter(col("areasymbol").isin("SSA0", "SSA1", "SSA2"))
-          .write.mode("append").parquet(s"$tmp/drop")
-        Ingest.refreshValu(s, s"$tmp/drop", signal.schema, s"$tmp/lake", buildFor)
-        signal.filter(col("areasymbol").isin("SSA1", "SSA3"))
-          .write.mode("append").parquet(s"$tmp/drop")
-        Ingest.refreshValu(s, s"$tmp/drop", signal.schema, s"$tmp/lake", buildFor)
+        // incremental refreshes build per-area SLICES (≤ a quarter of
+        // the horizon table each) — 32-task shuffles on that volume
+        // are scheduler overhead, not parallelism; 8 matches the slice
+        // size (the st07/st08 sizing lesson applied to the batch ops
+        // inside foreachBatch). Values are partitioning-invariant.
+        val spKey = "spark.sql.shuffle.partitions"
+        val prevSp = s.conf.get(spKey)
+        s.conf.set(spKey, "8")
+        try {
+          signal.filter(col("areasymbol").isin("SSA0", "SSA1", "SSA2"))
+            .write.mode("append").parquet(s"$tmp/drop")
+          Ingest.refreshValu(s, s"$tmp/drop", signal.schema, s"$tmp/lake", buildFor)
+          signal.filter(col("areasymbol").isin("SSA1", "SSA3"))
+            .write.mode("append").parquet(s"$tmp/drop")
+          Ingest.refreshValu(s, s"$tmp/drop", signal.schema, s"$tmp/lake", buildFor)
+        } finally s.conf.set(spKey, prevSp)
         graft.io.Lake.read(s, s"$tmp/lake", "valu1").drop("areasymbol")
       },
       Some(valuWideOracle)))

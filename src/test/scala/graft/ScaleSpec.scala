@@ -389,6 +389,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("adaptive bucket-space defaults grow with corpus size (n18 centroids, d08 bits)") {
+    import graft.ann.Ann
+    import graft.dedup.Dedup
+    // centroid count: floor at minCentroids, then ∝ rows — per-bucket
+    // cost constant instead of n²/k at a fixed k
+    assert(Ann.adaptiveCentroidCount(100L) === 8L)
+    assert(Ann.adaptiveCentroidCount(2560L) === 10L)
+    assert(Ann.adaptiveCentroidCount(256000L) === 1000L)
+    assert(Ann.adaptiveCentroidCount(2560000L) > Ann.adaptiveCentroidCount(256000L))
+    // hyperplane bits: 2^bits ≈ 4·rows, clamped to [8, 24]
+    assert(Dedup.adaptiveHyperplaneBits(50L) === 8)      // floor (4·50 = 200 ≤ 2⁸)
+    assert(Dedup.adaptiveHyperplaneBits(700L) === 12)    // ceil(log2 2800)
+    assert(Dedup.adaptiveHyperplaneBits(2200L) === 14)
+    assert(Dedup.adaptiveHyperplaneBits(10000000L) === 24) // cap
+    assert((8 to 24).forall(b =>
+      Dedup.adaptiveHyperplaneBits(1L << (b + 10)) >=
+        Dedup.adaptiveHyperplaneBits(1L << (b + 9))))
+  }
+
   test("V6+V7: corestriction depth caps the horizon-rule root zone") {
     val hzS = StructType(Seq(StructField("mukey", StringType),
       StructField("cokey", StringType), StructField("comppct", DoubleType),
