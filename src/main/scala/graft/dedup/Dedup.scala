@@ -166,6 +166,40 @@ object Dedup {
     verifyJaccard(all, cand, idCol, textCol, shingleN, threshold)
   }
 
+  /** MinHash Jaccard ESTIMATE beside the exact value, per already-
+    * verified pair — the calibration table an LSH deployment reads
+    * before choosing k/bands/threshold for a new corpus (the estimate,
+    * not the exact value, is what banding decisions see at 100 TB;
+    * knowing its realized error on a verified sample is how the
+    * s-curve parameters get picked). Signatures are computed only for
+    * pair-participating docs (the verifyJaccard semi-join shape); the
+    * estimate is the matching-lane fraction of a k-lane signature over
+    * the same shingle digests the exact value uses. Emits
+    * `est_within` = |estimate − jaccard| ≤ `bound` rather than the
+    * raw estimate: the lanes are seeded-xxhash64 minima no portable
+    * SQL replays, but the BOUND is checkable — k=128 puts one
+    * estimate σ at ~0.035 (j≈0.8), so the default 0.15 bound is >4σ;
+    * deterministic for fixed inputs, verified per gated corpus. */
+  def minhashJaccardEstimate(docs: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String, k: Int = 128, shingleN: Int = 3,
+      bound: Double = 0.15): DataFrame = {
+    val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("cid")).distinct()
+    val hashed = shingleDigests(
+      docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
+      idCol, textCol, shingleN)
+    val lanes = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
+    val sig = hashed.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
+      .select(col("did"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
+    val matches = size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+      b => b))
+    pairs
+      .join(sig.select(col("did").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sig.select(col("did").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (abs(matches.cast("double") / k - col("jaccard")) <= bound)
+          .as("est_within"))
+  }
+
   /** Exact n-gram-Jaccard verification of a candidate pair set:
     * shingle sets are re-derived ONLY for candidate docs (the
     * semi-join pushes the candidate filter before the tokenize/shingle
@@ -259,8 +293,18 @@ object Dedup {
     * thresholds on to drop boilerplate-heavy docs. */
   def paragraphDupStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 32, shingleN: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
-    val pairs = paragraphMinhashPairs(docs, idCol, textCol, k, bands, shingleN, threshold)
+      threshold: Double = 0.6): DataFrame =
+    paragraphDupStatsFromPairs(docs,
+      paragraphMinhashPairs(docs, idCol, textCol, k, bands, shingleN, threshold),
+      idCol, textCol)
+
+  /** [[paragraphDupStats]] over an ALREADY-DERIVED pair set — the form
+    * a pipeline with a persisted paragraph-pair landing uses (deriving
+    * the LSH pairs is the dominant cost; the rollup is two small
+    * aggregations). `pairs` must be the (doc_a, para_a, doc_b, para_b,
+    * jaccard) output of [[paragraphMinhashPairs]] on the same docs. */
+  def paragraphDupStatsFromPairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     // both endpoints via ONE explode — a union of two selects over
     // `pairs` would evaluate the whole shingle→minhash→verify subplan
     // twice (the d03 double-eval pitfall)
@@ -603,10 +647,20 @@ object Dedup {
       // early and ship wrong clusters; the decimal partial-agg is
       // exact for any label magnitude (overflow would need ~10^19
       // rows and surfaces as a loud null, not a collision).
+      // (n, Σcluster) in one scan; sum() over ZERO rows is NULL — an
+      // empty pair set (no duplicates in the corpus slice) is a valid
+      // input that must converge immediately, not trip the overflow
+      // guard (surfaced by the sf1 battery: a dup-free fixture slice
+      // crashed here with a misleading message)
       def labelSum(df: DataFrame): java.math.BigDecimal = {
-        val v = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
-        require(!v.isNullAt(0), "dupClusters: label sum overflowed decimal(38,0)")
-        v.getDecimal(0)
+        val v = df.agg(count(lit(1)),
+          sum(col("cluster").cast("decimal(38,0)"))).head()
+        if (v.getLong(0) == 0L) java.math.BigDecimal.ZERO
+        else {
+          require(!v.isNullAt(1),
+            "dupClusters: label sum overflowed decimal(38,0)")
+          v.getDecimal(1)
+        }
       }
       var prevSum = labelSum(labels)
       var changed = true

@@ -116,6 +116,76 @@ object ExtraQueries extends QuerySet {
              |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // Q6 — HLL distinct-count sketch with its accuracy contract GATED:
+    // at 100 TB an exact count(distinct) shuffles every raw key;
+    // approx_count_distinct is a fixed-size mergeable sketch (map-side
+    // partial, no raw-value shuffle) and is what a production pipeline
+    // runs. Sketches can't be value-replayed cross-engine, so the gate
+    // checks the CONTRACT instead: the engine emits the exact count
+    // (small-side truth) plus a boolean that the HLL estimate landed
+    // within 3×rsd (rsd 0.05 → 15%), and the oracle expects TRUE.
+    // Spark's HLL++ is deterministic for fixed data, so the boolean
+    // cannot flake; an implementation drifting past its error bound
+    // fails the driver gate. Both aggregates run in the same pass.
+    Q("q6_sketch_distinct",
+      (s, dir) => Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("est"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double") <=
+            col("n_exact").cast("double") * 0.15).as("within_rel_err")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+             |       TRUE AS within_rel_err
+             |FROM events WHERE user_id IS NOT NULL
+             |GROUP BY event_type""".stripMargin)),
+
+    // Q7 — quantile sketch with its DETERMINISTIC rank-error contract
+    // gated: approx_percentile (Greenwald-Khanna style, rank error ≤
+    // n/accuracy by construction — not probabilistic) is the tail-
+    // latency/price-distribution primitive at corpus scale; exact
+    // quantiles need per-group value-count tables (q3) or a sort. The
+    // engine emits the EXACT nearest-rank p50 (q3's integer-rank
+    // formula — value-replayable) plus a boolean that the sketch
+    // value's occupied rank interval [r_lo+1, r_hi] intersects the
+    // target rank n/2 within a 0.1%·n + 1 slack (10× the nominal
+    // n/10000 bound — robust to target-rank definition, still a real
+    // contract); the oracle expects TRUE. Shape: one agg for the
+    // sketch, one broadcast join-back to rank the returned value, one
+    // 5-row join to the exact-quantile table.
+    Q("q7_sketch_quantile",
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+        val ap = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("approx_percentile(value, 0.5, 10000)").as("av"))
+        val ranked = e.join(broadcast(ap), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(first(col("n")).as("n"),
+            sum(when(col("value") < col("av"), 1L).otherwise(0L)).as("r_lo"),
+            sum(when(col("value") <= col("av"), 1L).otherwise(0L)).as("r_hi"))
+        val slack = col("n").cast("double") / 1000.0 + 1.0
+        ranked
+          .join(graft.core.Stats.groupedQuantiles(e, "event_type", "value",
+            Seq(50 -> "p50_value")), Seq("event_type"))
+          .select(col("event_type"), col("n"), col("p50_value"),
+            ((col("r_lo").cast("double") + 1.0 <=
+              col("n").cast("double") / 2.0 + slack) &&
+             (col("n").cast("double") / 2.0 - slack <=
+              col("r_hi").cast("double"))).as("rank_ok"))
+      },
+      Some("""WITH c AS (SELECT event_type, value, count(*) AS c
+             |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |x AS (SELECT event_type, value,
+             |        sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+             |        sum(c) OVER (PARTITION BY event_type) AS n
+             |      FROM c)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |  min(CASE WHEN cum >= (n*50 + 99) // 100 THEN value END) AS p50_value,
+             |  TRUE AS rank_ok
+             |FROM x GROUP BY 1""".stripMargin)),
+
     // E12 — user-journey transition matrix: per-user time-ordered
     // (prev event_type → event_type) transition counts and
     // probabilities — the Markov-chain view of the event stream that

@@ -315,6 +315,52 @@ object GeoQueries extends QuerySet {
               |       CAST(sum(rating) * 10000 // count(*) AS BIGINT) AS mean_rating_e4
               |FROM ins GROUP BY zone""".stripMargin)),
 
+    // J25 — acreage AFTER clip: the actual Clip_analysis product
+    // (gSSURGO_Clip.py:318-326 — CalculateField geometry area on the
+    // clipped features, then the per-class acreage rollup the
+    // reference reports). Composes j24's Sutherland–Hodgman ring with
+    // j21's shoelace: per zone, the number of polygons surviving the
+    // clip, the number fully outside, and the exact DOUBLED clipped
+    // area (integer — halving/acre conversion is a display-edge
+    // concern). One per-row clip expression + ONE rollup shuffle on
+    // zone (25 groups) — nothing else moves.
+    Q("j25_clip_acreage",
+      (s, dir) => {
+        val paraXs = array(col("x0"), col("x0") + col("w"),
+          col("x0") + col("w") + col("h"), col("x0") + col("h"))
+        val paraYs = array(col("y0"), col("y0"),
+          col("y0") + col("h"), col("y0") + col("h"))
+        synth(s, dir)
+          .withColumn("clip",
+            Geo.clipPolygonAoi(paraXs, paraYs, 250L, 200L, 750L, 700L))
+          .withColumn("a2", when(size(col("clip.xs")) === 0, 0L)
+            .otherwise(Geo.polygonArea2(col("clip.xs"), col("clip.ys"))))
+          .groupBy(col("zone"))
+          .agg(count(lit(1)).as("n_polygons"),
+            sum(when(col("a2") > 0, 1L).otherwise(0L)).as("n_clipped"),
+            sum(when(col("a2") === 0, 1L).otherwise(0L)).as("n_outside"),
+            sum(col("a2")).as("area2_total"))
+      },
+      Some(s"""WITH $synthCte,
+              |p0 AS (SELECT mukey, zone,
+              |         [x0, x0 + w, x0 + w + h, x0 + h]::BIGINT[] AS xs,
+              |         [y0, y0, y0 + h, y0 + h]::BIGINT[] AS ys FROM g),
+              |p1 AS (${shPassSql("p0", isx = true, sgn = -1, c = 250L)}),
+              |p2 AS (${shPassSql("p1", isx = true, sgn = 1, c = 750L)}),
+              |p3 AS (${shPassSql("p2", isx = false, sgn = -1, c = 200L)}),
+              |p4 AS (${shPassSql("p3", isx = false, sgn = 1, c = 700L)}),
+              |f AS (SELECT zone,
+              |        CASE WHEN len(xs) = 0 THEN 0
+              |          ELSE CAST(abs(list_sum(list_transform(range(1, len(xs)+1),
+              |            i -> xs[i]*ys[(i % len(xs))+1] - xs[(i % len(xs))+1]*ys[i])))
+              |            AS BIGINT) END AS a2
+              |      FROM p4)
+              |SELECT zone, count(*) AS n_polygons,
+              |       CAST(sum(CASE WHEN a2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+              |       CAST(sum(CASE WHEN a2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outside,
+              |       CAST(sum(a2) AS BIGINT) AS area2_total
+              |FROM f GROUP BY zone""".stripMargin)),
+
     // S16 — the composed mukey raster END TO END: the reference's
     // flagship raster product (SSURGO_ExportMuRaster.py:1410-1486
     // PolygonToRaster at CELL_CENTER + the :1252-1357 mukey→CELLVALUE

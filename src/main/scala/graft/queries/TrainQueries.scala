@@ -494,6 +494,25 @@ object TrainQueries extends QuerySet {
     s.read.parquet(path)
   }
 
+  /** The paragraph-granularity twin of [[lshPairs]]: d10 and d11 both
+    * consume the identical paragraphMinhashPairs(paraDocsDf)
+    * derivation (the dominant d-family cost after the doc-level set),
+    * so it lands once per (session, dir) — same immutability and
+    * cold-path transparency as the doc-level landing. */
+  private val paraPairMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def paraLshPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = paraPairMemo.getOrElseUpdate((s, dir), {
+      val p = s"/tmp/graft_para_pairs_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Dedup.paragraphMinhashPairs(paraDocsDf(s, dir), "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   val all: Seq[Q] = Seq(
 
     // D10 — paragraph-level near-dup pairs: the doc-level MinHash
@@ -504,7 +523,7 @@ object TrainQueries extends QuerySet {
     // (nothing in [0.3, 0.6) at the gated SFs), so complete banding
     // recall makes LSH literally equal the exact twin, as in d02.
     Q("d10_paragraph_dedup",
-      (s, dir) => Dedup.paragraphMinhashPairs(paraDocsDf(s, dir), "doc_id", "text"),
+      (s, dir) => paraLshPairs(s, dir),
       Some(s"""$paraPairsSql
              |SELECT id_a//1000 AS doc_a, id_a%1000 AS para_a,
              |       id_b//1000 AS doc_b, id_b%1000 AS para_b,
@@ -514,7 +533,8 @@ object TrainQueries extends QuerySet {
     // D11 — per-doc contaminated-paragraph fraction over the d10 pairs:
     // the drop-boilerplate-heavy-docs signal of a curation pipeline.
     Q("d11_paragraph_dup_stats",
-      (s, dir) => Dedup.paragraphDupStats(paraDocsDf(s, dir), "doc_id", "text")
+      (s, dir) => Dedup.paragraphDupStatsFromPairs(paraDocsDf(s, dir),
+          paraLshPairs(s, dir), "doc_id", "text")
         .select(col("did").as("doc_id"), col("n_paras"), col("n_dup_paras"),
           col("dup_para_frac")),
       Some(s"""$paraPairsSql,
@@ -1488,6 +1508,20 @@ object TrainQueries extends QuerySet {
              |FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
              |WHERE CAST(c AS DOUBLE)/na.n >= 0.8 OR CAST(c AS DOUBLE)/nb.n >= 0.8""".stripMargin)),
 
+    // D23 — MinHash estimator calibration over the verified pair set:
+    // per near-dup pair, the exact Jaccard beside a gate that the
+    // 128-lane MinHash ESTIMATE landed within 0.15 (>4σ) of it — the
+    // measurement that justifies the banding parameters d02 runs with
+    // (see Dedup.minhashJaccardEstimate for why the bound, not the
+    // raw estimate, is the portable output). Rides the landed d02
+    // pair set; signatures only for pair-participating docs.
+    Q("d23_minhash_calibration",
+      (s, dir) => Dedup.minhashJaccardEstimate(
+        Tables.load(s, dir, "documents"), lshPairs(s, dir),
+        "doc_id", "text"),
+      Some(s"""WITH $jaccard3Ctes
+              |SELECT id_a, id_b, jaccard, TRUE AS est_within FROM jp""".stripMargin)),
+
     // D21 — template-hub centrality: integer PageRank over the
     // verified near-dup pair graph (Dedup.pairPageRank scaladoc for
     // the curation story — boilerplate templates anchor duplication
@@ -1662,10 +1696,12 @@ object TrainQueries extends QuerySet {
         val planted = e.filter(col("vec_id") < 200)
           .select((col("vec_id") + 1000000).as("vec_id"),
             transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
-        Dedup.semDedup(
-          e.select(col("vec_id"), col("embedding")).unionByName(planted),
-          "vec_id", "embedding",
-          e.filter(col("vec_id") < 8)
+        val corpus = e.select(col("vec_id"), col("embedding")).unionByName(planted)
+        // centroids ∝ corpus (the n18/d08 adaptive default — SemDeDup
+        // at a FIXED k is Σ|cluster|² = n²/k, measured 11× at the 10×
+        // sf1 battery); the oracle computes the identical count
+        Dedup.semDedup(corpus, "vec_id", "embedding",
+          e.filter(col("vec_id") < Ann.adaptiveCentroidCount(corpus.count()))
             .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
           threshold = 0.95)
       },
@@ -1677,7 +1713,9 @@ object TrainQueries extends QuerySet {
               |              list_transform(CAST(embedding AS FLOAT[]),
               |                             x -> CAST(x + CAST(0.001 AS FLOAT) AS DOUBLE))
               |       FROM embeddings WHERE vec_id < 200),
-              |c AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 8),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e0
+              |      WHERE vec_id < (SELECT greatest(8, (count(*) + 255) // 256)
+              |                      FROM ep)),
               |${assignCtes("ep", "c", "sda")},
               |sdd AS (SELECT DISTINCT b.vid
               |        FROM sda a JOIN sda b ON a.cid = b.cid AND a.vid < b.vid
@@ -2596,5 +2634,48 @@ object TrainQueries extends QuerySet {
               |SELECT doc_id, format, width, height, n_tokens,
               |       CAST((width*31 + height*17 + n_tokens*13) % 1000 AS DOUBLE)/1000.0 AS score
               |FROM f
-              |WHERE CAST((width*31 + height*17 + n_tokens*13) % 1000 AS DOUBLE)/1000.0 >= 0.5""".stripMargin)))
+              |WHERE CAST((width*31 + height*17 + n_tokens*13) % 1000 AS DOUBLE)/1000.0 >= 0.5""".stripMargin)),
+
+    // MM6 — perceptual-hash image near-dup pairs: dedup extended to the
+    // image modality (the LAION/DataComp image-dedup pass text n-grams
+    // cannot see). Each payload is read as a gray8 raster (the mm03
+    // convention) and dHashed into 8 per-row gradient band BYTES
+    // (Multimodal.dhashBands); pairs block on band equality — hamming
+    // ≤ 7 over 8 bands pigeonholes at least one all-equal band, so
+    // recall at the ≤7 gate is COMPLETE (deterministic, not
+    // probabilistic like d02's s-curve) and the LSH result literally
+    // equals the all-pairs twin the oracle computes. The corpus'
+    // byte-shifting edit-dups don't survive a gradient hash, so the
+    // near-dup (0 < hamming ≤ 7) class is planted: the first 20 docs
+    // contribute an id+20000 copy with ONE byte overwritten inside the
+    // 72-byte raster window — a one-to-two-bit perceptual wobble; exact
+    // dups land at hamming 0 through the same pipeline.
+    Q("mm06_phash_dedup",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(length(col("text")) >= 73)
+          .select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(substring(col("text"), 1, 40), lit("~"),
+              expr("substring(text, 42)")).as("text"))
+        Multimodal.phashNearDupPairs(base.unionByName(planted),
+          "doc_id", "text", maxHamming = 7)
+      },
+      Some("""WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 73),
+             |dd AS (SELECT doc_id, text FROM d0
+             |       UNION ALL
+             |       SELECT doc_id + 20000, substr(text, 1, 40) || '~' || substr(text, 42)
+             |       FROM d0 WHERE doc_id < 20),
+             |b AS (SELECT doc_id, list_transform(range(0, 8), r ->
+             |        list_sum(list_transform(range(0, 8), c ->
+             |          CASE WHEN ascii(substr(text, r*9 + c + 1, 1)) <
+             |                    ascii(substr(text, r*9 + c + 2, 1))
+             |               THEN (1 << c) ELSE 0 END))) AS bands
+             |      FROM dd),
+             |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             |        CAST(list_sum(list_transform(range(0, 8), i ->
+             |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming
+             |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7""".stripMargin)))
 }

@@ -408,6 +408,41 @@ class ScaleSpec extends AnyFunSuite {
         Dedup.adaptiveHyperplaneBits(1L << (b + 9))))
   }
 
+  test("phash/minhash-calibration plans: band equi-joins, no cross joins; phash blocked == all-pairs") {
+    import graft.mm.Multimodal
+    val dS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // 73+ byte docs: an increasing-byte base, a one-dip near copy, an
+    // unrelated constant — pairs (1,2) near, 3 isolated from both
+    val inc = (0 until 80).map(i => (48 + (i % 70)).toChar).mkString
+    val docs = df(dS, Seq(Row(1L, inc), Row(2L, inc.updated(5, '0')),
+      Row(3L, "ab" * 40)))
+    val p = Multimodal.phashNearDupPairs(docs, "doc_id", "text")
+    val pp = p.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct"), s"phash cross join:\n$pp")
+    assert(!pp.contains("BroadcastNestedLoopJoin"), s"phash NL join:\n$pp")
+    // blocked result == brute-force all-pairs hamming at the ≤7 gate
+    // (the pigeonhole-complete-recall contract, checked literally)
+    val bands = docs.select(col("doc_id"),
+      Multimodal.dhashBands(col("text")).as("b"))
+    val brute = bands.as("x").crossJoin(bands.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        (0 until 8).map(i => expr(s"bit_count(x.b[$i] ^ y.b[$i])"))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .filter(col("hamming") <= 7)
+    assert(rowsOf(p.orderBy("id_a", "id_b")) ===
+      rowsOf(brute.orderBy("id_a", "id_b")))
+    assert(rowsOf(p) === Seq(Seq(1L, 2L, 1L)))
+    // the calibration signature meets pairs by equi-join only
+    val prS = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType), StructField("jaccard", DoubleType)))
+    val cal = graft.dedup.Dedup.minhashJaccardEstimate(
+      docs, df(prS, Seq(Row(1L, 2L, 0.9))), "doc_id", "text", k = 16)
+    val cp = cal.queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct"), s"calibration cross join:\n$cp")
+  }
+
   test("V6+V7: corestriction depth caps the horizon-rule root zone") {
     val hzS = StructType(Seq(StructField("mukey", StringType),
       StructField("cokey", StringType), StructField("comppct", DoubleType),

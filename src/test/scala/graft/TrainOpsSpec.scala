@@ -66,6 +66,25 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got.n_bytes === 24L + "payload".length)
   }
 
+  test("dhashBands: hand-computed gradient bands on the 9x8 raster window") {
+    import graft.mm.Multimodal
+    // strictly increasing bytes: every horizontal gradient is
+    // ascending, so all 8 bits set in every band
+    val inc = (0 until 73).map(i => (48 + i).toChar).mkString
+    // constant bytes: no ascending gradient anywhere
+    val flat = "a" * 73
+    // one dip at index 5 (row 0, col 5): kills exactly the c=4
+    // comparison p(0,4) < p(0,5) in band 0; c=5 (dip < next) stays set
+    val dip = inc.updated(5, '0')
+    val d = df(docSchema, Seq(Row(1L, inc), Row(2L, flat), Row(3L, dip)))
+    val got = d.select(col("doc_id"),
+        Multimodal.dhashBands(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) === Seq.fill(8)(255))
+    assert(got(2L) === Seq.fill(8)(0))
+    assert(got(3L) === (255 - 16) +: Seq.fill(7)(255))
+  }
+
   test("extractAudio: signed 16-bit samples, stereo frames, raw fallback") {
     import graft.mm.Multimodal
     // stereo 4 kHz: samples 0x8000 (-32768), 0x7FFF, 0x0001, 0x0000 +
@@ -404,6 +423,13 @@ class TrainOpsSpec extends AnyFunSuite {
     val got = rowsOf(Dedup.dupClusters(pairs))
     assert(got === Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L),
       Seq(8L, 8L), Seq(9L, 8L)))
+  }
+
+  test("dup clusters: empty pair set converges to an empty result (no dups in slice)") {
+    val pS = StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))
+    // sum() over zero rows is NULL — must read as "converged", not as
+    // the decimal-overflow guard (the sf1-battery crash class)
+    assert(rowsOf(Dedup.dupClusters(df(pS, Seq.empty))) === Seq.empty)
   }
 
   test("pairPageRank: hand-computed 3-iteration integer ranks on a star graph") {
