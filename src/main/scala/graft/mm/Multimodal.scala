@@ -293,9 +293,12 @@ object Multimodal {
     * Rows shorter than the 73-byte window must be filtered upstream.
     *
     * Scale note: an 8-bit band has only 256 buckets, so band-equality
-    * blocking is corpus-bounded only for modest corpora — at real
-    * scale use a longer hash (e.g. 256-bit pHash, 16-bit bands), the
-    * same knob as d08's hyperplane bits. */
+    * blocking is corpus-bounded only for modest corpora — measured:
+    * ~987 live buckets and 1.46M candidate rows over 4.8k docs
+    * (sf0.1), 22× that at 10× docs (candidates ∝ n²/buckets at a
+    * fixed hash width). At real scale use a longer hash (e.g.
+    * 256-bit pHash, 16-bit bands = 65k buckets/band), the same knob
+    * as d08's hyperplane bits. */
   def dhashBands(text: Column): Column = {
     def px(r: Int, c: Int): Column = ascii(substring(text, r * 9 + c + 1, 1))
     array((0 until 8).map { r =>

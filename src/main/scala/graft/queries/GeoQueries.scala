@@ -361,6 +361,80 @@ object GeoQueries extends QuerySet {
               |       CAST(sum(a2) AS BIGINT) AS area2_total
               |FROM f GROUP BY zone""".stripMargin)),
 
+    // J26 — nearest-neighbor-within-radius spatial join (the Near /
+    // snap-to-feature product): each probe point finds its nearest
+    // facility (polygon center) within L2 distance 24, or NULL. The
+    // grid-cell candidate discipline extends to NN search: cell size
+    // 32 ≥ radius, so ANY facility within L2 24 is within L∞ 24 < 32
+    // of the probe and lives in the probe's 3×3 cell neighborhood —
+    // a 9-cell equi-join fan bounds candidates, recall is geometric
+    // (complete), never probabilistic. The ×9 fan runs on the PROBE
+    // side: with the (small) facility table broadcast un-fanned, the
+    // probe explode is a map-side Generate — NOTHING shuffles — and
+    // the broadcast hash table stays facility-sized. (The tempting
+    // swap — registering each facility in its 9 neighbor cells so
+    // probes look up one cell — was measured 4× SLOWER at the 10×
+    // set: the fanned build side makes a 9× bigger broadcast hash
+    // table and every one of the ~2B candidate probes pays its cache
+    // misses. Fan the probe/stream side under a broadcast join; fan
+    // the smaller side only when both sides shuffle.) Exact integer
+    // squared distances; argmin by min(struct(d2, mukey)) —
+    // lexicographic struct ordering is the deterministic tiebreak.
+    // Unmatched probes keep a NULL row (the left join back is
+    // co-partitioned on point_id). The oracle replays bucketing,
+    // radius, and argmin. At 100 TB: probe fan is a constant 9 of
+    // map-side rows, the argmin is a partial-aggregating shuffle on
+    // point id — no all-pairs distance scan at any scale. On the 10×
+    // fixed-domain set runtime is candidate-linear (the j23 density
+    // artifact: 10× facilities in a fixed 1000² domain ⇒ ~10× true
+    // candidates within radius; real 10× data scales the domain).
+    Q("j26_nn_within_join",
+      (s, dir) => {
+        val fac = synth(s, dir)
+          .selectExpr("mukey", "x0 + w div 2 AS cx", "y0 + h div 2 AS cy")
+          .withColumn("cell", expr("(cx div 32) * 100000L + cy div 32"))
+        val probes = Tables.load(s, dir, "orders").selectExpr(
+          "o_orderkey AS point_id",
+          "(o_orderkey * 13) % 1000 AS px", "(o_orderkey * 29) % 1000 AS py")
+        val nn = probes
+          .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("cell",
+            expr("(px div 32 + dx) * 100000L + (py div 32 + dy)"))
+          .join(fac, Seq("cell"))
+          .withColumn("d2",
+            expr("(px - cx) * (px - cx) + (py - cy) * (py - cy)"))
+          .filter(col("d2") <= 576)
+          .groupBy(col("point_id"))
+          .agg(min(struct(col("d2"), col("mukey"))).as("m"))
+          .select(col("point_id"), col("m.mukey").as("nn_mukey"),
+            col("m.d2").as("nn_d2"))
+        probes.join(nn, Seq("point_id"), "left")
+          .select(col("point_id"), col("px"), col("py"),
+            col("nn_mukey"), col("nn_d2"))
+      },
+      Some(s"""WITH $synthCte,
+              |fc AS (SELECT mukey, x0 + w//2 AS cx, y0 + h//2 AS cy,
+              |              ((x0 + w//2)//32)*100000 + (y0 + h//2)//32 AS cell
+              |       FROM g),
+              |pt AS (SELECT o_orderkey AS point_id,
+              |              (o_orderkey*13) % 1000 AS px,
+              |              (o_orderkey*29) % 1000 AS py
+              |       FROM orders),
+              |cand AS (SELECT pt.point_id, fc.mukey,
+              |                (px-cx)*(px-cx) + (py-cy)*(py-cy) AS d2
+              |         FROM pt, unnest([-1, 0, 1]) AS ux(dx),
+              |              unnest([-1, 0, 1]) AS uy(dy)
+              |         JOIN fc ON (px//32 + dx)*100000 + (py//32 + dy) = fc.cell
+              |         WHERE (px-cx)*(px-cx) + (py-cy)*(py-cy) <= 576),
+              |r AS (SELECT point_id, mukey, d2,
+              |        row_number() OVER (PARTITION BY point_id
+              |                           ORDER BY d2, mukey) AS rn
+              |      FROM cand)
+              |SELECT pt.point_id, pt.px, pt.py,
+              |       r.mukey AS nn_mukey, r.d2 AS nn_d2
+              |FROM pt LEFT JOIN r ON pt.point_id = r.point_id AND r.rn = 1""".stripMargin)),
+
     // S16 — the composed mukey raster END TO END: the reference's
     // flagship raster product (SSURGO_ExportMuRaster.py:1410-1486
     // PolygonToRaster at CELL_CENTER + the :1252-1357 mukey→CELLVALUE
