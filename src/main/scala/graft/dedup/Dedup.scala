@@ -121,14 +121,30 @@ object Dedup {
     * the k lanes are k min() aggregates in one hash aggregation; each
     * (long) shingle string is hashed once and the permutation lanes
     * re-hash the 8-byte digest, halving the hash cost. */
+  /** The k-lane signature over 64-bit shingle digests (did, h) — one
+    * row per did with lane columns mh0..mh{k-1}, lane i =
+    * min(xxhash64(i, digest)). This is THE lane definition: banding
+    * ([[minhashBanded]]) and calibration ([[minhashJaccardEstimate]])
+    * must stay lane-identical for their signatures to be comparable,
+    * so both call here (as does [[minhashSignature]]'s array form, by
+    * documented convention). */
+  private def laneSignature(hashed: DataFrame, k: Int): DataFrame = {
+    val lanes = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
+    hashed.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
+  }
+
+  /** Distinct doc ids participating in a (id_a, id_b) pair set — the
+    * semi-join key that pushes candidate filtering ahead of any
+    * per-doc shingle/signature work. */
+  private def pairDocIds(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(col("id_a"), col("id_b"))).as("cid")).distinct()
+
   def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val hashed = shingleDigests(docs, idCol, textCol, shingleN)
-      .select(col("did"), col("h").as("h0"))
-    val lanes = (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"mh$i"))
-    val sig = hashed.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
+    val sig = laneSignature(
+      shingleDigests(docs, idCol, textCol, shingleN), k)
     sig.select(col("did"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("bkey"))): _*))
@@ -177,18 +193,21 @@ object Dedup {
     * the same shingle digests the exact value uses. Emits
     * `est_within` = |estimate − jaccard| ≤ `bound` rather than the
     * raw estimate: the lanes are seeded-xxhash64 minima no portable
-    * SQL replays, but the BOUND is checkable — k=128 puts one
-    * estimate σ at ~0.035 (j≈0.8), so the default 0.15 bound is >4σ;
-    * deterministic for fixed inputs, verified per gated corpus. */
+    * SQL replays, but the BOUND is checkable — the default 0.2 at
+    * k=128 is ≥ 4.5σ across the whole admitted jaccard range (σ peaks
+    * at √(0.25/128) ≈ 0.044 at j=0.5; a 0.15 bound was only 3.4σ
+    * there, and the per-pair breach chance compounds with pair count
+    * at larger corpora); deterministic for fixed inputs, verified per
+    * gated corpus. Lanes come from [[laneSignature]] — the identical
+    * lane definition d02's banding uses, which is the point of the
+    * calibration. */
   def minhashJaccardEstimate(docs: DataFrame, pairs: DataFrame,
       idCol: String, textCol: String, k: Int = 128, shingleN: Int = 3,
-      bound: Double = 0.15): DataFrame = {
-    val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("cid")).distinct()
+      bound: Double = 0.2): DataFrame = {
     val hashed = shingleDigests(
-      docs.join(candIds, col(idCol) === col("cid"), "left_semi"),
+      docs.join(pairDocIds(pairs), col(idCol) === col("cid"), "left_semi"),
       idCol, textCol, shingleN)
-    val lanes = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
-    val sig = hashed.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
+    val sig = laneSignature(hashed, k)
       .select(col("did"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
     val matches = size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
       b => b))
@@ -209,7 +228,7 @@ object Dedup {
     * pairs produces the same answer as the all-pairs oracle. */
   def verifyJaccard(docs: DataFrame, cand: DataFrame, idCol: String,
       textCol: String, shingleN: Int, threshold: Double): DataFrame = {
-    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("cid")).distinct()
+    val candIds = pairDocIds(cand)
     // intersect 64-bit shingle digests, not strings: ~8× less data
     // through the pair joins and cheap long-array intersects. Set
     // cardinalities are unchanged barring an xxhash64 collision

@@ -290,7 +290,8 @@ object Multimodal {
     * convention (single-byte text corpus ⇒ `ascii(substring(...))` is
     * the pixel read on both engines); real pixel decode at 100 TB runs
     * in the partition-batched decoder and feeds the same band shape.
-    * Rows shorter than the 73-byte window must be filtered upstream.
+    * Rows shorter than the 72-byte window (last read position:
+    * r=7, c=8 → byte 72) must be filtered upstream.
     *
     * Scale note: an 8-bit band has only 256 buckets, so band-equality
     * blocking is corpus-bounded only for modest corpora — measured:

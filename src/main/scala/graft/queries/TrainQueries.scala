@@ -2647,25 +2647,28 @@ object TrainQueries extends QuerySet {
     // equals the all-pairs twin the oracle computes. The corpus'
     // byte-shifting edit-dups don't survive a gradient hash, so the
     // near-dup (0 < hamming ≤ 7) class is planted: the first 20 docs
-    // contribute an id+20000 copy with ONE byte overwritten inside the
-    // 72-byte raster window — a one-to-two-bit perceptual wobble; exact
-    // dups land at hamming 0 through the same pipeline.
+    // contribute an id+2000000 copy (the collision-safe planted-id
+    // convention — +20000 collides with real doc_ids at sf1, where
+    // duplicate ids would silently break the id_a < id_b orientation)
+    // with ONE byte overwritten inside the 72-byte raster window — a
+    // one-to-two-bit perceptual wobble; exact dups land at hamming 0
+    // through the same pipeline.
     Q("mm06_phash_dedup",
       (s, dir) => {
         val base = Tables.load(s, dir, "documents")
-          .filter(length(col("text")) >= 73)
+          .filter(length(col("text")) >= 72)
           .select(col("doc_id"), col("text"))
         val planted = base.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 20000).as("doc_id"),
+          .select((col("doc_id") + 2000000).as("doc_id"),
             concat(substring(col("text"), 1, 40), lit("~"),
               expr("substring(text, 42)")).as("text"))
         Multimodal.phashNearDupPairs(base.unionByName(planted),
           "doc_id", "text", maxHamming = 7)
       },
-      Some("""WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 73),
+      Some("""WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 72),
              |dd AS (SELECT doc_id, text FROM d0
              |       UNION ALL
-             |       SELECT doc_id + 20000, substr(text, 1, 40) || '~' || substr(text, 42)
+             |       SELECT doc_id + 2000000, substr(text, 1, 40) || '~' || substr(text, 42)
              |       FROM d0 WHERE doc_id < 20),
              |b AS (SELECT doc_id, list_transform(range(0, 8), r ->
              |        list_sum(list_transform(range(0, 8), c ->

@@ -412,7 +412,7 @@ class ScaleSpec extends AnyFunSuite {
     import graft.mm.Multimodal
     val dS = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
-    // 73+ byte docs: an increasing-byte base, a one-dip near copy, an
+    // 72+ byte docs: an increasing-byte base, a one-dip near copy, an
     // unrelated constant — pairs (1,2) near, 3 isolated from both
     val inc = (0 until 80).map(i => (48 + (i % 70)).toChar).mkString
     val docs = df(dS, Seq(Row(1L, inc), Row(2L, inc.updated(5, '0')),
