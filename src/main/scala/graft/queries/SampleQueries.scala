@@ -242,6 +242,36 @@ object SampleQueries extends QuerySet {
              |        FROM lineitem) AS files_after
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // S18 — hive-partitioned layout + partition-PRUNED read: the
+    // third layout primitive beside j19's bucketing and s14's
+    // Z-order, and the one every 100 TB event lake leads with — a
+    // day-partitioned landing means a one-week query lists 7
+    // directories and reads nothing else (the filter binds at the
+    // METADATA level, before any file IO; `.explain` shows it under
+    // PartitionFilters, pinned in ScaleSpec on a twin layout). The
+    // gate checks the values contract: a week's rollup off the
+    // partitioned lake must equal the plain-table oracle — layout
+    // changes the plan, never the values (j19's standing rule). The
+    // partition column round-trips through directory names (written
+    // as formatted strings, re-inferred as DATE on read), so the
+    // query normalizes it back to the string form the oracle
+    // computes — a silently mistyped partition column is exactly the
+    // drift this gate would catch.
+    Q("s18_partitioned_layout",
+      (s, dir) => {
+        val lake = s.read.parquet(landPartitioned(s, dir))
+        lake.filter(col("day").between("2024-01-10", "2024-01-16"))
+          .groupBy(col("day").cast("string").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(graft.core.Exprs.cents(col("value"))).cast("long").as("sum_cents"))
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(floor(value*100 + 0.5)) AS BIGINT) AS sum_cents
+             |FROM events
+             |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-16'
+             |GROUP BY 1, 2""".stripMargin)),
+
     // S14 — Z-ORDER layout: the multi-dimensional data-skipping
     // organization (Delta OPTIMIZE ZORDER / Iceberg sort-order
     // rewrite). Both dimensions first quantize to an 8-bit lattice by
@@ -324,6 +354,28 @@ object SampleQueries extends QuerySet {
       base
     })
 
+
+  /** Hive-partitioned events landing (day=YYYY-MM-DD directories),
+    * once per (session, dir) — the s13/j19 memoized-landing pattern
+    * for the third layout primitive (partitioning; j19 gates
+    * bucketing, s14 Z-order). Day count is calendar-bounded (~30), so
+    * each partition dir gets one right-sized file via a pre-shuffle
+    * on the partition key. */
+  private val partMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def landPartitioned(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    partMemo.getOrElseUpdate((s, dir), {
+      val base = "/tmp/graft_part_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      graft.Tables.events(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("value"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(base)
+      base
+    })
 
   /** The s09/s15/st09 snapshot pair — ONE definition of the CDC
     * change-set recipe (%13 deletes, %7 balance bumps, %17 shifted-key

@@ -1407,6 +1407,50 @@ object TrainQueries extends QuerySet {
               |       sum(wgt) >= 0 AS keep
               |FROM w GROUP BY doc_id""".stripMargin)),
 
+    // T35 — vintage-over-vintage corpus drift report: the data-card
+    // check a corpus release runs BEFORE training on a re-curated
+    // vintage — per token (≥ 50 raw occurrences, the stable head of
+    // the distribution), occurrence counts and 1e-6-unit corpus
+    // shares in the raw vintage vs the curated one (here: the
+    // lang='en' filter, the most common curation step and a real
+    // distribution shift), and the integer share drift. Shares are
+    // floor-divided integers — engine-exact, no float drift. Plan:
+    // ONE token explode + one partial-agg shuffle computes both
+    // vintages' counts (the curated count is a conditional sum, not
+    // a second scan), totals ride back as a broadcast one-row
+    // aggregate. At 100 TB: shuffle carries (token, 2 longs); the
+    // ≥50 filter bounds output to the vocabulary head.
+    Q("t35_corpus_drift",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val counts = tok.groupBy(col("token"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_cur"))
+        val totals = counts.agg(sum(col("n_raw")).as("t_raw"),
+          sum(col("n_cur")).as("t_cur"))
+        counts.filter(col("n_raw") >= 50)
+          .crossJoin(broadcast(totals))
+          .select(col("token"), col("n_raw"), col("n_cur"),
+            expr("n_raw * 1000000L div t_raw").as("share_raw_e6"),
+            expr("n_cur * 1000000L div t_cur").as("share_cur_e6"),
+            expr("n_cur * 1000000L div t_cur - n_raw * 1000000L div t_raw")
+              .as("drift_e6"))
+      },
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT lang, unnest(t) AS token FROM toks),
+              |c AS (SELECT token, count(*) AS n_raw,
+              |        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+              |      FROM tok GROUP BY 1),
+              |tt AS (SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+              |              CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c)
+              |SELECT token, n_raw, n_cur,
+              |       n_raw * 1000000 // t_raw AS share_raw_e6,
+              |       n_cur * 1000000 // t_cur AS share_cur_e6,
+              |       n_cur * 1000000 // t_cur - n_raw * 1000000 // t_raw AS drift_e6
+              |FROM c, tt WHERE n_raw >= 50""".stripMargin)),
+
     // D1 — exact dedup by content hash.
     Q("d01_dedup_exact",
       (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text"),

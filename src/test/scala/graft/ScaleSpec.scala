@@ -443,6 +443,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(!cp.contains("CartesianProduct"), s"calibration cross join:\n$cp")
   }
 
+  test("partitioned layout: day filter binds as a PartitionFilter (metadata pruning, no data-filter fallback)") {
+    val s = StructType(Seq(StructField("day", StringType),
+      StructField("v", LongType)))
+    val rows = (1 to 20).map(i => Row(f"2024-01-${i % 5 + 1}%02d", i.toLong))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    df(s, rows).write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val q = spark.read.parquet(tmp)
+      .filter(col("day").between("2024-01-02", "2024-01-03"))
+      .groupBy(col("day").cast("string").as("day")).agg(sum(col("v")).as("sv"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the day predicate must appear in the scan's PartitionFilters
+    // (metadata-level pruning) — a day filter that fell through to
+    // PushedFilters/post-scan Filter would read every partition
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(_.contains("day")), s"day not in PartitionFilters:\n$plan")
+    // day02 ⇐ i ∈ {1,6,11,16} (Σ 34); day03 ⇐ i ∈ {2,7,12,17} (Σ 38)
+    assert(rowsOf(q.orderBy("day")).map(r => (r.head, r(1))) ===
+      Seq(("2024-01-02", 34L), ("2024-01-03", 38L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("V6+V7: corestriction depth caps the horizon-rule root zone") {
     val hzS = StructType(Seq(StructField("mukey", StringType),
       StructField("cokey", StringType), StructField("comppct", DoubleType),
