@@ -75,9 +75,12 @@ object Dedup {
 
   /** MinHash signature: k seeded-xxhash64 minima over the shingle set
     * (array-expression form, used for ad-hoc column-level work).
-    * Lane construction matches minhashLshPairs exactly — each shingle
-    * is digested once and the lanes re-hash the 64-bit digest — so
-    * signatures from the two APIs are band-compatible. */
+    * Lane construction REPLICATES [[laneSignature]] (a column
+    * expression cannot call the DataFrame-level helper) — each
+    * shingle is digested once and lane i takes min(xxhash64(i,
+    * digest)) — so signatures from the two APIs are band-compatible;
+    * any seeding change to laneSignature must be mirrored here by
+    * hand. */
   def minhashSignature(shingles: Column, k: Int): Column = {
     val digests = transform(shingles, sh => xxhash64(sh))
     transform(sequence(lit(0), lit(k - 1)),
@@ -114,20 +117,15 @@ object Dedup {
     verifyJaccard(docs, cand, idCol, textCol, shingleN, threshold)
   }
 
-  /** Banded MinHash index rows (did, band, bkey) — the persistable
-    * dedup-index artifact: at corpus scale this is what lives in the
-    * lake (bucketed by bkey), so arriving batches join against it
-    * without re-signaturing the corpus. Shingles are exploded ONCE and
-    * the k lanes are k min() aggregates in one hash aggregation; each
-    * (long) shingle string is hashed once and the permutation lanes
-    * re-hash the 8-byte digest, halving the hash cost. */
   /** The k-lane signature over 64-bit shingle digests (did, h) — one
     * row per did with lane columns mh0..mh{k-1}, lane i =
     * min(xxhash64(i, digest)). This is THE lane definition: banding
     * ([[minhashBanded]]) and calibration ([[minhashJaccardEstimate]])
     * must stay lane-identical for their signatures to be comparable,
-    * so both call here (as does [[minhashSignature]]'s array form, by
-    * documented convention). */
+    * so both CALL here; [[minhashSignature]]'s column-expression form
+    * cannot call a DataFrame helper and REPLICATES these lanes — any
+    * seeding change must be applied there by hand (its scaladoc
+    * carries the matching warning). */
   private def laneSignature(hashed: DataFrame, k: Int): DataFrame = {
     val lanes = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
     hashed.groupBy(col("did")).agg(lanes.head, lanes.tail: _*)
@@ -139,6 +137,14 @@ object Dedup {
   private def pairDocIds(pairs: DataFrame): DataFrame =
     pairs.select(explode(array(col("id_a"), col("id_b"))).as("cid")).distinct()
 
+  /** Banded MinHash index rows (did, band, bkey) — the persistable
+    * dedup-index artifact: at corpus scale this is what lives in the
+    * lake (bucketed by bkey), so arriving batches join against it
+    * without re-signaturing the corpus. Shingles are exploded ONCE and
+    * the k lanes ([[laneSignature]]) are k min() aggregates in one
+    * hash aggregation; each (long) shingle string is hashed once and
+    * the permutation lanes re-hash the 8-byte digest, halving the
+    * hash cost. */
   def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into bands")

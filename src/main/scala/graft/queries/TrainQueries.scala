@@ -1554,7 +1554,8 @@ object TrainQueries extends QuerySet {
 
     // D23 — MinHash estimator calibration over the verified pair set:
     // per near-dup pair, the exact Jaccard beside a gate that the
-    // 128-lane MinHash ESTIMATE landed within 0.15 (>4σ) of it — the
+    // 128-lane MinHash ESTIMATE landed within 0.2 (≥4.5σ over the
+    // whole admitted jaccard range) of it — the
     // measurement that justifies the banding parameters d02 runs with
     // (see Dedup.minhashJaccardEstimate for why the bound, not the
     // raw estimate, is the portable output). Rides the landed d02

@@ -453,11 +453,17 @@ class ScaleSpec extends AnyFunSuite {
       .filter(col("day").between("2024-01-02", "2024-01-03"))
       .groupBy(col("day").cast("string").as("day")).agg(sum(col("v")).as("sv"))
     val plan = q.queryExecution.executedPlan.toString
-    // the day predicate must appear in the scan's PartitionFilters
-    // (metadata-level pruning) — a day filter that fell through to
-    // PushedFilters/post-scan Filter would read every partition
-    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
-    assert(pf.exists(_.contains("day")), s"day not in PartitionFilters:\n$plan")
+    // the day predicate must appear INSIDE the scan's
+    // PartitionFilters list (metadata-level pruning) — a day filter
+    // that fell through to PushedFilters/post-scan Filter would read
+    // every partition. Slice the bracketed list itself: the whole
+    // FileScan renders on one line, so merely finding "day" on the
+    // PartitionFilters LINE also matches the scan's output schema
+    // (vacuously true even with PartitionFilters: []).
+    val pfList = plan.split("PartitionFilters:", 2).lift(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(pfList.exists(_.contains("day")),
+      s"day not inside PartitionFilters [..]:\n$plan")
     // day02 ⇐ i ∈ {1,6,11,16} (Σ 34); day03 ⇐ i ∈ {2,7,12,17} (Σ 38)
     assert(rowsOf(q.orderBy("day")).map(r => (r.head, r(1))) ===
       Seq(("2024-01-02", 34L), ("2024-01-03", 38L)))
