@@ -1567,6 +1567,42 @@ object TrainQueries extends QuerySet {
       Some(s"""WITH $jaccard3Ctes
               |SELECT id_a, id_b, jaccard, TRUE AS est_within FROM jp""".stripMargin)),
 
+    // D24 — split-leakage audit: verified near-dup pairs whose
+    // endpoints land in DIFFERENT t07 splits — the eval-contamination
+    // check (Lee et al. 2022's finding made a gate: exact-split
+    // discipline does not stop a lightly-edited train doc from
+    // near-duplicating a test doc, silently inflating eval). Composes
+    // the landed d02 pair set with t07's engine-portable hash split;
+    // at corpus scale the pair set is tiny relative to the corpus, so
+    // the split join is pair-endpoint-sized. Cross-split pairs are
+    // reported with both memberships; dropping them (or re-assigning
+    // whole dup CLUSTERS to one split via d06's components) is the
+    // downstream fix this report drives.
+    Q("d24_split_leakage",
+      (s, dir) => {
+        val sp = graft.pipeline.Sampling.split(
+          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+        lshPairs(s, dir)
+          .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+          .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            col("split_a"), col("split_b"))
+      },
+      Some {
+        val hb = graft.pipeline.Sampling.hashBucketSql("doc_id")
+        s"""WITH $jaccard3Ctes,
+           |sp AS (SELECT doc_id,
+           |         CASE WHEN $hb < 80 THEN 'train'
+           |              WHEN $hb < 90 THEN 'val'
+           |              ELSE 'test' END AS split
+           |       FROM documents)
+           |SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
+           |FROM jp JOIN sp sa ON id_a = sa.doc_id
+           |         JOIN sp sb ON id_b = sb.doc_id
+           |WHERE sa.split <> sb.split""".stripMargin
+      }),
+
     // D21 — template-hub centrality: integer PageRank over the
     // verified near-dup pair graph (Dedup.pairPageRank scaladoc for
     // the curation story — boilerplate templates anchor duplication
