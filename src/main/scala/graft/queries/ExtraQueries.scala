@@ -140,6 +140,41 @@ object ExtraQueries extends QuerySet {
              |FROM events WHERE user_id IS NOT NULL
              |GROUP BY event_type""".stripMargin)),
 
+    // Q8 — sketch MERGEABILITY gated: the property that makes q6's
+    // sketch work on 1000 executors is that per-shard partials union
+    // into the global answer — count(distinct) can't do that without
+    // re-shuffling raw keys. An 8-way deterministic shard split
+    // stands in for executor partials: per-shard DataSketches HLL
+    // sketches (hll_sketch_agg) are union-merged (hll_union_agg) and
+    // the merged estimate must satisfy the same 3×rsd contract as
+    // the direct single-pass sketch — both booleans gated TRUE
+    // beside the exact count. (The two estimates are NOT asserted
+    // identical: HLL union runs in HLL_8 register space while a
+    // direct sketch may stay HLL_4/sparse, so bit-equality is not
+    // part of the mergeability contract — the error bound is.)
+    Q("q8_sketch_merge",
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        val shards = e.withColumn("shard", pmod(col("user_id"), lit(8)))
+          .groupBy(col("event_type"), col("shard"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val merged = shards.groupBy(col("event_type"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_m"))
+        val direct = e.groupBy(col("event_type"))
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_d"),
+            countDistinct(col("user_id")).as("n_exact"))
+        direct.join(merged, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("est_d") - col("n_exact")).cast("double") <=
+              col("n_exact").cast("double") * 0.15).as("direct_ok"),
+            (abs(col("est_m") - col("n_exact")).cast("double") <=
+              col("n_exact").cast("double") * 0.15).as("merged_ok"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+             |       TRUE AS direct_ok, TRUE AS merged_ok
+             |FROM events WHERE user_id IS NOT NULL
+             |GROUP BY event_type""".stripMargin)),
+
     // Q7 — quantile sketch with its DETERMINISTIC rank-error contract
     // gated: approx_percentile (Greenwald-Khanna style, rank error ≤
     // n/accuracy by construction — not probabilistic) is the tail-
