@@ -53,12 +53,20 @@ object Sampling {
     * last split taking the remainder. */
   def split(df: DataFrame, idCol: String,
       pcts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90),
-      rest: String = "test"): DataFrame = {
-    val b = hashBucket(col(idCol))
-    val branch = pcts.foldRight(lit(rest)) { case ((name, bound), other) =>
+      rest: String = "test"): DataFrame =
+    df.withColumn("split", splitCol(col(idCol), pcts, rest))
+
+  /** The split membership as a COLUMN of the id — the form a consumer
+    * with ids already on its rows uses (e.g. d24 labels both pair
+    * endpoints without touching the corpus table). One branch
+    * definition shared with [[split]] so the two can't drift. */
+  def splitCol(id: Column,
+      pcts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90),
+      rest: String = "test"): Column = {
+    val b = hashBucket(id)
+    pcts.foldRight(lit(rest)) { case ((name, bound), other) =>
       when(b < bound, lit(name)).otherwise(other)
     }
-    df.withColumn("split", branch)
   }
 
   /** Deterministic domain-mixture downsampling: keep a row iff its id's

@@ -146,12 +146,21 @@ object ExtraQueries extends QuerySet {
     // re-shuffling raw keys. An 8-way deterministic shard split
     // stands in for executor partials: per-shard DataSketches HLL
     // sketches (hll_sketch_agg) are union-merged (hll_union_agg) and
-    // the merged estimate must satisfy the same 3×rsd contract as
-    // the direct single-pass sketch — both booleans gated TRUE
-    // beside the exact count. (The two estimates are NOT asserted
+    // the merged estimate must land within 15% of the exact count,
+    // same as the direct single-pass sketch — both booleans gated
+    // TRUE beside the exact count. The 15% bound is deliberately
+    // GENEROUS relative to the sketch's own precision (default
+    // lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%, so 15% ≈ 9×rsd —
+    // looser than q6's 3×rsd because q6 configures its rsd
+    // explicitly): this gate exists to catch mergeability BREAKAGE
+    // (a union that loses registers errs by integer factors), not to
+    // pin the tight error. (The two estimates are NOT asserted
     // identical: HLL union runs in HLL_8 register space while a
     // direct sketch may stay HLL_4/sparse, so bit-equality is not
-    // part of the mergeability contract — the error bound is.)
+    // part of the mergeability contract — the error bound is.) The
+    // final join is null-safe so a NULL event_type group, should the
+    // lake ever carry one, flows through like q6's rather than being
+    // dropped by null-rejecting join equality.
     Q("q8_sketch_merge",
       (s, dir) => {
         val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
@@ -163,8 +172,9 @@ object ExtraQueries extends QuerySet {
         val direct = e.groupBy(col("event_type"))
           .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_d"),
             countDistinct(col("user_id")).as("n_exact"))
-        direct.join(merged, Seq("event_type"))
-          .select(col("event_type"), col("n_exact"),
+        direct.as("d").join(merged.as("m"),
+            col("d.event_type") <=> col("m.event_type"))
+          .select(col("d.event_type").as("event_type"), col("n_exact"),
             (abs(col("est_d") - col("n_exact")).cast("double") <=
               col("n_exact").cast("double") * 0.15).as("direct_ok"),
             (abs(col("est_m") - col("n_exact")).cast("double") <=

@@ -1573,18 +1573,19 @@ object TrainQueries extends QuerySet {
     // discipline does not stop a lightly-edited train doc from
     // near-duplicating a test doc, silently inflating eval). Composes
     // the landed d02 pair set with t07's engine-portable hash split;
-    // at corpus scale the pair set is tiny relative to the corpus, so
-    // the split join is pair-endpoint-sized. Cross-split pairs are
+    // the split is a pure function of the id, so both memberships are
+    // computed DIRECTLY on the pair rows (Sampling.splitCol — zero
+    // corpus scans, the whole audit is pair-set-sized at any corpus
+    // scale). Cross-split pairs are
     // reported with both memberships; dropping them (or re-assigning
     // whole dup CLUSTERS to one split via d06's components) is the
     // downstream fix this report drives.
     Q("d24_split_leakage",
       (s, dir) => {
-        val sp = graft.pipeline.Sampling.split(
-          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+        import graft.pipeline.Sampling
         lshPairs(s, dir)
-          .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
-          .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+          .withColumn("split_a", Sampling.splitCol(col("id_a")))
+          .withColumn("split_b", Sampling.splitCol(col("id_b")))
           .filter(col("split_a") =!= col("split_b"))
           .select(col("id_a"), col("id_b"), col("jaccard"),
             col("split_a"), col("split_b"))
