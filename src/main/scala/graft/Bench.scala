@@ -142,6 +142,16 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v, _, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    // transient-proof per-query map: the min across ALL runs for each
+    // query. The best-TOTAL run can still contain a mid-run contention
+    // transient (r8: r02/r03/r04 read 4-5.6 s in the winning run while
+    // the other two runs measured ~1.2 s), and any consumer diffing the
+    // headline `queries` map round-over-round sees a phantom
+    // regression. `queries_best` is the number that tracks code.
+    val qsBest = allRuns.flatMap(_._1.map { case (k, w, _, _, _, _) => k -> w })
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, ws) => jstr(k) + ":" + r3(ws.map(_._2).min) }
+      .mkString("{", ",", "}")
     // errors are deterministic (analysis-time) so the best run's set is
     // the run's set; a non-empty set fails the process exit code
     val errors = results.collect { case (k, _, _, _, _, Some(e)) => k -> e }
@@ -169,6 +179,7 @@ object Bench {
       s""""disk_mb":${r3(rdds.map(_.diskSize).sum / 1e6)}}"""
     val heapMb = Runtime.getRuntime.maxMemory / (1 << 20)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_best":$qsBest,""" +
       s""""errors":$errsJson,"error_count":${errors.size},""" +
       s""""run_totals":$runTotals,"load_avg":$loadAvg,"runs":$runsJson,""" +
       s""""cache":$cacheJson,"heap_max_mb":$heapMb,"sf":${jstr(sfDir)}}"""

@@ -660,42 +660,72 @@ object Dedup {
     val spark = pairs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey, "true")
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
     spark.conf.set(aqeKey, "false")
     try {
       // convergence check without a per-round join: labels only ever
       // DECREASE under min-propagation, so Σcluster strictly decreases
       // iff any label changed — one shuffle-free partial-agg scan of
       // the fresh checkpoint replaces the old join+filter+count job.
-      // The sum runs in decimal(38,0): a Long sum over hash-derived
-      // 63-bit labels wraps silently under non-ANSI semantics, and a
-      // wrapped collision between rounds would declare convergence
-      // early and ship wrong clusters; the decimal partial-agg is
-      // exact for any label magnitude (overflow would need ~10^19
-      // rows and surfaces as a loud null, not a collision).
-      // (n, Σcluster) in one scan; sum() over ZERO rows is NULL — an
-      // empty pair set (no duplicates in the corpus slice) is a valid
-      // input that must converge immediately, not trip the overflow
-      // guard (surfaced by the sf1 battery: a dup-free fixture slice
-      // crashed here with a misleading message)
-      def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // Exactness without decimal aggregates (the decimal(38,0) form
+      // measured 2.3× slower than long partial-aggs — r8 verdict): the
+      // label is split into its arithmetic-shift high half and
+      // unsigned low half, each summed as a plain long, and the exact
+      // Σcluster is recomposed driver-side as sumHi·2³² + sumLo in
+      // BigInteger. Per-row, x == (x>>32)·2³² + (x & 0xFFFFFFFF) for
+      // any two's-complement long, so the recomposition is identity;
+      // the long partials can't wrap while n ≤ 2³¹ (lo terms < 2³²,
+      // hi terms < 2³¹ in magnitude). Beyond 2³¹ label rows — a
+      // >2-billion-node pair graph — fall back to the decimal sum,
+      // where the extra agg cost is noise against the joins anyway.
+      // sum() over ZERO rows is NULL — an empty pair set (no
+      // duplicates in the corpus slice) is a valid input that must
+      // converge immediately, not trip a guard (surfaced by the sf1
+      // battery: a dup-free fixture slice crashed here).
+      def labelSumN(df: DataFrame): (Long, java.math.BigInteger) = {
         val v = df.agg(count(lit(1)),
-          sum(col("cluster").cast("decimal(38,0)"))).head()
-        if (v.getLong(0) == 0L) java.math.BigDecimal.ZERO
-        else {
-          require(!v.isNullAt(1),
+          sum(shiftright(col("cluster"), 32)),
+          sum(col("cluster").bitwiseAND(lit(0xFFFFFFFFL)))).head()
+        val n = v.getLong(0)
+        if (n == 0L) (0L, java.math.BigInteger.ZERO)
+        else if (n <= (1L << 31)) {
+          (n, java.math.BigInteger.valueOf(v.getLong(1)).shiftLeft(32)
+            .add(java.math.BigInteger.valueOf(v.getLong(2))))
+        } else {
+          val d = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+          require(!d.isNullAt(0),
             "dupClusters: label sum overflowed decimal(38,0)")
-          v.getDecimal(1)
+          (n, d.getDecimal(0).toBigInteger)
         }
       }
-      var prevSum = labelSum(labels)
+      def labelSum(df: DataFrame): java.math.BigInteger = labelSumN(df)._2
+      val (n0, sum0) = labelSumN(labels)
+      // Loop shuffle sizing (the st07/st08 state-sizing lesson applied
+      // to the CC rounds): each round is 2-3 shuffle stages over a
+      // pair-GRAPH-sized table — running them at the session's
+      // fact-table partition count (32 here, hundreds on a cluster) is
+      // pure scheduler overhead when the graph is small. n0 is already
+      // on the driver from the convergence seed, so size partitions to
+      // the graph (~500k labels/partition, floor 8) and restore after;
+      // a genuinely huge pair graph keeps the session's parallelism.
+      val loopParts = math.max(8L,
+        math.min(prevSp.toLong, n0 / 500000L + 1L))
+      spark.conf.set(spKey, loopParts.toString)
+      var prevSum = sum0
       var changed = true
       var i = 0
       while (changed && i < maxIter) {
         val prop = sym.join(labels, sym("dst") === labels("id"))
           .select(col("src").as("id"), col("cluster"))
+        // LAZY checkpoint: the labelSum action right below materializes
+        // it as a side effect — one blocking job per round instead of
+        // two (eager checkpoint + agg). Round latency, not data volume,
+        // dominates here (components are tiny), so halving the
+        // sequential job count is the win.
         val next = labels.unionByName(prop)
           .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val sumNow = labelSum(next)
         changed = sumNow.compareTo(prevSum) != 0
         prevSum = sumNow
@@ -703,7 +733,10 @@ object Dedup {
         i += 1
       }
       labels
-    } finally spark.conf.set(aqeKey, prevAqe)
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(spKey, prevSp)
+    }
   }
 
   /** Integer PageRank over the near-dup pair graph — template/
@@ -815,10 +848,20 @@ object Dedup {
     * scale — a FIXED bits densifies as the corpus grows and the
     * candidate set regenerates the cross join (measured ~11× at 10×
     * corpus at fixed 16-bit space). More `bands` buys recall back at
-    * linear cost. */
+    * linear cost.
+    *
+    * NOTE on laziness: with `bits <= 0` this runs an EAGER
+    * `embs.count()` action to size the bit space — one extra
+    * evaluation of the caller's upstream plan per call (the rest of
+    * the API is lazy). Callers that know the corpus size — or hold a
+    * cached/landed input — should pass `rowCount` (used only when
+    * `bits <= 0`) to keep the call fully lazy; passing explicit
+    * `bits > 0` also skips the count. */
   def embeddingCosinePairsLsh(embs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 0, bands: Int = 8): DataFrame = {
-    val b = if (bits > 0) bits else adaptiveHyperplaneBits(embs.count())
+      threshold: Double, bits: Int = 0, bands: Int = 8,
+      rowCount: Long = -1L): DataFrame = {
+    val b = if (bits > 0) bits
+      else adaptiveHyperplaneBits(if (rowCount >= 0L) rowCount else embs.count())
     val nPlanes = b * bands
     val base = embs.select(col(idCol).as("did"), col(vecCol).as("__v"))
     val contrib = base

@@ -321,8 +321,13 @@ object Multimodal {
       maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7,
       s"phashNearDupPairs: maxHamming=$maxHamming breaks the 8-band pigeonhole")
-    val hashed = docs.select(col(idCol).as("did"),
-      dhashBands(col(textCol)).as("bands"))
+    // defensive enforcement of the dhashBands ≥72-byte window contract:
+    // ascii(substring(...)) past the end yields 0, so every too-short
+    // row would hash to the SAME all-zero bands and pair up at
+    // hamming 0 if a caller forgets the upstream filter. For callers
+    // that did filter, this is a no-op predicate absorbed into the scan.
+    val hashed = docs.filter(length(col(textCol)) >= 72)
+      .select(col(idCol).as("did"), dhashBands(col(textCol)).as("bands"))
     val ex = hashed.select(col("did"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bv")))
     // hamming is computed and thresholded MAP-SIDE on the joined

@@ -185,6 +185,28 @@ object ExtraQueries extends QuerySet {
              |FROM events WHERE user_id IS NOT NULL
              |GROUP BY event_type""".stripMargin)),
 
+    // Q9 — Count-Min heavy hitters, accuracy AND mergeability gated:
+    // the third leg of the sketch family (q6 cardinality, q7 quantile,
+    // q9 frequency). At 100 TB "who are the hot keys" cannot afford a
+    // full groupBy-count of every key; a Count-Min sketch is a
+    // fixed-size additive counter array built in one distributed
+    // aggregate. The cross-engine contract (sketches can't be
+    // value-replayed) follows q6/q8: exact top-20 counts beside two
+    // gated booleans — the one-sided error bound and shard-merge
+    // EQUALITY (see Sketches.cmsHeavyHitters for why CMS merge is
+    // exact, not bounded). Deterministic: fixed data + fixed seed ⇒
+    // fixed counters ⇒ the booleans cannot flake.
+    Q("q9_sketch_heavy_hitters",
+      (s, dir) => graft.core.Sketches.cmsHeavyHitters(
+        Tables.events(s, dir), "user_id", topK = 20),
+      Some("""WITH c AS (SELECT user_id, count(*) AS n_exact FROM events
+             |           WHERE user_id IS NOT NULL GROUP BY 1),
+             |r AS (SELECT *, row_number() OVER
+             |        (ORDER BY n_exact DESC, user_id ASC) AS rn FROM c)
+             |SELECT user_id, n_exact, TRUE AS within_bound,
+             |       TRUE AS merge_exact
+             |FROM r WHERE rn <= 20""".stripMargin)),
+
     // Q7 — quantile sketch with its DETERMINISTIC rank-error contract
     // gated: approx_percentile (Greenwald-Khanna style, rank error ≤
     // n/accuracy by construction — not probabilistic) is the tail-
@@ -498,6 +520,18 @@ object ExtraQueries extends QuerySet {
         val base = Tables.load(s, dir, "customer").select(col("c_custkey").as("mukey"))
         def areaOf = concat(lit("SSA"), (col("mukey") % 4).cast("string"))
         val signal = base.select(col("mukey"), areaOf.as("areasymbol"))
+        // Cost floor, measured (r9): persisting the valuHz
+        // orders⋈lineitem analog across the two waves was tried and is
+        // NET-NEGATIVE standalone at sf0.1 (steady 9.1 s without the
+        // cache vs 10.1 s with — materializing the full join into the
+        // block store costs more than the waves' filtered re-derivation
+        // saves, because each wave reads only its area slices with the
+        // join pushed below the filter). What remains is streaming
+        // lifecycle + checkpoint IO (two AvailableNow query
+        // start/stop cycles + the per-batch file-log commits) plus two
+        // genuine slice builds — fixed costs a long-running stream
+        // amortizes at real scale; correct design, not recoverable
+        // locally without contorting the checkpoint story.
         val buildFor: Seq[String] => DataFrame = areas =>
           buildValu(base.filter(areaOf.isin(areas: _*)),
             valuHz(s, dir).filter(areaOf.isin(areas: _*)))

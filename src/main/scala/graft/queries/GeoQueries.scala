@@ -19,26 +19,59 @@ import graft.geo.Geo
   * the LSH-dedup blocked-candidates shape applied to space). */
 object GeoQueries extends QuerySet {
 
+  /** Domain side for the synthetic geometry fixture, derived from the
+    * polygon count so overlap DENSITY is constant across scale
+    * factors: side(n) = 1000 · 2^(bitlen(n div 15000) div 2) ≈
+    * 1000·√(n/15000) on a power-of-2 staircase. A fixed 1000² domain
+    * made 10× polygons ⇒ 10× density ⇒ 100× j23/j26 candidates (the
+    * r8 sf1 battery measured exactly 100×, an 82× wall outlier) —
+    * real 10× data covers more GROUND, it doesn't stack deeper. At
+    * the gated SFs (sf ≤ 0.1 ⇒ n ≤ 15000 ⇒ ratio ≤ 1) the formula
+    * yields exactly the historical 1000, so every gated value is
+    * unchanged; at sf1 (n = 150000) it yields 4000, holding per-point
+    * candidate fan flat. bitlen is the t33 integer idiom
+    * (length(bin(x)), with bin(0) = "0" ⇒ length 1), so the SQL twin
+    * replays it exactly. Memoized per (session, dir) so the side is a
+    * plan LITERAL — no per-query broadcast stage; the one-row count
+    * is a bounded driver action (the dimension-collect convention). */
+  private val sideMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+  private def domainSide(s: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    sideMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val ratio = Tables.load(s, dir, "customer").count() / 15000L
+      val bitlen =
+        if (ratio == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(ratio)
+      1000L * (1L << (bitlen / 2))
+    })
+
   /** Shared synthesis (SQL twin of the column expressions below):
     * box (x0,y0)-(x0+w,y0+h), trapezoid (x0,y0),(x0+w,y0),
-    * (x0+w-s1,y0+h),(x0+s2,y0+h) — simple because w ≥ 12 > s1+s2. */
+    * (x0+w-s1,y0+h),(x0+s2,y0+h) — simple because w ≥ 12 > s1+s2.
+    * `sc` carries the density-constant domain side (see
+    * [[domainSide]]); the engine bakes the identical value in as a
+    * literal. */
   private val synthCte =
-    """g AS (SELECT c_custkey AS mukey, c_nationkey AS zone,
-      |             (c_custkey*73) % 1000 AS x0, (c_custkey*137) % 1000 AS y0,
+    """sc AS (SELECT 1000 * (1 << (length(bin(count(*) // 15000)) // 2)) AS side
+      |       FROM customer),
+      |g AS (SELECT c_custkey AS mukey, c_nationkey AS zone,
+      |             (c_custkey*73) % side AS x0, (c_custkey*137) % side AS y0,
       |             c_custkey % 50 + 12 AS w, c_custkey % 30 + 7 AS h,
       |             c_custkey % 7 AS s1, c_custkey % 5 AS s2
-      |      FROM customer)""".stripMargin
+      |      FROM customer, sc)""".stripMargin
 
-  private def synth(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private def synth(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val side = domainSide(s, dir)
     Tables.load(s, dir, "customer").select(
       col("c_custkey").as("mukey"),
       col("c_nationkey").as("zone"),
-      (col("c_custkey") * 73) % 1000 as "x0",
-      (col("c_custkey") * 137) % 1000 as "y0",
+      (col("c_custkey") * 73) % side as "x0",
+      (col("c_custkey") * 137) % side as "y0",
       col("c_custkey") % 50 + 12 as "w",
       col("c_custkey") % 30 + 7 as "h",
       col("c_custkey") % 7 as "s1",
       col("c_custkey") % 5 as "s2")
+  }
 
   private val trapXs = array(col("x0"), col("x0") + col("w"),
     col("x0") + col("w") - col("s1"), col("x0") + col("s2"))
@@ -238,10 +271,11 @@ object GeoQueries extends QuerySet {
           """flatten(transform(sequence(x0 div 64, (x0 + w) div 64), cx ->
             |  transform(sequence(y0 div 64, (y0 + h) div 64), cy ->
             |    cx * 1000000L + cy)))""".stripMargin)))
+        val side = domainSide(s, dir)
         val points = Tables.load(s, dir, "orders").select(
           col("o_orderkey").as("point_id"),
-          ((col("o_orderkey") * 13) % 1000).as("px"),
-          ((col("o_orderkey") * 29) % 1000).as("py"))
+          ((col("o_orderkey") * 13) % side).as("px"),
+          ((col("o_orderkey") * 29) % side).as("py"))
           .withColumn("cell", expr("(px div 64) * 1000000L + py div 64"))
         points.join(polys, Seq("cell"))
           .filter(org.apache.spark.sql.graft.PointInPolygon
@@ -255,11 +289,11 @@ object GeoQueries extends QuerySet {
               |            unnest(generate_series(x0 // 64, (x0 + w) // 64)) AS ux(cx),
               |            unnest(generate_series(y0 // 64, (y0 + h) // 64)) AS uy(cy)),
               |pt AS (SELECT o_orderkey AS point_id,
-              |              (o_orderkey * 13) % 1000 AS px,
-              |              (o_orderkey * 29) % 1000 AS py,
-              |              ((o_orderkey * 13) % 1000) // 64 * 1000000
-              |                + ((o_orderkey * 29) % 1000) // 64 AS cell
-              |       FROM orders),
+              |              (o_orderkey * 13) % side AS px,
+              |              (o_orderkey * 29) % side AS py,
+              |              ((o_orderkey * 13) % side) // 64 * 1000000
+              |                + ((o_orderkey * 29) % side) // 64 AS cell
+              |       FROM orders, sc),
               |cand AS (SELECT pt.point_id, pt.px, pt.py, pc.mukey, pc.zone,
               |                $trapXsSql AS xs, $trapYsSql AS ys
               |         FROM pt JOIN pc ON pt.cell = pc.cell)
@@ -384,18 +418,20 @@ object GeoQueries extends QuerySet {
     // co-partitioned on point_id). The oracle replays bucketing,
     // radius, and argmin. At 100 TB: probe fan is a constant 9 of
     // map-side rows, the argmin is a partial-aggregating shuffle on
-    // point id — no all-pairs distance scan at any scale. On the 10×
-    // fixed-domain set runtime is candidate-linear (the j23 density
-    // artifact: 10× facilities in a fixed 1000² domain ⇒ ~10× true
-    // candidates within radius; real 10× data scales the domain).
+    // point id — no all-pairs distance scan at any scale. The
+    // fixture's domain side now scales with the facility count
+    // (see domainSide), so candidate volume grows with DATA, not
+    // with density — the r8 fixed-domain artifact is retired.
     Q("j26_nn_within_join",
       (s, dir) => {
         val fac = synth(s, dir)
           .selectExpr("mukey", "x0 + w div 2 AS cx", "y0 + h div 2 AS cy")
           .withColumn("cell", expr("(cx div 32) * 100000L + cy div 32"))
+        val side = domainSide(s, dir)
         val probes = Tables.load(s, dir, "orders").selectExpr(
           "o_orderkey AS point_id",
-          "(o_orderkey * 13) % 1000 AS px", "(o_orderkey * 29) % 1000 AS py")
+          s"(o_orderkey * 13) % ${side}L AS px",
+          s"(o_orderkey * 29) % ${side}L AS py")
         val nn = probes
           .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
           .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -418,9 +454,9 @@ object GeoQueries extends QuerySet {
               |              ((x0 + w//2)//32)*100000 + (y0 + h//2)//32 AS cell
               |       FROM g),
               |pt AS (SELECT o_orderkey AS point_id,
-              |              (o_orderkey*13) % 1000 AS px,
-              |              (o_orderkey*29) % 1000 AS py
-              |       FROM orders),
+              |              (o_orderkey*13) % side AS px,
+              |              (o_orderkey*29) % side AS py
+              |       FROM orders, sc),
               |cand AS (SELECT pt.point_id, fc.mukey,
               |                (px-cx)*(px-cx) + (py-cy)*(py-cy) AS d2
               |         FROM pt, unnest([-1, 0, 1]) AS ux(dx),

@@ -272,6 +272,53 @@ object SampleQueries extends QuerySet {
              |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-16'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // S19 — ORC lake vintage, roundtrip + pushdown gated: a 100 TB
+    // lake is rarely one format — ORC is the other columnar format a
+    // Spark engine must read natively (it ships in Spark core; no
+    // extra dependency), and a migration-era lake holds both. The
+    // documents table is landed once as ORC (memoized, the s13/s18
+    // landing pattern) and the gate re-aggregates FROM THE ORC COPY,
+    // recomputing length(text) post-read so the rollup only matches
+    // the parquet-side oracle if the text column survived the format
+    // byte-exactly — a lossy roundtrip (charset, nulls, truncation)
+    // fails the hash. The lang filter reaches the ORC reader as a
+    // pushed predicate (same PushedFilters contract as parquet,
+    // plan-pinned in ScaleSpec).
+    Q("s19_orc_roundtrip",
+      (s, dir) => s.read.orc(s"${landFormats(s, dir)}/orc")
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("sum_chars")),
+      Some("""SELECT source, count(*) AS n,
+             |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+             |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin)),
+
+    // S20 — JSONL ingest: the de-facto interchange format of training
+    // corpora (web-crawl dumps, instruction sets land as .jsonl). The
+    // landed lines are read back with an EXPLICIT schema — at 100 TB
+    // schema inference is a full extra pass over the corpus, so the
+    // production path always declares one — and the rollup recomputes
+    // length(text) post-read: newlines/quotes/backslashes in the text
+    // must survive the JSON escape/unescape roundtrip for the hash to
+    // match the parquet-side oracle.
+    Q("s20_jsonl_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("text", StringType)))
+        s.read.schema(schema).json(s"${landFormats(s, dir)}/jsonl")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).cast("long").as("sum_chars"),
+            countDistinct(col("source")).as("n_sources"))
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+             |       count(DISTINCT source) AS n_sources
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // S14 — Z-ORDER layout: the multi-dimensional data-skipping
     // organization (Delta OPTIMIZE ZORDER / Iceberg sort-order
     // rewrite). Both dimensions first quantize to an 8-bit lattice by
@@ -374,6 +421,25 @@ object SampleQueries extends QuerySet {
           col("event_type"), col("value"))
         .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(base)
+      base
+    })
+
+  /** s19/s20's cross-format landings (ORC + JSONL copies of
+    * documents), once per (session, dir) — the s13 memoized-landing
+    * pattern, path carrying the session identity so concurrent
+    * sessions can't overwrite each other's lazy reads. */
+  private val fmtMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def landFormats(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    fmtMemo.getOrElseUpdate((s, dir), {
+      val base = "/tmp/graft_fmt_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      d.write.mode("overwrite").orc(s"$base/orc")
+      d.write.mode("overwrite").json(s"$base/jsonl")
       base
     })
 

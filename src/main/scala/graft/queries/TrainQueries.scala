@@ -485,7 +485,11 @@ object TrainQueries extends QuerySet {
   private def lshPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = pairMemo.getOrElseUpdate((s, dir), {
-      val p = s"/tmp/graft_pairs_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // path carries the session identity (as landPartitioned does):
+      // a dir-only path lets a second session/process overwrite the
+      // parquet while this session's memoized reader is mid-scan
+      val p = s"/tmp/graft_pairs_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${System.identityHashCode(s)}"
       Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id",
         "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5)
         .write.mode("overwrite").parquet(p)
@@ -505,7 +509,8 @@ object TrainQueries extends QuerySet {
   private def paraLshPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = paraPairMemo.getOrElseUpdate((s, dir), {
-      val p = s"/tmp/graft_para_pairs_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = s"/tmp/graft_para_pairs_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${System.identityHashCode(s)}"
       Dedup.paragraphMinhashPairs(paraDocsDf(s, dir), "doc_id", "text")
         .write.mode("overwrite").parquet(p)
       p
@@ -1430,12 +1435,21 @@ object TrainQueries extends QuerySet {
             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_cur"))
         val totals = counts.agg(sum(col("n_raw")).as("t_raw"),
           sum(col("n_cur")).as("t_cur"))
+        // the ×1e6 runs in DECIMAL(38,0) with an integral divide back
+        // to BIGINT: a plain BIGINT product overflows (ANSI error)
+        // once a token's count exceeds ~9.2e12 — reachable in a
+        // ~25T-token 100 TB corpus head. The decimal math is SCALAR
+        // on the post-≥50-filter vocab head (never an aggregate, the
+        // d06 lesson), so the cost is noise; IntegralDivide over
+        // decimal yields BIGINT, keeping the output dtype contract.
+        def share(n: String, t: String) =
+          expr(s"CAST($n AS DECIMAL(38,0)) * 1000000 div $t")
         counts.filter(col("n_raw") >= 50)
           .crossJoin(broadcast(totals))
           .select(col("token"), col("n_raw"), col("n_cur"),
-            expr("n_raw * 1000000L div t_raw").as("share_raw_e6"),
-            expr("n_cur * 1000000L div t_cur").as("share_cur_e6"),
-            expr("n_cur * 1000000L div t_cur - n_raw * 1000000L div t_raw")
+            share("n_raw", "t_raw").as("share_raw_e6"),
+            share("n_cur", "t_cur").as("share_cur_e6"),
+            (share("n_cur", "t_cur") - share("n_raw", "t_raw"))
               .as("drift_e6"))
       },
       Some(s"""WITH $toksCte,

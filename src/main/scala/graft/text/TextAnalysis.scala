@@ -278,7 +278,13 @@ object TextAnalysis {
     // re-derived the tokenize/explode subtree a third time and paid a
     // second count join (measured ~1.5× on the 100× corpus)
     val cnt = feats.groupBy(col("f")).agg(count(lit(1)).as("nr"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"))
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"))
+      // persisted because TWO consumers read it (the totals broadcast
+      // and the score join) — without the cache each re-derives the
+      // tokenize/explode/agg subtree, i.e. a whole extra corpus scan
+      // (the r8 0.78→1.61 s regression). The cache is vocab-sized
+      // (Zipf — orders smaller than the corpus), so it holds at scale.
+      .persist()
     // distribution totals N_r / N_t — one broadcast one-row aggregate
     // over the vocab-sized count table (never a second corpus scan)
     val tot = cnt.agg(sum(col("nr")).as("tnr"), sum(col("nt")).as("tnt"))

@@ -148,4 +148,24 @@ class SampleOpsSpec extends AnyFunSuite {
       }
     assert(passed >= 50 && passed < 150, s"prefilter passed $passed of 500")
   }
+
+  test("cmsHeavyHitters: exact top-k ordering, CMS bound holds, shard merge is exact") {
+    // planted Zipf-ish skew: key k appears 1000/k times for k in 1..50,
+    // plus a long tail of singletons — exact hitters are 1..k ordered
+    val rows = (1L to 50L).flatMap(k => Seq.fill((1000 / k).toInt)(Row(k))) ++
+      (1000L to 1500L).map(Row(_))
+    val d = df(keyS, rows)
+    val got = graft.core.Sketches.cmsHeavyHitters(d, "k", topK = 10).collect()
+    // truth side: top-10 by (count desc, key asc) is exactly keys 1..10
+    assert(got.map(_.getLong(0)).toSeq === (1L to 10L))
+    got.foreach { r =>
+      assert(r.getLong(1) === (1000 / r.getLong(0)), s"exact count of ${r.getLong(0)}")
+      assert(r.getBoolean(2), s"CMS bound violated for key ${r.getLong(0)}")
+      assert(r.getBoolean(3), s"shard-merged estimate differs for key ${r.getLong(0)}")
+    }
+    // ties at the cut: equal-count keys resolve by key asc, both engines
+    val tied = df(keyS, (1L to 30L).map(Row(_)) ++ (1L to 30L).map(Row(_)))
+    val t = graft.core.Sketches.cmsHeavyHitters(tied, "k", topK = 5).collect()
+    assert(t.map(_.getLong(0)).toSeq === (1L to 5L))
+  }
 }

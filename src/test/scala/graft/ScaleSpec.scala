@@ -470,6 +470,34 @@ class ScaleSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("ORC scan: lang filter reaches PushedFilters; JSONL roundtrip preserves escapes") {
+    val s = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    // text stresses the JSON escape surface: newline, quote, backslash, tab
+    val rows = Seq(Row(1L, "en", "line1\nline\"2\"\\tail\tend"),
+      Row(2L, "fr", "plain"), Row(3L, "en", "a\n\nb"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_spec").toString
+    df(s, rows).write.mode("overwrite").orc(s"$tmp/orc")
+    df(s, rows).write.mode("overwrite").json(s"$tmp/jsonl")
+    val oq = spark.read.orc(s"$tmp/orc").filter(col("lang") === "en")
+      .agg(sum(length(col("text"))).cast("long").as("sc"))
+    // slice the bracketed PushedFilters list (the plan-string trap:
+    // the one-line FileScan render makes a bare contains() vacuous)
+    val plan = oq.queryExecution.executedPlan.toString
+    val pushed = plan.split("PushedFilters:", 2).lift(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(pushed.exists(_.contains("lang")),
+      s"lang not inside PushedFilters [..]:\n$plan")
+    assert(rowsOf(oq) === Seq(Seq(rows(0).getString(2).length.toLong + 4L)))
+    // JSONL: read back with explicit schema; every escaped char survives
+    val jschema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val back = spark.read.schema(jschema).json(s"$tmp/jsonl")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(back.toSeq === rows.map(r => (r.getLong(0), r.getString(2))))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("V6+V7: corestriction depth caps the horizon-rule root zone") {
     val hzS = StructType(Seq(StructField("mukey", StringType),
       StructField("cokey", StringType), StructField("comppct", DoubleType),
