@@ -808,6 +808,59 @@ object Dedup {
     }
   }
 
+  /** Per-node TRIANGLE counts over the near-dup pair graph — the
+    * local-density signal beside degree (d21) and component (d06): a
+    * doc whose neighborhood closes into triangles sits inside a
+    * mutually-similar clique (template families, mirror farms); a
+    * high-degree doc with NO triangles is a hub stitching unrelated
+    * near-dups (a boilerplate fragment) — different cleanup actions.
+    *
+    * Algorithm: degree-ordered wedge closing. Each undirected edge is
+    * oriented from its (degree, id)-lexicographically smaller endpoint
+    * to the larger; wedges are built only between out-neighbors of a
+    * shared source (equi-join on src, id-ordered to emit each
+    * unordered neighbor pair once) and closed against the id-ordered
+    * edge list. Every triangle {p,q,r} closes exactly once — at its
+    * (deg,id)-minimum vertex. The orientation bounds every node's
+    * out-degree at O(√m) on ANY degree distribution, so the wedge
+    * join fan is O(m^1.5) worst case instead of Σdeg² — the property
+    * that survives a boilerplate hub with a million neighbors at
+    * corpus scale; all three steps are equi-joins + partial-agg
+    * shuffles, no node ever collects its neighborhood into one row.
+    * Returns (doc_id, deg, n_tri) for every node of the pair graph
+    * (n_tri = 0 kept — the hub-vs-clique contrast IS the signal). */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .select(col("a").as("n"), col("deg"))
+    val dd = edges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = dd.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("p"),
+        least(col("e1.dst"), col("e2.dst")).as("x"),
+        greatest(col("e1.dst"), col("e2.dst")).as("y"))
+      // closing edge lookup against the ID-ordered pair list: the
+      // wedge endpoints are normalized to (min id, max id) above, so
+      // one equi-join suffices regardless of the closing edge's
+      // degree orientation
+      .join(edges.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val perNode = tri
+      .select(explode(array(col("p"), col("x"), col("y"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
   /** Hyperplane-bit default ∝ corpus: 2^bits band buckets sized to
     * ~4× the corpus (bits = ⌈log2(4·rows)⌉, clamped to [minBits,
     * maxBits]) keeps expected bucket occupancy constant as the corpus

@@ -149,17 +149,34 @@ object EventOps {
     * it is exactly the batch twin's `(leftTs − lookback, leftTs]` (the
     * equivalence StreamingSpec pins). Inner-join matches are emitted
     * as soon as both sides arrive; `delay` must cover the maximum
-    * cross-stream arrival skew. */
+    * cross-stream arrival skew.
+    *
+    * `joinType` extends the same state machinery to the OUTER forms
+    * ("left_outer"/"right_outer"/"full_outer"): a left row with no
+    * match emits null-padded only once the watermark proves no
+    * matching right row can still arrive — so unmatched rows near the
+    * stream's head stay IN STATE until later input (or a no-data
+    * micro-batch after the watermark advances) flushes them; batch
+    * equivalence holds once the watermark has passed the last left
+    * timestamp + interval (the st10 sentinel pattern). */
   def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, interval: String,
-      delay: String): DataFrame = {
+      delay: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay).alias("__l")
     val r = right.withWatermark(rightTs, delay).alias("__r")
+    // keep the LEFT key by alias-qualified select, not drop(r(key)):
+    // both sides usually derive from ONE source stream, so the right's
+    // pre-join Column can share the left attribute's exprId and
+    // drop(r(key)) silently removes the LEFT key after
+    // DeduplicateRelations re-aliases — harmless for inner joins (the
+    // keys are equal) but a left-outer's null-padded rows then carry a
+    // NULL key (surfaced by the st10 gate's padded-row filter).
+    val rCols = right.columns.filterNot(_ == key).map(c => col(s"__r.$c"))
     l.join(r, expr(
         s"""__l.$key = __r.$key AND
            |__r.$rightTs > __l.$leftTs - INTERVAL $interval AND
-           |__r.$rightTs <= __l.$leftTs""".stripMargin))
-      .drop(r(key))
+           |__r.$rightTs <= __l.$leftTs""".stripMargin), joinType)
+      .select(col("__l.*") +: rCols.toSeq: _*)
   }
 
   /** Per-key rolling aggregates over a trailing time range: for every

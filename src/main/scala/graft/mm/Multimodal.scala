@@ -351,6 +351,63 @@ object Multimodal {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Audio fingerprint of a headerless 16-bit-LE PCM payload (the mm04
+    * sample convention, minus the RIFF container) as 4 band BYTES:
+    * band r covers samples [r·36, r·36+36) as 9 frames of 4; frame
+    * energy is Σ|signed16|; bit c of band r = [E(r,c) < E(r,c+1)] —
+    * the 1-D time-domain twin of [[dhashBands]]' 2-D gradient hash,
+    * and like it AMPLITUDE-SCALE-ROBUST for uniform gain (energy
+    * ordering is invariant under positive scaling; a content hash is
+    * not). Samples read as code points per the single-byte corpus
+    * convention (su = cp(2i) + 256·cp(2i+1), signed two's-complement
+    * — the ≥0x80 high-byte branch is reachable only through planted
+    * non-ASCII rows, which the mm07 gate ships). Window: 144 samples
+    * = 288 chars; shorter rows must be filtered upstream (enforced in
+    * [[audioNearDupPairs]]). */
+  def audioBands(text: Column): Column = {
+    def cp(i: Int): Column = ascii(substring(text, i + 1, 1))
+    def sampleAbs(i: Int): Column = {
+      val su = cp(2 * i) + cp(2 * i + 1) * 256
+      abs(when(su >= 32768, su - 65536).otherwise(su))
+    }
+    def energy(r: Int, f: Int): Column =
+      (0 until 4).map(i => sampleAbs(r * 36 + f * 4 + i)).reduce(_ + _)
+    array((0 until 4).map { r =>
+      (0 until 8).map(c =>
+        when(energy(r, c) < energy(r, c + 1), lit(1 << c)).otherwise(lit(0)))
+        .reduce(_ + _)
+    }: _*)
+  }
+
+  /** Audio near-dup pairs over [[audioBands]]: band-equality blocking
+    * (equi-join — never an all-pairs hamming scan), full 32-bit
+    * hamming verified on bucket-mates. With 4 bands, hamming ≤ 3 has
+    * a pigeonhole-guaranteed all-equal band ⇒ recall is COMPLETE and
+    * the blocked result provably equals the all-pairs twin, as in
+    * [[phashNearDupPairs]]. Returns (id_a, id_b, hamming). */
+  def audioNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"audioNearDupPairs: maxHamming=$maxHamming breaks the 4-band pigeonhole")
+    val hashed = docs.filter(length(col(textCol)) >= 288)
+      .select(col(idCol).as("did"), audioBands(col(textCol)).as("bands"))
+    val ex = hashed.select(col("did"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "bv")))
+    // hamming computed + thresholded map-side before the pair-distinct
+    // (the mm06 measurement: dedup-first shuffles every collision row
+    // with both band arrays attached)
+    val hamming = (0 until 4)
+      .map(i => expr(s"bit_count(a.bands[$i] ^ b.bands[$i])"))
+      .reduce(_ + _).cast("long")
+    ex.as("a").join(ex.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Partition-batched feature extraction over a binary column: header
     * decode (format, dimensions) + payload content hash. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {

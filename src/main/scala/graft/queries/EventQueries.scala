@@ -254,6 +254,156 @@ object EventQueries extends QuerySet {
       },
       Some(intervalJoinSql)),
 
+    // ST10 — e03's LEFT OUTER as a stream-stream join: unattributed
+    // clicks must ALSO emit (null-padded) — the report side of
+    // attribution, and the semantics st07's inner form cannot give. A
+    // streaming outer join can only null-pad a row once the watermark
+    // PROVES no matching view can still arrive, so end-of-stream
+    // clicks would sit in state forever after the last real batch;
+    // the production answer is that the stream keeps running — here a
+    // SENTINEL wave (one far-future click from a reserved user id)
+    // pushes the watermark past every real click + interval, and the
+    // engine's no-data micro-batch then flushes the remaining
+    // unmatched state before AvailableNow terminates. The sentinel
+    // itself stays unflushed in state (its own watermark never
+    // passes) and is excluded from the read-back; the final output
+    // must equal the batch LEFT interval join — the e03 oracle's
+    // LEFT variant. Two real waves through one checkpoint keep the
+    // st07 resume semantics in play (matched pairs still emit on
+    // arrival; only the null-padding waits for the watermark).
+    Q("st10_stream_outer_join",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = "/tmp/graft_st10_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts"),
+          graft.core.Exprs.cents(col("value")).cast("long").as("value_cents"))
+        val cut = timestamp_micros(lit(1705607000000000L))
+        def run(): Unit = {
+          val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/drop")
+          val clicks = stream.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("c_ts"))
+          val views = stream.filter(col("event_type") === "view")
+            .select(col("event_id").as("view_id"), col("user_id"),
+              col("ts").as("v_ts"), col("value_cents"))
+          val q = EventOps.streamIntervalJoin(clicks, views, "user_id",
+              "c_ts", "v_ts", interval = "1 HOUR", delay = "2 hours",
+              joinType = "left_outer")
+            .select(col("click_id"), col("user_id"),
+              unix_micros(col("c_ts")).as("click_us"),
+              col("view_id"), unix_micros(col("v_ts")).as("view_us"),
+              col("value_cents"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ck")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        // state stores sized to state volume, not session CPUs (the
+        // st07 measurement: ~23 s → ~8 s at small store counts)
+        val spKey = "spark.sql.shuffle.partitions"
+        val prevSp = s.conf.get(spKey)
+        s.conf.set(spKey, "4")
+        try {
+          ev.filter(col("ts") < cut).coalesce(4)
+            .write.mode("append").parquet(s"$tmp/drop")
+          run()
+          ev.filter(col("ts") >= cut).coalesce(4)
+            .write.mode("append").parquet(s"$tmp/drop")
+          run()
+          // sentinel wave: one far-future click AND one far-future
+          // view under DISTINCT reserved users (so they cannot match
+          // each other) — the global watermark is the MIN over both
+          // sides' watermark nodes, so BOTH must advance past every
+          // real click + interval before the no-data micro-batch
+          // flushes the remaining unmatched clicks
+          import s.implicits._
+          Seq((-1L, -1L, "click", 1767225600000000L, 0L),
+            (-2L, -2L, "view", 1767225600000000L, 0L))
+            .toDF("event_id", "user_id", "event_type", "us", "value_cents")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              timestamp_micros(col("us")).as("ts"), col("value_cents"))
+            .coalesce(1).write.mode("append").parquet(s"$tmp/drop")
+          run()
+        } finally s.conf.set(spKey, prevSp)
+        s.read.parquet(s"$tmp/out").filter(col("user_id") >= 0L)
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             |             CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents
+             |           FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+             |      FROM e WHERE event_type = 'click'),
+             |v AS (SELECT event_id AS view_id, user_id, ts_us AS view_us, value_cents
+             |      FROM e WHERE event_type = 'view')
+             |SELECT click_id, c.user_id, click_us, view_id, view_us, value_cents
+             |FROM c LEFT JOIN v ON c.user_id = v.user_id
+             | AND view_us > click_us - 3600000000 AND view_us <= click_us""".stripMargin)),
+
+    // E15 — time-decayed MULTI-TOUCH attribution: e01/e03 assign a
+    // conversion to ONE touchpoint; production attribution splits the
+    // credit across the trailing touch set with recency decay. Each
+    // purchase credits its clicks in the trailing hour with weight
+    // 256>>rank (rank 1 = most recent; ties broken by id — engine-
+    // portable), capped at 8 touches; the geometric sum has the
+    // closed form Σ = 256 − (256>>n), so the credit split needs NO
+    // second aggregation pass — rank and touch count come from one
+    // window over the per-conversion candidate set (bounded by the
+    // lookback, never a user's full history), and the integer floor
+    // division is exact cross-engine. Plan: the e03 interval join +
+    // one window partitioned by conversion.
+    Q("e15_attribution_decay",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          graft.core.Exprs.cents(col("value")).cast("long").as("value_cents"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us").as("p_us"), col("value_cents"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("c_us"))
+        val cand = EventOps.intervalJoin(purchases, clicks, "user_id",
+          "p_us", "c_us", lookback = 3600000000L)
+        val part = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("purchase_id"))
+        cand
+          .withColumn("rnk", row_number().over(
+            part.orderBy(col("c_us").desc, col("click_id").asc)).cast("long"))
+          .withColumn("tot", count(lit(1)).over(part))
+          .filter(col("rnk") <= 8)
+          .select(col("purchase_id"), col("user_id"), col("click_id"),
+            col("rnk"),
+            expr("value_cents * (256 >> rnk) div (256 - (256 >> least(tot, 8)))")
+              .as("credit_cents"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             |             CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents
+             |           FROM events),
+             |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_us,
+             |             value_cents
+             |      FROM e WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS click_id, user_id, ts_us AS c_us
+             |      FROM e WHERE event_type = 'click'),
+             |cand AS (SELECT p.purchase_id, p.user_id, p.value_cents,
+             |                c.click_id, c.c_us
+             |         FROM p JOIN c ON p.user_id = c.user_id
+             |          AND c.c_us > p.p_us - 3600000000
+             |          AND c.c_us <= p.p_us),
+             |r AS (SELECT *,
+             |        row_number() OVER (PARTITION BY purchase_id
+             |          ORDER BY c_us DESC, click_id ASC) AS rnk,
+             |        count(*) OVER (PARTITION BY purchase_id) AS tot
+             |      FROM cand)
+             |SELECT purchase_id, user_id, click_id, CAST(rnk AS BIGINT) AS rnk,
+             |       CAST(value_cents * (256 >> rnk)
+             |            // (256 - (256 >> least(tot, 8))) AS BIGINT) AS credit_cents
+             |FROM r WHERE rnk <= 8""".stripMargin)),
+
     // E4 — semi-structured extraction: pull a typed field out of the
     // JSON props column (get_json_object — Catalyst's native JSON path,
     // no UDF) and aggregate it per event type. Extraction stays inside

@@ -1642,6 +1642,35 @@ object TrainQueries extends QuerySet {
               |SELECT id AS doc_id, outdeg, CAST(pr AS BIGINT) AS rank
               |FROM r3 JOIN dg ON dg.src = r3.id""".stripMargin)),
 
+    // D25 — triangle counts over the near-dup graph: the local-density
+    // signal beside d21's centrality — clique-member docs (template
+    // families: every pair similar) vs triangle-free hubs (one
+    // boilerplate fragment stitching unrelated docs) want different
+    // cleanup actions. Degree-ordered wedge closing bounds the join
+    // fan at O(m^1.5) on ANY degree distribution (the orientation
+    // survives a million-neighbor hub at corpus scale — see
+    // Dedup.triangleCounts); rides the same memoized pair landing as
+    // d02/d19/d21. The oracle replays the naive id-ordered triple
+    // join — same triangle set, each counted once at its id-minimum
+    // vertex (the oracle side is pair-set-sized, where naive is fine).
+    Q("d25_triangle_count",
+      (s, dir) => Dedup.triangleCounts(lshPairs(s, dir)),
+      Some(s"""WITH $jaccard3Ctes,
+              |ed AS (SELECT id_a AS a, id_b AS b FROM jp),
+              |sym AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+              |dg AS (SELECT a AS n, count(*) AS deg FROM sym GROUP BY 1),
+              |tri AS (SELECT e1.a AS p, e1.b AS x, e2.b AS y
+              |        FROM ed e1 JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+              |        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+              |pn AS (SELECT n, count(*) AS n_tri FROM (
+              |         SELECT p AS n FROM tri
+              |         UNION ALL SELECT x FROM tri
+              |         UNION ALL SELECT y FROM tri)
+              |       GROUP BY 1)
+              |SELECT dg.n AS doc_id, CAST(deg AS BIGINT) AS deg,
+              |       CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri
+              |FROM dg LEFT JOIN pn USING (n)""".stripMargin)),
+
     // D22 — SEMANTIC decontamination: benchmark vectors (perturbed
     // corpus copies, the n04 plant — cos ≈ 0.9999 to their sources)
     // probe their 2 nearest IVF buckets and every bucket-mate at
@@ -2776,5 +2805,62 @@ object TrainQueries extends QuerySet {
              |        CAST(list_sum(list_transform(range(0, 8), i ->
              |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming
              |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
-             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7""".stripMargin)))
+             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7""".stripMargin)),
+
+    // MM7 — AUDIO near-dup pairs: mm06's gradient-band fingerprint in
+    // the time domain — frame-energy ordering over headerless 16-bit
+    // PCM (the mm04 sample convention), amplitude-scale-robust where a
+    // content hash is not. Two plants make the interesting paths
+    // non-vacuous: an amplitude bump confined to one frame (pairs at
+    // hamming ≤ 1 — only that frame's gradient can flip, the other 3
+    // bands block-match it), and a ≥0x80 high-byte pair (chars U+00E9)
+    // driving the SIGNED sample branch an ASCII corpus never reaches.
+    // 4-band pigeonhole at hamming ≤ 3 ⇒ blocking recall is COMPLETE —
+    // the oracle is the literal all-pairs twin, as in mm06.
+    Q("mm07_audio_dedup",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(length(col("text")) >= 288)
+          .select(col("doc_id"), col("text"))
+        val bumped = base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 4000000).as("doc_id"),
+            concat(substring(col("text"), 1, 4), lit("zzzz"),
+              expr("substring(text, 9)")).as("text"))
+        val signedP = base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 5000000).as("doc_id"),
+            concat(substring(col("text"), 1, 40), lit("éé"),
+              expr("substring(text, 43)")).as("text"))
+        Multimodal.audioNearDupPairs(
+          base.unionByName(bumped).unionByName(signedP),
+          "doc_id", "text", maxHamming = 3)
+      },
+      Some("""WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 288),
+             |dd AS (SELECT doc_id, text FROM d0
+             |       UNION ALL
+             |       SELECT doc_id + 4000000, substr(text, 1, 4) || 'zzzz' || substr(text, 9)
+             |       FROM d0 WHERE doc_id < 20
+             |       UNION ALL
+             |       SELECT doc_id + 5000000, substr(text, 1, 40) || 'éé' || substr(text, 43)
+             |       FROM d0 WHERE doc_id < 10),
+             |sm AS (SELECT doc_id, list_transform(range(0, 144), i ->
+             |         abs(CASE WHEN ascii(substr(text, 2*i + 1, 1))
+             |                     + 256*ascii(substr(text, 2*i + 2, 1)) >= 32768
+             |                  THEN ascii(substr(text, 2*i + 1, 1))
+             |                     + 256*ascii(substr(text, 2*i + 2, 1)) - 65536
+             |                  ELSE ascii(substr(text, 2*i + 1, 1))
+             |                     + 256*ascii(substr(text, 2*i + 2, 1)) END)) AS sa
+             |       FROM dd),
+             |en AS (SELECT doc_id, list_transform(range(0, 36), f ->
+             |         sa[4*f + 1] + sa[4*f + 2] + sa[4*f + 3] + sa[4*f + 4]) AS e
+             |       FROM sm),
+             |b AS (SELECT doc_id, list_transform(range(0, 4), r ->
+             |        list_sum(list_transform(range(0, 8), c ->
+             |          CASE WHEN e[r*9 + c + 1] < e[r*9 + c + 2]
+             |               THEN (1 << c) ELSE 0 END))) AS bands
+             |      FROM en),
+             |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             |        CAST(list_sum(list_transform(range(0, 4), i ->
+             |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming
+             |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin)))
 }

@@ -443,6 +443,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(!cp.contains("CartesianProduct"), s"calibration cross join:\n$cp")
   }
 
+  test("audio near-dup: blocked == all-pairs at hamming <= 3; signed sample branch; short rows excluded") {
+    import graft.mm.Multimodal
+    val dS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // 288+ char docs: a varying base, a one-frame amplitude bump (only
+    // that frame's gradients can flip), an unrelated doc, a short row
+    // that must NOT pair up as all-zero bands, and a high-byte twin
+    // driving the signed-16-bit branch (é = U+00E9 ≥ 0x80)
+    val base = (0 until 300).map(i => (40 + (i * 7) % 80).toChar).mkString
+    val docs = df(dS, Seq(
+      Row(1L, base),
+      Row(2L, base.substring(0, 4) + "zzzz" + base.substring(8)),
+      Row(3L, (0 until 300).map(i => (40 + (i * 13) % 80).toChar).mkString),
+      Row(4L, "short"),
+      Row(5L, base.substring(0, 40) + "éé" + base.substring(42))))
+    val p = Multimodal.audioNearDupPairs(docs, "doc_id", "text")
+    val pp = p.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct"), s"audio cross join:\n$pp")
+    val bands = docs.filter(length(col("text")) >= 288)
+      .select(col("doc_id"), Multimodal.audioBands(col("text")).as("b"))
+    val brute = bands.as("x").crossJoin(bands.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        (0 until 4).map(i => expr(s"bit_count(x.b[$i] ^ y.b[$i])"))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(rowsOf(p.orderBy("id_a", "id_b")) ===
+      rowsOf(brute.orderBy("id_a", "id_b")))
+    val got = rowsOf(p.orderBy("id_a", "id_b"))
+    // the bump pair and the signed-twin pair are both found; doc 4
+    // never appears (the defensive length filter)
+    assert(got.exists(r => r.head == 1L && r(1) == 2L && r(2).asInstanceOf[Long] <= 1L))
+    assert(got.exists(r => r.head == 1L && r(1) == 5L))
+    assert(!got.flatten.contains(4L))
+  }
+
   test("partitioned layout: day filter binds as a PartitionFilter (metadata pruning, no data-filter fallback)") {
     val s = StructType(Seq(StructField("day", StringType),
       StructField("v", LongType)))

@@ -97,6 +97,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(rowsOf(batch).nonEmpty)
   }
 
+  test("st10: left-outer interval join pads unmatched clicks after the sentinel advances the watermark") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.events.EventOps
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("us", LongType)))
+    val base = 1700000000000000L
+    val drop = Files.createTempDirectory("graft_oj_drop").toString
+    val out = Files.createTempDirectory("graft_oj_out").toString
+    def land(rows: Seq[Row], f: String): Unit =
+      TestSpark.df(schema, rows).coalesce(1).write.mode("append").parquet(drop)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(
+          spark.read.parquet(drop).schema).parquet(drop)
+        .withColumn("ts", timestamp_micros(col("us")))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      val q = EventOps.streamIntervalJoin(clicks, views, "user_id",
+          "c_ts", "v_ts", interval = "1 HOUR", delay = "2 hours",
+          joinType = "left_outer")
+        .select(col("click_id"), col("user_id"), col("view_id"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // wave 1: matched pair (u1) + unmatched click (u2)
+    land(Seq(Row(10L, 1L, "view", base),
+      Row(11L, 1L, "click", base + 600000000L),
+      Row(12L, 2L, "click", base + 600000000L)), "w1")
+    run()
+    // wave 2: sentinel far-future click AND view (distinct reserved
+    // users, so they can't match each other) — the GLOBAL watermark is
+    // the min over both sides' watermark nodes, so both must advance
+    // past every real click + interval; the no-data batch then
+    // flushes u2's null pad
+    land(Seq(Row(-1L, -1L, "click", base + 8640000000000L),
+      Row(-2L, -2L, "view", base + 8640000000000L)), "w2")
+    run()
+    val got = rowsOf(spark.read.parquet(s"$out/data")
+      .filter(col("user_id") >= 0L).orderBy("click_id"))
+    assert(got === Seq(Seq(11L, 1L, 10L), Seq(12L, 2L, null)))
+  }
+
   test("streamHourlyRollup over a parquet drop == batch hourlyRollup") {
     val src = "/root/testdata/sf0.001/events.parquet"
     val dropDir = Files.createTempDirectory("graft_stream_drop")

@@ -432,6 +432,24 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(rowsOf(Dedup.dupClusters(df(pS, Seq.empty))) === Seq.empty)
   }
 
+  test("triangleCounts: two-triangle graph, triangle-free hub at zero, K4 = 3 per node") {
+    val pS = StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))
+    // triangles {1,2,3} and {3,4,5} sharing node 3; hub 6-{7,8} closes
+    // nothing (the boilerplate-hub contrast the operator exists for)
+    val pairs = df(pS, Seq(Row(1L, 2L), Row(1L, 3L), Row(2L, 3L),
+      Row(3L, 4L), Row(4L, 5L), Row(3L, 5L), Row(6L, 7L), Row(6L, 8L)))
+    val got = rowsOf(Dedup.triangleCounts(pairs).orderBy("doc_id"))
+    assert(got === Seq(Seq(1L, 2L, 1L), Seq(2L, 2L, 1L), Seq(3L, 4L, 2L),
+      Seq(4L, 2L, 1L), Seq(5L, 2L, 1L), Seq(6L, 2L, 0L),
+      Seq(7L, 1L, 0L), Seq(8L, 1L, 0L)))
+    // K4: every node sits in C(3,2) = 3 triangles; 4 wedge closings
+    // total — each triangle counted exactly once despite equal degrees
+    val k4 = df(pS, (1L to 4L).flatMap(a => (a + 1 to 4L).map(b => Row(a, b))))
+    val gotK4 = rowsOf(Dedup.triangleCounts(k4).orderBy("doc_id"))
+    assert(gotK4 === (1L to 4L).map(n => Seq(n, 3L, 3L)))
+    assert(rowsOf(Dedup.triangleCounts(df(pS, Seq.empty))) === Seq.empty)
+  }
+
   test("pairPageRank: hand-computed 3-iteration integer ranks on a star graph") {
     val pS = StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType)))
     // star 1-{2,3}: hub 1 has outdeg 2, leaves send full rank to 1
