@@ -148,9 +148,21 @@ object Bench {
     // the other two runs measured ~1.2 s), and any consumer diffing the
     // headline `queries` map round-over-round sees a phantom
     // regression. `queries_best` is the number that tracks code.
-    val qsBest = allRuns.flatMap(_._1.map { case (k, w, _, _, _, _) => k -> w })
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (k, ws) => jstr(k) + ":" + r3(ws.map(_._2).min) }
+    val bestRec = allRuns.flatMap(_._1).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, rs) => k -> rs.minBy(_._2) }
+    val qsBest = bestRec
+      .map { case (k, r) => jstr(k) + ":" + r3(r._2) }
+      .mkString("{", ",", "}")
+    // executor-CPU and GC seconds from each query's BEST (min-wall) run:
+    // round-over-round comparisons can normalize by CPU instead of wall
+    // (contention inflates wall with CPU flat; a real code regression
+    // moves both), so a load-3+ bench window is diagnosable from the
+    // committed artifact alone
+    val qsCpu = bestRec
+      .map { case (k, r) => jstr(k) + ":" + r3(r._4) }
+      .mkString("{", ",", "}")
+    val qsGc = bestRec
+      .map { case (k, r) => jstr(k) + ":" + r3(r._5) }
       .mkString("{", ",", "}")
     // errors are deterministic (analysis-time) so the best run's set is
     // the run's set; a non-empty set fails the process exit code
@@ -179,7 +191,7 @@ object Bench {
       s""""disk_mb":${r3(rdds.map(_.diskSize).sum / 1e6)}}"""
     val heapMb = Runtime.getRuntime.maxMemory / (1 << 20)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_best":$qsBest,""" +
+      s""""queries_best":$qsBest,"queries_cpu":$qsCpu,"queries_gc":$qsGc,""" +
       s""""errors":$errsJson,"error_count":${errors.size},""" +
       s""""run_totals":$runTotals,"load_avg":$loadAvg,"runs":$runsJson,""" +
       s""""cache":$cacheJson,"heap_max_mb":$heapMb,"sf":${jstr(sfDir)}}"""

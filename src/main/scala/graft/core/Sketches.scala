@@ -39,11 +39,27 @@ object Sketches {
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     val s = df.sparkSession
-    val e = df.filter(col(keyCol).isNotNull).select(col(keyCol))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the shard split (pmod) and the driver-side estimateCount(Long)
+    // replay both assume an integral key — fail at the API with a
+    // clear message instead of a ClassCastException mid-collect
+    val keyType = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"cmsHeavyHitters: key column '$keyCol' must be integral, got $keyType")
+    val e = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as(keyCol))
     val cmsAgg = s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)"
     val top = e.groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col(keyCol).asc).limit(topK)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    import s.implicits._
+    // empty / all-null input: no heavy hitters, and no sketch blobs to
+    // merge (count_min_sketch over zero rows aggregates to NULL —
+    // readCms would NPE and shardSks.head would throw); the empty
+    // typed frame keeps the output schema identical either way
+    if (top.isEmpty)
+      return Seq.empty[(Long, Long, Boolean, Boolean)]
+        .toDF(keyCol, "n_exact", "within_bound", "merge_exact")
     val direct = e.agg(expr(cmsAgg)).head().getAs[Array[Byte]](0)
     val shardSks = e.withColumn("shard", pmod(col(keyCol), lit(8)))
       .groupBy(col("shard")).agg(expr(cmsAgg).as("sk"))
@@ -56,7 +72,6 @@ object Sketches {
       val ed = dsk.estimateCount(k)
       (k, nx, ed >= nx && ed <= nx + slack, msk.estimateCount(k) == ed)
     }
-    import s.implicits._
     rows.toDF(keyCol, "n_exact", "within_bound", "merge_exact")
   }
 }

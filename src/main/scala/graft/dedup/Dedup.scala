@@ -828,7 +828,18 @@ object Dedup {
     * corpus scale; all three steps are equi-joins + partial-agg
     * shuffles, no node ever collects its neighborhood into one row.
     * Returns (doc_id, deg, n_tri) for every node of the pair graph
-    * (n_tri = 0 kept — the hub-vs-clique contrast IS the signal). */
+    * (n_tri = 0 kept — the hub-vs-clique contrast IS the signal).
+    *
+    * PRECONDITION (the LSH pair contract, as [[graft.mm.Multimodal]]'s
+    * phashNearDupPairs documents its window contract): `pairs` must be
+    * a DEDUPLICATED undirected edge list oriented id_a < id_b — what
+    * every near-dup generator here emits (dropDuplicates over an
+    * id-ordered join). A duplicated or reversed edge would inflate
+    * degrees via the symmetrized union and double-count or miss
+    * closing edges SILENTLY; defensively re-normalizing
+    * (least/greatest + dropDuplicates) would re-shuffle the full edge
+    * list on every call to re-prove what the producer already
+    * guarantees, so the contract is documented instead. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))

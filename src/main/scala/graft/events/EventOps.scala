@@ -164,19 +164,27 @@ object EventOps {
       delay: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay).alias("__l")
     val r = right.withWatermark(rightTs, delay).alias("__r")
-    // keep the LEFT key by alias-qualified select, not drop(r(key)):
-    // both sides usually derive from ONE source stream, so the right's
-    // pre-join Column can share the left attribute's exprId and
-    // drop(r(key)) silently removes the LEFT key after
-    // DeduplicateRelations re-aliases — harmless for inner joins (the
-    // keys are equal) but a left-outer's null-padded rows then carry a
-    // NULL key (surfaced by the st10 gate's padded-row filter).
+    // the key column survives as coalesce(left, right), alias-qualified
+    // — never drop(r(key)): both sides usually derive from ONE source
+    // stream, so the right's pre-join Column can share the left
+    // attribute's exprId and drop(r(key)) silently removes the LEFT key
+    // after DeduplicateRelations re-aliases — harmless for inner joins
+    // (the keys are equal) but a left-outer's null-padded rows then
+    // carry a NULL key (surfaced by the st10 gate's padded-row filter).
+    // The coalesce covers the mirrored right/full-outer case the same
+    // way: a null-padded unmatched RIGHT row keeps ITS key instead of
+    // emitting a NULL key with the right key value dropped. For
+    // inner/left_outer it reduces to the left key (a matched row's keys
+    // are equal; a padded left row's right side is all-null).
+    val keyOut = coalesce(col(s"__l.$key"), col(s"__r.$key")).as(key)
+    val lCols = left.columns.map(c =>
+      if (c == key) keyOut else col(s"__l.$c"))
     val rCols = right.columns.filterNot(_ == key).map(c => col(s"__r.$c"))
     l.join(r, expr(
         s"""__l.$key = __r.$key AND
            |__r.$rightTs > __l.$leftTs - INTERVAL $interval AND
            |__r.$rightTs <= __l.$leftTs""".stripMargin), joinType)
-      .select(col("__l.*") +: rCols.toSeq: _*)
+      .select((lCols ++ rCols).toSeq: _*)
   }
 
   /** Per-key rolling aggregates over a trailing time range: for every

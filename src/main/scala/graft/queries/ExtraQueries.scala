@@ -196,6 +196,16 @@ object ExtraQueries extends QuerySet {
     // EQUALITY (see Sketches.cmsHeavyHitters for why CMS merge is
     // exact, not bounded). Deterministic: fixed data + fixed seed ⇒
     // fixed counters ⇒ the booleans cannot flake.
+    //
+    // FIXTURE DEPENDENCE of the within_bound=TRUE pin: the upper bound
+    // est ≤ exact + ⌈eps·N⌉ is a 0.99-CONFIDENCE guarantee per key,
+    // not a certainty — on the gated fixtures it holds for every top-20
+    // key (deterministically, fixed seed), but a NEW fixture or SF can
+    // deterministically land a key in the unlucky 1% even when both
+    // sketch and engine are correct. If a future SF addition fails only
+    // here, diagnose fixture luck (re-seed or widen eps) before
+    // suspecting the engine; merge_exact carries no such caveat (CMS
+    // merge is exact additivity, confidence-free).
     Q("q9_sketch_heavy_hitters",
       (s, dir) => graft.core.Sketches.cmsHeavyHitters(
         Tables.events(s, dir), "user_id", topK = 20),

@@ -474,7 +474,11 @@ object SampleQueries extends QuerySet {
   private def landVintages(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     vintageMemo.getOrElseUpdate((s, dir), {
-      val base = "/tmp/graft_evo_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // session identity in the path (the landPartitioned convention):
+      // a dir-only path lets a second session/process overwrite the
+      // parquet while this session's memoized reader is mid-scan
+      val base = "/tmp/graft_evo_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
       val e = Tables.events(s, dir)
       e.filter(col("event_id") % 2 === 0)
         .select(col("event_id"), col("user_id"),

@@ -146,6 +146,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq(Seq(11L, 1L, 10L), Seq(12L, 2L, null)))
   }
 
+  test("full-outer interval join: unmatched rows on EITHER side pad with THEIR OWN key (never a null key)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.events.EventOps
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("us", LongType)))
+    val base = 1700000000000000L
+    val drop = Files.createTempDirectory("graft_foj_drop").toString
+    val out = Files.createTempDirectory("graft_foj_out").toString
+    def land(rows: Seq[Row]): Unit =
+      TestSpark.df(schema, rows).coalesce(1).write.mode("append").parquet(drop)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(
+          spark.read.parquet(drop).schema).parquet(drop)
+        .withColumn("ts", timestamp_micros(col("us")))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      val q = EventOps.streamIntervalJoin(clicks, views, "user_id",
+          "c_ts", "v_ts", interval = "1 HOUR", delay = "2 hours",
+          joinType = "full_outer")
+        .select(col("click_id"), col("user_id"), col("view_id"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // wave 1: matched pair (u1), unmatched click (u2), unmatched view
+    // (u3 — the mirrored pad the r9 advice flagged: with the bare left
+    // key it emitted a NULL key and dropped u3 entirely)
+    land(Seq(Row(10L, 1L, "view", base),
+      Row(11L, 1L, "click", base + 600000000L),
+      Row(12L, 2L, "click", base + 600000000L),
+      Row(13L, 3L, "view", base + 600000000L)))
+    run()
+    // wave 2: sentinel click AND view advance both sides' watermarks
+    // (the global watermark is their min) past every real row+interval
+    land(Seq(Row(-1L, -1L, "click", base + 8640000000000L),
+      Row(-2L, -2L, "view", base + 8640000000000L)))
+    run()
+    val got = rowsOf(spark.read.parquet(s"$out/data")
+      .filter(col("user_id") >= 0L))
+    assert(got === Seq(Seq(11L, 1L, 10L), Seq(12L, 2L, null), Seq(null, 3L, 13L)))
+  }
+
   test("streamHourlyRollup over a parquet drop == batch hourlyRollup") {
     val src = "/root/testdata/sf0.001/events.parquet"
     val dropDir = Files.createTempDirectory("graft_stream_drop")
