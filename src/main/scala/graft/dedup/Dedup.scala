@@ -87,6 +87,53 @@ object Dedup {
       s => array_min(transform(digests, h => xxhash64(s, h))))
   }
 
+  /** Row-local distinct shingle digests of a text column — the
+    * STREAMING-SAFE form of [[shingleDigests]] (an array per row, no
+    * explode/groupBy, so it evaluates inside an append-mode stream with
+    * no state): array_distinct(xxhash64(shingle)) over
+    * [[wordShingles]]. Digest-set equality with shingleDigests holds
+    * by construction (same tokenizer, same n-gram set, same digest,
+    * distinct at the digest level both ways).
+    *
+    * Cost boundary (with [[signatureColumn]]/[[bandKeysColumn]]):
+    * higher-order-function lambdas are interpreted, so the row-local
+    * signature chain measured 4.2 s where the codegen'd batch
+    * machinery ([[shingleDigests]] → laneSignature) did the same wave
+    * in 0.95 s at sf0.1. Use the row-local form where batching is
+    * impossible (per-event admission, a continuous low-latency sink);
+    * micro-batched ingest should run the batch machinery per batch in
+    * foreachBatch — the st11 shape. TrainOpsSpec gates that both
+    * forms emit identical (band, bkey) rows. */
+  def shingleDigestsColumn(text: Column, shingleN: Int): Column =
+    array_distinct(transform(
+      wordShingles(TextAnalysis.tokens(text), shingleN), s => xxhash64(s)))
+
+  /** k-lane MinHash signature over a row-local digest array — lane i =
+    * array_min(xxhash64(i, digest)), REPLICATING [[laneSignature]]'s
+    * lane definition exactly (INT literal seed, LONG digest — xxhash64
+    * hashes by input type, so the seed must stay IntegerType for the
+    * lanes to be band-compatible); any seeding change there must be
+    * mirrored here and in [[minhashSignature]] by hand. */
+  def signatureColumn(digests: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(digests, h => xxhash64(i, h))))
+
+  /** Row-local band keys over a [[signatureColumn]] signature — the
+    * streaming twin of [[minhashBanded]]'s (band, bkey) construction
+    * (same per-band lane slices, same variadic xxhash64 over LONG
+    * lanes), as an array of structs ready to explode. A row hashed
+    * here joins the persisted minhashBanded index directly — the
+    * arriving-document admission path, where the corpus is only ever
+    * touched through its index. */
+  def bandKeysColumn(sig: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(i => element_at(sig, i + 1)): _*).as("bkey"))): _*)
+  }
+
   /** MinHash + LSH near-dup pairs: signature → band keys → equi-join on
     * (band, bandkey) for candidates → exact Jaccard verification →
     * threshold filter. Returns (id_a, id_b, jaccard).

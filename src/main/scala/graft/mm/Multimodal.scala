@@ -499,6 +499,33 @@ object Multimodal {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Scene-change detection over a [[sampleFrames]] frame table — the
+    * video-curation signal after frame hashing: a CUT is a sampled
+    * frame whose content hash differs from its predecessor's, so a
+    * static-scene video yields few cuts and a slideshow yields one per
+    * frame (cut density and unique-frame count are what a video
+    * curation pipeline thresholds on — near-static screen recordings
+    * vs real footage). Consumes (doc_id, frame_idx, n_frames,
+    * frame_hash) rows at ANY stride (cuts are then "changed since the
+    * previous SAMPLED frame" — the standard subsampled-detection
+    * semantic). Emits (doc_id, n_frames, n_cuts, n_unique) per doc.
+    *
+    * Plan: one lag window + the per-doc aggregate, both partitioned on
+    * doc_id — the aggregate rides the window's exchange (one shuffle
+    * total), and the window frame is bounded by a single doc's sampled
+    * frames, never the corpus. */
+  def sceneCuts(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("__prev", lag(col("frame_hash"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(when(col("__prev").isNotNull && col("__prev") =!= col("frame_hash"),
+          1L).otherwise(0L)).as("n_cuts"),
+        countDistinct(col("frame_hash")).as("n_unique"))
+  }
+
   /** Partition-batched feature extraction over a binary column: header
     * decode (format, dimensions) + payload content hash. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {

@@ -2862,5 +2862,131 @@ object TrainQueries extends QuerySet {
              |        CAST(list_sum(list_transform(range(0, 4), i ->
              |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming
              |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
-             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin)))
+             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin)),
+
+    // MM8 — scene-change detection over sampled frames: the video-
+    // curation signal AFTER frame hashing (mm02) — cut count and
+    // unique-frame count per video separate near-static screen
+    // recordings from real footage. The corpus' text frames are
+    // (almost) all distinct, which would make every frame a cut, so
+    // each doc's payload is rebuilt with KNOWN scene structure: three
+    // 32-char scenes repeated doc-id-derived counts (1+id%4, 1+id%3,
+    // 1+id%2 frames) — cuts land exactly at the scene seams (2 per doc
+    // when the scene contents differ; the oracle computes the actual
+    // hashes, so accidental equal scenes stay exact). Headerless
+    // payload ⇒ decodeHeader's `raw` path, offset 0; stride 1 ⇒ the
+    // full-resolution cut semantic.
+    Q("mm08_scene_cuts",
+      (s, dir) => {
+        val video = Tables.load(s, dir, "documents")
+          .filter(length(col("text")) >= 96)
+          .select(col("doc_id"),
+            concat(
+              expr("repeat(substring(text, 1, 32), CAST(1 + doc_id % 4 AS INT))"),
+              expr("repeat(substring(text, 33, 32), CAST(1 + doc_id % 3 AS INT))"),
+              expr("repeat(substring(text, 65, 32), CAST(1 + doc_id % 2 AS INT))"))
+              .cast("binary").as("bytes"))
+        Multimodal.sceneCuts(Multimodal.sampleFrames(
+          video, "doc_id", "bytes", frameBytes = 32, stride = 1).toDF())
+      },
+      Some("""WITH v AS (SELECT doc_id,
+             |            repeat(substring(text, 1, 32), CAST(1 + doc_id % 4 AS INT)) ||
+             |            repeat(substring(text, 33, 32), CAST(1 + doc_id % 3 AS INT)) ||
+             |            repeat(substring(text, 65, 32), CAST(1 + doc_id % 2 AS INT)) AS pay
+             |          FROM documents WHERE length(text) >= 96),
+             |f AS (SELECT doc_id,
+             |        octet_length(encode(pay))//32 AS n_frames,
+             |        unnest(generate_series(0, octet_length(encode(pay))//32 - 1)) AS i,
+             |        pay
+             |      FROM v),
+             |h AS (SELECT doc_id, n_frames, i,
+             |        md5(substring(pay, CAST(i*32 + 1 AS BIGINT), 32)) AS fh
+             |      FROM f),
+             |l AS (SELECT doc_id, n_frames, fh,
+             |        lag(fh) OVER (PARTITION BY doc_id ORDER BY i) AS pfh
+             |      FROM h)
+             |SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+             |       CAST(sum(CASE WHEN pfh IS NOT NULL AND pfh <> fh
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             |       CAST(count(DISTINCT fh) AS BIGINT) AS n_unique
+             |FROM l GROUP BY doc_id""".stripMargin)),
+
+    // ST11 — STREAMING near-dup admission: arriving documents are
+    // checked against the indexed corpus AT INGEST, the d09 incremental
+    // shape as a stream. The corpus (id < 300) exists only as two
+    // persisted artifacts — its minhashBanded (band, bkey) index and
+    // its per-doc shingle-digest arrays; arriving docs (id ≥ 300, two
+    // parquet-drop waves through ONE checkpoint — the second trigger's
+    // file log proves wave 1 is never re-hashed) run the BATCH banding
+    // machinery per micro-batch inside foreachBatch (the st06
+    // encodeAppend pattern): minhashBanded over the batch, equi-join
+    // the persisted index, pair-dedup on the light (did, old_id) rows
+    // BEFORE attaching digest arrays (the mm06 shuffle lesson), then
+    // exact digest-set Jaccard against the corpus digest table.
+    // foreachBatch batch ops stay whole-stage-codegen'd — the
+    // row-local column form (Dedup.shingleDigestsColumn →
+    // signatureColumn → bandKeysColumn, lane-compatible by the
+    // TrainOpsSpec gate) evaluates the same lanes statelessly for
+    // single-event admission, but HOF lambdas are interpreted:
+    // measured 4.2 s vs 0.95 s for this wave volume at sf0.1, so the
+    // batched path is the 100 TB ingest shape and per-wave work stays
+    // ∝ batch, never ∝ corpus. Oracle: the exact all-pairs twin
+    // restricted to corpus×batch (batch×batch admission happens at
+    // index-merge time — st06's job — and d09 gates that shape).
+    Q("st11_stream_neardup",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import graft.streaming.Ingest
+        val tmp = "/tmp/graft_st11_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") < 300)
+        val arriving = docs.filter(col("doc_id") >= 300)
+        Dedup.minhashBanded(corpus, "doc_id", "text", k = 32, bands = 8,
+          shingleN = 3).write.parquet(s"$tmp/index")
+        Dedup.shingleDigests(corpus, "doc_id", "text", n = 3)
+          .groupBy(col("did")).agg(collect_list(col("h")).as("sh"))
+          .write.parquet(s"$tmp/digests")
+        val idx = s.read.parquet(s"$tmp/index")
+          .select(col("did").as("old_id"), col("band"), col("bkey"))
+        val oldSh = s.read.parquet(s"$tmp/digests")
+          .select(col("did").as("old_id"), col("sh"))
+        val admit: DataFrame => DataFrame = batch => {
+          val cand = Dedup.minhashBanded(batch, "doc_id", "text",
+              k = 32, bands = 8, shingleN = 3)
+            .join(idx, Seq("band", "bkey"))
+            .select(col("old_id"), col("did"))
+            .dropDuplicates("old_id", "did")
+          val bSh = Dedup.shingleDigests(batch, "doc_id", "text", n = 3)
+            .groupBy(col("did")).agg(collect_list(col("h")).as("dg"))
+          val c = size(array_intersect(col("dg"), col("sh"))).cast("double")
+          val j = c / (size(col("dg")) + size(col("sh")) - c)
+          cand.join(bSh, Seq("did")).join(oldSh, Seq("old_id"))
+            .filter(j >= 0.5)
+            .select(col("old_id").as("id_a"), col("did").as("id_b"),
+              graft.core.Exprs.roundHalfUp(j, 4).as("jaccard"))
+        }
+        // per-batch volumes are wave-sized — 8 shuffle tasks match (the
+        // st06/st07 sizing lesson); pair values partitioning-invariant
+        val spKey = "spark.sql.shuffle.partitions"
+        val prevSp = s.conf.get(spKey)
+        s.conf.set(spKey, "8")
+        try {
+          arriving.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .write.mode("append").parquet(s"$tmp/drop")
+          Ingest.encodeAppend(s, s"$tmp/drop", arriving.schema,
+            s"$tmp/pairs", admit)
+          arriving.filter(pmod(col("doc_id"), lit(2)) === 1)
+            .write.mode("append").parquet(s"$tmp/drop")
+          Ingest.encodeAppend(s, s"$tmp/drop", arriving.schema,
+            s"$tmp/pairs", admit)
+        } finally s.conf.set(spKey, prevSp)
+        s.read.parquet(s"$tmp/pairs/rows")
+      },
+      Some(jaccard3Sql.replace(
+        "WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5",
+        "WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5 " +
+          "AND id_a < 300 AND id_b >= 300"))))
 }

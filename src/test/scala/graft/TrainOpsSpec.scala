@@ -23,6 +23,25 @@ class TrainOpsSpec extends AnyFunSuite {
     Row(3L, "completely different content about spark engines"),
     Row(4L, "the quick brown fox jumps over the lazy dog")))
 
+  test("row-local minhash chain emits IDENTICAL (band, bkey) rows to the batch machinery") {
+    // the lane-compatibility contract the streaming admission path
+    // rests on: a row hashed with shingleDigestsColumn → signatureColumn
+    // → bandKeysColumn must join a persisted minhashBanded index — any
+    // drift in tokenizer, digest, lane seeding (INT seed type!), or
+    // band slicing breaks admission SILENTLY (pairs just stop matching)
+    val short = df(docSchema, docs.collect().toSeq :+ Row(5L, "one two")) // < shingleN fallback
+    val rowLocal = short
+      .withColumn("dg", Dedup.shingleDigestsColumn(col("text"), 3))
+      .select(col("doc_id").as("did"),
+        explode(Dedup.bandKeysColumn(
+          Dedup.signatureColumn(col("dg"), 32), 32, 8)).as("bb"))
+      .select(col("did"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val batch = Dedup.minhashBanded(short, "doc_id", "text",
+      k = 32, bands = 8, shingleN = 3)
+    assert(rowsOf(rowLocal) === rowsOf(batch))
+    assert(rowsOf(batch).size === 5 * 8)
+  }
+
   test("rolling hash: native expression, interpreted == codegen, order-sensitive") {
     GraftFunctions.register(spark)
     val d = df(docSchema, Seq(Row(1L, "ab"), Row(2L, "ba"), Row(3L, "ab")))
