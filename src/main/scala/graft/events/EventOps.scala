@@ -286,4 +286,50 @@ object EventOps {
         graft.core.Exprs.roundHalfUp(
           col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
   }
+
+  /** Gap fill + linear interpolation over per-key integer time series:
+    * `df` holds observed (keyCol, tickCol, valCol) rows — tickCol an
+    * integer period index, valCol an exact integer (long) value — and
+    * the result completes each key to the dense tick spine over the
+    * key's own [min, max] observed range, interpolating missing ticks
+    * linearly between the surrounding observations. The resampling
+    * step before windowed feature extraction: a gap would otherwise
+    * silently shrink every downstream window.
+    *
+    * Plan: the spine is sequence/explode over per-key min/max (linear
+    * in keys, never in raw rows); the spine⟕observed join and both
+    * ignore-null windows all share the key partitioning, and each
+    * window partition is one key's own series — state is bounded by a
+    * single key's span at any corpus size. The interpolated value is
+    * one IEEE double expression over exact integer operands (one
+    * divide, one multiply, one add), bit-identical cross-engine; spine
+    * edges are observed ticks by construction, so interior gaps always
+    * have both neighbors — no extrapolation branch.
+    *
+    * Returns (keyCol, tickCol, value_filled: double, is_gap). */
+  def gapFill(df: DataFrame, keyCol: String, tickCol: String,
+      valCol: String): DataFrame = {
+    val spine = df.groupBy(col(keyCol))
+      .agg(min(col(tickCol)).as("mn"), max(col(tickCol)).as("mx"))
+      .select(col(keyCol), explode(sequence(col("mn"), col("mx"))).as(tickCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tickCol))
+    val before = w.rowsBetween(Window.unboundedPreceding, 0)
+    val after = w.rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valCol)
+    spine.join(df, Seq(keyCol, tickCol), "left")
+      .withColumn("pv", last(v, ignoreNulls = true).over(before))
+      .withColumn("pd", last(when(v.isNotNull, col(tickCol)),
+        ignoreNulls = true).over(before))
+      .withColumn("nv", first(v, ignoreNulls = true).over(after))
+      .withColumn("nd", first(when(v.isNotNull, col(tickCol)),
+        ignoreNulls = true).over(after))
+      .select(col(keyCol), col(tickCol),
+        when(v.isNotNull, v.cast("double"))
+          .otherwise(col("pv").cast("double") +
+            (col("nv") - col("pv")).cast("double") *
+            ((col(tickCol) - col("pd")).cast("double") /
+              (col("nd") - col("pd")).cast("double")))
+          .as("value_filled"),
+        v.isNull.as("is_gap"))
+  }
 }

@@ -32,23 +32,97 @@ object Decontam {
     * matches [[Dedup.shingleRows]]/[[Dedup.wordShingles]]: docs
     * shorter than `n` tokens contribute their whole text as one
     * shingle. */
+  /** (did, s) shingle rows, duplicates within a doc allowed (collapsed
+    * after the probe); every expression here is codegen'd. Shared by
+    * the exact broadcast probe ([[contaminated]]) and the Bloom-pruned
+    * variant ([[bloomContaminated]]). */
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = df
+    .select(col(idCol).as("did"), TextAnalysis.tokens(col(textCol)).as("__t"))
+    .select(col("did"), col("__t"), explode(
+      when(size(col("__t")) >= n, sequence(lit(1), size(col("__t")) - (n - 1)))
+        .otherwise(array(lit(1)))).as("__i"))
+    .select(col("did"),
+      when(size(col("__t")) >= n,
+        concat_ws(" ", (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*))
+        .otherwise(concat_ws(" ", col("__t"))).as("s"))
+
   def contaminated(corpus: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    // (did, s) rows, duplicates within a doc allowed (collapsed after
-    // the probe); every expression here is codegen'd
-    def shingled(df: DataFrame) = df
-      .select(col(idCol).as("did"), TextAnalysis.tokens(col(textCol)).as("__t"))
-      .select(col("did"), col("__t"), explode(
-        when(size(col("__t")) >= n, sequence(lit(1), size(col("__t")) - (n - 1)))
-          .otherwise(array(lit(1)))).as("__i"))
-      .select(col("did"),
-        when(size(col("__t")) >= n,
-          concat_ws(" ", (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*))
-          .otherwise(concat_ws(" ", col("__t"))).as("s"))
-    val evalSh = shingled(eval).select(col("s")).distinct()
-    shingled(corpus).join(broadcast(evalSh), "s")
+    val evalSh = shingled(eval, idCol, textCol, n).select(col("s")).distinct()
+    shingled(corpus, idCol, textCol, n).join(broadcast(evalSh), "s")
       .groupBy(col("did").as(idCol))
       .agg(count_distinct(col("s")).as("n_shared"))
+  }
+
+  /** Bloom-filter decontamination — [[contaminated]]'s output through
+    * the probe a 100 TB pipeline actually runs. `contaminated`
+    * broadcasts the eval shingle SET into a hash-join probe: correct,
+    * but the broadcast scales with eval text volume (strings) and every
+    * corpus shingle pays a hash-table lookup against it. Here the eval
+    * side is compressed to a Bloom filter over xxhash64(shingle) —
+    * ~1.2 MB per million shingles at fpp 1%, independent of string
+    * length — built by one distributed `stat.bloomFilter` aggregate
+    * (`BloomFilterAggregate` partials OR-merge, so 1000 executors build
+    * it in one pass), broadcast to every task, and probed MAP-SIDE: a
+    * clean shingle dies inside the scan stage without touching any
+    * join. Only Bloom-positives (true hits + fpp ambient) reach the
+    * exact broadcast verify join, so false positives are FILTERED, not
+    * reported — the output is value-identical to [[contaminated]]
+    * (Bloom filters have no false negatives), which is the gate.
+    *
+    * The probe is a Scala UDF over the broadcast filter: Spark exposes
+    * no public bloom-probe function (its runtime-filter
+    * `BloomFilterMightContain` is internal), and a one-arg
+    * `Long => Boolean` UDF stays inside whole-stage codegen. The
+    * mergeability contract rides along like q8/q9: 8 shard-partial
+    * filters OR-merged driver-side must serialize BIT-IDENTICALLY to
+    * the direct build (Bloom insertion is idempotent bit-setting, so
+    * merge is exact, not bounded) — `merge_exact` on every row. One
+    * shard-occupancy aggregate sizes the filter and locates non-empty
+    * shards (the cmsHeavyHitters bounded-collect convention); the
+    * per-shard builds are eval-side jobs, bounded by the benchmark
+    * set, never the corpus.
+    *
+    * Returns (idCol, n_shared, merge_exact) — n_shared exactly as
+    * [[contaminated]]. */
+  def bloomContaminated(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    val s = corpus.sparkSession
+    val evalSh = shingled(eval, idCol, textCol, n).select(col("s")).distinct()
+    val evalH = evalSh.select(xxhash64(col("s")).as("h"))
+    // shard occupancy in one small-side job: stat.bloomFilter NPEs on a
+    // zero-row input (the build aggregate returns a null blob), and a
+    // tiny eval set legitimately leaves shards empty — an empty shard
+    // contributes nothing to the bit-OR, so it is skipped, not built
+    val shardCounts = evalH
+      .groupBy(pmod(col("h"), lit(8)).as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = math.max(shardCounts.values.sum, 1L)
+    if (shardCounts.isEmpty)
+      // empty eval set: nothing can be contaminated, and there is no
+      // filter to build (or merge) — empty report, corpus never scanned
+      return corpus.select(col(idCol)).limit(0)
+        .withColumn("n_shared", lit(0L))
+        .withColumn("merge_exact", lit(true))
+    val direct = evalH.stat.bloomFilter("h", expected, fpp)
+    val merged = shardCounts.keys.toSeq.sorted
+      .map(i => evalH.filter(pmod(col("h"), lit(8)) === i)
+        .stat.bloomFilter("h", expected, fpp))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    def bytes(f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(); f.writeTo(bos); bos.toByteArray
+    }
+    val mergeExact = java.util.Arrays.equals(bytes(direct), bytes(merged))
+    val bc = s.sparkContext.broadcast(direct)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    shingled(corpus, idCol, textCol, n)
+      .filter(mightContain(xxhash64(col("s"))))
+      .join(broadcast(evalSh), "s")
+      .groupBy(col("did").as(idCol))
+      .agg(count_distinct(col("s")).as("n_shared"))
+      .withColumn("merge_exact", lit(mergeExact))
   }
 
   /** NEAR-duplicate decontamination — the fuzzy complement of

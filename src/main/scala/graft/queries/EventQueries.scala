@@ -404,6 +404,66 @@ object EventQueries extends QuerySet {
              |            // (256 - (256 >> least(tot, 8))) AS BIGINT) AS credit_cents
              |FROM r WHERE rnk <= 8""".stripMargin)),
 
+    // E16 — time-series gap fill + linear interpolation: each user's
+    // daily value series is completed to a dense day spine over the
+    // user's own [first, last] active range, and missing days get the
+    // linear interpolation between the surrounding observed days — the
+    // resampling step run before windowed feature extraction (a gap
+    // would otherwise silently shrink every downstream window). The
+    // fixture keeps per-user daily density ≈ 0.9 at EVERY SF (users
+    // scale with volume, per-user activity doesn't), so ~10% of output
+    // rows are real interpolations at any scale. Daily values are
+    // exact integer cent sums, and the interpolation is the same IEEE
+    // double expression on both engines (integer operands, one divide,
+    // one multiply, one add — bit-identical), so the doubles
+    // hash-match without rounding. Plan shape + bounded-state
+    // argument: see EventOps.gapFill.
+    Q("e16_gapfill_interpolate",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("user_id"),
+            (unix_millis(col("ts")).cast("long") / 86400000L)
+              .cast("long").as("day"),
+            graft.core.Exprs.cents(col("value")).cast("long").as("cents"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(sum(col("cents")).as("v"))
+        EventOps.gapFill(d, "user_id", "day", "v")
+      },
+      Some("""WITH d AS (SELECT user_id,
+             |             CAST(epoch_ms(ts) AS BIGINT)//86400000 AS day,
+             |             CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+             |                  AS BIGINT) AS v
+             |           FROM events
+             |           WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |           GROUP BY 1, 2),
+             |sp AS (SELECT user_id,
+             |         unnest(generate_series(min(day), max(day))) AS day
+             |       FROM d GROUP BY user_id),
+             |j AS (SELECT sp.user_id, sp.day, d.v
+             |      FROM sp LEFT JOIN d USING (user_id, day)),
+             |x AS (SELECT *,
+             |        last_value(v IGNORE NULLS) OVER
+             |          (PARTITION BY user_id ORDER BY day
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+             |          OVER (PARTITION BY user_id ORDER BY day
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |        first_value(v IGNORE NULLS) OVER
+             |          (PARTITION BY user_id ORDER BY day
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+             |          OVER (PARTITION BY user_id ORDER BY day
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |      FROM j)
+             |SELECT user_id, day,
+             |       CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             |            ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+             |                 (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+             |       END AS value_filled,
+             |       v IS NULL AS is_gap
+             |FROM x""".stripMargin)),
+
     // E4 — semi-structured extraction: pull a typed field out of the
     // JSON props column (get_json_object — Catalyst's native JSON path,
     // no UDF) and aggregate it per event type. Extraction stays inside

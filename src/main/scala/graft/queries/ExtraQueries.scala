@@ -217,6 +217,49 @@ object ExtraQueries extends QuerySet {
              |       TRUE AS merge_exact
              |FROM r WHERE rn <= 20""".stripMargin)),
 
+    // Q11 — KMV set-operation sketches: the audience-overlap question
+    // ("how many users did BOTH X and Y") that completes the sketch
+    // family — q6/q8 HLL unions but cannot intersect; a KMV bottom-k
+    // sketch supports union AND intersection estimates from k-sized
+    // mergeable state (see Sketches.kmvSetOps for the estimator, its
+    // error bounds, the membership-soundness argument, and the
+    // EXACT shard-merge property gated as merge_exact). Contract
+    // follows q6/q9: exact union/intersection per event-type pair
+    // (replayable truth) beside three gated booleans the oracle pins
+    // TRUE. Same q9-style fixture dependence on the two bounds —
+    // deterministic per fixture (xxhash64 is seedless), but a new
+    // fixture failing only here is fixture luck, not an engine bug.
+    Q("q11_sketch_set_ops",
+      (s, dir) => {
+        // element = (user, day) composite — "audience that did X and Y
+        // the SAME day": user-only sets fully overlap on this fixture
+        // (every user touches every type), while user-days overlap
+        // partially at every SF AND outgrow k=1024 from sf0.1 up, so
+        // the estimators are genuinely exercised, not just the
+        // small-set exact path
+        val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            (col("user_id") * 1000000L +
+              (unix_millis(col("ts")).cast("long") / 86400000L)
+                .cast("long")).as("ud"))
+        graft.core.Sketches.kmvSetOps(e, "event_type", "ud", k = 1024)
+      },
+      Some("""WITH d AS (SELECT DISTINCT event_type AS g,
+             |             user_id*1000000 +
+             |             CAST(epoch_ms(ts) AS BIGINT)//86400000 AS e
+             |           FROM events WHERE user_id IS NOT NULL),
+             |n AS (SELECT g, count(*) AS n FROM d GROUP BY 1),
+             |i AS (SELECT a.g AS type_a, b.g AS type_b,
+             |             count(*) AS n_inter_exact
+             |      FROM d a JOIN d b ON a.e = b.e AND a.g < b.g
+             |      GROUP BY 1, 2)
+             |SELECT type_a, type_b,
+             |       na.n + nb.n - n_inter_exact AS n_union_exact,
+             |       n_inter_exact,
+             |       TRUE AS union_ok, TRUE AS inter_ok, TRUE AS merge_exact
+             |FROM i JOIN n na ON na.g = type_a
+             |       JOIN n nb ON nb.g = type_b""".stripMargin)),
+
     // Q7 — quantile sketch with its DETERMINISTIC rank-error contract
     // gated: approx_percentile (Greenwald-Khanna style, rank error ≤
     // n/accuracy by construction — not probabilistic) is the tail-

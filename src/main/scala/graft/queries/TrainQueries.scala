@@ -761,6 +761,34 @@ object TrainQueries extends QuerySet {
              |SELECT doc_id, count(*) AS n_shared
              |FROM co JOIN ev USING (s) GROUP BY doc_id""".stripMargin)),
 
+    // Q10 — Bloom-filter decontamination: t10's answer through the
+    // probe a 100 TB pipeline actually runs. t10 broadcasts the eval
+    // shingle STRING set into every task; here the eval side is
+    // compressed to a ~1.2 MB-per-million-shingles Bloom filter built
+    // in one distributed aggregate, and clean corpus shingles die
+    // MAP-SIDE in the scan stage — only Bloom-positives reach the
+    // exact verify join, so the output is value-identical to t10
+    // (Bloom filters have no false negatives; false positives are
+    // filtered by the verify join, not reported). The gate is exactly
+    // that identity — t10's oracle — plus the q8/q9-style mergeability
+    // boolean: 8 shard-partial filters OR-merged must serialize
+    // bit-identically to the direct build (Bloom insertion is
+    // idempotent bit-setting — executor partials merge EXACTLY).
+    // See pipeline/Decontam.bloomContaminated for the full shape.
+    Q("q10_bloom_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.pipeline.Decontam.bloomContaminated(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some(s"""WITH $shingle3Ctes,
+             |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+             |co AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT doc_id, count(*) AS n_shared, TRUE AS merge_exact
+             |FROM co JOIN ev USING (s) GROUP BY doc_id""".stripMargin)),
+
     // D18 — FUZZY decontamination (the near-dup complement of t10's
     // exact n-gram pass): benchmark docs are lightly-edited copies of
     // corpus docs (first token dropped — every exact long n-gram moves,

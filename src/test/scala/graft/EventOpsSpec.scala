@@ -251,4 +251,30 @@ class EventOpsSpec extends AnyFunSuite {
       (1L, (2 * gapUs + 1000) / 1000, 1L), // the over-gap event alone
       (2L, 0L, 1L)))
   }
+
+  test("gapFill: dense spine per key, linear interpolation, edges observed") {
+    val s = StructType(Seq(StructField("k", LongType),
+      StructField("tick", LongType), StructField("v", LongType)))
+    // span 4 keeps every fraction a power of two — the doubles are
+    // EXACT, so the equality assertions can't straddle a rounding ulp
+    val obs = df(s, Seq(
+      Row(1L, 10L, 100L),   // three-gap run to 14: interpolate 200..400
+      Row(1L, 14L, 500L),
+      Row(1L, 15L, 600L),   // adjacent — no gap
+      Row(2L, 7L, 50L)))    // single-point series: spine is one row
+    val got = EventOps.gapFill(obs, "k", "tick", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(got === Set(
+      (1L, 10L, 100.0, false),
+      (1L, 11L, 200.0, true),   // 100 + 400 * (1/4)
+      (1L, 12L, 300.0, true),   // 100 + 400 * (2/4)
+      (1L, 13L, 400.0, true),   // 100 + 400 * (3/4)
+      (1L, 14L, 500.0, false),
+      (1L, 15L, 600.0, false),
+      (2L, 7L, 50.0, false)))
+    // spine never extends past a key's own observed range
+    assert(EventOps.gapFill(obs, "k", "tick", "v")
+      .filter(col("k") === 2L).count() === 1L)
+  }
 }

@@ -168,4 +168,30 @@ class SampleOpsSpec extends AnyFunSuite {
     val t = graft.core.Sketches.cmsHeavyHitters(tied, "k", topK = 5).collect()
     assert(t.map(_.getLong(0)).toSeq === (1L to 5L))
   }
+
+  test("kmvSetOps: exact pair counts, estimator bounds, shard merge exact") {
+    val setS = StructType(Seq(StructField("g", StringType),
+      StructField("e", LongType)))
+    // A = 1..2000, B = 1001..3000 (inter 1000, union 3000 — both sides
+    // larger than k=1024, so the union/intersection ESTIMATORS are
+    // genuinely exercised, not the small-set exact path); C = 1..10
+    // (subset of A — small-set exact path); duplicates must collapse
+    val rows = (1L to 2000L).map(Row("A", _)) ++
+      (1001L to 3000L).map(Row("B", _)) ++
+      (1L to 10L).map(Row("C", _)) ++ (1L to 10L).map(Row("C", _))
+    val got = graft.core.Sketches.kmvSetOps(df(setS, rows), "g", "e", k = 1024)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6))).toMap
+    // B ∩ C is empty (C = 1..10, B starts at 1001): pairs with an
+    // empty exact intersection are absent on BOTH engines (inner-join
+    // semantics), so only two pairs surface
+    assert(got.keySet === Set(("A", "B"), ("A", "C")))
+    assert(got(("A", "B")) === ((3000L, 1000L, true, true, true)))
+    assert(got(("A", "C")) === ((2000L, 10L, true, true, true)))
+    // empty input → empty frame with the full schema, no crash
+    val empty = graft.core.Sketches.kmvSetOps(
+      df(setS, Seq.empty), "g", "e", k = 16)
+    assert(empty.count() === 0L && empty.columns.length === 7)
+  }
 }

@@ -661,6 +661,28 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got === Seq(Seq(1L, 2L), Seq(3L, 1L)))
   }
 
+  test("Decontam.bloomContaminated == contaminated (no false negatives), shard merge bit-exact") {
+    // larger corpus so the Bloom prune has real clean mass to drop:
+    // 200 clean docs with disjoint vocab + the planted hits
+    val rows = Seq(
+      Row(1L, "alpha beta gamma delta"),
+      Row(3L, "x y"),
+      Row(97L, "alpha beta gamma delta"),
+      Row(194L, "x y")) ++
+      (300L to 499L).map(i => Row(i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+    val d = df(docSchema, rows)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val eval = d.filter(col("doc_id") % 97 === 0)
+    val exact = rowsOf(graft.pipeline.Decontam.contaminated(
+      corpus, eval, "doc_id", "text"))
+    val bloom = graft.pipeline.Decontam.bloomContaminated(
+      corpus, eval, "doc_id", "text")
+    // value-identical report (Bloom has no false negatives; false
+    // positives die in the verify join) + the merge gate on every row
+    assert(rowsOf(bloom.select("doc_id", "n_shared")) === exact)
+    assert(bloom.collect().forall(_.getBoolean(2)), "shard-merged Bloom differs")
+  }
+
   test("Decontam.fuzzyContaminated: near-dup corpus docs flagged, corpus pairs never scored") {
     // eval 100 is a near-copy of corpus docs 1 AND 4 (identical twins)
     // and a weaker near-copy of 2; doc 3 is clean. Corpus-resident pair
