@@ -2939,6 +2939,72 @@ object TrainQueries extends QuerySet {
              |       CAST(count(DISTINCT fh) AS BIGINT) AS n_unique
              |FROM l GROUP BY doc_id""".stripMargin)),
 
+    // MM9 — caption/subtitle alignment: every sampled frame (mm02's
+    // 32-byte frames at stride 4, 5 fps ⇒ 200 ms per frame) is
+    // assigned the caption on screen at its timestamp. The caption
+    // track derives from the SAME doc: 8-token chunks whose duration
+    // is 200 ms per token, so caption windows are VARIABLE length
+    // (the last chunk is short) and the alignment is a genuine
+    // backward as-of lookup, not index arithmetic. Physical shape:
+    // EventOps.asOfJoin's single union scan — one shuffle on doc_id,
+    // one sort, a running last() over each doc's own frames+captions
+    // (bounded per doc) — never a range join; caption starts are one
+    // exclusive running sum over the per-doc caption list. Every
+    // frame matches (caption 0 starts at 0 and backward as-of holds
+    // the last caption through the tail), so left-as-of equals the
+    // oracle's inner ASOF JOIN. This is the text⟷time leg of the
+    // multimodal set: mm02 samples, mm08 segments, mm09 aligns the
+    // transcript.
+    Q("mm09_caption_align",
+      (s, dir) => {
+        val frames = Multimodal.sampleFrames(mediaBytesDf(s, dir),
+            "doc_id", "bytes", frameBytes = 32, stride = 4).toDF()
+          .select(col("doc_id"), col("frame_idx"),
+            (col("frame_idx") * 200000L).as("t_us"))
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("caption_idx"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val caps = toks
+          .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+            explode(sequence(lit(0L),
+              expr("CAST((size(t) - 1) div 8 AS BIGINT)"))).as("caption_idx"))
+          .select(col("doc_id"), col("caption_idx"),
+            least(col("nt") - col("caption_idx") * 8L, lit(8L)).as("n_toks"))
+          .withColumn("t_us",
+            coalesce(sum(col("n_toks")).over(w), lit(0L)) * 200000L)
+          .select(col("doc_id"), col("t_us"), col("caption_idx"))
+        graft.events.EventOps.asOfJoin(frames, caps, "doc_id", "t_us",
+          tie = "caption_idx", payload = "caption_idx", out = "caption_idx")
+      },
+      Some("""WITH n AS (SELECT doc_id, text,
+             |            octet_length(encode(text))//32 AS n_frames
+             |          FROM documents),
+             |f AS (SELECT doc_id,
+             |        unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4))
+             |          AS frame_idx
+             |      FROM n WHERE n_frames > 0),
+             |ft AS (SELECT doc_id, frame_idx, frame_idx*200000 AS t_us FROM f),
+             |toks AS (SELECT doc_id,
+             |           string_split_regex(lower(trim(text)), '\s+') AS t
+             |         FROM documents),
+             |cap AS (SELECT doc_id, len(t) AS nt,
+             |          unnest(generate_series(0, CAST((len(t) - 1)//8 AS BIGINT)))
+             |            AS caption_idx
+             |        FROM toks),
+             |capd AS (SELECT doc_id, caption_idx,
+             |           least(nt - caption_idx*8, 8) AS n_toks FROM cap),
+             |caps AS (SELECT doc_id, caption_idx,
+             |           200000 * coalesce(sum(n_toks) OVER
+             |             (PARTITION BY doc_id ORDER BY caption_idx
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |             AS t_us
+             |         FROM capd)
+             |SELECT ft.doc_id, ft.frame_idx, ft.t_us, caps.caption_idx
+             |FROM ft ASOF JOIN caps
+             |  ON ft.doc_id = caps.doc_id AND ft.t_us >= caps.t_us""".stripMargin)),
+
     // ST11 — STREAMING near-dup admission: arriving documents are
     // checked against the indexed corpus AT INGEST, the d09 incremental
     // shape as a stream. The corpus (id < 300) exists only as two

@@ -285,11 +285,18 @@ class ScaleSpec extends AnyFunSuite {
       StructField("event_id", LongType)))
     val evts = df(s, (1L to 40L).map(i =>
       Row(i % 5, i * 100L, Seq("view", "click", "purchase")(i.toInt % 3), i)))
+    val tickS = StructType(Seq(StructField("k", LongType),
+      StructField("tick", LongType), StructField("v", LongType)))
+    val series = df(tickS, (1L to 40L).map(i => Row(i % 5, i, i * 10L)))
     val plans = Seq(
       EventOps.funnel(evts, "user_id", "ts_ms", "event_type",
         Seq("view", "click", "purchase")),
       EventOps.retentionCohorts(evts, "user_id", "ts_ms", periodMs = 1000L),
-      EventOps.interEventGaps(evts, Seq("user_id", "event_type"), "ts_ms", "event_id"))
+      EventOps.interEventGaps(evts, Seq("user_id", "event_type"), "ts_ms", "event_id"),
+      // gapFill: both ignore-null windows must partition on the key —
+      // an unpartitioned window here would serialize EVERY series
+      // through one task at corpus scale
+      EventOps.gapFill(series, "k", "tick", "v"))
     for (p <- plans) {
       val wins = p.queryExecution.optimizedPlan.collect { case w: LWindow => w }
       assert(wins.forall(_.partitionSpec.nonEmpty),
@@ -338,6 +345,29 @@ class ScaleSpec extends AnyFunSuite {
     val bjPlan = bj.queryExecution.executedPlan.toString
     assert(bjPlan.contains("BroadcastHashJoin"), s"bitmap not broadcast:\n$bjPlan")
     assert(!bjPlan.contains("CartesianProduct"), s"cross join:\n$bjPlan")
+  }
+
+  test("q10 bloomContaminated plan: map-side Bloom prune below a broadcast verify join") {
+    val docS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = df(docS, (1L to 60L).map(i =>
+      Row(i, if (i % 20 == 0) "alpha beta gamma delta"
+      else s"w${i}a w${i}b w${i}c w${i}d")))
+    val rep = graft.pipeline.Decontam.bloomContaminated(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+    val phys = rep.queryExecution.executedPlan.toString
+    // the exact verify join broadcasts the eval shingles — the corpus
+    // side's only exchange is the final per-doc aggregation
+    assert(phys.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$phys")
+    assert(!phys.contains("SortMergeJoin") && !phys.contains("CartesianProduct"),
+      s"corpus shuffled into the verify join:\n$phys")
+    // the Bloom probe must sit as a Filter BELOW the join (the plan
+    // renders it pushed under the shingle Project, right over the
+    // scan), so clean shingles die map-side; string-matched because
+    // AdaptiveSparkPlanExec hides its children from collect()
+    assert(phys.contains("Filter UDF(xxhash64"),
+      s"no map-side Bloom prune filter:\n$phys")
   }
 
   test("t31 keyword search plan: queries broadcast, two-phase top-k, no cross join") {
