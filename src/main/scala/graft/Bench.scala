@@ -190,7 +190,13 @@ object Bench {
       s""""mem_mb":${r3(rdds.map(_.memSize).sum / 1e6)},""" +
       s""""disk_mb":${r3(rdds.map(_.diskSize).sum / 1e6)}}"""
     val heapMb = Runtime.getRuntime.maxMemory / (1 << 20)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // CPU-normalized headline beside wall: the sum of each query's
+    // best-run executor-CPU seconds. Wall depends on the VM's mood
+    // (load-3+ windows have twice faked regressions); CPU tracks code,
+    // so round-over-round comparisons can quote ONE uncontested number
+    val totalCpu = bestRec.map(_._2._4).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_cpu":${r3(totalCpu)},"queries":$qs,""" +
       s""""queries_best":$qsBest,"queries_cpu":$qsCpu,"queries_gc":$qsGc,""" +
       s""""errors":$errsJson,"error_count":${errors.size},""" +
       s""""run_totals":$runTotals,"load_avg":$loadAvg,"runs":$runsJson,""" +

@@ -32,4 +32,11 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allQ.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Batch-side plan of every streaming (st*) query on static frames —
+    * see [[graft.queries.QuerySet.stBatchPlans]]. CodegenGateSpec
+    * asserts this covers every registered st* query and compile-probes
+    * each plan. */
+  def streamingBatchPlans: Map[String, (SparkSession, String) => DataFrame] =
+    sets.flatMap(_.stBatchPlans).toMap
 }

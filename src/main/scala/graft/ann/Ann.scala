@@ -162,6 +162,97 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** kNN graph with CROSS-BUCKET edges: every corpus vector's top-k
+    * neighbors among the members of its `nprobe` nearest buckets (not
+    * just its own — [[knnGraph]]'s edges never cross a Voronoi
+    * boundary, so a graph walk seeded inside one bucket could never
+    * leave it). This is the edge artifact graph-ANN search
+    * ([[graphSearch]]) walks: boundary-crossing edges are exactly what
+    * lets the walk recover neighbors a single-bucket IVF probe
+    * misses. Cost is Σ nprobe·|bucket|² — the knnGraph bound times
+    * nprobe, still held constant per vector by
+    * [[adaptiveCentroidCount]]. Ranking is the round-6-quantized
+    * cosine with id tiebreak (engine-portable, like every ranking in
+    * this file). Returns (vid, neighbor_id, cosine, rank ≤ k). */
+  def knnGraphMultiProbe(corpus: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val ca = ivfAssign(corpus, centroids)
+    val pw = Window.partitionBy(col("vid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = corpus.crossJoin(broadcast(centroids))
+      .select(col("vid"), col("vec"), col("cid"),
+        graft.core.Exprs.roundHalfUp(Vectors.cosine(col("vec"), col("cvec")), 6).as("pcos"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
+      .select(col("vid"), col("vec"), col("cid"))
+    val scored = probes.as("a").join(ca.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("vid"), col("b.vid").as("neighbor_id"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
+      // a vector probing 2 buckets meets each bucket-mate once (buckets
+      // are disjoint), so no dedup is needed before ranking
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Graph-ANN search — the query-time half of graph-based ANN (the
+    * public HNSW/NSG idea restricted to one layer): seed each query at
+    * its IVF top-1, then run a fixed-width beam walk over the
+    * precomputed kNN-graph edge list for `hops` rounds, exact-reranking
+    * the visited set at the end. Per hop: frontier ⋈ edges (≤ beam·k
+    * candidates per query), drop already-visited, score, keep the
+    * `beam` best fresh vertices. Everything is bounded per query —
+    * seed 1, visited ≤ 1 + hops·beam — and per-hop work is one
+    * equi-join on vid + one per-query window, so 10⁶ queries walk in
+    * `hops` joins total, never a per-query loop. All ranking is the
+    * round-6-quantized cosine with id tiebreaks: the walk — frontier
+    * choice included — is engine-portable and fully oracle-replayable
+    * (the n02 technique applied to a graph traversal).
+    *
+    * `edges` should come from [[knnGraphMultiProbe]]: its
+    * boundary-crossing edges are what lets the walk beat the
+    * single-bucket IVF probe it is seeded from (n19 gates exactly
+    * that). Returns (qid, neighbor_id, cosine, rank ≤ k) over the
+    * visited set. */
+  def graphSearch(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, edges: DataFrame, k: Int, beam: Int,
+      hops: Int): DataFrame = {
+    val qv = queries.select(col("qid"), col("qvec"))
+    val cv = corpus.select(col("vid"), col("vec"))
+    val e = edges.select(col("vid"), col("neighbor_id"))
+    val seed = ivfSearch(queries, corpus, centroids, k = 1)
+      .select(col("qid"), col("neighbor_id").as("vid"))
+    var visited = seed
+    var frontier = seed
+    for (_ <- 1 to hops) {
+      val cand = frontier.join(e, Seq("vid"))
+        .select(col("qid"), col("neighbor_id").as("vid")).distinct()
+      val fresh = cand.join(visited, Seq("qid", "vid"), "left_anti")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos6").desc, col("vid").asc)
+      frontier = fresh.join(cv, Seq("vid")).join(qv, Seq("qid"))
+        .select(col("qid"), col("vid"),
+          graft.core.Exprs.roundHalfUp(
+            Vectors.cosine(col("qvec"), col("vec")), 6).as("cos6"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("qid"), col("vid"))
+      visited = visited.unionByName(frontier)
+    }
+    // exact re-rank of the visited set (≤ 1 + hops·beam per query)
+    val rescored = visited.join(cv, Seq("vid")).join(qv, Seq("qid"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid").as("neighbor_id"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF search: queries probe only their own centroid bucket.
     * Returns (qid, neighbor_id, cosine, rank) with rank <= k. */
   def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,

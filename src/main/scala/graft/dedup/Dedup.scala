@@ -497,6 +497,63 @@ object Dedup {
       .distinct()
       .select(col("did"), col("s"), xxhash64(col("s")).as("h"))
 
+  /** POSITIONED w-token window rows (did, pos, s, h) — like
+    * [[windowRows]] but keeping every occurrence with its 1-based
+    * token position instead of collapsing to the distinct window set:
+    * the input of run-merge substring dedup ([[maximalRepeatPairs]]),
+    * where adjacency between positions is the signal. */
+  def positionedWindowRows(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    docs.select(col(idCol).as("did"), TextAnalysis.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("did"), posexplode(expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), i -> array_join(slice(t, i, $w), ' '))"))
+        .as(Seq("p0", "s")))
+      .select(col("did"), (col("p0") + 1).cast("long").as("pos"), col("s"),
+        xxhash64(col("s")).as("h"))
+
+  /** ARBITRARY-LENGTH exact substring dedup — maximal cross-doc
+    * repeated token runs ≥ `w` tokens (the suffix-array-lite run-merge
+    * over rolling windows): d12/d13 count FIXED-width shared windows;
+    * real pipelines need the maximal spans (cite a 40-token verbatim
+    * splice once, not as 21 overlapping windows). Construction:
+    * [[positionedWindowRows]] keeps every w-token window WITH its
+    * position; cross-doc matches meet on the window hash and verify on
+    * the string (a hash collision cannot fabricate a match — d12's
+    * contract); a shared substring of L ≥ w tokens is then exactly a
+    * maximal run of L−w+1 consecutive matches along one DIAGONAL
+    * (pos_a − pos_b constant), found with the classic
+    * pos − row_number() run-grouping — one window function over the
+    * MATCHED pairs only, partitioned by (doc_a, doc_b, diagonal).
+    *
+    * Scale: identical join shape and bounds as [[substringDupPairs]]
+    * (window-hash equi-join — output ∝ true match volume), plus one
+    * key-partitioned window over the matches; nothing touches the
+    * corpus beyond the one windowing pass. On a fixed diagonal pos_a
+    * determines pos_b, so run rows are duplicate-free by construction.
+    * Returns one row per maximal run:
+    * (doc_a, doc_b, start_a, start_b, len_tokens), doc_a < doc_b,
+    * positions 1-based. */
+  def maximalRepeatPairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame = {
+    val win = positionedWindowRows(docs, idCol, textCol, w)
+    val m = win.as("a").join(win.as("b"),
+        col("a.h") === col("b.h") && col("a.did") < col("b.did") &&
+          col("a.s") === col("b.s"))
+      .select(col("a.did").as("doc_a"), col("b.did").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    import org.apache.spark.sql.expressions.Window
+    val diag = col("pos_a") - col("pos_b")
+    val runW = Window.partitionBy(col("doc_a"), col("doc_b"), diag)
+      .orderBy(col("pos_a"))
+    m.withColumn("grp", col("pos_a") - row_number().over(runW))
+      .groupBy(col("doc_a"), col("doc_b"), diag.as("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + (w - 1)).as("len_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("len_tokens"))
+  }
+
   /** Incremental substring-window pairs: every pair involving at least
     * one arriving doc — new×corpus and new×new, never corpus×corpus
     * (the d09 ingestion contract at window granularity). The corpus is

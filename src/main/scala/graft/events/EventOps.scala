@@ -99,13 +99,22 @@ object EventOps {
       col("__tie").asc_nulls_first)
     val wb = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(col(key)).orderBy(ord: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward pick as a RUNNING frame over the EXACT reversed order —
+    // `first over (CURRENT ROW → UNBOUNDED FOLLOWING)` would plan as
+    // Spark's UnboundedFollowingWindowFunctionFrame, which rescans the
+    // partition tail per row: O(n²) on a hot key (the gapFill lesson;
+    // EventOpsSpec pins the no-UnboundedFollowing shape). Reversing
+    // every sort key (nulls flip sides with the direction) makes
+    // last-over-running-frame value-identical, tie handling included.
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc_nulls_last, col("__side").desc,
+        col("__tie").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val marker = when(col("__side") === 0,
       struct(col(ts).as("__rts"), col("__p")))
     val u = lt.unionByName(rt)
       .withColumn("__b", last(marker, ignoreNulls = true).over(wb))
-      .withColumn("__f", first(marker, ignoreNulls = true).over(wf))
+      .withColumn("__f", last(marker, ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)
     val db = col(ts) - col("__b.__rts")
     val df = col("__f.__rts") - col(ts)
@@ -296,8 +305,10 @@ object EventOps {
     * step before windowed feature extraction: a gap would otherwise
     * silently shrink every downstream window.
     *
-    * Plan: the spine is sequence/explode over per-key min/max (linear
-    * in keys, never in raw rows); the spine⟕observed join and both
+    * Plan: the spine is a two-level sequence/explode over per-key
+    * min/max (linear in keys, never in raw rows; per-row array memory
+    * bounded at O(√span) — see the inline note); the spine⟕observed
+    * join and both
     * ignore-null windows all share the key partitioning, and each
     * window partition is one key's own series — state is bounded by a
     * single key's span at any corpus size. The interpolated value is
@@ -309,20 +320,52 @@ object EventOps {
     * Returns (keyCol, tickCol, value_filled: double, is_gap). */
   def gapFill(df: DataFrame, keyCol: String, tickCol: String,
       valCol: String): DataFrame = {
+    // Spine: dense ticks over each key's own [min, max] — built in TWO
+    // explode levels, not one. A single explode(sequence(mn, mx))
+    // materializes a key's whole span as ONE in-memory array row
+    // before exploding: a key observed at tick 0 and tick 1e9 would
+    // build a multi-GB array (Spark hard-caps sequence at ~2^31
+    // elements but OOMs well before). Block size b = ⌈√span⌉ bounds
+    // BOTH arrays — the block list (≤ ⌈√span⌉ entries) and each
+    // block's inner sequence (≤ ⌈√span⌉ ticks) — so even a 1e12-tick
+    // span peaks at ~8 MB per row; output rows are identical to the
+    // flat form (blocks partition [mn, mx] exactly).
+    val span = col("mx") - col("mn")
+    val b = greatest(lit(1L),
+      ceil(sqrt((span + 1).cast("double"))).cast("long"))
     val spine = df.groupBy(col(keyCol))
       .agg(min(col(tickCol)).as("mn"), max(col(tickCol)).as("mx"))
-      .select(col(keyCol), explode(sequence(col("mn"), col("mx"))).as(tickCol))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tickCol))
-    val before = w.rowsBetween(Window.unboundedPreceding, 0)
-    val after = w.rowsBetween(0, Window.unboundedFollowing)
+      .withColumn("b", b)
+      .select(col(keyCol), col("mn"), col("mx"), col("b"),
+        explode(sequence(lit(0L),
+          floor(span / col("b")).cast("long"))).as("blk"))
+      .select(col(keyCol),
+        explode(sequence(col("mn") + col("blk") * col("b"),
+          least(col("mx"),
+            col("mn") + (col("blk") + 1L) * col("b") - 1L))).as(tickCol))
+    // Both fill directions run as RUNNING frames (UNBOUNDED PRECEDING →
+    // CURRENT ROW): the forward-fill over tick ASC, the BACKWARD fill
+    // over tick DESC. The naive backward form — first_value over
+    // (CURRENT ROW → UNBOUNDED FOLLOWING) — plans as Spark's
+    // UnboundedFollowingWindowFunctionFrame, which RESCANS the
+    // remainder of the partition for every row: O(span²) per key (a
+    // 3e6-tick key measured ~16 min of CPU and rising before the test
+    // was killed; a real long-span key would never finish). The DESC
+    // running frame computes the identical values in O(span) at the
+    // cost of one extra in-partition sort (same key partitioning — no
+    // extra shuffle; EventOpsSpec pins the no-UnboundedFollowing shape).
+    val before = Window.partitionBy(col(keyCol)).orderBy(col(tickCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val afterDesc = Window.partitionBy(col(keyCol)).orderBy(col(tickCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val v = col(valCol)
     spine.join(df, Seq(keyCol, tickCol), "left")
       .withColumn("pv", last(v, ignoreNulls = true).over(before))
       .withColumn("pd", last(when(v.isNotNull, col(tickCol)),
         ignoreNulls = true).over(before))
-      .withColumn("nv", first(v, ignoreNulls = true).over(after))
-      .withColumn("nd", first(when(v.isNotNull, col(tickCol)),
-        ignoreNulls = true).over(after))
+      .withColumn("nv", last(v, ignoreNulls = true).over(afterDesc))
+      .withColumn("nd", last(when(v.isNotNull, col(tickCol)),
+        ignoreNulls = true).over(afterDesc))
       .select(col(keyCol), col(tickCol),
         when(v.isNotNull, v.cast("double"))
           .otherwise(col("pv").cast("double") +

@@ -363,7 +363,15 @@ object Multimodal {
     * — the ≥0x80 high-byte branch is reachable only through planted
     * non-ASCII rows, which the mm07 gate ships). Window: 144 samples
     * = 288 chars; shorter rows must be filtered upstream (enforced in
-    * [[audioNearDupPairs]]).
+    * [[audioNearDupPairs]]). INPUT CONTRACT: BMP-only text — this form
+    * indexes CODEPOINTS (`ascii(substr(...))`) while the decoder twin
+    * [[audioBandsDecode]] indexes UTF-16 code units (`charAt`); the
+    * two agree for every BMP character, but a supplementary character
+    * (one codepoint, two code units) would shift indexing and values
+    * between them. The corpus generator emits only BMP text; a future
+    * non-BMP corpus must normalize upstream (or move both forms to one
+    * indexing scheme) before the decoder==Column equivalence gate is
+    * meaningful.
     *
     * Shape lesson (r9 verdict): the first cut inlined the full energy
     * pyramid per band bit — ~1,500 `ascii(substring(...))` nodes in
@@ -407,7 +415,11 @@ object Multimodal {
     * runs at 100 TB. O(window) integer work per row, no shuffle, no
     * codegen surface to fall off (the r9 mm07 lesson — see
     * [[audioBands]]). Rows shorter than 288 chars must be filtered
-    * upstream. ScaleSpec pins decoder == Column-expression equality. */
+    * upstream, and input must be BMP-only: `charAt` here reads UTF-16
+    * code units while the Column twin reads codepoints — identical on
+    * the BMP, divergent on supplementary characters (contract spelled
+    * out on [[audioBands]]). ScaleSpec pins decoder ==
+    * Column-expression equality. */
   def audioBandsDecode(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val spark = df.sparkSession

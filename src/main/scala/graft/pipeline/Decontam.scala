@@ -24,18 +24,12 @@ import graft.text.TextAnalysis
   * fraction — partial-aggregated on doc id. */
 object Decontam {
 
-  /** (idCol, n_shared) for every corpus doc sharing ≥ 1 distinct word
-    * n-gram with `eval`; n_shared = how many of the doc's distinct
-    * shingles appear anywhere in the eval set. Clean docs are absent
-    * (semi-join semantics — at 100 TB the output is the contamination
-    * report, not a corpus-wide annotation). Shingle construction
-    * matches [[Dedup.shingleRows]]/[[Dedup.wordShingles]]: docs
-    * shorter than `n` tokens contribute their whole text as one
-    * shingle. */
   /** (did, s) shingle rows, duplicates within a doc allowed (collapsed
-    * after the probe); every expression here is codegen'd. Shared by
-    * the exact broadcast probe ([[contaminated]]) and the Bloom-pruned
-    * variant ([[bloomContaminated]]). */
+    * after the probe); every expression here is codegen'd. Shingle
+    * construction matches [[Dedup.shingleRows]]/[[Dedup.wordShingles]]:
+    * docs shorter than `n` tokens contribute their whole text as one
+    * shingle. Shared by the exact broadcast probe ([[contaminated]])
+    * and the Bloom-pruned variant ([[bloomContaminated]]). */
   private def shingled(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = df
     .select(col(idCol).as("did"), TextAnalysis.tokens(col(textCol)).as("__t"))
@@ -47,6 +41,11 @@ object Decontam {
         concat_ws(" ", (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*))
         .otherwise(concat_ws(" ", col("__t"))).as("s"))
 
+  /** (idCol, n_shared) for every corpus doc sharing ≥ 1 distinct word
+    * n-gram with `eval`; n_shared = how many of the doc's distinct
+    * shingles appear anywhere in the eval set. Clean docs are absent
+    * (semi-join semantics — at 100 TB the output is the contamination
+    * report, not a corpus-wide annotation). */
   def contaminated(corpus: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     val evalSh = shingled(eval, idCol, textCol, n).select(col("s")).distinct()
@@ -90,7 +89,13 @@ object Decontam {
       textCol: String, n: Int = 3, fpp: Double = 0.01): DataFrame = {
     val s = corpus.sparkSession
     val evalSh = shingled(eval, idCol, textCol, n).select(col("s")).distinct()
-    val evalH = evalSh.select(xxhash64(col("s")).as("h"))
+    // the hashed eval set feeds ~10 EAGER jobs below (occupancy count,
+    // the direct build, up to 8 shard builds) — persist it so the
+    // tokenize/explode/distinct pipeline runs once, not per job; all
+    // consumers finish before this function returns, so the unpersist
+    // below is safe (the RETURNED plan reads evalSh, not evalH)
+    val evalH = evalSh.select(xxhash64(col("s")).as("h")).persist()
+    try {
     // shard occupancy in one small-side job: stat.bloomFilter NPEs on a
     // zero-row input (the build aggregate returns a null blob), and a
     // tiny eval set legitimately leaves shards empty — an empty shard
@@ -123,6 +128,7 @@ object Decontam {
       .groupBy(col("did").as(idCol))
       .agg(count_distinct(col("s")).as("n_shared"))
       .withColumn("merge_exact", lit(mergeExact))
+    } finally evalH.unpersist()
   }
 
   /** NEAR-duplicate decontamination — the fuzzy complement of

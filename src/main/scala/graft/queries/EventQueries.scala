@@ -200,7 +200,10 @@ object EventQueries extends QuerySet {
     Q("st07_stream_interval_join",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        val tmp = "/tmp/graft_st07_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        // session-keyed root (the lshPairs convention) — concurrent
+        // processes must not clobber each other's checkpoint/drop
+        val tmp = "/tmp/graft_st07_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -274,7 +277,8 @@ object EventQueries extends QuerySet {
     Q("st10_stream_outer_join",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        val tmp = "/tmp/graft_st10_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = "/tmp/graft_st10_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -423,7 +427,9 @@ object EventQueries extends QuerySet {
         val d = Tables.events(s, dir)
           .filter(col("user_id").isNotNull && col("value").isNotNull)
           .select(col("user_id"),
-            (unix_millis(col("ts")).cast("long") / 86400000L)
+            // floor, not truncate-toward-zero: matches the oracle's
+            // BIGINT `//` for negative (pre-1970) epochs too
+            floor(unix_millis(col("ts")) / 86400000d)
               .cast("long").as("day"),
             graft.core.Exprs.cents(col("value")).cast("long").as("cents"))
           .groupBy(col("user_id"), col("day"))
@@ -821,7 +827,8 @@ object EventQueries extends QuerySet {
     Q("st08_watermark_drop",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        val tmp = "/tmp/graft_st08_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = "/tmp/graft_st08_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val ev = Tables.events(s, dir).select(col("ts"), col("event_type"))
@@ -895,4 +902,51 @@ object EventQueries extends QuerySet {
              |       (SELECT count(*) FROM (SELECT DISTINCT w, event_type FROM keep))
              |UNION ALL
              |SELECT 'state_rows', (SELECT count(*) FROM keep)""".stripMargin)))
+
+  /** Batch-side plans of this set's streaming queries on static frames
+    * (CodegenGateSpec probe targets — see QuerySet.stBatchPlans):
+    * st05's registered query IS its batch twin (typed funnelBatch);
+    * st07/st10 run streamIntervalJoin on static inputs (withWatermark
+    * on a batch frame is eliminated by the optimizer, leaving exactly
+    * the per-batch join plan); st08 probes the windowed aggregation
+    * plus the update-mode read-back (last update per key). */
+  override def stBatchPlans
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    def cv(s: org.apache.spark.sql.SparkSession, dir: String) = {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"),
+        graft.core.Exprs.cents(col("value")).cast("long").as("value_cents"))
+      (ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts")),
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("v_ts"), col("value_cents")))
+    }
+    def ij(joinType: String)(s: org.apache.spark.sql.SparkSession, dir: String) = {
+      val (clicks, views) = cv(s, dir)
+      EventOps.streamIntervalJoin(clicks, views, "user_id", "c_ts", "v_ts",
+          interval = "1 HOUR", delay = "2 hours", joinType = joinType)
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("c_ts")).as("click_us"),
+          col("view_id"), unix_micros(col("v_ts")).as("view_us"),
+          col("value_cents"))
+    }
+    Map(
+      "st05_funnel_stateful" ->
+        all.find(_.name == "st05_funnel_stateful").get.fn,
+      "st07_stream_interval_join" -> (ij("inner") _),
+      "st10_stream_outer_join" -> (ij("left_outer") _),
+      "st08_watermark_drop" -> ((s, dir) => {
+        val agg = Tables.events(s, dir).select(col("ts"), col("event_type"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_millis(col("win.start")).as("w_ms"),
+            col("event_type"), col("n"))
+          .withColumn("batch_id", lit(0L))
+        agg.groupBy(col("w_ms"), col("event_type"))
+          .agg(max_by(col("n"), col("batch_id")).as("n"))
+      }))
+  }
 }

@@ -239,8 +239,10 @@ object ExtraQueries extends QuerySet {
         // small-set exact path
         val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
           .select(col("event_type"),
+            // floor (not truncate) day index — matches the oracle's
+            // BIGINT `//` for negative epochs (the e16 convention)
             (col("user_id") * 1000000L +
-              (unix_millis(col("ts")).cast("long") / 86400000L)
+              floor(unix_millis(col("ts")) / 86400000d)
                 .cast("long")).as("ud"))
         graft.core.Sketches.kmvSetOps(e, "event_type", "ud", k = 1024)
       },
@@ -350,7 +352,7 @@ object ExtraQueries extends QuerySet {
     Q("e13_active_users",
       (s, dir) => {
         val d = Tables.events(s, dir).filter(col("user_id").isNotNull)
-          .select((unix_millis(col("ts")).cast("long") / 86400000L)
+          .select(floor(unix_millis(col("ts")) / 86400000d)
             .cast("long").as("day"), col("user_id"))
           .distinct()
         val days = d.select(col("day")).distinct()
@@ -565,7 +567,11 @@ object ExtraQueries extends QuerySet {
     Q("st04_valu_incremental",
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
-        val tmp = "/tmp/graft_st04_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        // session-keyed root (the lshPairs convention): a dir-only path
+        // lets a concurrent bench+verify process pair delete each
+        // other's checkpoint/lake mid-run
+        val tmp = "/tmp/graft_st04_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         // fresh run — a stale checkpoint would replay nothing and a
         // stale lake could mask a code change
         val p = new org.apache.hadoop.fs.Path(tmp)
@@ -625,7 +631,11 @@ object ExtraQueries extends QuerySet {
   private def landBuckets(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) =
     bucketMemo.getOrElseUpdate((s, dir), {
-      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // session-keyed path AND table names (the lshPairs convention):
+      // a concurrent process re-landing the same dir would overwrite
+      // these files under this session's still-registered tables
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${System.identityHashCode(s)}"
       val base = s"/tmp/graft_bkt_$suffix"
       def land(df: org.apache.spark.sql.DataFrame, name: String, key: String): String = {
         val t = s"bkt_${name}_$suffix"
@@ -774,4 +784,19 @@ object ExtraQueries extends QuerySet {
           |  END AS pwsl1pomu
           |FROM cmp GROUP BY mukey)""".stripMargin)
   }
+
+  /** st04's per-batch transform (the Valu1 slice rebuild the
+    * foreachBatch runs) on a static two-area signal — CodegenGateSpec
+    * probe target (QuerySet.stBatchPlans). Same buildValu/valuHz the
+    * query feeds through Ingest.refreshValu. */
+  override def stBatchPlans
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("st04_valu_incremental" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer").select(col("c_custkey").as("mukey"))
+      def areaOf = concat(lit("SSA"), (col("mukey") % 4).cast("string"))
+      val areas = Seq("SSA0", "SSA1")
+      buildValu(base.filter(areaOf.isin(areas: _*)),
+          valuHz(s, dir).filter(areaOf.isin(areas: _*)))
+        .withColumn("areasymbol", areaOf)
+    }))
 }

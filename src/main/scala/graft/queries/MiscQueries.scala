@@ -33,7 +33,10 @@ object MiscQueries extends QuerySet {
           .toDF("r_regionkey", "r_name")
         val region = Tables.load(s, dir, "region")
           .select(col("r_regionkey"), col("r_name")).unionByName(planted)
-        val tmp = "/tmp/graft_s01_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        // session-keyed landing (the lshPairs convention): a concurrent
+        // process overwriting the CSV mid-read would corrupt the gate
+        val tmp = "/tmp/graft_s01_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         PipeCsv.write(region, tmp)
         PipeCsv.read(s, tmp, region.schema)
       },
@@ -52,7 +55,8 @@ object MiscQueries extends QuerySet {
     Q("s04_wss_canned_zip",
       (s, dir) => {
         import java.util.zip.{ZipEntry, ZipOutputStream}
-        val root = "/tmp/graft_s04_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val root = "/tmp/graft_s04_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         val p = new org.apache.hadoop.fs.Path(root)
         val conf = s.sparkContext.hadoopConfiguration
         p.getFileSystem(conf).delete(p, true)
@@ -108,7 +112,8 @@ object MiscQueries extends QuerySet {
       (s, dir) => {
         import graft.sdv.SdvPlanner
         import graft.schema.SdvCatalog
-        val root = "/tmp/graft_s02_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val root = "/tmp/graft_s02_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         val area = "NE109"
         val fk = s.createDataFrame(
           SdvPlanner.defaultFks.map { case (p, c, k) => (p, c, k, k) })

@@ -152,7 +152,8 @@ object SampleQueries extends QuerySet {
     // as s15, now through the streaming machinery.
     Q("st09_stream_cdc_apply",
       (s, dir) => {
-        val tmp = "/tmp/graft_st09_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = "/tmp/graft_st09_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val (oldSnap, newSnap) = snapshotPair(s, dir)
@@ -490,4 +491,17 @@ object SampleQueries extends QuerySet {
         .write.mode("overwrite").parquet(s"$base/v2")
       base
     })
+
+  /** st09's per-batch transform (the streaming MERGE body —
+    * Cdc.applyChanges of the full change set into the old snapshot) on
+    * static frames — CodegenGateSpec probe target
+    * (QuerySet.stBatchPlans). */
+  override def stBatchPlans
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("st09_stream_cdc_apply" -> ((s, dir) => {
+      val (oldSnap, newSnap) = snapshotPair(s, dir)
+      graft.io.Cdc.applyChanges(oldSnap,
+        Cdc.changes(oldSnap, newSnap, "c_custkey", Seq("bal_cents")),
+        "c_custkey", Seq("bal_cents"))
+    }))
 }

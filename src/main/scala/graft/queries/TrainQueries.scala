@@ -2090,6 +2090,139 @@ object TrainQueries extends QuerySet {
               |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
               |WHERE rn <= 3""".stripMargin)),
 
+    // N19 — graph-ANN SEARCH: the query-time half of graph-based ANN
+    // (the public HNSW/NSG idea at one layer), completing the family's
+    // third access shape — flat (n01), inverted (n02), graph (here).
+    // Each query seeds at its IVF top-1, then beam-walks (beam 4, 3
+    // hops) the CROSS-BUCKET kNN graph (knnGraphMultiProbe, degree 6,
+    // nprobe 2 — boundary-crossing edges are what single-bucket IVF
+    // lacks; degree 3 measured BELOW the IVF baseline at every SF, 6
+    // clears it) and exact-reranks the ≤ 13 visited vertices. Output
+    // is the n13-style recall table vs brute-force truth for BOTH
+    // searches plus the family gate graph_ge_ivf: total graph hits ≥
+    // total IVF hits — the walk must recover at least what the probe
+    // it seeds from recovers (measured, of 50: 44 vs 42 at sf0.001,
+    // 42 vs 39 at sf0.01, 45 vs 41 at sf0.1). Every ranking —
+    // assignment, probe choice, edge list, frontier, re-rank — is the
+    // round-6-quantized cosine with id tiebreaks, so the DuckDB
+    // oracle replays the ENTIRE walk (unrolled to 3 hops) and both
+    // recall accountings exactly.
+    Q("n19_graph_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val edges = Ann.knnGraphMultiProbe(corpus, cents, k = 6, nprobe = 2)
+        val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
+        val g = Ann.recallAtK(truth,
+          Ann.graphSearch(qs, corpus, cents, edges, k = 5, beam = 4, hops = 3), k = 5)
+        val i = Ann.recallAtK(truth, Ann.ivfSearch(qs, corpus, cents, k = 5), k = 5)
+        val joined = g.select(col("qid"), col("hits").as("hits_graph"),
+            col("recall").as("recall_graph"))
+          .join(i.select(col("qid"), col("hits").as("hits_ivf"),
+            col("recall").as("recall_ivf")), Seq("qid"))
+        // the family gate is a GLOBAL aggregate over the 10-query
+        // recall table (bounded by the query set, never the corpus) —
+        // one single-partition window over 10 rows
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        joined.withColumn("graph_ge_ivf",
+          sum(col("hits_graph")).over(wAll) >= sum(col("hits_ivf")).over(wAll))
+      },
+      Some(s"""WITH $embCte,
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+              |${bfScoredCte("bfs")},
+              |bfr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM bfs) z
+              |        WHERE rn <= 5),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |${assignCtes("e", "c", "ca")},
+              |qa AS (SELECT vid AS qid, v AS qv, cid FROM ca WHERE vid < 10),
+              |${ivfScoredCte("qa", "ivs")},
+              |ivr AS (SELECT qid, neighbor_id, rn FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM ivs) z
+              |        WHERE rn <= 5),
+              |pp AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
+              |egs AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |          floor((list_dot_product(a.v, b.v)
+              |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM pp a JOIN ca b ON a.cid = b.cid AND a.vid <> b.vid),
+              |eg AS (SELECT vid, neighbor_id FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cosine DESC, neighbor_id) AS rn FROM egs) z
+              |       WHERE rn <= 6),
+              |s0 AS (SELECT qid, neighbor_id AS vid FROM ivr WHERE rn = 1),
+              |c1 AS (SELECT DISTINCT s0.qid, eg.neighbor_id AS vid
+              |       FROM s0 JOIN eg ON eg.vid = s0.vid),
+              |f1 AS (SELECT qid, vid FROM c1
+              |       WHERE NOT EXISTS (SELECT 1 FROM s0
+              |                         WHERE s0.qid = c1.qid AND s0.vid = c1.vid)),
+              |x1 AS (SELECT f1.qid, f1.vid,
+              |         floor((list_dot_product(q.qv, e.v)
+              |           /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
+              |       FROM f1 JOIN e ON e.vec_id = f1.vid JOIN q ON q.qid = f1.qid),
+              |b1 AS (SELECT qid, vid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY qid
+              |           ORDER BY cos6 DESC, vid) AS rn FROM x1) z WHERE rn <= 4),
+              |v1 AS (SELECT * FROM s0 UNION SELECT * FROM b1),
+              |c2 AS (SELECT DISTINCT b1.qid, eg.neighbor_id AS vid
+              |       FROM b1 JOIN eg ON eg.vid = b1.vid),
+              |f2 AS (SELECT qid, vid FROM c2
+              |       WHERE NOT EXISTS (SELECT 1 FROM v1
+              |                         WHERE v1.qid = c2.qid AND v1.vid = c2.vid)),
+              |x2 AS (SELECT f2.qid, f2.vid,
+              |         floor((list_dot_product(q.qv, e.v)
+              |           /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
+              |       FROM f2 JOIN e ON e.vec_id = f2.vid JOIN q ON q.qid = f2.qid),
+              |b2 AS (SELECT qid, vid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY qid
+              |           ORDER BY cos6 DESC, vid) AS rn FROM x2) z WHERE rn <= 4),
+              |v2 AS (SELECT * FROM v1 UNION SELECT * FROM b2),
+              |c3 AS (SELECT DISTINCT b2.qid, eg.neighbor_id AS vid
+              |       FROM b2 JOIN eg ON eg.vid = b2.vid),
+              |f3 AS (SELECT qid, vid FROM c3
+              |       WHERE NOT EXISTS (SELECT 1 FROM v2
+              |                         WHERE v2.qid = c3.qid AND v2.vid = c3.vid)),
+              |x3 AS (SELECT f3.qid, f3.vid,
+              |         floor((list_dot_product(q.qv, e.v)
+              |           /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
+              |       FROM f3 JOIN e ON e.vec_id = f3.vid JOIN q ON q.qid = f3.qid),
+              |b3 AS (SELECT qid, vid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY qid
+              |           ORDER BY cos6 DESC, vid) AS rn FROM x3) z WHERE rn <= 4),
+              |v3 AS (SELECT * FROM v2 UNION SELECT * FROM b3),
+              |grx AS (SELECT v3.qid, v3.vid AS neighbor_id,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM v3 JOIN e ON e.vec_id = v3.vid JOIN q ON q.qid = v3.qid
+              |        WHERE v3.qid <> v3.vid),
+              |grr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM grx) z
+              |        WHERE rn <= 5),
+              |hg AS (SELECT qid, count(*) AS hits
+              |       FROM bfr JOIN grr USING (qid, neighbor_id) GROUP BY 1),
+              |hi AS (SELECT qid, count(*) AS hits
+              |       FROM bfr JOIN ivr USING (qid, neighbor_id) GROUP BY 1)
+              |SELECT qq.qid,
+              |       CAST(coalesce(hg.hits, 0) AS BIGINT) AS hits_graph,
+              |       floor((coalesce(hg.hits, 0)/5.0)*1e4 + 0.5)/1e4 AS recall_graph,
+              |       CAST(coalesce(hi.hits, 0) AS BIGINT) AS hits_ivf,
+              |       floor((coalesce(hi.hits, 0)/5.0)*1e4 + 0.5)/1e4 AS recall_ivf,
+              |       (SELECT coalesce(sum(hits), 0) FROM hg)
+              |         >= (SELECT coalesce(sum(hits), 0) FROM hi) AS graph_ge_ivf
+              |FROM (SELECT DISTINCT qid FROM q) qq
+              |LEFT JOIN hg USING (qid) LEFT JOIN hi USING (qid)""".stripMargin)),
+
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient
     // tops out ~0.51), restricted to queries whose top-2 centroid
@@ -2208,6 +2341,70 @@ object TrainQueries extends QuerySet {
              |FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
              |WHERE a.doc_id IN (2000011, 2000490) OR b.doc_id IN (2000011, 2000490)
              |GROUP BY 1, 2""".stripMargin)),
+
+    // D26 — ARBITRARY-LENGTH exact substring dedup (maximal repeated
+    // runs ≥ 20 tokens): d12/d13 count fixed-width shared windows;
+    // this reports each shared span ONCE with its true token length —
+    // the run-merge over positioned rolling-hash windows (see
+    // Dedup.maximalRepeatPairs for the diagonal argument). Plants
+    // exercise the three shapes a fixed window can't distinguish:
+    // doc 3's 25-token span spliced into 1000007 (one 25-token run),
+    // spliced TWICE into 1000011 (two runs on two diagonals against
+    // every other spanA holder), and doc 5's 40-token span into
+    // 1000013 (one 40-token run — 21 overlapping windows collapse to
+    // one row). The oracle rebuilds the same plants and replays
+    // windows, matches, and the pos−row_number() run grouping.
+    Q("d26_substring_runs",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+        def spanOf(id: Long, n: Int) = base.filter(col("doc_id") === id)
+          .select(expr(s"array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, $n), ' ')")
+            .as("span"))
+        val spanA = spanOf(3L, 25)
+        val spanB = spanOf(5L, 40)
+        def splice(recipient: Long, newId: Long, span: org.apache.spark.sql.DataFrame,
+            twice: Boolean) = base.filter(col("doc_id") === recipient)
+          .crossJoin(broadcast(span))
+          .select(lit(newId).as("doc_id"),
+            (if (twice) concat(col("span"), lit(" "), col("text"), lit(" "), col("span"))
+             else concat(col("span"), lit(" "), col("text"))).as("text"))
+        val docs = base
+          .unionByName(splice(7L, 1000007L, spanA, twice = false))
+          .unionByName(splice(11L, 1000011L, spanA, twice = true))
+          .unionByName(splice(13L, 1000013L, spanB, twice = false))
+        Dedup.maximalRepeatPairs(docs, "doc_id", "text", w = 20)
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+             |dnA AS (SELECT array_to_string(
+             |          (string_split_regex(lower(trim(text)), '\s+'))[1:25], ' ') AS span
+             |        FROM base WHERE doc_id = 3),
+             |dnB AS (SELECT array_to_string(
+             |          (string_split_regex(lower(trim(text)), '\s+'))[1:40], ' ') AS span
+             |        FROM base WHERE doc_id = 5),
+             |d AS (SELECT doc_id, text FROM base
+             |      UNION ALL
+             |      SELECT 1000007, span || ' ' || text FROM base, dnA WHERE doc_id = 7
+             |      UNION ALL
+             |      SELECT 1000011, span || ' ' || text || ' ' || span
+             |      FROM base, dnA WHERE doc_id = 11
+             |      UNION ALL
+             |      SELECT 1000013, span || ' ' || text FROM base, dnB WHERE doc_id = 13),
+             |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d),
+             |wn AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |              array_to_string(t[i:i+19], ' ') AS s
+             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+             |             FROM tk WHERE len(t) >= 20) z),
+             |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |             a.pos AS pos_a, b.pos AS pos_b
+             |      FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id),
+             |r AS (SELECT *, pos_a - pos_b AS diag,
+             |        pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+             |                                   ORDER BY pos_a) AS grp
+             |      FROM m)
+             |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+             |       CAST(count(*) + 19 AS BIGINT) AS len_tokens
+             |FROM r GROUP BY doc_a, doc_b, diag, grp""".stripMargin)),
 
     // N7 — IVF multi-probe (nprobe=2, k=3): the recall knob of a real
     // IVF index, fully replayed by the oracle — probe selection and
@@ -2588,23 +2785,15 @@ object TrainQueries extends QuerySet {
         import org.apache.spark.sql.DataFrame
         import graft.ann.{Ann, Pq}
         import graft.streaming.Ingest
-        val tmp = "/tmp/graft_st06_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        // session-keyed root (the lshPairs convention): a dir-only path
+        // lets a concurrent bench+verify process pair delete-and-rebuild
+        // each other's index/checkpoint mid-run
+        val tmp = "/tmp/graft_st06_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val e = Tables.load(s, dir, "embeddings")
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val (_, cb1) = pqChain(s, dir, trainFilter = col("vid") < 400)
-        val encode: DataFrame => DataFrame = batch => {
-          val codes = Pq.assign(
-            Pq.subDims(batch, "vec_id", "embedding", ds = 16), cb1)
-          val buckets = Ann.ivfAssign(
-            batch.select(col("vec_id").as("vid"), col("embedding").as("vec")),
-            cents).select(col("vid"), col("cid").as("bucket"))
-          codes.join(buckets, "vid")
-            .select(col("vid").as("vec_id"), col("bucket"), col("sub"),
-              col("cid").as("code"), col("d2"))
-        }
+        val encode = st06Encode(s, dir)
         val newV = e.filter(col("vec_id") >= 400)
           .select(col("vec_id"), col("embedding"))
         // per-batch encode joins are batch-sized (hundreds of vectors)
@@ -2900,10 +3089,15 @@ object TrainQueries extends QuerySet {
     // each doc's payload is rebuilt with KNOWN scene structure: three
     // 32-char scenes repeated doc-id-derived counts (1+id%4, 1+id%3,
     // 1+id%2 frames) — cuts land exactly at the scene seams (2 per doc
-    // when the scene contents differ; the oracle computes the actual
-    // hashes, so accidental equal scenes stay exact). Headerless
+    // when the scene contents differ; the oracle fingerprints the
+    // actual frames, so accidental equal scenes stay exact). Headerless
     // payload ⇒ decodeHeader's `raw` path, offset 0; stride 1 ⇒ the
-    // full-resolution cut semantic.
+    // full-resolution cut semantic. The oracle frames BYTES, not
+    // characters: it slices hex(encode(pay)) — 2 hex chars per octet,
+    // injective per frame — so frame count and frame content both use
+    // the same byte framing as the Spark side's cast('binary'), and a
+    // multi-byte character in the payload region cannot skew n_cuts /
+    // n_unique (VARCHAR substring would slice codepoints).
     Q("mm08_scene_cuts",
       (s, dir) => {
         val video = Tables.load(s, dir, "documents")
@@ -2925,10 +3119,10 @@ object TrainQueries extends QuerySet {
              |f AS (SELECT doc_id,
              |        octet_length(encode(pay))//32 AS n_frames,
              |        unnest(generate_series(0, octet_length(encode(pay))//32 - 1)) AS i,
-             |        pay
+             |        hex(encode(pay)) AS hx
              |      FROM v),
              |h AS (SELECT doc_id, n_frames, i,
-             |        md5(substring(pay, CAST(i*32 + 1 AS BIGINT), 32)) AS fh
+             |        substring(hx, CAST(i*64 + 1 AS BIGINT), 64) AS fh
              |      FROM f),
              |l AS (SELECT doc_id, n_frames, fh,
              |        lag(fh) OVER (PARTITION BY doc_id ORDER BY i) AS pfh
@@ -3031,7 +3225,9 @@ object TrainQueries extends QuerySet {
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
         import graft.streaming.Ingest
-        val tmp = "/tmp/graft_st11_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        // session-keyed root — same rationale as st06/lshPairs
+        val tmp = "/tmp/graft_st11_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}"
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val docs = Tables.load(s, dir, "documents")
@@ -3047,21 +3243,7 @@ object TrainQueries extends QuerySet {
           .select(col("did").as("old_id"), col("band"), col("bkey"))
         val oldSh = s.read.parquet(s"$tmp/digests")
           .select(col("did").as("old_id"), col("sh"))
-        val admit: DataFrame => DataFrame = batch => {
-          val cand = Dedup.minhashBanded(batch, "doc_id", "text",
-              k = 32, bands = 8, shingleN = 3)
-            .join(idx, Seq("band", "bkey"))
-            .select(col("old_id"), col("did"))
-            .dropDuplicates("old_id", "did")
-          val bSh = Dedup.shingleDigests(batch, "doc_id", "text", n = 3)
-            .groupBy(col("did")).agg(collect_list(col("h")).as("dg"))
-          val c = size(array_intersect(col("dg"), col("sh"))).cast("double")
-          val j = c / (size(col("dg")) + size(col("sh")) - c)
-          cand.join(bSh, Seq("did")).join(oldSh, Seq("old_id"))
-            .filter(j >= 0.5)
-            .select(col("old_id").as("id_a"), col("did").as("id_b"),
-              graft.core.Exprs.roundHalfUp(j, 4).as("jaccard"))
-        }
+        val admit = st11Admit(idx, oldSh)
         // per-batch volumes are wave-sized — 8 shuffle tasks match (the
         // st06/st07 sizing lesson); pair values partitioning-invariant
         val spKey = "spark.sql.shuffle.partitions"
@@ -3083,4 +3265,74 @@ object TrainQueries extends QuerySet {
         "WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5",
         "WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5 " +
           "AND id_a < 300 AND id_b >= 300"))))
+
+  /** st06's per-batch encode (IVF bucket-assign + PQ-encode against the
+    * frozen codebooks) — ONE definition feeds both the streaming query
+    * (through Ingest.encodeAppend) and the CodegenGateSpec probe, so
+    * the probed plan IS the foreachBatch plan. */
+  private def st06Encode(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    import graft.ann.Pq
+    val e = Tables.load(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (_, cb1) = pqChain(s, dir, trainFilter = col("vid") < 400)
+    batch => {
+      val codes = Pq.assign(
+        Pq.subDims(batch, "vec_id", "embedding", ds = 16), cb1)
+      val buckets = Ann.ivfAssign(
+        batch.select(col("vec_id").as("vid"), col("embedding").as("vec")),
+        cents).select(col("vid"), col("cid").as("bucket"))
+      codes.join(buckets, "vid")
+        .select(col("vid").as("vec_id"), col("bucket"), col("sub"),
+          col("cid").as("code"), col("d2"))
+    }
+  }
+
+  /** st11's per-batch admission (band-probe the persisted index, exact
+    * Jaccard against the digest table) — ONE definition for the
+    * streaming query and the CodegenGateSpec probe. */
+  private def st11Admit(idx: org.apache.spark.sql.DataFrame,
+      oldSh: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    batch => {
+      val cand = Dedup.minhashBanded(batch, "doc_id", "text",
+          k = 32, bands = 8, shingleN = 3)
+        .join(idx, Seq("band", "bkey"))
+        .select(col("old_id"), col("did"))
+        .dropDuplicates("old_id", "did")
+      val bSh = Dedup.shingleDigests(batch, "doc_id", "text", n = 3)
+        .groupBy(col("did")).agg(collect_list(col("h")).as("dg"))
+      val c = size(array_intersect(col("dg"), col("sh"))).cast("double")
+      val j = c / (size(col("dg")) + size(col("sh")) - c)
+      cand.join(bSh, Seq("did")).join(oldSh, Seq("old_id"))
+        .filter(j >= 0.5)
+        .select(col("old_id").as("id_a"), col("did").as("id_b"),
+          graft.core.Exprs.roundHalfUp(j, 4).as("jaccard"))
+    }
+
+  /** Batch-side plans of st06/st11 on static frames (the index/digest
+    * sides read directly from their builder plans instead of the
+    * landed parquet — same transform, no temp dirs) — CodegenGateSpec
+    * probe targets (QuerySet.stBatchPlans). */
+  override def stBatchPlans
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "st06_index_add_stream" -> ((s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        st06Encode(s, dir)(
+          e.filter(col("vec_id") >= 400).select(col("vec_id"), col("embedding")))
+      }),
+      "st11_stream_neardup" -> ((s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") < 300)
+        val idx = Dedup.minhashBanded(corpus, "doc_id", "text",
+            k = 32, bands = 8, shingleN = 3)
+          .select(col("did").as("old_id"), col("band"), col("bkey"))
+        val oldSh = Dedup.shingleDigests(corpus, "doc_id", "text", n = 3)
+          .groupBy(col("did")).agg(collect_list(col("h")).as("sh"))
+          .select(col("did").as("old_id"), col("sh"))
+        st11Admit(idx, oldSh)(docs.filter(col("doc_id") >= 300))
+      }))
 }

@@ -179,4 +179,11 @@ object ValidateQueries extends QuerySet {
              |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)),
              |  (SELECT count(*) FROM nation
              |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)) = 0""".stripMargin)))
+
+  /** st01/st02/st03 register their BATCH twins directly (the streaming
+    * wrappers live in StreamingSpec), so the queries themselves are the
+    * batch-side plans — constructible without any stream lifecycle. */
+  override def stBatchPlans
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    all.filter(_.name.startsWith("st")).map(q => q.name -> q.fn).toMap
 }

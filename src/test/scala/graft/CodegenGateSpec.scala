@@ -121,4 +121,29 @@ class CodegenGateSpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"${failures.size} silent-fallback stage(s):\n${failures.mkString("\n\n")}")
   }
+
+  test("every streaming query's batch-side plan compiles under the huge-method limit") {
+    // the st* queries themselves can't be constructed without running
+    // their checkpointed streams, so each registers its per-batch /
+    // batch-twin transform on STATIC frames via QuerySet.stBatchPlans
+    // (same named function where one exists — st06's encode, st11's
+    // admit, st04's slice rebuild, st09's merge); this probes those.
+    // Coverage is asserted first: a new st* query without a batch-side
+    // plan fails here, not silently at runtime.
+    val plans = SparkEntry.streamingBatchPlans
+    val stNames = SparkEntry.queries.keys.filter(_.startsWith("st")).toSet
+    assert(stNames.subsetOf(plans.keySet),
+      s"streaming queries without a probed batch-side plan: ${(stNames -- plans.keySet).toSeq.sorted}")
+    val failures = plans.keys.toSeq.sorted.flatMap { name =>
+      val hits =
+        try CodegenGate.probe(plans(name)(gateSpark, sfDir))
+        catch { case e: Throwable =>
+          Seq(s"plan construction threw ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(200))
+        }
+      hits.map(h => s"$name: $h")
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} silent-fallback stage(s):\n${failures.mkString("\n\n")}")
+  }
 }

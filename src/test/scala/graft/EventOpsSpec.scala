@@ -277,4 +277,40 @@ class EventOpsSpec extends AnyFunSuite {
     assert(EventOps.gapFill(obs, "k", "tick", "v")
       .filter(col("k") === 2L).count() === 1L)
   }
+
+  test("gapFill: pathological span stays bounded — two-level spine, no whole-span array row") {
+    val s = StructType(Seq(StructField("k", LongType),
+      StructField("tick", LongType), StructField("v", LongType)))
+    // one key observed at tick 0 and tick 3e6: a flat
+    // explode(sequence(mn, mx)) would build the whole 3,000,001-tick
+    // span as ONE array row (~24 MB here, multi-GB for a 1e9 span)
+    // before exploding; the chunked spine bounds per-row arrays at
+    // ⌈√span⌉ ≈ 1733 elements and must emit the identical rows
+    val span = 3000000L
+    val obs = df(s, Seq(Row(1L, 0L, 0L), Row(1L, span, 6000000L)))
+    val filled = EventOps.gapFill(obs, "k", "tick", "v")
+    // structural: the spine is TWO nested Generates (block explode ×
+    // bounded inner sequence), not one whole-span Generate (logical
+    // plan — the AQE wrapper hides physical children until execution)
+    val gens = filled.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(gens.size === 2, s"expected 2 spine Generates, got:\n${gens.mkString("\n")}")
+    // structural: no window frame may reach to UNBOUNDED FOLLOWING —
+    // Spark's UnboundedFollowingWindowFunctionFrame rescans the rest of
+    // the partition per row, O(span²) per key (this very fixture ran
+    // ~16 min of CPU and climbing before the backward fill was flipped
+    // to a DESC running frame)
+    val badFrames = filled.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.windowExpressions.mkString.toLowerCase.contains("unboundedfollowing") => w }
+    assert(badFrames.isEmpty,
+      s"O(n^2) UnboundedFollowing window frame:\n${badFrames.mkString("\n")}")
+    assert(filled.count() === span + 1)
+    // interpolation is exact at v = 2*tick (integer-representable doubles)
+    val probe = filled.filter(col("tick").isin(0L, 1L, 1500000L, 2999999L, span))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(probe === Set((0L, 0.0, false), (1L, 2.0, true),
+      (1500000L, 3000000.0, true), (2999999L, 5999998.0, true),
+      (span, 6000000.0, false)))
+  }
 }

@@ -296,11 +296,26 @@ class ScaleSpec extends AnyFunSuite {
       // gapFill: both ignore-null windows must partition on the key —
       // an unpartitioned window here would serialize EVERY series
       // through one task at corpus scale
-      EventOps.gapFill(series, "k", "tick", "v"))
+      EventOps.gapFill(series, "k", "tick", "v"),
+      // asOfNearest: the forward pick must run as a reversed RUNNING
+      // frame — see the UnboundedFollowing assert below
+      EventOps.asOfNearest(
+        evts.select(col("user_id"), col("ts_ms"), col("event_id")),
+        evts.select(col("user_id"), col("ts_ms"), col("event_id"), col("event_id").as("p")),
+        "user_id", "ts_ms", tie = "event_id", payload = "p", tol = 500L))
     for (p <- plans) {
       val wins = p.queryExecution.optimizedPlan.collect { case w: LWindow => w }
       assert(wins.forall(_.partitionSpec.nonEmpty),
         s"unpartitioned window:\n${p.queryExecution.optimizedPlan}")
+      // no frame may reach to UNBOUNDED FOLLOWING: Spark implements it
+      // by rescanning the partition tail PER ROW — O(n²) on a hot key
+      // (the r11 gapFill/asOfNearest lesson; whole-partition frames,
+      // which Spark computes once, don't match this pattern because
+      // their frame is UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING and
+      // these operators use none)
+      assert(wins.forall(!_.windowExpressions.mkString.toLowerCase
+          .contains("unboundedfollowing")),
+        s"O(n^2) UnboundedFollowing frame:\n${p.queryExecution.optimizedPlan}")
       val phys = p.queryExecution.executedPlan.toString
       assert(!phys.contains("CartesianProduct"), s"cross join:\n$phys")
     }

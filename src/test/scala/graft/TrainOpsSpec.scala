@@ -23,6 +23,28 @@ class TrainOpsSpec extends AnyFunSuite {
     Row(3L, "completely different content about spark engines"),
     Row(4L, "the quick brown fox jumps over the lazy dog")))
 
+  test("maximalRepeatPairs: planted runs merge to exact maximal spans, diagonals separate") {
+    // w = 3 keeps the fixture readable; token streams are digits so
+    // every window is unambiguous. doc 1 carries "a b c d e" (5-token
+    // span); doc 2 embeds it once; doc 3 embeds it TWICE (two
+    // diagonals → two rows, not one widened run) plus nothing else
+    // shared; doc 4 shares only a 2-token overlap (below w) → no row.
+    val fixture = df(docSchema, Seq(
+      Row(1L, "a b c d e x1 y1 z1 w1"),
+      Row(2L, "p q a b c d e r s"),
+      Row(3L, "a b c d e m n a b c d e"),
+      Row(4L, "d e only two shared tokens here")))
+    val got = graft.dedup.Dedup.maximalRepeatPairs(fixture, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, 2L, 1L, 3L, 5L),   // "a b c d e" at doc1[1] == doc2[3]
+      (1L, 3L, 1L, 1L, 5L),   // first embed, diagonal 0
+      (1L, 3L, 1L, 8L, 5L),   // second embed, its own diagonal
+      (2L, 3L, 3L, 1L, 5L),
+      (2L, 3L, 3L, 8L, 5L)))
+  }
+
   test("row-local minhash chain emits IDENTICAL (band, bkey) rows to the batch machinery") {
     // the lane-compatibility contract the streaming admission path
     // rests on: a row hashed with shingleDigestsColumn → signatureColumn
@@ -513,6 +535,36 @@ class TrainOpsSpec extends AnyFunSuite {
       .select(col("qid").as("vid"), col("neighbor_id"), col("cosine"), col("rank")))
     assert(graph === brute)
     assert(graph.size === 10) // 5 vectors x top-2
+  }
+
+  test("graphSearch crosses a bucket boundary single-bucket IVF cannot") {
+    import graft.ann.Ann
+    val s = StructType(Seq(StructField("vid", LongType),
+      StructField("vec", ArrayType(DoubleType))))
+    // two orthogonal buckets; v3 sits just inside bucket 0 but its TRUE
+    // nearest neighbor v4 lives just inside bucket 1
+    val corpus = df(s, Seq(
+      Row(1L, Seq(1.0, 0.1)), Row(2L, Seq(1.0, 0.3)),
+      Row(3L, Seq(0.8, 0.75)), Row(4L, Seq(0.75, 0.8)),
+      Row(5L, Seq(0.1, 1.0))))
+    val cS = StructType(Seq(StructField("cid", LongType),
+      StructField("cvec", ArrayType(DoubleType))))
+    val cents = df(cS, Seq(Row(0L, Seq(1.0, 0.0)), Row(1L, Seq(0.0, 1.0))))
+    val q = corpus.filter(col("vid") === 3L)
+      .select(col("vid").as("qid"), col("vec").as("qvec"))
+    // the single-bucket probe is confined to bucket 0 — v4 unreachable
+    val ivfIds = Ann.ivfSearch(q, corpus, cents, k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(ivfIds === Set(1L, 2L))
+    // the multi-probe graph carries the boundary-crossing edge, and the
+    // walk (seed = IVF top-1 = v2, one hop over v2's edges) finds v4
+    // and ranks it first
+    val edges = Ann.knnGraphMultiProbe(corpus, cents, k = 3, nprobe = 2)
+    assert(edges.filter(col("vid") === 2L && col("neighbor_id") === 4L)
+      .count() === 1L, "expected the v2->v4 cross-bucket edge")
+    val g = Ann.graphSearch(q, corpus, cents, edges, k = 2, beam = 2, hops = 2)
+      .orderBy(col("rank")).collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(g.toSeq === Seq((4L, 1L), (2L, 2L)))
   }
 
   test("embedding LSH near-dup: pairs match the exact cross-join twin on high-margin vectors") {
