@@ -2116,7 +2116,10 @@ object TrainQueries extends QuerySet {
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val edges = Ann.knnGraphMultiProbe(corpus, cents, k = 6, nprobe = 2)
+        // truth feeds BOTH recall accountings — checkpoint lazily so
+        // the query×corpus scoring runs once (the pqChain convention)
         val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
+          .localCheckpoint(eager = false)
         val g = Ann.recallAtK(truth,
           Ann.graphSearch(qs, corpus, cents, edges, k = 5, beam = 4, hops = 3), k = 5)
         val i = Ann.recallAtK(truth, Ann.ivfSearch(qs, corpus, cents, k = 5), k = 5)
