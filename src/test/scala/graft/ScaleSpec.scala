@@ -130,6 +130,18 @@ class ScaleSpec extends AnyFunSuite {
       df(pS, Seq(Row(1L, 2L), Row(2L, 3L))), iters = 2)
     val prp = pr.queryExecution.executedPlan.toString
     assert(!prp.contains("CartesianProduct"), s"pagerank cross join:\n$prp")
+    // n19's shapes: the multi-probe graph must self-pair on the bucket
+    // id too (nprobe multiplies the fan, never the join shape), and the
+    // beam walk's hop joins are equi-joins on vid/qid — the only
+    // nested-loop joins in either plan are broadcast centroid crosses
+    val mp = graft.ann.Ann.knnGraphMultiProbe(corpus, cents, k = 2, nprobe = 2)
+    val mpp = mp.queryExecution.executedPlan.toString
+    assert(!mpp.contains("CartesianProduct"), s"multi-probe cross join:\n$mpp")
+    val q = embs.filter(col("vec_id") === 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gs = graft.ann.Ann.graphSearch(q, corpus, cents, mp, k = 2, beam = 2, hops = 2)
+    val gsp = gs.queryExecution.executedPlan.toString
+    assert(!gsp.contains("CartesianProduct"), s"graph-walk cross join:\n$gsp")
   }
 
   test("RangeStab plan: bucket equi-join, no inequality cross join") {
