@@ -178,7 +178,51 @@ object ValidateQueries extends QuerySet {
              |  (SELECT count(*) FROM nation
              |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)),
              |  (SELECT count(*) FROM nation
-             |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)) = 0""".stripMargin)))
+             |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)) = 0""".stripMargin)),
+
+    // VAL6 — snapshot distribution-drift monitor (Validate
+    // .distributionDrift): exact χ²-style drift between two vintages'
+    // value histograms, the pre-mix check a training pipeline runs on
+    // every corpus drop (a silent upstream change shifts distributions
+    // long before it breaks schemas). The "current" vintage is the
+    // purchase slice with cents DOUBLED — a deterministic planted
+    // inflation, so the drift is strictly positive at every SF and the
+    // oracle replays the plant, both histograms, and the nano-quantized
+    // contribution sum exactly (integer-only output; the one division
+    // chain is IEEE +,−,×,÷ — no libm).
+    Q("val06_snapshot_drift",
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            graft.core.Exprs.cents(col("value")).cast("long").as("cents"))
+        graft.validate.Validate.distributionDrift(
+          e.filter(col("event_type") === "view").select(col("cents").as("v")),
+          e.filter(col("event_type") === "purchase")
+            .select((col("cents") * 2L).as("v")),
+          "v", bucketWidth = 2000L, maxBucket = 27)
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |            CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+             |          FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT least(cents//2000, 27) AS bucket, count(*) AS n_ref
+             |      FROM e WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT least((cents*2)//2000, 27) AS bucket, count(*) AS n_cur
+             |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+             |j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
+             |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+             |      FROM r FULL JOIN c ON r.bucket = c.bucket),
+             |t AS (SELECT *, sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+             |      FROM j),
+             |x AS (SELECT bucket, n_ref, n_cur,
+             |        CAST(floor(
+             |          (n_ref/CAST(tr AS DOUBLE) - n_cur/CAST(tc AS DOUBLE))
+             |          * (n_ref/CAST(tr AS DOUBLE) - n_cur/CAST(tc AS DOUBLE))
+             |          / (n_ref/CAST(tr AS DOUBLE) + n_cur/CAST(tc AS DOUBLE))
+             |          * 1e9 + 0.5) AS BIGINT) AS contrib_nano
+             |      FROM t)
+             |SELECT bucket, n_ref, n_cur, contrib_nano,
+             |       CAST(sum(contrib_nano) OVER () AS BIGINT) AS drift_nano
+             |FROM x""".stripMargin)))
 
   /** st01/st02/st03 register their BATCH twins directly (the streaming
     * wrappers live in StreamingSpec), so the queries themselves are the

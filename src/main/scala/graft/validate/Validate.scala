@@ -58,4 +58,46 @@ object Validate {
       .crossJoin(mapunits.agg(count(lit(1)).as("n_mapunit")))
       .select(col("n_rating"), col("n_mapunit"),
         (col("n_rating") === col("n_mapunit")).as("ok"))
+
+  /** Distribution-DRIFT monitor between two snapshot vintages of a
+    * non-negative integer column — the check a training pipeline runs
+    * before mixing a new corpus drop into an old recipe (a silent
+    * upstream change shifts the value distribution long before it
+    * breaks a schema). Exact fixed-width histograms (integer `div`,
+    * tail clamped at `maxBucket`) are full-outer joined and each
+    * bucket contributes the χ²-style term (p−q)²/(p+q) with
+    * p = n_ref/Σref, q = n_cur/Σcur — ONLY +,−,×,÷, never ln (PSI's
+    * log is libm-dependent and not bit-identical across engines).
+    * Contributions are quantized to integer NANOS before summing, so
+    * the total is exact in any order and partitioning (the cents
+    * trick); the output carries no raw doubles at all. The three
+    * whole-table window sums run over one partition of ≤ maxBucket+1
+    * bucket rows — bounded by the histogram width, never the data.
+    *
+    * Returns one row per occupied bucket:
+    * (bucket, n_ref, n_cur, contrib_nano, drift_nano) — drift_nano the
+    * same total on every row; 0 ⟺ identical histograms. */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bucketWidth: Long, maxBucket: Int): DataFrame = {
+    require(bucketWidth > 0 && maxBucket >= 0, "positive width, bucket cap")
+    def hist(df: DataFrame, as: String) = df
+      .select(least(expr(s"$valueCol div $bucketWidth"),
+        lit(maxBucket.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val j = hist(ref, "n_ref").join(hist(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = col("n_ref").cast("double") / col("tr").cast("double")
+    val q = col("n_cur").cast("double") / col("tc").cast("double")
+    j.withColumn("tr", sum(col("n_ref")).over(all))
+      .withColumn("tc", sum(col("n_cur")).over(all))
+      .withColumn("contrib_nano",
+        floor((p - q) * (p - q) / (p + q) * 1e9 + 0.5).cast("long"))
+      .withColumn("drift_nano", sum(col("contrib_nano")).over(all))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        col("contrib_nano"), col("drift_nano"))
+  }
 }

@@ -87,4 +87,24 @@ class PropertySpec extends AnyFunSuite {
       assert(tk <= 100 + 1e-9, s"thickness $tk > slice width")
     }
   }
+
+  test("distributionDrift: zero on identical vintages, positive under a shift, totals exact") {
+    val s = StructType(Seq(StructField("v", LongType)))
+    val vals = (0 until 400).map(i => Row((rnd.nextInt(56) * 1000 + 17).toLong))
+    val a = df(s, vals)
+    val same = graft.validate.Validate.distributionDrift(a, a, "v", 2000L, 27)
+      .collect()
+    assert(same.nonEmpty)
+    // identical histograms ⇒ every contribution and the total are 0
+    assert(same.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+    val shifted = a.select((col("v") * 2L).as("v"))
+    val drift = graft.validate.Validate.distributionDrift(a, shifted, "v", 2000L, 27)
+      .collect()
+    val total = drift.head.getLong(4)
+    assert(total > 0L, "planted shift must register")
+    // drift_nano is the same exact total on every row and equals the
+    // sum of the per-bucket integer contributions (order-independent)
+    assert(drift.forall(_.getLong(4) == total))
+    assert(drift.map(_.getLong(3)).sum == total)
+  }
 }
