@@ -2113,7 +2113,12 @@ object TrainQueries extends QuerySet {
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
-        val cents = e.filter(col("vec_id") < 8)
+        // adaptive centroid count (the n18 convention): fixed centroids
+        // make the Σ nprobe·|bucket|² graph build quadratic as the
+        // corpus grows; at every gated SF the formula still yields 8,
+        // so the measured recall gate above is unchanged
+        val ncent = Ann.adaptiveCentroidCount(e.count())
+        val cents = e.filter(col("vec_id") < ncent)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val edges = Ann.knnGraphMultiProbe(corpus, cents, k = 6, nprobe = 2)
         // truth feeds BOTH recall accountings — checkpoint lazily so
@@ -2144,7 +2149,9 @@ object TrainQueries extends QuerySet {
               |          SELECT *, row_number() OVER (PARTITION BY qid
               |            ORDER BY cosine DESC, neighbor_id) AS rn FROM bfs) z
               |        WHERE rn <= 5),
-              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e
+              |      WHERE vec_id < (SELECT greatest(8, (count(*) + 255) // 256)
+              |                      FROM e)),
               |${assignCtes("e", "c", "ca")},
               |qa AS (SELECT vid AS qid, v AS qv, cid FROM ca WHERE vid < 10),
               |${ivfScoredCte("qa", "ivs")},
