@@ -218,7 +218,7 @@ object Ann {
     * visited set. */
   def graphSearch(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, edges: DataFrame, k: Int, beam: Int,
-      hops: Int): DataFrame = {
+      hops: Int, seedK: Int = 1): DataFrame = {
     val qv = queries.select(col("qid"), col("qvec"))
     val cv = corpus.select(col("vid"), col("vec"))
     // the edge list is probed once per hop — checkpoint lazily so the
@@ -230,7 +230,12 @@ object Ann {
     // AND the visited union, replicating the ivfAssign/scoring
     // subtrees ~2^hops times (measured 16.7 s → 2.9 s at sf0.1).
     // Each checkpointed frame is ≤ queries·beam rows — driver-light.
-    val seed = ivfSearch(queries, corpus, centroids, k = 1)
+    // multi-entry seeding (seedK > 1): one entry point per query stops
+    // covering a bucket as buckets grow — measured at 10× corpus, the
+    // single-seed walk fell below the IVF baseline (35 v 47 of 50)
+    // while 3 seeds cleared it; this is the flat-graph stand-in for
+    // HNSW's upper-layer long-range entries
+    val seed = ivfSearch(queries, corpus, centroids, k = seedK)
       .select(col("qid"), col("neighbor_id").as("vid"))
       .localCheckpoint(eager = false)
     var visited = seed

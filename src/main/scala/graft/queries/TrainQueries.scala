@@ -2093,16 +2093,19 @@ object TrainQueries extends QuerySet {
     // N19 — graph-ANN SEARCH: the query-time half of graph-based ANN
     // (the public HNSW/NSG idea at one layer), completing the family's
     // third access shape — flat (n01), inverted (n02), graph (here).
-    // Each query seeds at its IVF top-1, then beam-walks (beam 4, 3
-    // hops) the CROSS-BUCKET kNN graph (knnGraphMultiProbe, degree 6,
-    // nprobe 2 — boundary-crossing edges are what single-bucket IVF
-    // lacks; degree 3 measured BELOW the IVF baseline at every SF, 6
-    // clears it) and exact-reranks the ≤ 13 visited vertices. Output
-    // is the n13-style recall table vs brute-force truth for BOTH
-    // searches plus the family gate graph_ge_ivf: total graph hits ≥
-    // total IVF hits — the walk must recover at least what the probe
-    // it seeds from recovers (measured, of 50: 44 vs 42 at sf0.001,
-    // 42 vs 39 at sf0.01, 45 vs 41 at sf0.1). Every ranking —
+    // Each query seeds at its IVF top-5 (multi-entry — one seed stops
+    // covering a bucket as buckets grow; at 10× corpus the single-seed
+    // walk measured BELOW the IVF baseline, 35 v 47, while 5 seeds
+    // clear it at every scale), then beam-walks (beam 8, 3 hops) the
+    // CROSS-BUCKET kNN graph (knnGraphMultiProbe, degree 6, nprobe 2 —
+    // boundary-crossing edges are what single-bucket IVF lacks;
+    // degree 3 measured below baseline at every SF, 6 clears it) and
+    // exact-reranks the ≤ 29 visited vertices. Output is the
+    // n13-style recall table vs brute-force truth for BOTH searches
+    // plus the family gate graph_ge_ivf: total graph hits ≥ total IVF
+    // hits — the walk must recover at least what the probe it seeds
+    // from recovers (measured, of 50: 45 vs 42 at sf0.001, 42 vs 39
+    // at sf0.01, 45 vs 41 at sf0.1, 49 vs 47 at sf1). Every ranking —
     // assignment, probe choice, edge list, frontier, re-rank — is the
     // round-6-quantized cosine with id tiebreaks, so the DuckDB
     // oracle replays the ENTIRE walk (unrolled to 3 hops) and both
@@ -2126,7 +2129,8 @@ object TrainQueries extends QuerySet {
         val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
           .localCheckpoint(eager = false)
         val g = Ann.recallAtK(truth,
-          Ann.graphSearch(qs, corpus, cents, edges, k = 5, beam = 4, hops = 3), k = 5)
+          Ann.graphSearch(qs, corpus, cents, edges, k = 5, beam = 8,
+            hops = 3, seedK = 5), k = 5)
         val i = Ann.recallAtK(truth, Ann.ivfSearch(qs, corpus, cents, k = 5), k = 5)
         val joined = g.select(col("qid"), col("hits").as("hits_graph"),
             col("recall").as("recall_graph"))
@@ -2170,7 +2174,7 @@ object TrainQueries extends QuerySet {
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cosine DESC, neighbor_id) AS rn FROM egs) z
               |       WHERE rn <= 6),
-              |s0 AS (SELECT qid, neighbor_id AS vid FROM ivr WHERE rn = 1),
+              |s0 AS (SELECT qid, neighbor_id AS vid FROM ivr WHERE rn <= 5),
               |c1 AS (SELECT DISTINCT s0.qid, eg.neighbor_id AS vid
               |       FROM s0 JOIN eg ON eg.vid = s0.vid),
               |f1 AS (SELECT qid, vid FROM c1
@@ -2182,7 +2186,7 @@ object TrainQueries extends QuerySet {
               |       FROM f1 JOIN e ON e.vec_id = f1.vid JOIN q ON q.qid = f1.qid),
               |b1 AS (SELECT qid, vid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY qid
-              |           ORDER BY cos6 DESC, vid) AS rn FROM x1) z WHERE rn <= 4),
+              |           ORDER BY cos6 DESC, vid) AS rn FROM x1) z WHERE rn <= 8),
               |v1 AS (SELECT * FROM s0 UNION SELECT * FROM b1),
               |c2 AS (SELECT DISTINCT b1.qid, eg.neighbor_id AS vid
               |       FROM b1 JOIN eg ON eg.vid = b1.vid),
@@ -2195,7 +2199,7 @@ object TrainQueries extends QuerySet {
               |       FROM f2 JOIN e ON e.vec_id = f2.vid JOIN q ON q.qid = f2.qid),
               |b2 AS (SELECT qid, vid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY qid
-              |           ORDER BY cos6 DESC, vid) AS rn FROM x2) z WHERE rn <= 4),
+              |           ORDER BY cos6 DESC, vid) AS rn FROM x2) z WHERE rn <= 8),
               |v2 AS (SELECT * FROM v1 UNION SELECT * FROM b2),
               |c3 AS (SELECT DISTINCT b2.qid, eg.neighbor_id AS vid
               |       FROM b2 JOIN eg ON eg.vid = b2.vid),
@@ -2208,7 +2212,7 @@ object TrainQueries extends QuerySet {
               |       FROM f3 JOIN e ON e.vec_id = f3.vid JOIN q ON q.qid = f3.qid),
               |b3 AS (SELECT qid, vid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY qid
-              |           ORDER BY cos6 DESC, vid) AS rn FROM x3) z WHERE rn <= 4),
+              |           ORDER BY cos6 DESC, vid) AS rn FROM x3) z WHERE rn <= 8),
               |v3 AS (SELECT * FROM v2 UNION SELECT * FROM b3),
               |grx AS (SELECT v3.qid, v3.vid AS neighbor_id,
               |          floor((list_dot_product(q.qv, e.v)
