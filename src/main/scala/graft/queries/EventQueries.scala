@@ -202,8 +202,9 @@ object EventQueries extends QuerySet {
         import org.apache.spark.sql.streaming.Trigger
         // session-keyed root (the lshPairs convention) — concurrent
         // processes must not clobber each other's checkpoint/drop
-        val tmp = "/tmp/graft_st07_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val tmp = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_st07_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -277,8 +278,9 @@ object EventQueries extends QuerySet {
     Q("st10_stream_outer_join",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        val tmp = "/tmp/graft_st10_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val tmp = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_st10_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -827,8 +829,9 @@ object EventQueries extends QuerySet {
     Q("st08_watermark_drop",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        val tmp = "/tmp/graft_st08_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val tmp = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_st08_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val ev = Tables.events(s, dir).select(col("ts"), col("event_type"))

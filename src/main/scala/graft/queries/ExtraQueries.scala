@@ -570,8 +570,9 @@ object ExtraQueries extends QuerySet {
         // session-keyed root (the lshPairs convention): a dir-only path
         // lets a concurrent bench+verify process pair delete each
         // other's checkpoint/lake mid-run
-        val tmp = "/tmp/graft_st04_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val tmp = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_st04_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         // fresh run — a stale checkpoint would replay nothing and a
         // stale lake could mask a code change
         val p = new org.apache.hadoop.fs.Path(tmp)
@@ -636,7 +637,7 @@ object ExtraQueries extends QuerySet {
       // these files under this session's still-registered tables
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_") +
         s"_${System.identityHashCode(s)}"
-      val base = s"/tmp/graft_bkt_$suffix"
+      val base = graft.io.TmpRoots.cleanupOnExit(s"/tmp/graft_bkt_$suffix")
       def land(df: org.apache.spark.sql.DataFrame, name: String, key: String): String = {
         val t = s"bkt_${name}_$suffix"
         s.sql(s"DROP TABLE IF EXISTS $t")

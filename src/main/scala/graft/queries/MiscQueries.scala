@@ -35,8 +35,9 @@ object MiscQueries extends QuerySet {
           .select(col("r_regionkey"), col("r_name")).unionByName(planted)
         // session-keyed landing (the lshPairs convention): a concurrent
         // process overwriting the CSV mid-read would corrupt the gate
-        val tmp = "/tmp/graft_s01_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val tmp = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_s01_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         PipeCsv.write(region, tmp)
         PipeCsv.read(s, tmp, region.schema)
       },
@@ -55,8 +56,9 @@ object MiscQueries extends QuerySet {
     Q("s04_wss_canned_zip",
       (s, dir) => {
         import java.util.zip.{ZipEntry, ZipOutputStream}
-        val root = "/tmp/graft_s04_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val root = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_s04_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         val p = new org.apache.hadoop.fs.Path(root)
         val conf = s.sparkContext.hadoopConfiguration
         p.getFileSystem(conf).delete(p, true)
@@ -112,8 +114,9 @@ object MiscQueries extends QuerySet {
       (s, dir) => {
         import graft.sdv.SdvPlanner
         import graft.schema.SdvCatalog
-        val root = "/tmp/graft_s02_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val root = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_s02_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         val area = "NE109"
         val fk = s.createDataFrame(
           SdvPlanner.defaultFks.map { case (p, c, k) => (p, c, k, k) })

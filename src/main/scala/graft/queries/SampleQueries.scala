@@ -152,8 +152,9 @@ object SampleQueries extends QuerySet {
     // as s15, now through the streaming machinery.
     Q("st09_stream_cdc_apply",
       (s, dir) => {
-        val tmp = "/tmp/graft_st09_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val tmp = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_st09_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val (oldSnap, newSnap) = snapshotPair(s, dir)
@@ -391,8 +392,9 @@ object SampleQueries extends QuerySet {
   private def landFragmented(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     fragMemo.getOrElseUpdate((s, dir), {
-      val base = "/tmp/graft_cmp_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      val base = graft.io.TmpRoots.cleanupOnExit(
+        "/tmp/graft_cmp_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s)))
       val l = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
       l.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
@@ -415,8 +417,9 @@ object SampleQueries extends QuerySet {
   private def landPartitioned(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     partMemo.getOrElseUpdate((s, dir), {
-      val base = "/tmp/graft_part_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      val base = graft.io.TmpRoots.cleanupOnExit(
+        "/tmp/graft_part_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s)))
       graft.Tables.events(s, dir)
         .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("value"))
@@ -435,8 +438,9 @@ object SampleQueries extends QuerySet {
   private def landFormats(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     fmtMemo.getOrElseUpdate((s, dir), {
-      val base = "/tmp/graft_fmt_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      val base = graft.io.TmpRoots.cleanupOnExit(
+        "/tmp/graft_fmt_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s)))
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
       d.write.mode("overwrite").orc(s"$base/orc")
@@ -478,8 +482,9 @@ object SampleQueries extends QuerySet {
       // session identity in the path (the landPartitioned convention):
       // a dir-only path lets a second session/process overwrite the
       // parquet while this session's memoized reader is mid-scan
-      val base = "/tmp/graft_evo_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      val base = graft.io.TmpRoots.cleanupOnExit(
+        "/tmp/graft_evo_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s)))
       val e = Tables.events(s, dir)
       e.filter(col("event_id") % 2 === 0)
         .select(col("event_id"), col("user_id"),

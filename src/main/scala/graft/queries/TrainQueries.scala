@@ -488,8 +488,9 @@ object TrainQueries extends QuerySet {
       // path carries the session identity (as landPartitioned does):
       // a dir-only path lets a second session/process overwrite the
       // parquet while this session's memoized reader is mid-scan
-      val p = s"/tmp/graft_pairs_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
-        s"_${System.identityHashCode(s)}"
+      val p = graft.io.TmpRoots.cleanupOnExit(
+        s"/tmp/graft_pairs_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${System.identityHashCode(s)}")
       Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id",
         "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5)
         .write.mode("overwrite").parquet(p)
@@ -509,8 +510,8 @@ object TrainQueries extends QuerySet {
   private def paraLshPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = paraPairMemo.getOrElseUpdate((s, dir), {
-      val p = s"/tmp/graft_para_pairs_" +
-        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${System.identityHashCode(s)}"
+      val p = graft.io.TmpRoots.cleanupOnExit(s"/tmp/graft_para_pairs_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${System.identityHashCode(s)}")
       Dedup.paragraphMinhashPairs(paraDocsDf(s, dir), "doc_id", "text")
         .write.mode("overwrite").parquet(p)
       p
@@ -2109,7 +2110,13 @@ object TrainQueries extends QuerySet {
     // assignment, probe choice, edge list, frontier, re-rank — is the
     // round-6-quantized cosine with id tiebreaks, so the DuckDB
     // oracle replays the ENTIRE walk (unrolled to 3 hops) and both
-    // recall accountings exactly.
+    // recall accountings exactly. The walk CTEs are AS MATERIALIZED:
+    // the hop DAG references eg 3× and each v_i twice (union +
+    // NOT EXISTS), and DuckDB's default CTE inlining re-expands the
+    // 17M-row edge-scoring pipeline per reference — the oracle-side
+    // mirror of the lineage blow-up the Spark side breaks with lazy
+    // localCheckpoints (measured at sf1: >37 GB of spill and an OOM
+    // uninlined, 10 s materialized).
     Q("n19_graph_ann",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -2170,11 +2177,11 @@ object TrainQueries extends QuerySet {
               |          floor((list_dot_product(a.v, b.v)
               |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
               |        FROM pp a JOIN ca b ON a.cid = b.cid AND a.vid <> b.vid),
-              |eg AS (SELECT vid, neighbor_id FROM (
+              |eg AS MATERIALIZED (SELECT vid, neighbor_id FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cosine DESC, neighbor_id) AS rn FROM egs) z
               |       WHERE rn <= 6),
-              |s0 AS (SELECT qid, neighbor_id AS vid FROM ivr WHERE rn <= 5),
+              |s0 AS MATERIALIZED (SELECT qid, neighbor_id AS vid FROM ivr WHERE rn <= 5),
               |c1 AS (SELECT DISTINCT s0.qid, eg.neighbor_id AS vid
               |       FROM s0 JOIN eg ON eg.vid = s0.vid),
               |f1 AS (SELECT qid, vid FROM c1
@@ -2184,10 +2191,10 @@ object TrainQueries extends QuerySet {
               |         floor((list_dot_product(q.qv, e.v)
               |           /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
               |       FROM f1 JOIN e ON e.vec_id = f1.vid JOIN q ON q.qid = f1.qid),
-              |b1 AS (SELECT qid, vid FROM (
+              |b1 AS MATERIALIZED (SELECT qid, vid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY qid
               |           ORDER BY cos6 DESC, vid) AS rn FROM x1) z WHERE rn <= 8),
-              |v1 AS (SELECT * FROM s0 UNION SELECT * FROM b1),
+              |v1 AS MATERIALIZED (SELECT * FROM s0 UNION SELECT * FROM b1),
               |c2 AS (SELECT DISTINCT b1.qid, eg.neighbor_id AS vid
               |       FROM b1 JOIN eg ON eg.vid = b1.vid),
               |f2 AS (SELECT qid, vid FROM c2
@@ -2197,10 +2204,10 @@ object TrainQueries extends QuerySet {
               |         floor((list_dot_product(q.qv, e.v)
               |           /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
               |       FROM f2 JOIN e ON e.vec_id = f2.vid JOIN q ON q.qid = f2.qid),
-              |b2 AS (SELECT qid, vid FROM (
+              |b2 AS MATERIALIZED (SELECT qid, vid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY qid
               |           ORDER BY cos6 DESC, vid) AS rn FROM x2) z WHERE rn <= 8),
-              |v2 AS (SELECT * FROM v1 UNION SELECT * FROM b2),
+              |v2 AS MATERIALIZED (SELECT * FROM v1 UNION SELECT * FROM b2),
               |c3 AS (SELECT DISTINCT b2.qid, eg.neighbor_id AS vid
               |       FROM b2 JOIN eg ON eg.vid = b2.vid),
               |f3 AS (SELECT qid, vid FROM c3
@@ -2210,10 +2217,10 @@ object TrainQueries extends QuerySet {
               |         floor((list_dot_product(q.qv, e.v)
               |           /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
               |       FROM f3 JOIN e ON e.vec_id = f3.vid JOIN q ON q.qid = f3.qid),
-              |b3 AS (SELECT qid, vid FROM (
+              |b3 AS MATERIALIZED (SELECT qid, vid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY qid
               |           ORDER BY cos6 DESC, vid) AS rn FROM x3) z WHERE rn <= 8),
-              |v3 AS (SELECT * FROM v2 UNION SELECT * FROM b3),
+              |v3 AS MATERIALIZED (SELECT * FROM v2 UNION SELECT * FROM b3),
               |grx AS (SELECT v3.qid, v3.vid AS neighbor_id,
               |          floor((list_dot_product(q.qv, e.v)
               |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cosine
@@ -2802,8 +2809,9 @@ object TrainQueries extends QuerySet {
         // session-keyed root (the lshPairs convention): a dir-only path
         // lets a concurrent bench+verify process pair delete-and-rebuild
         // each other's index/checkpoint mid-run
-        val tmp = "/tmp/graft_st06_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val tmp = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_st06_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val e = Tables.load(s, dir, "embeddings")
@@ -3240,8 +3248,9 @@ object TrainQueries extends QuerySet {
         import org.apache.spark.sql.DataFrame
         import graft.streaming.Ingest
         // session-keyed root — same rationale as st06/lshPairs
-        val tmp = "/tmp/graft_st11_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.identityHashCode(s)}"
+        val tmp = graft.io.TmpRoots.cleanupOnExit(
+          "/tmp/graft_st11_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.identityHashCode(s)}")
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val docs = Tables.load(s, dir, "documents")
