@@ -538,6 +538,37 @@ object Multimodal {
         countDistinct(col("frame_hash")).as("n_unique"))
   }
 
+  /** KEYFRAME selection over a [[sampleFrames]] frame table — the
+    * artifact video curation ships downstream (one representative
+    * frame per scene, captioned/embedded instead of every frame):
+    * scenes are maximal runs of identical consecutive frame hashes
+    * ([[sceneCuts]]' segmentation made explicit — scene_id is the
+    * running cut count, 1-based since the first frame opens scene 1),
+    * and each scene's keyframe is its FIRST frame (deterministic; the
+    * earliest appearance is the standard choice when frames within a
+    * scene hash identically). Emits one row per (doc_id, scene_id):
+    * (doc_id, scene_id, key_frame_idx, n_scene_frames).
+    *
+    * Plan: one lag window + one running-sum window (both partitioned
+    * on doc_id, both RUNNING frames — the r11 UnboundedFollowing ban
+    * applies here too) + the per-(doc, scene) aggregate riding the
+    * same exchange: one shuffle total, window state bounded by a
+    * single doc's sampled frames. */
+  def keyframes(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("__cut",
+        when(lag(col("frame_hash"), 1).over(w).isNull ||
+          lag(col("frame_hash"), 1).over(w) =!= col("frame_hash"), 1L)
+          .otherwise(0L))
+      .withColumn("scene_id",
+        sum(col("__cut")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("key_frame_idx"),
+        count(lit(1)).as("n_scene_frames"))
+  }
+
   /** Partition-batched feature extraction over a binary column: header
     * decode (format, dimensions) + payload content hash. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {

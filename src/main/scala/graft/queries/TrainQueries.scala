@@ -3155,6 +3155,53 @@ object TrainQueries extends QuerySet {
              |       CAST(count(DISTINCT fh) AS BIGINT) AS n_unique
              |FROM l GROUP BY doc_id""".stripMargin)),
 
+    // MM10 — KEYFRAME selection: one representative frame per scene —
+    // the artifact video curation ships downstream (caption/embed the
+    // keyframe, not every frame). Same known-scene-structure payloads
+    // as mm08 (three 32-char scenes repeated id-derived counts), same
+    // byte framing; scenes are maximal equal-hash runs, keyframe = the
+    // scene's first frame. The oracle replays segmentation with the
+    // mm08 hex-fingerprint convention: a cut flag via lag, scene_id as
+    // the running cut sum, then the per-(doc, scene) first-frame +
+    // length aggregate — every value integer, every window RUNNING.
+    Q("mm10_keyframes",
+      (s, dir) => {
+        val video = Tables.load(s, dir, "documents")
+          .filter(length(col("text")) >= 96)
+          .select(col("doc_id"),
+            concat(
+              expr("repeat(substring(text, 1, 32), CAST(1 + doc_id % 4 AS INT))"),
+              expr("repeat(substring(text, 33, 32), CAST(1 + doc_id % 3 AS INT))"),
+              expr("repeat(substring(text, 65, 32), CAST(1 + doc_id % 2 AS INT))"))
+              .cast("binary").as("bytes"))
+        Multimodal.keyframes(Multimodal.sampleFrames(
+          video, "doc_id", "bytes", frameBytes = 32, stride = 1).toDF())
+      },
+      Some("""WITH v AS (SELECT doc_id,
+             |            repeat(substring(text, 1, 32), CAST(1 + doc_id % 4 AS INT)) ||
+             |            repeat(substring(text, 33, 32), CAST(1 + doc_id % 3 AS INT)) ||
+             |            repeat(substring(text, 65, 32), CAST(1 + doc_id % 2 AS INT)) AS pay
+             |          FROM documents WHERE length(text) >= 96),
+             |f AS (SELECT doc_id,
+             |        unnest(generate_series(0, octet_length(encode(pay))//32 - 1)) AS i,
+             |        hex(encode(pay)) AS hx
+             |      FROM v),
+             |h AS (SELECT doc_id, i,
+             |        substring(hx, CAST(i*64 + 1 AS BIGINT), 64) AS fh
+             |      FROM f),
+             |l AS (SELECT doc_id, i, fh,
+             |        CASE WHEN lag(fh) OVER w IS NULL OR lag(fh) OVER w <> fh
+             |             THEN 1 ELSE 0 END AS cut
+             |      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |sc AS (SELECT doc_id, i,
+             |         sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+             |           ROWS UNBOUNDED PRECEDING) AS scene_id
+             |       FROM l)
+             |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+             |       CAST(min(i) AS BIGINT) AS key_frame_idx,
+             |       count(*) AS n_scene_frames
+             |FROM sc GROUP BY doc_id, scene_id""".stripMargin)),
+
     // MM9 — caption/subtitle alignment: every sampled frame (mm02's
     // 32-byte frames at stride 4, 5 fps ⇒ 200 ms per frame) is
     // assigned the caption on screen at its timestamp. The caption

@@ -150,6 +150,23 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got(1).format === "raw" && got(1).channels.isEmpty)
   }
 
+  test("keyframes: equal-hash runs segment into scenes, keyframe is the first frame") {
+    import org.apache.spark.sql.types.{StructField => F}
+    val s = StructType(Seq(F("doc_id", LongType), F("frame_idx", LongType),
+      F("n_frames", LongType), F("frame_hash", StringType)))
+    // doc 1: AAB BA → scenes [0,1]=A, [2,3]=B, [4]=A (a RE-USED hash
+    // opens a NEW scene — runs, not distinct values); doc 2: single frame
+    val frames = df(s, Seq(
+      Row(1L, 0L, 5L, "A"), Row(1L, 1L, 5L, "A"), Row(1L, 2L, 5L, "B"),
+      Row(1L, 3L, 5L, "B"), Row(1L, 4L, 5L, "A"),
+      Row(2L, 0L, 1L, "Z")))
+    val got = graft.mm.Multimodal.keyframes(frames)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 1L, 0L, 2L), (1L, 2L, 2L, 2L), (1L, 3L, 4L, 1L),
+      (2L, 1L, 0L, 1L)))
+  }
+
   test("sampleFrames: header-offset payload, stride, partial tail dropped") {
     import graft.mm.Multimodal
     val d = df(docSchema, Seq(Row(1L, "a" * 70), Row(2L, "b" * 20)))
