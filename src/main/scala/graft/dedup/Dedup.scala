@@ -542,6 +542,15 @@ object Dedup {
           col("a.s") === col("b.s"))
       .select(col("a.did").as("doc_a"), col("b.did").as("doc_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    runMerge(m, w)
+  }
+
+  /** The diagonal run-merge shared by [[maximalRepeatPairs]] and its
+    * incremental twin: matched (doc_a, doc_b, pos_a, pos_b) window
+    * occurrences → one row per maximal consecutive run along each
+    * (doc_a, doc_b, pos_a − pos_b) diagonal, via pos − row_number()
+    * grouping. Input rows must be unique per (pair, diagonal, pos_a). */
+  private def runMerge(m: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val diag = col("pos_a") - col("pos_b")
     val runW = Window.partitionBy(col("doc_a"), col("doc_b"), diag)
@@ -552,6 +561,35 @@ object Dedup {
         (count(lit(1)) + (w - 1)).as("len_tokens"))
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("len_tokens"))
+  }
+
+  /** Incremental [[maximalRepeatPairs]]: maximal cross-doc repeated
+    * runs ≥ `w` tokens touching at least one ARRIVING doc — new×corpus
+    * and new×new, never corpus×corpus (the d13 ingestion contract at
+    * run granularity). One side of every candidate is pinned to the
+    * batch by a broadcast semi-join before the window-hash equi-join,
+    * so per-batch work is ∝ batch × match fan, never corpus²; matches
+    * are oriented (doc_a < doc_b, positions swapped alongside) and
+    * deduped BEFORE the diagonal merge — a new×new pair meets once
+    * from each side and a duplicated diagonal row would split or
+    * double-count its run. Ids must be disjoint across the inputs.
+    * Returns the [[maximalRepeatPairs]] shape. */
+  def maximalRepeatPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, w: Int = 20): DataFrame = {
+    val win = positionedWindowRows(newDocs.unionByName(corpus), idCol, textCol, w)
+    val probe = win.join(
+      broadcast(newDocs.select(col(idCol).as("did"))), Seq("did"), "left_semi")
+    val m = probe.as("a").join(win.as("b"),
+        col("a.h") === col("b.h") && col("a.did") =!= col("b.did") &&
+          col("a.s") === col("b.s"))
+      .select(least(col("a.did"), col("b.did")).as("doc_a"),
+        greatest(col("a.did"), col("b.did")).as("doc_b"),
+        when(col("a.did") < col("b.did"), col("a.pos"))
+          .otherwise(col("b.pos")).as("pos_a"),
+        when(col("a.did") < col("b.did"), col("b.pos"))
+          .otherwise(col("a.pos")).as("pos_b"))
+      .distinct()
+    runMerge(m, w)
   }
 
   /** Incremental substring-window pairs: every pair involving at least

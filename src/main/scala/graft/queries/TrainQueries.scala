@@ -2427,6 +2427,65 @@ object TrainQueries extends QuerySet {
              |       CAST(count(*) + 19 AS BIGINT) AS len_tokens
              |FROM r GROUP BY doc_a, doc_b, diag, grp""".stripMargin)),
 
+    // D27 — d26's INGEST-time twin: maximal repeated runs touching the
+    // arriving batch only — new×corpus and new×new, never
+    // corpus×corpus (the d13 contract at run granularity; one side of
+    // every candidate pins to the batch via a broadcast semi-join, so
+    // per-batch work is ∝ batch, never corpus²). Non-vacuity cuts both
+    // ways: the batch splice must pair with the donor AND the
+    // in-corpus recipient, the verbatim re-land must pair with its
+    // source as one whole-doc run, and the corpus-resident
+    // (donor × in-corpus-recipient) run — which DOES exist — must NOT
+    // appear. Matches are oriented-then-deduped BEFORE the diagonal
+    // merge (a new×new pair meets once from each probe side; a
+    // duplicated diagonal row would split its run).
+    Q("d27_substring_runs_incremental",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+        val spanA = base.filter(col("doc_id") === 3)
+          .select(expr("array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, 25), ' ')")
+            .as("span"))
+        def splice(recipient: Long, newId: Long) = base
+          .filter(col("doc_id") === recipient)
+          .crossJoin(broadcast(spanA))
+          .select(lit(newId).as("doc_id"),
+            concat(col("span"), lit(" "), col("text")).as("text"))
+        val corpus = base.unionByName(splice(7L, 1000007L))
+        val batch = splice(11L, 2000011L).unionByName(
+          base.filter(col("doc_id") === 490)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        Dedup.maximalRepeatPairsIncremental(batch, corpus, "doc_id", "text")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+             |dnA AS (SELECT array_to_string(
+             |          (string_split_regex(lower(trim(text)), '\s+'))[1:25], ' ') AS span
+             |        FROM base WHERE doc_id = 3),
+             |d AS (SELECT doc_id, text FROM base
+             |      UNION ALL
+             |      SELECT 1000007, span || ' ' || text FROM base, dnA WHERE doc_id = 7
+             |      UNION ALL
+             |      SELECT 2000011, span || ' ' || text FROM base, dnA WHERE doc_id = 11
+             |      UNION ALL
+             |      SELECT 2000490, text FROM base WHERE doc_id = 490),
+             |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d),
+             |wn AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |              array_to_string(t[i:i+19], ' ') AS s
+             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+             |             FROM tk WHERE len(t) >= 20) z),
+             |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |             a.pos AS pos_a, b.pos AS pos_b
+             |      FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      WHERE a.doc_id IN (2000011, 2000490)
+             |         OR b.doc_id IN (2000011, 2000490)),
+             |r AS (SELECT *, pos_a - pos_b AS diag,
+             |        pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+             |                                   ORDER BY pos_a) AS grp
+             |      FROM m)
+             |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+             |       CAST(count(*) + 19 AS BIGINT) AS len_tokens
+             |FROM r GROUP BY doc_a, doc_b, diag, grp""".stripMargin)),
+
     // N7 — IVF multi-probe (nprobe=2, k=3): the recall knob of a real
     // IVF index, fully replayed by the oracle — probe selection and
     // bucket assignment both rank on the round-6 cosine, so the

@@ -45,6 +45,30 @@ class TrainOpsSpec extends AnyFunSuite {
       (2L, 3L, 3L, 8L, 5L)))
   }
 
+  test("maximalRepeatPairsIncremental == full run-merge restricted to batch-touching pairs") {
+    val fixture = df(docSchema, Seq(
+      Row(1L, "a b c d e x1 y1 z1 w1"),
+      Row(2L, "p q a b c d e r s"),
+      Row(11L, "a b c d e m n a b c d e"),
+      Row(12L, "d e only two shared tokens here")))
+    val corpus = fixture.filter(col("doc_id") < 10L)
+    val batch = fixture.filter(col("doc_id") >= 10L)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val inc = rows(graft.dedup.Dedup
+      .maximalRepeatPairsIncremental(batch, corpus, "doc_id", "text", w = 3))
+    val full = rows(graft.dedup.Dedup
+      .maximalRepeatPairs(fixture, "doc_id", "text", w = 3)
+      .filter(col("doc_a") >= 10L || col("doc_b") >= 10L))
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    // the corpus-resident (1, 2) run exists in the full output but must
+    // never surface through the incremental probe
+    assert(rows(graft.dedup.Dedup.maximalRepeatPairs(fixture, "doc_id", "text", w = 3))
+      .exists(r => r._1 == 1L && r._2 == 2L))
+  }
+
   test("row-local minhash chain emits IDENTICAL (band, bkey) rows to the batch machinery") {
     // the lane-compatibility contract the streaming admission path
     // rests on: a row hashed with shingleDigestsColumn → signatureColumn
