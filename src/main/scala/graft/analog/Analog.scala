@@ -154,6 +154,54 @@ object Analog {
       col("hzdept"), col("hzdepb"),
       col("crating").as("rating"), col("cord").as("ratingOrd"))
 
+  // -------------------------------------------------------------------
+  // Restriction analog (corestrictions: cokey, resdept_r): two depths
+  // per component — (o_orderkey % 7)*30 sits ON the synthetic horizon
+  // grid and matches iff the order has enough lineitems (mixed
+  // outcomes, data-dependent), while (o_orderkey % 5)*30 + 15 sits
+  // BETWEEN horizon tops and always violates (non-vacuous at every SF,
+  // the val05 deliberate-wrongness pattern).
+
+  val restrCte: String =
+    """restr AS (
+      |  SELECT o_orderkey AS cokey, CAST((o_orderkey % 7) * 30 AS DOUBLE) AS resdept
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST((o_orderkey % 5) * 30 + 15 AS DOUBLE)
+      |  FROM orders)""".stripMargin
+
+  def restr(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.select(col("o_orderkey").as("cokey"),
+        ((col("o_orderkey") % 7) * 30).cast("double").as("resdept"))
+      .unionByName(o.select(col("o_orderkey").as("cokey"),
+        ((col("o_orderkey") % 5) * 30 + 15).cast("double").as("resdept")))
+  }
+
+  // -------------------------------------------------------------------
+  // Component-universe analog with name/kind (component: cokey,
+  // compname, compkind) keyed like hz (cokey = o_orderkey): %17 plants
+  // NOTCOM/NOTPUB names and %19 a 'Miscellaneous area' kind, so the
+  // reference's no-horizon exclusions are exercised at every SF.
+
+  val coKindCte: String =
+    """cokind AS (
+      |  SELECT o_orderkey AS cokey,
+      |         CASE o_orderkey % 17 WHEN 0 THEN 'NOTCOM' WHEN 1 THEN 'NOTPUB'
+      |              ELSE 'COMP-' || CAST(o_orderkey AS VARCHAR) END AS compname,
+      |         CASE WHEN o_orderkey % 19 = 0 THEN 'Miscellaneous area'
+      |              ELSE 'Series' END AS compkind
+      |  FROM orders)""".stripMargin
+
+  def coKind(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").select(
+      col("o_orderkey").as("cokey"),
+      when(col("o_orderkey") % 17 === 0, lit("NOTCOM"))
+        .when(col("o_orderkey") % 17 === 1, lit("NOTPUB"))
+        .otherwise(concat(lit("COMP-"), col("o_orderkey").cast("string"))).as("compname"),
+      when(col("o_orderkey") % 19 === 0, lit("Miscellaneous area"))
+        .otherwise(lit("Series")).as("compkind"))
+
   /** Mapunit key universe (the reference always reports every mukey —
     * BadTable, gSSURGO_CreateSoilMap.py:433-454). */
   def baseMu(spark: SparkSession, dir: String): DataFrame =

@@ -214,8 +214,17 @@ object Ann {
     * `edges` should come from [[knnGraphMultiProbe]]: its
     * boundary-crossing edges are what lets the walk beat the
     * single-bucket IVF probe it is seeded from (n19 gates exactly
-    * that). Returns (qid, neighbor_id, cosine, rank ≤ k) over the
-    * visited set. */
+    * that).
+    *
+    * ID-SPACE CONTRACT (the audioBands convention): queries and corpus
+    * must share one id space — the exact re-rank drops `qid === vid`
+    * as a self-match, so with DISJOINT id spaces a legitimate corpus
+    * neighbor whose vid collides with an unrelated qid would be
+    * silently dropped. Callers with disjoint ids should offset one
+    * side out of the other's range first (n19 queries ARE corpus
+    * vectors, which is the intended shape).
+    * Returns (qid, neighbor_id, cosine, rank ≤ k) over the visited
+    * set. */
   def graphSearch(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, edges: DataFrame, k: Int, beam: Int,
       hops: Int, seedK: Int = 1): DataFrame = {

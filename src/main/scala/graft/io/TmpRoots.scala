@@ -23,7 +23,12 @@ object TmpRoots {
     if (!hooked) synchronized {
       if (!hooked) {
         Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          val snap = synchronized(new java.util.ArrayList(registered))
+          // Collections.synchronizedSet guards individual ops only —
+          // iteration (the ArrayList copy) must hold the SET's monitor,
+          // not this object's, or a concurrent cleanupOnExit during
+          // shutdown throws ConcurrentModificationException outside the
+          // try/catch below and aborts all cleanup.
+          val snap = registered.synchronized(new java.util.ArrayList(registered))
           snap.forEach { p =>
             try deleteRec(new java.io.File(p))
             catch { case _: Throwable => () }

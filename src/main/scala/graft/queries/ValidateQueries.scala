@@ -222,7 +222,43 @@ object ValidateQueries extends QuerySet {
              |      FROM t)
              |SELECT bucket, n_ref, n_cur, contrib_nano,
              |       CAST(sum(contrib_nano) OVER () AS BIGINT) AS drift_nano
-             |FROM x""".stripMargin)))
+             |FROM x""".stripMargin)),
+
+    // VAL7 — restriction-depth vs horizon-top invariant
+    // (gSSURGO_ValidateData.py:313-333 restriction depths, :559-566
+    // removal of depths matching a horizon hzdept_r; survivors are the
+    // violations). The restriction analog plants one on-grid depth
+    // (matches iff the order has enough lineitems — mixed outcomes)
+    // and one off-grid depth (+15 — always a violation, non-vacuous at
+    // every SF); one anti-join on (cokey, depth), no shuffle beyond it.
+    Q("val07_restriction_depth",
+      (s, dir) => Validate.restrictionDepthMismatch(
+        restr(s, dir), hz(s, dir)),
+      Some(withCtes(
+        """SELECT r.cokey, r.resdept FROM restr r
+          |WHERE NOT EXISTS (SELECT 1 FROM hz h
+          |                  WHERE h.cokey = r.cokey AND h.hzdept = r.resdept)""".stripMargin,
+        hzCte, restrCte))),
+
+    // VAL8 — components-with-no-horizons
+    // (gSSURGO_ValidateData.py:536-541, :466-471: a component whose
+    // horizon lookup comes up empty is a violation UNLESS compname ∈
+    // {NOTCOM, NOTPUB} or compkind = 'Miscellaneous area'). The horizon
+    // side is deliberately truncated to hzdept ≥ 30 (dropping every
+    // first horizon), so single-lineitem orders become components with
+    // no horizons at every SF; the %17/%19 name/kind plants exercise
+    // all three exclusion arms.
+    Q("val08_components_no_horizons",
+      (s, dir) => Validate.componentsNoHorizons(
+        coKind(s, dir),
+        hz(s, dir).filter(col("hzdept") >= 30)),
+      Some(withCtes(
+        """SELECT c.cokey, c.compname, c.compkind FROM cokind c
+          |WHERE NOT (c.compname IN ('NOTCOM', 'NOTPUB')
+          |           OR c.compkind = 'Miscellaneous area')
+          |  AND NOT EXISTS (SELECT 1 FROM hz h
+          |                  WHERE h.cokey = c.cokey AND h.hzdept >= 30)""".stripMargin,
+        hzCte, coKindCte))))
 
   /** st01/st02/st03 register their BATCH twins directly (the streaming
     * wrappers live in StreamingSpec), so the queries themselves are the

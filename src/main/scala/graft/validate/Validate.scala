@@ -29,6 +29,32 @@ object Validate {
   def orphans(parent: DataFrame, child: DataFrame, key: String): DataFrame =
     parent.join(child, Seq(key), "left_anti")
 
+  /** Restriction-depth vs horizon-top invariant
+    * (gSSURGO_ValidateData.py:313-333 builds the per-component
+    * restriction-depth list from corestrictions.resdept_r, null depths
+    * excluded; :559-566 removes every depth that equals some horizon's
+    * hzdept_r — the survivors are the violations it reports). One
+    * anti-join on (cokey, depth): a restriction depth with NO matching
+    * horizon top in its component survives. `restr` carries
+    * (cokey, resdept); `hz` (cokey, hzdept). Returns the violating
+    * (cokey, resdept) rows. */
+  def restrictionDepthMismatch(restr: DataFrame, hz: DataFrame): DataFrame =
+    restr.select(col("cokey"), col("resdept"))
+      .filter(col("resdept").isNotNull)
+      .join(hz.select(col("cokey"), col("hzdept").as("resdept")).distinct(),
+        Seq("cokey", "resdept"), "left_anti")
+
+  /** Components-with-no-horizons check (gSSURGO_ValidateData.py:536-541
+    * declares the coNoHz list; :466-471 fills it on the horizon-lookup
+    * KeyError UNLESS compname ∈ {NOTCOM, NOTPUB} or compkind =
+    * 'Miscellaneous area' — those legitimately carry no horizon data).
+    * `comp` needs (cokey, compname, compkind); `hz` (cokey, ...).
+    * Returns the violating component rows. */
+  def componentsNoHorizons(comp: DataFrame, hz: DataFrame): DataFrame =
+    comp.filter(!(col("compname").isin("NOTCOM", "NOTPUB") ||
+        col("compkind") === "Miscellaneous area"))
+      .join(hz.select(col("cokey")).distinct(), Seq("cokey"), "left_anti")
+
   /** §5.1 — count reconciliation (SSURGO_CheckgSSURGO.py:449-1489: the
     * ~55 per-table row counts compared against an authority snapshot).
     * `tables` is name → DataFrame; `expected` name → authoritative
@@ -76,12 +102,26 @@ object Validate {
     *
     * Returns one row per occupied bucket:
     * (bucket, n_ref, n_cur, contrib_nano, drift_nano) — drift_nano the
-    * same total on every row; 0 ⟺ identical histograms. */
+    * same total on every row; 0 ⟺ identical histograms.
+    *
+    * Fail-loud contracts (riding the plan, the repo convention):
+    * values must be NON-NEGATIVE (integer `div` truncates toward zero,
+    * so a negative value would bucket differently than a floor-division
+    * oracle — asserted per row, free in codegen) and neither vintage
+    * may be empty while the other has rows (tr or tc = 0 would turn
+    * every contribution into a silent NaN→null — asserted on the
+    * window totals). Both vintages empty ⟺ empty output (no data, no
+    * drift claim). */
   def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       bucketWidth: Long, maxBucket: Int): DataFrame = {
     require(bucketWidth > 0 && maxBucket >= 0, "positive width, bucket cap")
     def hist(df: DataFrame, as: String) = df
-      .select(least(expr(s"$valueCol div $bucketWidth"),
+      .select((col(valueCol) + coalesce(
+        assert_true(col(valueCol) >= 0,
+          lit(s"distributionDrift: $valueCol must be non-negative " +
+            "(integer div truncation diverges from floor on negatives)"))
+          .cast("long"), lit(0L))).as("v"))
+      .select(least(expr(s"v div $bucketWidth"),
         lit(maxBucket.toLong)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as(as))
     val j = hist(ref, "n_ref").join(hist(cur, "n_cur"), Seq("bucket"), "full_outer")
@@ -95,7 +135,11 @@ object Validate {
     j.withColumn("tr", sum(col("n_ref")).over(all))
       .withColumn("tc", sum(col("n_cur")).over(all))
       .withColumn("contrib_nano",
-        floor((p - q) * (p - q) / (p + q) * 1e9 + 0.5).cast("long"))
+        floor((p - q) * (p - q) / (p + q) * 1e9 + 0.5).cast("long") +
+          coalesce(assert_true(col("tr") > 0 && col("tc") > 0,
+            lit("distributionDrift: one vintage is empty — p or q would " +
+              "be 0/0 and every contribution a silent null"))
+            .cast("long"), lit(0L)))
       .withColumn("drift_nano", sum(col("contrib_nano")).over(all))
       .select(col("bucket"), col("n_ref"), col("n_cur"),
         col("contrib_nano"), col("drift_nano"))

@@ -107,4 +107,72 @@ class PropertySpec extends AnyFunSuite {
     assert(drift.forall(_.getLong(4) == total))
     assert(drift.map(_.getLong(3)).sum == total)
   }
+
+  test("distributionDrift: empty-vintage and negative-value contracts fail loud") {
+    val s = StructType(Seq(StructField("v", LongType)))
+    val a = df(s, (0 until 50).map(i => Row(i.toLong * 100)))
+    val empty = df(s, Seq.empty[Row])
+    // one side empty → every p or q is 0/0; must throw, never emit nulls
+    intercept[Exception] {
+      graft.validate.Validate.distributionDrift(a, empty, "v", 1000L, 9).collect()
+    }
+    // negative values bucket differently under div vs floor → must throw
+    val neg = df(s, Seq(Row(-500L)) ++ (0 until 10).map(i => Row(i.toLong)))
+    intercept[Exception] {
+      graft.validate.Validate.distributionDrift(neg, a, "v", 1000L, 9).collect()
+    }
+    // both empty ⇔ empty output (no data, no drift claim)
+    assert(graft.validate.Validate
+      .distributionDrift(empty, empty, "v", 1000L, 9).collect().isEmpty)
+  }
+
+  test("property: restriction depths surviving the check never match any horizon top") {
+    val hzS = StructType(Seq(
+      StructField("cokey", LongType), StructField("hzdept", DoubleType)))
+    val reS = StructType(Seq(
+      StructField("cokey", LongType), StructField("resdept", DoubleType)))
+    val hzRows = (1L to 40L).flatMap { c =>
+      (0 until 1 + rnd.nextInt(4)).map(n => Row(c, n * 30.0))
+    }
+    val reRows = (1L to 40L).flatMap { c =>
+      Seq(Row(c, rnd.nextInt(5) * 30.0), Row(c, rnd.nextInt(5) * 30.0 + 15.0))
+    }
+    val tops = hzRows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getDouble(1)).toSet).toMap
+    val out = graft.validate.Validate
+      .restrictionDepthMismatch(df(reS, reRows), df(hzS, hzRows)).collect()
+    // every survivor is a true violation...
+    out.foreach { r =>
+      assert(!tops(r.getLong(0)).contains(r.getDouble(1)),
+        s"reported depth matches a horizon top: $r")
+    }
+    // ...and every true violation survives (multiset: dup depths both kept)
+    val expected = reRows.filter(r => !tops(r.getLong(0)).contains(r.getDouble(1)))
+    assert(out.length == expected.length)
+  }
+
+  test("property: no-horizon components exclude NOTCOM/NOTPUB/Miscellaneous area exactly") {
+    val coS = StructType(Seq(StructField("cokey", LongType),
+      StructField("compname", StringType), StructField("compkind", StringType)))
+    val hzS = StructType(Seq(
+      StructField("cokey", LongType), StructField("hzdept", DoubleType)))
+    val coRows = (1L to 60L).map { c =>
+      val name = (c % 9) match {
+        case 0 => "NOTCOM"; case 1 => "NOTPUB"; case _ => s"COMP-$c"
+      }
+      val kind = if (c % 7 == 0) "Miscellaneous area" else "Series"
+      Row(c, name, kind)
+    }
+    // only even cokeys carry horizon data
+    val hzRows = (1L to 60L).filter(_ % 2 == 0).map(c => Row(c, 0.0))
+    val out = graft.validate.Validate
+      .componentsNoHorizons(df(coS, coRows), df(hzS, hzRows))
+      .collect().map(_.getLong(0)).toSet
+    val expected = coRows.filter { r =>
+      val (c, n, k) = (r.getLong(0), r.getString(1), r.getString(2))
+      c % 2 == 1 && !Set("NOTCOM", "NOTPUB").contains(n) && k != "Miscellaneous area"
+    }.map(_.getLong(0)).toSet
+    assert(out == expected)
+    assert(out.nonEmpty, "fixture must plant real violations")
+  }
 }
