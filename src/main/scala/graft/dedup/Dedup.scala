@@ -474,16 +474,55 @@ object Dedup {
     * construction is O(n·w) concat work per doc (a dedicated rolling
     * native expression would make it O(n); RollingHash.scala is the
     * primitive to extend if that ever dominates).
+    * Anchor-frequency cap: windows in more than `maxDf` distinct docs
+    * are dropped before the join (see [[hotWindowReport]]/the cap
+    * scaladoc above — the df² fan bound); n_shared_windows counts
+    * non-hot windows only.
     * Returns (doc_a, doc_b, n_shared_windows). */
   def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 20): DataFrame = {
-    val hashed = windowRows(docs, idCol, textCol, w)
+      w: Int = 20, maxDf: Int = 128): DataFrame = {
+    val hashed = dropHotWindows(windowRows(docs, idCol, textCol, w), maxDf)
     hashed.as("a").join(hashed.as("b"),
         col("a.h") === col("b.h") && col("a.did") < col("b.did") &&
           col("a.s") === col("b.s"))
       .groupBy(col("a.did").as("doc_a"), col("b.did").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_windows"))
   }
+
+  /** Per-window document frequency above `maxDf` — the sideline report
+    * of the anchor-frequency cap (below): one row (s, df) per window
+    * string appearing in more than `maxDf` distinct docs. At corpus
+    * scale this IS the boilerplate census (license headers, nav
+    * chrome); its size is bounded by n_windows/maxDf, so it broadcasts.
+    * df is exact (countDistinct over the grouped window string — the
+    * oracle replays it verbatim; an approximate CMS variant would not
+    * be engine-portable). */
+  def hotWindowReport(win: DataFrame, maxDf: Int): DataFrame =
+    win.select(col("h"), col("s"), col("did"))
+      .groupBy(col("h"), col("s"))
+      .agg(countDistinct(col("did")).as("df"))
+      .filter(col("df") > maxDf)
+
+  /** ANCHOR-FREQUENCY CAP — the public exact-substring practice: the
+    * window-hash equi-join's output is ∝ Σ df(window)² over distinct
+    * windows, so ONE boilerplate 20-token window at df 10⁵ alone yields
+    * 10¹⁰ match rows at corpus scale. Windows in more than `maxDf`
+    * distinct docs are dropped as match anchors (anti-join against the
+    * broadcastable hot set — ≤ n_windows/maxDf rows by pigeonhole).
+    *
+    * Recall argument: a true repeated span ≥ w through a capped window
+    * is still anchored by its RARER neighbor windows — every window of
+    * the span that mixes span-specific tokens has the span pair's own
+    * df — unless the entire span is boilerplate, which is exactly the
+    * span a dedup pass wants dropped, not paired quadratically. The
+    * one behavioral edge: a maximal run whose INTERIOR crosses a hot
+    * window splits into two overlapping runs at the gap (pinned in
+    * TrainOpsSpec); pair counts (d12/d13) count non-hot windows only. */
+  private def dropHotWindows(win: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) win
+    else win.join(
+      broadcast(hotWindowReport(win, maxDf).select(col("h"), col("s"))),
+      Seq("h", "s"), "left_anti")
 
   /** Distinct hashed w-token window rows (did, s, h) — the persistable
     * substring-dedup index artifact (at corpus scale: bucketed by h in
@@ -527,16 +566,20 @@ object Dedup {
     * MATCHED pairs only, partitioned by (doc_a, doc_b, diagonal).
     *
     * Scale: identical join shape and bounds as [[substringDupPairs]]
-    * (window-hash equi-join — output ∝ true match volume), plus one
-    * key-partitioned window over the matches; nothing touches the
-    * corpus beyond the one windowing pass. On a fixed diagonal pos_a
-    * determines pos_b, so run rows are duplicate-free by construction.
+    * (window-hash equi-join), plus one key-partitioned window over the
+    * matches; nothing touches the corpus beyond the one windowing
+    * pass. On a fixed diagonal pos_a determines pos_b, so run rows are
+    * duplicate-free by construction. Output is ∝ true match volume OF
+    * NON-BOILERPLATE windows: anchors in more than `maxDf` distinct
+    * docs are dropped first (the df² fan cap — see [[hotWindowReport]]
+    * and the cap scaladoc; a run crossing a hot interior window splits
+    * into two overlapping runs at the gap, TrainOpsSpec-pinned).
     * Returns one row per maximal run:
     * (doc_a, doc_b, start_a, start_b, len_tokens), doc_a < doc_b,
     * positions 1-based. */
   def maximalRepeatPairs(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 20): DataFrame = {
-    val win = positionedWindowRows(docs, idCol, textCol, w)
+      w: Int = 20, maxDf: Int = 128): DataFrame = {
+    val win = dropHotWindows(positionedWindowRows(docs, idCol, textCol, w), maxDf)
     val m = win.as("a").join(win.as("b"),
         col("a.h") === col("b.h") && col("a.did") < col("b.did") &&
           col("a.s") === col("b.s"))
@@ -573,10 +616,16 @@ object Dedup {
     * deduped BEFORE the diagonal merge — a new×new pair meets once
     * from each side and a duplicated diagonal row would split or
     * double-count its run. Ids must be disjoint across the inputs.
-    * Returns the [[maximalRepeatPairs]] shape. */
+    * The anchor-frequency cap (`maxDf`, see [[hotWindowReport]]) is
+    * computed over the UNION window set — batch + corpus — so a window
+    * that is boilerplate in the corpus stays capped for every future
+    * batch probing it (at pipeline scale the hot set is a persisted
+    * artifact refreshed with the window index, not recomputed per
+    * batch). Returns the [[maximalRepeatPairs]] shape. */
   def maximalRepeatPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, w: Int = 20): DataFrame = {
-    val win = positionedWindowRows(newDocs.unionByName(corpus), idCol, textCol, w)
+      idCol: String, textCol: String, w: Int = 20, maxDf: Int = 128): DataFrame = {
+    val win = dropHotWindows(
+      positionedWindowRows(newDocs.unionByName(corpus), idCol, textCol, w), maxDf)
     val probe = win.join(
       broadcast(newDocs.select(col(idCol).as("did"))), Seq("did"), "left_semi")
     val m = probe.as("a").join(win.as("b"),
@@ -592,6 +641,46 @@ object Dedup {
     runMerge(m, w)
   }
 
+  /** Substring-run REMOVAL — the APPLY side of [[maximalRepeatPairs]]
+    * (real pipelines don't just report repeated runs, they excise
+    * them). Consumes the (doc_a, doc_b, start_a, start_b, len_tokens)
+    * run report — in a pipeline, the persisted d26 artifact — and cuts
+    * every LATER occurrence, keeping the first: runs are oriented
+    * doc_a < doc_b, so the smallest doc id holding a span retains it
+    * and every doc_b's [start_b, start_b + len) token range is cut.
+    * Chains resolve consistently (if docs 1 < 2 < 3 share a span, runs
+    * (1,2), (1,3), (2,3) cut docs 2 and 3 — overlapping cut ranges
+    * need no interval merge, a token is dropped iff ANY cut covers
+    * it). Rebuild is pure column work over the NORMALIZED token stream
+    * the runs were found on (lower/trim/whitespace-split): cuts
+    * collect to a per-doc array (bounded by the doc's run fan — the
+    * [[maximalRepeatPairs]] maxDf cap is what keeps that fan linear),
+    * then one codegen'd `filter` with a positional lambda keeps each
+    * token iff no cut covers its 1-based position. One shuffle
+    * (cuts groupBy) + one equi-join; the text never moves except
+    * doc-local. Intra-doc repeats (same span twice in ONE doc) are
+    * out of scope — the run report is cross-doc by construction.
+    * Returns every input doc:
+    * (doc_id, n_tokens_before, n_tokens_after, text_clean). */
+  def removeRepeatRuns(docs: DataFrame, runs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cuts = runs.select(col("doc_b").as("did"),
+        col("start_b").as("cs"),
+        (col("start_b") + col("len_tokens") - 1).as("ce"))
+      .groupBy(col("did"))
+      .agg(collect_list(struct(col("cs"), col("ce"))).as("cuts"))
+    docs.select(col(idCol).as("did"),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("t"))
+      .join(cuts, Seq("did"), "left")
+      .select(col("did").as("doc_id"),
+        size(col("t")).cast("long").as("n_tokens_before"),
+        expr("filter(t, (x, i) -> cuts IS NULL OR " +
+          "NOT exists(cuts, c -> i + 1 >= c.cs AND i + 1 <= c.ce))").as("kept"))
+      .select(col("doc_id"), col("n_tokens_before"),
+        size(col("kept")).cast("long").as("n_tokens_after"),
+        array_join(col("kept"), " ").as("text_clean"))
+  }
+
   /** Incremental substring-window pairs: every pair involving at least
     * one arriving doc — new×corpus and new×new, never corpus×corpus
     * (the d09 ingestion contract at window granularity). The corpus is
@@ -599,10 +688,13 @@ object Dedup {
     * the union so ReuseExchange shares the subplan; persisted via
     * [[windowRows]] in a real pipeline), probed by the batch through a
     * broadcast semi-join. Ids must be disjoint across the inputs;
-    * output oriented doc_a < doc_b. */
+    * output oriented doc_a < doc_b. The anchor-frequency cap (`maxDf`)
+    * is computed over the union window set, as in
+    * [[maximalRepeatPairsIncremental]]. */
   def substringDupPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, w: Int = 20): DataFrame = {
-    val hashed = windowRows(newDocs.unionByName(corpus), idCol, textCol, w)
+      idCol: String, textCol: String, w: Int = 20, maxDf: Int = 128): DataFrame = {
+    val hashed = dropHotWindows(
+      windowRows(newDocs.unionByName(corpus), idCol, textCol, w), maxDf)
     val probe = hashed.join(
       broadcast(newDocs.select(col(idCol).as("did"))), Seq("did"), "left_semi")
     probe.as("a").join(hashed.as("b"),

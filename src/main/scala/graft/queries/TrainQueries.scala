@@ -80,6 +80,15 @@ object TrainQueries extends QuerySet {
       |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
       |             FROM tk WHERE len(t) >= 20) z)""".stripMargin
 
+  /** Anchor-frequency cap twin (Dedup.dropHotWindows at maxDf=64):
+    * windows in more than 64 distinct docs are dropped before any
+    * match join. `wc` replaces `wn` downstream; works for both the
+    * distinct (d12/d13) and positioned (d26/d27) window CTEs since df
+    * counts DISTINCT doc_id either way. */
+  private val substrHotCap: String =
+    """hot AS (SELECT s FROM wn GROUP BY s HAVING count(DISTINCT doc_id) > 64),
+      |wc AS (SELECT * FROM wn WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+
   /** The curation-chain CTEs (score → lang-ID → exact-pair dedup →
     * recursive connected components) over the bounded doc_id < 1000
     * slice — shared by d07 and the t16 end-to-end prep oracle. Must be
@@ -2312,16 +2321,18 @@ object TrainQueries extends QuerySet {
           .crossJoin(broadcast(donor))
           .select((col("doc_id") + 1000000).as("doc_id"),
             concat(col("span"), lit(" "), col("text")).as("text"))
-        Dedup.substringDupPairs(base.unionByName(planted), "doc_id", "text")
+        Dedup.substringDupPairs(base.unionByName(planted), "doc_id", "text",
+          maxDf = 64)
       },
       Some(s"""WITH $substrBaseDn,
              |pl AS (SELECT doc_id + 1000000 AS doc_id, span || ' ' || text AS text
              |       FROM base, dn WHERE doc_id IN (7, 11)),
              |d AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
-             |$substrWindows
+             |$substrWindows,
+             |$substrHotCap
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |       count(*) AS n_shared_windows
-             |FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
+             |FROM wc a JOIN wc b ON a.s = b.s AND a.doc_id < b.doc_id
              |GROUP BY 1, 2""".stripMargin)),
 
     // D13 — incremental substring dedup: the arriving batch (a second
@@ -2346,7 +2357,8 @@ object TrainQueries extends QuerySet {
         val batch = splice(11, 2000011L).unionByName(
           base.filter(col("doc_id") === 490)
             .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-        Dedup.substringDupPairsIncremental(batch, corpus, "doc_id", "text")
+        Dedup.substringDupPairsIncremental(batch, corpus, "doc_id", "text",
+          maxDf = 64)
       },
       Some(s"""WITH $substrBaseDn,
              |d AS (SELECT doc_id, text FROM base
@@ -2356,10 +2368,11 @@ object TrainQueries extends QuerySet {
              |      SELECT 2000011, span || ' ' || text FROM base, dn WHERE doc_id = 11
              |      UNION ALL
              |      SELECT 2000490, text FROM base WHERE doc_id = 490),
-             |$substrWindows
+             |$substrWindows,
+             |$substrHotCap
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |       count(*) AS n_shared_windows
-             |FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
+             |FROM wc a JOIN wc b ON a.s = b.s AND a.doc_id < b.doc_id
              |WHERE a.doc_id IN (2000011, 2000490) OR b.doc_id IN (2000011, 2000490)
              |GROUP BY 1, 2""".stripMargin)),
 
@@ -2394,7 +2407,7 @@ object TrainQueries extends QuerySet {
           .unionByName(splice(7L, 1000007L, spanA, twice = false))
           .unionByName(splice(11L, 1000011L, spanA, twice = true))
           .unionByName(splice(13L, 1000013L, spanB, twice = false))
-        Dedup.maximalRepeatPairs(docs, "doc_id", "text", w = 20)
+        Dedup.maximalRepeatPairs(docs, "doc_id", "text", w = 20, maxDf = 64)
       },
       Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
              |dnA AS (SELECT array_to_string(
@@ -2416,9 +2429,11 @@ object TrainQueries extends QuerySet {
              |              array_to_string(t[i:i+19], ' ') AS s
              |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
              |             FROM tk WHERE len(t) >= 20) z),
+             |hot AS (SELECT s FROM wn GROUP BY s HAVING count(DISTINCT doc_id) > 64),
+             |wc AS (SELECT * FROM wn WHERE s NOT IN (SELECT s FROM hot)),
              |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |             a.pos AS pos_a, b.pos AS pos_b
-             |      FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id),
+             |      FROM wc a JOIN wc b ON a.s = b.s AND a.doc_id < b.doc_id),
              |r AS (SELECT *, pos_a - pos_b AS diag,
              |        pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
              |                                   ORDER BY pos_a) AS grp
@@ -2455,7 +2470,8 @@ object TrainQueries extends QuerySet {
         val batch = splice(11L, 2000011L).unionByName(
           base.filter(col("doc_id") === 490)
             .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-        Dedup.maximalRepeatPairsIncremental(batch, corpus, "doc_id", "text")
+        Dedup.maximalRepeatPairsIncremental(batch, corpus, "doc_id", "text",
+          maxDf = 64)
       },
       Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
              |dnA AS (SELECT array_to_string(
@@ -2473,9 +2489,11 @@ object TrainQueries extends QuerySet {
              |              array_to_string(t[i:i+19], ' ') AS s
              |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
              |             FROM tk WHERE len(t) >= 20) z),
+             |hot AS (SELECT s FROM wn GROUP BY s HAVING count(DISTINCT doc_id) > 64),
+             |wc AS (SELECT * FROM wn WHERE s NOT IN (SELECT s FROM hot)),
              |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |             a.pos AS pos_a, b.pos AS pos_b
-             |      FROM wn a JOIN wn b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      FROM wc a JOIN wc b ON a.s = b.s AND a.doc_id < b.doc_id
              |      WHERE a.doc_id IN (2000011, 2000490)
              |         OR b.doc_id IN (2000011, 2000490)),
              |r AS (SELECT *, pos_a - pos_b AS diag,
@@ -2485,6 +2503,170 @@ object TrainQueries extends QuerySet {
              |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
              |       CAST(count(*) + 19 AS BIGINT) AS len_tokens
              |FROM r GROUP BY doc_a, doc_b, diag, grp""".stripMargin)),
+
+    // D28 — substring-run REMOVAL, the apply side of d26 (find→act,
+    // the d07 pattern at substring granularity): the d26 fixture's
+    // maximal-run report is resolved first-occurrence-wins (smallest
+    // doc id keeps; every doc_b cut range excised from the normalized
+    // token stream) and the text rebuilt by pure column work. The
+    // oracle replays the full chain — windows, cap, run-merge, cuts,
+    // positional keep-filter, reassembly — so token counts AND the
+    // rebuilt text gate exactly. Planted outcome: 1000007/1000011/
+    // 1000013 lose their spliced spans (1000011 both copies), donor
+    // docs 3/5 keep theirs.
+    Q("d28_substring_run_removal",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+        def spanOf(id: Long, n: Int) = base.filter(col("doc_id") === id)
+          .select(expr(s"array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, $n), ' ')")
+            .as("span"))
+        val spanA = spanOf(3L, 25)
+        val spanB = spanOf(5L, 40)
+        def splice(recipient: Long, newId: Long, span: org.apache.spark.sql.DataFrame,
+            twice: Boolean) = base.filter(col("doc_id") === recipient)
+          .crossJoin(broadcast(span))
+          .select(lit(newId).as("doc_id"),
+            (if (twice) concat(col("span"), lit(" "), col("text"), lit(" "), col("span"))
+             else concat(col("span"), lit(" "), col("text"))).as("text"))
+        val docs = base
+          .unionByName(splice(7L, 1000007L, spanA, twice = false))
+          .unionByName(splice(11L, 1000011L, spanA, twice = true))
+          .unionByName(splice(13L, 1000013L, spanB, twice = false))
+        Dedup.removeRepeatRuns(docs,
+          Dedup.maximalRepeatPairs(docs, "doc_id", "text", w = 20, maxDf = 64),
+          "doc_id", "text")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+             |dnA AS (SELECT array_to_string(
+             |          (string_split_regex(lower(trim(text)), '\s+'))[1:25], ' ') AS span
+             |        FROM base WHERE doc_id = 3),
+             |dnB AS (SELECT array_to_string(
+             |          (string_split_regex(lower(trim(text)), '\s+'))[1:40], ' ') AS span
+             |        FROM base WHERE doc_id = 5),
+             |d AS (SELECT doc_id, text FROM base
+             |      UNION ALL
+             |      SELECT 1000007, span || ' ' || text FROM base, dnA WHERE doc_id = 7
+             |      UNION ALL
+             |      SELECT 1000011, span || ' ' || text || ' ' || span
+             |      FROM base, dnA WHERE doc_id = 11
+             |      UNION ALL
+             |      SELECT 1000013, span || ' ' || text FROM base, dnB WHERE doc_id = 13),
+             |tk AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d),
+             |wn AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |              array_to_string(t[i:i+19], ' ') AS s
+             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+             |             FROM tk WHERE len(t) >= 20) z),
+             |hot AS (SELECT s FROM wn GROUP BY s HAVING count(DISTINCT doc_id) > 64),
+             |wc AS (SELECT * FROM wn WHERE s NOT IN (SELECT s FROM hot)),
+             |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |             a.pos AS pos_a, b.pos AS pos_b
+             |      FROM wc a JOIN wc b ON a.s = b.s AND a.doc_id < b.doc_id),
+             |r AS (SELECT *, pos_a - pos_b AS diag,
+             |        pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+             |                                   ORDER BY pos_a) AS grp
+             |      FROM m),
+             |runs AS (SELECT doc_a, doc_b, min(pos_b) AS start_b,
+             |                CAST(count(*) + 19 AS BIGINT) AS len
+             |         FROM r GROUP BY doc_a, doc_b, diag, grp),
+             |cuts AS (SELECT doc_b AS doc_id, start_b AS cs,
+             |                start_b + len - 1 AS ce FROM runs),
+             |pos AS (SELECT doc_id, t[i] AS tok, CAST(i AS BIGINT) AS i
+             |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+             |              FROM tk) z),
+             |keep AS (SELECT p.doc_id, p.i, p.tok FROM pos p
+             |         WHERE NOT EXISTS (SELECT 1 FROM cuts c
+             |                           WHERE c.doc_id = p.doc_id
+             |                             AND p.i >= c.cs AND p.i <= c.ce)),
+             |agg AS (SELECT doc_id, count(*) AS n_after,
+             |               array_to_string(list(tok ORDER BY i), ' ') AS text_clean
+             |        FROM keep GROUP BY doc_id)
+             |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens_before,
+             |       CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_tokens_after,
+             |       coalesce(agg.text_clean, '') AS text_clean
+             |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin)),
+
+    // D29 — the anchor-frequency cap under REAL boilerplate, gated in
+    // the oracle (the d12/d26 caps are vacuous on natural data — max
+    // window df is 3): doc 3's leading 25 tokens are spliced as a
+    // prefix into 200 docs, so the 6 pure-span windows hit df=201 and
+    // are dropped as anchors (uncapped, the prefix alone would emit
+    // C(201,2) ≈ 20k quadratic pairs). What remains is linear: each
+    // planted doc still pairs with its ORIGINAL over the full doc body
+    // (true per-doc duplication, anchored by the rarer body windows —
+    // the recall argument made concrete) plus the natural cross-doc
+    // runs. The oracle replays windows, df census, cap, and run-merge.
+    Q("d29_boilerplate_capped_runs",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+        val span = base.filter(col("doc_id") === 3)
+          .select(expr("array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, 25), ' ')")
+            .as("span"))
+        val planted = base.filter(col("doc_id") < 200)
+          .crossJoin(broadcast(span))
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("span"), lit(" "), col("text")).as("text"))
+        Dedup.maximalRepeatPairs(base.unionByName(planted), "doc_id", "text",
+          w = 20, maxDf = 64)
+      },
+      Some(s"""WITH $substrBaseDn,
+             |d AS (SELECT doc_id, text FROM base
+             |      UNION ALL
+             |      SELECT doc_id + 1000000, span || ' ' || text
+             |      FROM base, dn WHERE doc_id < 200),
+             |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM d),
+             |wn AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |              array_to_string(t[i:i+19], ' ') AS s
+             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+             |             FROM tk WHERE len(t) >= 20) z),
+             |hot AS (SELECT s FROM wn GROUP BY s HAVING count(DISTINCT doc_id) > 64),
+             |wc AS (SELECT * FROM wn WHERE s NOT IN (SELECT s FROM hot)),
+             |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |             a.pos AS pos_a, b.pos AS pos_b
+             |      FROM wc a JOIN wc b ON a.s = b.s AND a.doc_id < b.doc_id),
+             |r AS (SELECT *, pos_a - pos_b AS diag,
+             |        pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+             |                                   ORDER BY pos_a) AS grp
+             |      FROM m)
+             |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+             |       CAST(count(*) + 19 AS BIGINT) AS len_tokens
+             |FROM r GROUP BY doc_a, doc_b, diag, grp""".stripMargin)),
+
+    // D30 — the hot-window census (Dedup.hotWindowReport): the counted
+    // sideline report of what the d29 cap dropped — at corpus scale
+    // this is the boilerplate inventory a pipeline publishes alongside
+    // the dedup output (license headers, nav chrome, the spans you
+    // want REMOVED, not paired). Same planted fixture as d29: exactly
+    // the pure-span windows clear df > 64 (df = 201: 200 recipients +
+    // the donor).
+    Q("d30_hot_window_census",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+        val span = base.filter(col("doc_id") === 3)
+          .select(expr("array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, 25), ' ')")
+            .as("span"))
+        val planted = base.filter(col("doc_id") < 200)
+          .crossJoin(broadcast(span))
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("span"), lit(" "), col("text")).as("text"))
+        Dedup.hotWindowReport(
+          Dedup.positionedWindowRows(base.unionByName(planted), "doc_id", "text", 20),
+          maxDf = 64)
+          .select(col("s"), col("df"))
+      },
+      Some(s"""WITH $substrBaseDn,
+             |d AS (SELECT doc_id, text FROM base
+             |      UNION ALL
+             |      SELECT doc_id + 1000000, span || ' ' || text
+             |      FROM base, dn WHERE doc_id < 200),
+             |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM d),
+             |wn AS (SELECT doc_id, array_to_string(t[i:i+19], ' ') AS s
+             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+             |             FROM tk WHERE len(t) >= 20) z)
+             |SELECT s, count(DISTINCT doc_id) AS df
+             |FROM wn GROUP BY s HAVING count(DISTINCT doc_id) > 64""".stripMargin)),
 
     // N7 — IVF multi-probe (nprobe=2, k=3): the recall knob of a real
     // IVF index, fully replayed by the oracle — probe selection and

@@ -69,6 +69,79 @@ class TrainOpsSpec extends AnyFunSuite {
       .exists(r => r._1 == 1L && r._2 == 2L))
   }
 
+  test("removeRepeatRuns: first occurrence wins, token counts drop by exactly the cut spans") {
+    // docs 1 < 2 < 3 share "a b c d e" (5 tokens, w=3): doc 1 keeps it,
+    // docs 2 and 3 lose exactly those 5 tokens; doc 3 ALSO shares
+    // "f g h i" (4 tokens) with doc 2 only — doc 2 keeps that one
+    // (first occurrence among its holders), doc 3 loses 5 + 4 = 9.
+    // Doc 4 shares nothing ≥ w and must come through untouched.
+    val fixture = df(docSchema, Seq(
+      Row(1L, "a b c d e u1 v1 w1"),
+      Row(2L, "u2 a b c d e f g h i"),
+      Row(3L, "f g h i u3 a b c d e"),
+      Row(4L, "nothing shared here at all")))
+    val runs = Dedup.maximalRepeatPairs(fixture, "doc_id", "text", w = 3)
+    val got = Dedup.removeRepeatRuns(fixture, runs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((8L, 8L, "a b c d e u1 v1 w1")))     // keeper untouched
+    assert(got(2L) === ((10L, 5L, "u2 f g h i")))            // span A cut, span B kept
+    assert(got(3L) === ((10L, 1L, "u3")))                    // both spans cut
+    assert(got(4L) === ((5L, 5L, "nothing shared here at all")))
+    // conservation: every doc's drop equals the union of its cut ranges
+    assert(got.values.forall { case (b, a, t) =>
+      a == t.split("\\s+").count(_.nonEmpty) || (a == 1 && t.nonEmpty) })
+  }
+
+  test("anchor-frequency cap: planted boilerplate bounds match volume to linear, rare spans still anchor") {
+    // 220 docs share one 3-token boilerplate window (license-header
+    // shape); each otherwise unique. Uncapped, that ONE window fans to
+    // C(220,2) = 24,090 quadratic pairs — the 100 TB cliff. Capped at
+    // maxDf=50 it is dropped as an anchor and the output is empty,
+    // while a rare 4-token span planted in just two docs still pairs.
+    val boiler = (1L to 220L).map(i => Row(i, s"b1 b2 b3 u${i}a u${i}b"))
+    val rare = Seq(
+      Row(9001L, "r1 r2 r3 r4 q9001a q9001b"),
+      Row(9002L, "z9002a r1 r2 r3 r4 q9002b"))
+    val fixture = df(docSchema, boiler ++ rare)
+    val capped = graft.dedup.Dedup
+      .maximalRepeatPairs(fixture, "doc_id", "text", w = 3, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // ≤ linear in n_docs — and here exactly the one rare-span run
+    assert(capped.length <= 222)
+    assert(capped.toSet === Set((9001L, 9002L, 1L, 2L, 4L)))
+    // the uncapped twin IS quadratic — the volume the cap exists to kill
+    val uncapped = graft.dedup.Dedup
+      .maximalRepeatPairs(fixture, "doc_id", "text", w = 3, maxDf = Int.MaxValue)
+      .count()
+    assert(uncapped >= 220L * 219L / 2)
+    // the census reports exactly what was dropped, with its true df
+    val census = graft.dedup.Dedup.hotWindowReport(
+      graft.dedup.Dedup.positionedWindowRows(fixture, "doc_id", "text", 3), 50)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(census === Set(("b1 b2 b3", 220L)))
+  }
+
+  test("anchor-frequency cap: a run crossing a hot interior window splits at the gap") {
+    // Two docs share a 7-token run whose MIDDLE window is boilerplate
+    // (220 other docs carry it). The capped diagonal merge reports two
+    // overlapping 4-token runs abutting the hot gap — the documented
+    // split behavior — rather than the single 7-token run or nothing.
+    val boiler = (1L to 220L).map(i => Row(i, s"b1 b2 b3 u${i}a u${i}b"))
+    val pair = Seq(
+      Row(9101L, "x1 x2 b1 b2 b3 y1 y2"),
+      Row(9102L, "x1 x2 b1 b2 b3 y1 y2"))
+    val fixture = df(docSchema, boiler ++ pair)
+    val got = graft.dedup.Dedup
+      .maximalRepeatPairs(fixture, "doc_id", "text", w = 3, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (9101L, 9102L, 1L, 1L, 4L),   // x1 x2 b1 b2
+      (9101L, 9102L, 4L, 4L, 4L)))  // b2 b3 y1 y2
+  }
+
   test("row-local minhash chain emits IDENTICAL (band, bkey) rows to the batch machinery") {
     // the lane-compatibility contract the streaming admission path
     // rests on: a row hashed with shingleDigestsColumn → signatureColumn
