@@ -2,14 +2,19 @@
 """Assemble the round's sf1 battery artifact from chunked runs.
 
 Usage: merge_sf1.py OUT.json CHECK_JSON... --exec-only DIR...
+           [--contracts CONTRACTS_JSON...]
 
 CHECK_JSON args are scripts/check.py artifacts (oracle-verified chunks);
 each --exec-only DIR is a graft.Verify output directory whose queries are
 recorded execute-only (row count, no DuckDB twin — the corpus-quadratic
 d/t/n/mm exact twins and the streaming st* family, per the r9 sf1
-convention). Oracle entries win on overlap. Exits non-zero if any oracle
-chunk failed or any execute-only query is missing its parquet output
-(errors.json names the construction failure if one exists).
+convention). Oracle entries win on overlap. Each --contracts file is a
+graft.tools.ContractCheck output ({query: bool}) — queries with a true
+contract get "contract": true on their row (the planted-fixture gate for
+execute-only rows); a FALSE contract fails the merge. Exits non-zero if
+any oracle chunk failed, any execute-only query is missing its parquet
+output (errors.json names the construction failure if one exists), or
+any contract is false.
 """
 import glob
 import json
@@ -20,8 +25,14 @@ import pandas as pd
 
 out_path = sys.argv[1]
 args = sys.argv[2:]
-split = args.index("--exec-only") if "--exec-only" in args else len(args)
-check_jsons, exec_dirs = args[:split], args[split + 1:]
+
+
+def split_flag(a, flag):
+    return (a[:a.index(flag)], a[a.index(flag) + 1:]) if flag in a else (a, [])
+
+
+args, contract_jsons = split_flag(args, "--contracts")
+check_jsons, exec_dirs = split_flag(args, "--exec-only")
 
 queries = {}
 for cj in check_jsons:
@@ -52,17 +63,30 @@ for vd in exec_dirs:
         if name not in queries and name not in exec_only:
             exec_missing.append((name, err))
 
+contracts = {}
+for cj in contract_jsons:
+    contracts.update(json.load(open(cj)))
+contract_fail = sorted(k for k, v in contracts.items() if not v)
+merged = dict(sorted({**queries, **exec_only}.items()))
+for name, ok in contracts.items():
+    if ok and name in merged:
+        merged[name]["contract"] = True
+
 summary = {
     "sf_dir": "/tmp/graft_sf1",
     "pass": sum(1 for q in queries.values() if q.get("match")),
     "fail": total_fail,
     "execute_only": len(exec_only),
-    "queries": dict(sorted({**queries, **exec_only}.items())),
+    "contracts": sum(1 for v in contracts.values() if v),
+    "queries": merged,
 }
 with open(out_path, "w") as f:
     json.dump(summary, f, indent=1, sort_keys=True)
 print(f"pass={summary['pass']} fail={summary['fail']} "
-      f"execute_only={summary['execute_only']} -> {out_path}")
+      f"execute_only={summary['execute_only']} "
+      f"contracts={summary['contracts']} -> {out_path}")
 for name, err in exec_missing:
     print(f"MISSING {name}: {err}")
-sys.exit(1 if (total_fail or exec_missing) else 0)
+for name in contract_fail:
+    print(f"CONTRACT FAIL {name}")
+sys.exit(1 if (total_fail or exec_missing or contract_fail) else 0)

@@ -230,22 +230,34 @@ object Ann {
       hops: Int, seedK: Int = 1): DataFrame = {
     val qv = queries.select(col("qid"), col("qvec"))
     val cv = corpus.select(col("vid"), col("vec"))
-    // the edge list is probed once per hop — checkpoint lazily so the
-    // Σ|bucket|² scoring subtree runs once, not `hops` times
-    val e = edges.select(col("vid"), col("neighbor_id"))
-      .localCheckpoint(eager = false)
-    // seed and each hop's frontier are lazily checkpointed: the loop
-    // otherwise nests every prior hop inside the next one's anti-join
-    // AND the visited union, replicating the ivfAssign/scoring
-    // subtrees ~2^hops times (measured 16.7 s → 2.9 s at sf0.1).
-    // Each checkpointed frame is ≤ queries·beam rows — driver-light.
     // multi-entry seeding (seedK > 1): one entry point per query stops
     // covering a bucket as buckets grow — measured at 10× corpus, the
     // single-seed walk fell below the IVF baseline (35 v 47 of 50)
     // while 3 seeds cleared it; this is the flat-graph stand-in for
-    // HNSW's upper-layer long-range entries
+    // HNSW's upper-layer long-range entries ([[hnswSearch]] is the
+    // real two-layer form)
     val seed = ivfSearch(queries, corpus, centroids, k = seedK)
       .select(col("qid"), col("neighbor_id").as("vid"))
+      .localCheckpoint(eager = false)
+    val visited = beamWalk(qv, cv, seed, edges, beam, hops)
+    rerankVisited(qv, cv, visited, k)
+  }
+
+  /** The fixed-width frontier walk shared by [[graphSearch]] and
+    * [[hnswSearch]]: from `seed` (qid, vid), `hops` rounds of
+    * frontier ⋈ edges → drop visited → score → keep the `beam` best
+    * fresh vertices per query. Returns the VISITED set (qid, vid),
+    * ≤ |seed| + hops·beam rows per query. The edge list and each
+    * hop's frontier are lazily checkpointed: the loop otherwise nests
+    * every prior hop inside the next one's anti-join AND the visited
+    * union, replicating the scoring subtrees ~2^hops times (measured
+    * 16.7 s → 2.9 s at sf0.1); each checkpointed frame is ≤
+    * queries·beam rows — driver-light. */
+  private def beamWalk(qv: DataFrame, cv: DataFrame, seed: DataFrame,
+      edges: DataFrame, beam: Int, hops: Int): DataFrame = {
+    // the edge list is probed once per hop — checkpoint lazily so the
+    // Σ|bucket|² scoring subtree runs once, not `hops` times
+    val e = edges.select(col("vid"), col("neighbor_id"))
       .localCheckpoint(eager = false)
     var visited = seed
     var frontier = seed
@@ -265,7 +277,14 @@ object Ann {
         .localCheckpoint(eager = false)
       visited = visited.unionByName(frontier)
     }
-    // exact re-rank of the visited set (≤ 1 + hops·beam per query)
+    visited
+  }
+
+  /** Exact re-rank of a visited set: top-k by the round-6-quantized
+    * cosine, self-matches dropped (the [[graphSearch]] id-space
+    * contract applies). */
+  private def rerankVisited(qv: DataFrame, cv: DataFrame,
+      visited: DataFrame, k: Int): DataFrame = {
     val rescored = visited.join(cv, Seq("vid")).join(qv, Seq("qid"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid").as("neighbor_id"),
@@ -275,6 +294,69 @@ object Ann {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Two-layer HNSW-style search — the public HNSW idea's entry
+    * machinery on top of the [[graphSearch]] layer-0 walk: a sparse
+    * UPPER layer (every `upperStep`-th vertex, ~√n of them when
+    * upperStep ≈ √n) is kNN-graphed, each query enters at the FIXED
+    * minimum-vid upper vertex and greedy-descends `upperHops` rounds
+    * (per round: score the current vertex's upper neighbors, move to
+    * the best fresh one — every scored vertex is remembered), and the
+    * `seedK` best upper vertices EVALUATED become the layer-0 seeds.
+    * Entry cost is O(upperHops · degree) score evaluations per query —
+    * no IVF probe, no centroid table at query time (vs [[graphSearch]]
+    * scoring a whole ~n/centroids bucket to seed); at corpus scale the
+    * upper layer recurses (HNSW's log tower), each level √ the one
+    * below, which this two-level form demonstrates.
+    *
+    * Determinism: entry choice (min vid), descent ranking, seed
+    * ranking, walk, and re-rank are all the round-6-quantized cosine
+    * with id tiebreaks — fully oracle-replayable (the n19 unrolled-CTE
+    * technique, two layers deep). The [[graphSearch]] id-space
+    * contract applies. Returns (qid, neighbor_id, cosine, rank ≤ k). */
+  def hnswSearch(queries: DataFrame, corpus: DataFrame,
+      upperCentroids: DataFrame, upperEdges: DataFrame, edges: DataFrame,
+      upperStep: Long, k: Int, beam: Int, hops: Int, upperHops: Int = 3,
+      upperBeam: Int = 3, seedK: Int = 5): DataFrame = {
+    require(upperStep >= 1, "upperStep must be positive")
+    val qv = queries.select(col("qid"), col("qvec"))
+    val cv = corpus.select(col("vid"), col("vec"))
+    val upperV = cv.filter(col("vid") % upperStep === 0)
+    // STATIC entry list, fixed at build time: the minimum-vid upper
+    // vertex of each upper bucket (≤ |upperCentroids| rows, broadcast).
+    // A single global entry measured catastrophic at 10× corpus (5 of
+    // 50 vs the walk's 49): tight clusters make every kNN edge
+    // intra-cluster, the upper graph disconnects into per-cluster
+    // components, and one entry strands every query outside its
+    // component. One entry per bucket spans the components the way
+    // HNSW's insertion-time long links would; the list is a property
+    // of the INDEX (no query-time centroid probe — queries just score
+    // these ≤ ncentU static vertices as hop 0).
+    val entries = ivfAssign(upperV, upperCentroids)
+      .groupBy(col("cid")).agg(min(col("vid")).as("vid"))
+      .select(col("vid"))
+    val seed0 = qv.select(col("qid")).crossJoin(broadcast(entries))
+      .localCheckpoint(eager = false)
+    // descend the upper layer with the same bounded beam walk as
+    // layer 0 (a strict greedy-1 descent measured badly stuck between
+    // clusters — a bucketed kNN upper graph has only SHORT links, not
+    // the long-range edges HNSW's insertion heuristic would leave, so
+    // the descent needs a beam); visited ≤ 1 + upperHops·upperBeam
+    val uVisited = beamWalk(qv, cv, seed0, upperEdges, upperBeam, upperHops)
+    // layer-0 seeds: the seedK best VISITED upper vertices per query
+    val sw = Window.partitionBy(col("qid"))
+      .orderBy(col("cos6").desc, col("vid").asc)
+    val seeds = uVisited.join(cv, Seq("vid")).join(qv, Seq("qid"))
+      .select(col("qid"), col("vid"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("qvec"), col("vec")), 6).as("cos6"))
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= seedK)
+      .select(col("qid"), col("vid"))
+      .localCheckpoint(eager = false)
+    val visited = beamWalk(qv, cv, seeds, edges, beam, hops)
+    rerankVisited(qv, cv, visited, k)
   }
 
   /** IVF search: queries probe only their own centroid bucket.

@@ -297,16 +297,39 @@ object Multimodal {
     * blocking is corpus-bounded only for modest corpora — measured:
     * ~987 live buckets and 1.46M candidate rows over 4.8k docs
     * (sf0.1), 22× that at 10× docs (candidates ∝ n²/buckets at a
-    * fixed hash width). At real scale use a longer hash (e.g.
-    * 256-bit pHash, 16-bit bands = 65k buckets/band), the same knob
-    * as d08's hyperplane bits. */
-  def dhashBands(text: Column): Column = {
-    def px(r: Int, c: Int): Column = ascii(substring(text, r * 9 + c + 1, 1))
+    * fixed hash width). The `bits` parameter is that knob, driven by
+    * [[adaptiveBandBits]] (the d08 hyperplane-bits / n18 centroid
+    * convention): a `bits`-bit band reads a (bits+1)-wide row — window
+    * 8·(bits+1) bytes — and gives 2^bits buckets per band, holding
+    * expected occupancy flat as the corpus grows. The band count stays
+    * 8 at every width, so the hamming ≤ 7 pigeonhole recall argument
+    * is UNCHANGED under the adaptive count: any pair differing in ≤ 7
+    * bits still has an all-equal band regardless of how wide the
+    * bands are. */
+  def dhashBands(text: Column, bits: Int = 8): Column = {
+    def px(r: Int, c: Int): Column =
+      ascii(substring(text, r * (bits + 1) + c + 1, 1))
     array((0 until 8).map { r =>
-      (0 until 8).map(c =>
+      (0 until bits).map(c =>
         when(px(r, c) < px(r, c + 1), lit(1 << c)).otherwise(lit(0)))
         .reduce(_ + _)
     }: _*)
+  }
+
+  /** Per-band bit width ∝ corpus — the [[Ann.adaptiveCentroidCount]]
+    * convention for banded blocking spaces: the smallest b ∈
+    * [minBits, maxBits] with expected band-bucket occupancy
+    * rows/2^b ≤ targetBucket, so candidate volume (∝ n²/2^b uniform)
+    * stays ∝ n as the corpus grows instead of saturating a fixed
+    * 2^8 space. Integer-only (no libm log2) so a SQL oracle replays
+    * the choice with a CASE ladder, bit-for-bit. maxBits=16 keeps the
+    * mm06 window (8·17 = 136 bytes) inside the corpus' text lengths
+    * and every band value in small exact ints. */
+  def adaptiveBandBits(rows: Long, targetBucket: Long = 4L,
+      minBits: Int = 8, maxBits: Int = 16): Int = {
+    var b = minBits
+    while (b < maxBits && rows > targetBucket * (1L << b)) b += 1
+    b
   }
 
   /** Perceptual near-dup image pairs over [[dhashBands]]: pairs block
@@ -318,16 +341,17 @@ object Multimodal {
     * twin (deterministic, unlike MinHash banding's s-curve).
     * Returns (id_a, id_b, hamming). */
   def phashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7, bits: Int = 8): DataFrame = {
     require(maxHamming <= 7,
       s"phashNearDupPairs: maxHamming=$maxHamming breaks the 8-band pigeonhole")
-    // defensive enforcement of the dhashBands ≥72-byte window contract:
-    // ascii(substring(...)) past the end yields 0, so every too-short
-    // row would hash to the SAME all-zero bands and pair up at
-    // hamming 0 if a caller forgets the upstream filter. For callers
-    // that did filter, this is a no-op predicate absorbed into the scan.
-    val hashed = docs.filter(length(col(textCol)) >= 72)
-      .select(col(idCol).as("did"), dhashBands(col(textCol)).as("bands"))
+    // defensive enforcement of the dhashBands window contract (8 rows
+    // of bits+1 bytes): ascii(substring(...)) past the end yields 0,
+    // so every too-short row would hash to the SAME all-zero bands and
+    // pair up at hamming 0 if a caller forgets the upstream filter.
+    // For callers that did filter, this is a no-op predicate absorbed
+    // into the scan.
+    val hashed = docs.filter(length(col(textCol)) >= 8 * (bits + 1))
+      .select(col(idCol).as("did"), dhashBands(col(textCol), bits).as("bands"))
     val ex = hashed.select(col("did"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bv")))
     // hamming is computed and thresholded MAP-SIDE on the joined
@@ -352,8 +376,10 @@ object Multimodal {
   }
 
   /** Audio fingerprint of a headerless 16-bit-LE PCM payload (the mm04
-    * sample convention, minus the RIFF container) as 4 band BYTES:
-    * band r covers samples [r·36, r·36+36) as 9 frames of 4; frame
+    * sample convention, minus the RIFF container) as 4 band WORDS:
+    * band r covers (bits+1) frames of `spf` samples (default 9 frames
+    * of 4 — the fixed-1,024-bucket shape; [[audioBandLayout]] picks
+    * finer frames for bigger corpora); frame
     * energy is Σ|signed16|; bit c of band r = [E(r,c) < E(r,c+1)] —
     * the 1-D time-domain twin of [[dhashBands]]' 2-D gradient hash,
     * and like it AMPLITUDE-SCALE-ROBUST for uniform gain (energy
@@ -388,7 +414,7 @@ object Multimodal {
     * real PCM decode lives at 100 TB; this Column form is the
     * declarative twin the oracle replays and the equivalence spec
     * cross-checks against the decoder. */
-  def audioBands(text: Column): Column = {
+  def audioBands(text: Column, bits: Int = 8, spf: Int = 4): Column = {
     def cp(pos: Column): Column = ascii(text.substr(pos, lit(1)))
     // |signed16| of sample i (0-based): su read once per use site —
     // each energy term is built fresh from its lambda index, so no
@@ -399,15 +425,33 @@ object Multimodal {
       abs(when(su >= 32768, su - 65536).otherwise(su))
     }
     def energy(f: Column): Column =
-      sampleAbs(f * 4) + sampleAbs(f * 4 + 1) +
-        sampleAbs(f * 4 + 2) + sampleAbs(f * 4 + 3)
+      (0 until spf).map(i => sampleAbs(f * spf + i)).reduce(_ + _)
     // Horner fold MSB→LSB: acc' = 2·acc + bit, so no variable-shift
     // primitive is needed and every intermediate stays a small int
     transform(sequence(lit(0), lit(3)), r =>
-      aggregate(sequence(lit(7), lit(0), lit(-1)), lit(0), (acc, c) =>
-        acc + acc + when(energy(r * 9 + c) < energy(r * 9 + c + 1), lit(1))
+      aggregate(sequence(lit(bits - 1), lit(0), lit(-1)), lit(0), (acc, c) =>
+        acc + acc + when(energy(r * (bits + 1) + c) < energy(r * (bits + 1) + c + 1), lit(1))
           .otherwise(lit(0))))
   }
+
+  /** Blocking layout for the audio fingerprint ∝ corpus — the
+    * [[adaptiveBandBits]] convention under mm07's FIXED window budget
+    * (144 samples = 288 chars, what the corpus' text lengths support):
+    * instead of lengthening the window, finer frames buy more gradient
+    * bits from the same samples. The ladder keeps
+    * 4 bands × (bits+1) frames × spf samples = 144 exactly:
+    * (8 bits, 4 spf) → 2^8 buckets per band; (11, 3) → 2^11;
+    * (17, 2) → 2^17 — expected per-band occupancy n/2^bits stays
+    * ≤ targetBucket until past 500k rows, at which point a longer
+    * window (real audio is not 288 chars) is the next knob. The BAND COUNT stays 4 at every
+    * rung, so the hamming ≤ 3 pigeonhole recall argument is unchanged
+    * under the adaptive choice. The trade is real and documented:
+    * shorter frames average less noise per energy, so the fingerprint
+    * gets more content-sensitive as it gets more selective. */
+  def audioBandLayout(rows: Long, targetBucket: Long = 4L): (Int, Int) =
+    if (rows <= targetBucket * (1L << 8)) (8, 4)
+    else if (rows <= targetBucket * (1L << 11)) (11, 3)
+    else (17, 2)
 
   /** Partition-batched twin of [[audioBands]]: (doc_id, bands) with
     * the 4 band bytes computed in plain per-row Scala — the same
@@ -421,20 +465,21 @@ object Multimodal {
     * out on [[audioBands]]). ScaleSpec pins decoder ==
     * Column-expression equality. */
   def audioBandsDecode(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, bits: Int = 8, spf: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val nFrames = 4 * (bits + 1)
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val e = new Array[Int](36)
+          val e = new Array[Int](nFrames)
           var f = 0
-          while (f < 36) {
+          while (f < nFrames) {
             var s = 0
             var i = 0
-            while (i < 4) {
-              val j = (f * 4 + i) * 2
+            while (i < spf) {
+              val j = (f * spf + i) * 2
               val su = text.charAt(j).toInt + text.charAt(j + 1).toInt * 256
               val sv = if (su >= 32768) su - 65536 else su
               s += math.abs(sv)
@@ -448,8 +493,8 @@ object Multimodal {
           while (r < 4) {
             var b = 0
             var c = 0
-            while (c < 8) {
-              if (e(r * 9 + c) < e(r * 9 + c + 1)) b |= 1 << c
+            while (c < bits) {
+              if (e(r * (bits + 1) + c) < e(r * (bits + 1) + c + 1)) b |= 1 << c
               c += 1
             }
             bands(r) = b
@@ -477,22 +522,25 @@ object Multimodal {
     * is a landed curation artifact; in-session the checkpoint gives
     * the same compute-once property with ContextCleaner lifecycle.
     *
-    * Scale note (blocking space): 4 bands × 2⁸ values = 1,024 buckets
-    * TOTAL, fixed — candidates grow ∝ n²/1024 past the corpus size
-    * where buckets saturate (fine at the gated SFs: hottest bucket 84
-    * rows at sf0.1). At real scale widen the per-band space the same
-    * way as [[dhashBands]]' scale note and d08's hyperplane bits: more
-    * frames per band (e.g. 17 energies → 16-bit bands = 65,536
-    * buckets/band) over a proportionally longer window, which keeps
-    * expected bucket occupancy flat as the corpus grows. The 8-bit
-    * default is what the gated fixture's 288-char window supports and
-    * what the DuckDB twin replays. */
+    * Scale note (blocking space): the (bits, spf) layout comes from
+    * [[audioBandLayout]] — the per-band space widens with the corpus
+    * under the fixed 144-sample window, holding expected bucket
+    * occupancy ≤ targetBucket as n grows (the d08 hyperplane-bits
+    * convention; the fixed 4×2⁸ = 1,024-bucket default measured its
+    * hottest bucket at 84 rows over 4.8k docs at sf0.1 and saturates
+    * ∝ n²/1024 past that). The 4-band pigeonhole (hamming ≤ 3 ⇒ an
+    * all-equal band) holds at every rung, so blocking recall stays
+    * COMPLETE under the adaptive layout and the oracle stays the
+    * literal all-pairs twin. Callers must pass the SAME layout to the
+    * oracle side; the window filter (4·(bits+1)·spf·2 chars = 288 at
+    * every ladder rung) is enforced here. */
   def audioNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 8, spf: Int = 4): DataFrame = {
     require(maxHamming <= 3,
       s"audioNearDupPairs: maxHamming=$maxHamming breaks the 4-band pigeonhole")
     val hashed = audioBandsDecode(
-      docs.filter(length(col(textCol)) >= 288), idCol, textCol)
+      docs.filter(length(col(textCol)) >= 4 * (bits + 1) * spf * 2),
+      idCol, textCol, bits, spf)
       .localCheckpoint(true)
     val ex = hashed.select(col("did"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bv")))

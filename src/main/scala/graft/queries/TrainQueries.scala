@@ -57,6 +57,35 @@ object TrainQueries extends QuerySet {
        |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) t
        |WHERE rn <= $k""".stripMargin
 
+  /** Unrolled beam-walk CTE chain (the n19 technique, generated): from
+    * a seed CTE (qid, vid) — which is also hop-0's visited set — emit
+    * `hops` rounds of candidates (⋈ `edgeCte`) → fresh (NOT EXISTS
+    * visited) → score (against fixed tables `e`/`q`) → top-`beam` →
+    * visited union. Walk CTEs are AS MATERIALIZED (DuckDB's default
+    * inlining re-expands the edge-scoring pipeline per reference — the
+    * n19 sf1 lesson: >37 GB spill and an OOM uninlined). The final
+    * visited CTE is `${prefix}v${hops}`. */
+  private def walkCtes(seedCte: String, edgeCte: String, beam: Int,
+      hops: Int, prefix: String): String =
+    (1 to hops).map { i =>
+      val prevB = if (i == 1) seedCte else s"${prefix}b${i - 1}"
+      val prevV = if (i == 1) seedCte else s"${prefix}v${i - 1}"
+      s"""${prefix}c$i AS (SELECT DISTINCT $prevB.qid, $edgeCte.neighbor_id AS vid
+         |       FROM $prevB JOIN $edgeCte ON $edgeCte.vid = $prevB.vid),
+         |${prefix}f$i AS (SELECT qid, vid FROM ${prefix}c$i
+         |       WHERE NOT EXISTS (SELECT 1 FROM $prevV
+         |                         WHERE $prevV.qid = ${prefix}c$i.qid
+         |                           AND $prevV.vid = ${prefix}c$i.vid)),
+         |${prefix}x$i AS (SELECT f.qid, f.vid,
+         |         floor((list_dot_product(q.qv, e.v)
+         |           /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
+         |       FROM ${prefix}f$i f JOIN e ON e.vec_id = f.vid JOIN q ON q.qid = f.qid),
+         |${prefix}b$i AS MATERIALIZED (SELECT qid, vid FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos6 DESC, vid) AS rn FROM ${prefix}x$i) z WHERE rn <= $beam),
+         |${prefix}v$i AS MATERIALIZED (SELECT * FROM $prevV UNION SELECT * FROM ${prefix}b$i)""".stripMargin
+    }.mkString(",\n")
+
   /** Brute-force scored CTE over q(qid, qv) × `corpus` — shared by
     * n01/n13 (float corpus `e`) and n15 (int8-code corpus `e8`); the
     * corpus relation is aliased to `e` so the shared cosine fragment
@@ -2253,6 +2282,161 @@ object TrainQueries extends QuerySet {
               |FROM (SELECT DISTINCT qid FROM q) qq
               |LEFT JOIN hg USING (qid) LEFT JOIN hi USING (qid)""".stripMargin)),
 
+    // N20 — two-layer HNSW-STYLE search, completing the graph-ANN
+    // story n19 opened: a sparse upper layer (every ⌊√n⌋-th vertex,
+    // ~√n of them) is kNN-graphed (k=8, nprobe=4 — the upper graph
+    // needs cross-cluster reach), each query enters at a STATIC
+    // per-upper-bucket entry list fixed at build time (a single global
+    // entry measured catastrophic at sf1 — 5 of 50 — because tight
+    // clusters disconnect the kNN upper graph into per-cluster
+    // components), beam-walks the upper layer (beam 3 × 3 hops), and
+    // its 8 best visited upper vertices seed the layer-0 walk (beam 8
+    // × 5 hops over a degree-12 graph — degree 6 measured
+    // non-navigable from √n-sparse seeds: even ORACLE-PERFECT upper
+    // seeds reached only 35 of 49 at sf1; 12 reaches 50). NO IVF
+    // probe at query time — entry cost is the ≤ ncentU static entries
+    // plus the bounded walks, vs graphSearch scoring a whole
+    // ~targetBucket-sized bucket to seed. Output: the n19-style dual
+    // recall table vs brute-force truth for BOTH searches and the
+    // family gate hnsw_ge_graph — the two-layer walk must recover at
+    // least what the IVF-seeded walk does (measured, of 50: 49 v 45
+    // at sf0.001, 48 v 42 at sf0.01, 47 v 45 at sf0.1, 50 v 49 at
+    // sf1). Every ranking is the round-6-quantized cosine with id
+    // tiebreaks; the oracle replays BOTH entire walks — upper descent
+    // included — via the generated unrolled-CTE chains (walkCtes),
+    // AS MATERIALIZED per the n19 sf1 lesson.
+    Q("n20_hnsw_ann",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val n = e.count()
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        val ncent = Ann.adaptiveCentroidCount(n)
+        val cents = e.filter(col("vec_id") < ncent)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        // one k=12 graph build serves both walks: rank ≤ 6 of the same
+        // engine-portable ranking IS the n19 edge list
+        val edges12 = Ann.knnGraphMultiProbe(corpus, cents, k = 12, nprobe = 2)
+          .localCheckpoint(eager = false)
+        val edges6 = edges12.filter(col("rank") <= 6)
+        val step = math.max(1L, math.sqrt(n.toDouble).toLong)
+        val upper = corpus.filter(col("vid") % step === 0)
+        val ncentU = Ann.adaptiveCentroidCount(upper.count(), targetBucket = 8)
+        val centsU = e.filter(col("vec_id") < ncentU)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val upperEdges = Ann.knnGraphMultiProbe(upper, centsU, k = 8, nprobe = 4)
+        val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
+          .localCheckpoint(eager = false)
+        val h = Ann.recallAtK(truth,
+          Ann.hnswSearch(qs, corpus, centsU, upperEdges, edges12, step,
+            k = 5, beam = 8, hops = 5, upperHops = 3, upperBeam = 3,
+            seedK = 8), k = 5)
+        val g = Ann.recallAtK(truth,
+          Ann.graphSearch(qs, corpus, cents, edges6, k = 5, beam = 8,
+            hops = 3, seedK = 5), k = 5)
+        val joined = h.select(col("qid"), col("hits").as("hits_hnsw"),
+            col("recall").as("recall_hnsw"))
+          .join(g.select(col("qid"), col("hits").as("hits_graph"),
+            col("recall").as("recall_graph")), Seq("qid"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        joined.withColumn("hnsw_ge_graph",
+          sum(col("hits_hnsw")).over(wAll) >= sum(col("hits_graph")).over(wAll))
+      },
+      Some(s"""WITH $embCte,
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+              |${bfScoredCte("bfs")},
+              |bfr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM bfs) z
+              |        WHERE rn <= 5),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e
+              |      WHERE vec_id < (SELECT greatest(8, (count(*) + 255) // 256)
+              |                      FROM e)),
+              |${assignCtes("e", "c", "ca")},
+              |qa AS (SELECT vid AS qid, v AS qv, cid FROM ca WHERE vid < 10),
+              |${ivfScoredCte("qa", "ivs")},
+              |ivr AS (SELECT qid, neighbor_id, rn FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM ivs) z
+              |        WHERE rn <= 5),
+              |pp AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
+              |egs AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |          floor((list_dot_product(a.v, b.v)
+              |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM pp a JOIN ca b ON a.cid = b.cid AND a.vid <> b.vid),
+              |egr AS MATERIALIZED (SELECT vid, neighbor_id, rn FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cosine DESC, neighbor_id) AS rn FROM egs) z
+              |       WHERE rn <= 12),
+              |eg6 AS (SELECT vid, neighbor_id FROM egr WHERE rn <= 6),
+              |eg12 AS (SELECT vid, neighbor_id FROM egr),
+              |s0 AS MATERIALIZED (SELECT qid, neighbor_id AS vid FROM ivr WHERE rn <= 5),
+              |${walkCtes("s0", "eg6", 8, 3, "g")},
+              |grx AS (SELECT gv3.qid, gv3.vid AS neighbor_id,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM gv3 JOIN e ON e.vec_id = gv3.vid JOIN q ON q.qid = gv3.qid
+              |        WHERE gv3.qid <> gv3.vid),
+              |grr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM grx) z
+              |        WHERE rn <= 5),
+              |stp AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS st FROM e),
+              |up AS (SELECT vec_id, v FROM e, stp WHERE vec_id % st = 0),
+              |uc AS (SELECT vec_id AS cid, v AS cv FROM e
+              |       WHERE vec_id < (SELECT greatest(8, (count(*) + 7) // 8) FROM up)),
+              |${assignCtes("up", "uc", "ua")},
+              |pu AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM uaj) z WHERE rn <= 4),
+              |uegs AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |           floor((list_dot_product(a.v, b.v)
+              |             /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |         FROM pu a JOIN ua b ON a.cid = b.cid AND a.vid <> b.vid),
+              |ueg AS MATERIALIZED (SELECT vid, neighbor_id FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cosine DESC, neighbor_id) AS rn FROM uegs) z
+              |       WHERE rn <= 8),
+              |ent AS (SELECT min(vid) AS vid FROM ua GROUP BY cid),
+              |us0 AS MATERIALIZED (SELECT q.qid, ent.vid FROM q, ent),
+              |${walkCtes("us0", "ueg", 3, 3, "u")},
+              |sdx AS (SELECT uv3.qid, uv3.vid,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
+              |        FROM uv3 JOIN e ON e.vec_id = uv3.vid JOIN q ON q.qid = uv3.qid),
+              |sd AS MATERIALIZED (SELECT qid, vid FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY qid
+              |          ORDER BY cos6 DESC, vid) AS rn FROM sdx) z WHERE rn <= 8),
+              |${walkCtes("sd", "eg12", 8, 5, "h")},
+              |hnx AS (SELECT hv5.qid, hv5.vid AS neighbor_id,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM hv5 JOIN e ON e.vec_id = hv5.vid JOIN q ON q.qid = hv5.qid
+              |        WHERE hv5.qid <> hv5.vid),
+              |hnr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM hnx) z
+              |        WHERE rn <= 5),
+              |hh AS (SELECT qid, count(*) AS hits
+              |       FROM bfr JOIN hnr USING (qid, neighbor_id) GROUP BY 1),
+              |hgg AS (SELECT qid, count(*) AS hits
+              |        FROM bfr JOIN grr USING (qid, neighbor_id) GROUP BY 1)
+              |SELECT qq.qid,
+              |       CAST(coalesce(hh.hits, 0) AS BIGINT) AS hits_hnsw,
+              |       floor((coalesce(hh.hits, 0)/5.0)*1e4 + 0.5)/1e4 AS recall_hnsw,
+              |       CAST(coalesce(hgg.hits, 0) AS BIGINT) AS hits_graph,
+              |       floor((coalesce(hgg.hits, 0)/5.0)*1e4 + 0.5)/1e4 AS recall_graph,
+              |       (SELECT coalesce(sum(hits), 0) FROM hh)
+              |         >= (SELECT coalesce(sum(hits), 0) FROM hgg) AS hnsw_ge_graph
+              |FROM (SELECT DISTINCT qid FROM q) qq
+              |LEFT JOIN hh USING (qid) LEFT JOIN hgg USING (qid)""".stripMargin)),
+
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient
     // tops out ~0.51), restricted to queries whose top-2 centroid
@@ -3255,32 +3439,47 @@ object TrainQueries extends QuerySet {
     // contribute an id+2000000 copy (the collision-safe planted-id
     // convention — +20000 collides with real doc_ids at sf1, where
     // duplicate ids would silently break the id_a < id_b orientation)
-    // with ONE byte overwritten inside the 72-byte raster window — a
+    // with ONE byte overwritten inside the raster window — a
     // one-to-two-bit perceptual wobble; exact dups land at hamming 0
-    // through the same pipeline.
+    // through the same pipeline. The per-band bit width is ADAPTIVE
+    // (Multimodal.adaptiveBandBits over the raw table count — 8 bits
+    // at ≤1,024 docs, 11 at sf0.1's 5,000, 14 at sf1's 50,000), so
+    // band buckets stay sparse as the corpus grows; the band COUNT
+    // stays 8, so the hamming ≤ 7 pigeonhole recall is unchanged and
+    // the oracle remains the literal all-pairs twin — it replays the
+    // integer bit-width ladder with a CASE (no libm), then the
+    // bit-width-parameterized window geometry.
     Q("mm06_phash_dedup",
       (s, dir) => {
-        val base = Tables.load(s, dir, "documents")
-          .filter(length(col("text")) >= 72)
+        val docsT = Tables.load(s, dir, "documents")
+        val bits = Multimodal.adaptiveBandBits(docsT.count())
+        val base = docsT.filter(length(col("text")) >= 8 * (bits + 1))
           .select(col("doc_id"), col("text"))
         val planted = base.filter(col("doc_id") < 20)
           .select((col("doc_id") + 2000000).as("doc_id"),
             concat(substring(col("text"), 1, 40), lit("~"),
               expr("substring(text, 42)")).as("text"))
         Multimodal.phashNearDupPairs(base.unionByName(planted),
-          "doc_id", "text", maxHamming = 7)
+          "doc_id", "text", maxHamming = 7, bits = bits)
       },
-      Some("""WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 72),
+      Some("""WITH nb AS (SELECT CASE WHEN n <= 1024 THEN 8 WHEN n <= 2048 THEN 9
+             |              WHEN n <= 4096 THEN 10 WHEN n <= 8192 THEN 11
+             |              WHEN n <= 16384 THEN 12 WHEN n <= 32768 THEN 13
+             |              WHEN n <= 65536 THEN 14 WHEN n <= 131072 THEN 15
+             |              ELSE 16 END AS w
+             |            FROM (SELECT count(*) AS n FROM documents)),
+             |d0 AS (SELECT doc_id, text FROM documents, nb
+             |       WHERE length(text) >= 8*(w + 1)),
              |dd AS (SELECT doc_id, text FROM d0
              |       UNION ALL
              |       SELECT doc_id + 2000000, substr(text, 1, 40) || '~' || substr(text, 42)
              |       FROM d0 WHERE doc_id < 20),
              |b AS (SELECT doc_id, list_transform(range(0, 8), r ->
-             |        list_sum(list_transform(range(0, 8), c ->
-             |          CASE WHEN ascii(substr(text, r*9 + c + 1, 1)) <
-             |                    ascii(substr(text, r*9 + c + 2, 1))
+             |        list_sum(list_transform(range(0, w), c ->
+             |          CASE WHEN ascii(substr(text, r*(w+1) + c + 1, 1)) <
+             |                    ascii(substr(text, r*(w+1) + c + 2, 1))
              |               THEN (1 << c) ELSE 0 END))) AS bands
-             |      FROM dd),
+             |      FROM dd, nb),
              |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
              |        CAST(list_sum(list_transform(range(0, 8), i ->
              |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming
@@ -3291,16 +3490,24 @@ object TrainQueries extends QuerySet {
     // the time domain — frame-energy ordering over headerless 16-bit
     // PCM (the mm04 sample convention), amplitude-scale-robust where a
     // content hash is not. Two plants make the interesting paths
-    // non-vacuous: an amplitude bump confined to one frame (pairs at
-    // hamming ≤ 1 — only that frame's gradient can flip, the other 3
-    // bands block-match it), and a ≥0x80 high-byte pair (chars U+00E9)
-    // driving the SIGNED sample branch an ASCII corpus never reaches.
-    // 4-band pigeonhole at hamming ≤ 3 ⇒ blocking recall is COMPLETE —
-    // the oracle is the literal all-pairs twin, as in mm06.
+    // non-vacuous: an amplitude bump confined to samples 2-3 (pairs at
+    // hamming ≤ 2 — at most the two adjacent band-0 energies touching
+    // those samples flip a gradient bit each, whatever the frame
+    // layout; the other 3 bands block-match it), and a ≥0x80 high-byte
+    // pair (chars U+00E9) driving the SIGNED sample branch an ASCII
+    // corpus never reaches. The (bits, samples-per-frame) layout is
+    // ADAPTIVE under the fixed 288-char window
+    // (Multimodal.audioBandLayout: (8,4) at ≤1,024 docs, (11,3) at
+    // sf0.1, (17,2) at sf1) — finer frames buy a wider band space from
+    // the same samples, holding bucket occupancy flat. The band count
+    // stays 4, so the pigeonhole at hamming ≤ 3 ⇒ blocking recall is
+    // COMPLETE at every rung — the oracle is the literal all-pairs
+    // twin, replaying the integer ladder with a CASE, as in mm06.
     Q("mm07_audio_dedup",
       (s, dir) => {
-        val base = Tables.load(s, dir, "documents")
-          .filter(length(col("text")) >= 288)
+        val docsT = Tables.load(s, dir, "documents")
+        val (bits, spf) = Multimodal.audioBandLayout(docsT.count())
+        val base = docsT.filter(length(col("text")) >= 288)
           .select(col("doc_id"), col("text"))
         val bumped = base.filter(col("doc_id") < 20)
           .select((col("doc_id") + 4000000).as("doc_id"),
@@ -3312,9 +3519,14 @@ object TrainQueries extends QuerySet {
               expr("substring(text, 43)")).as("text"))
         Multimodal.audioNearDupPairs(
           base.unionByName(bumped).unionByName(signedP),
-          "doc_id", "text", maxHamming = 3)
+          "doc_id", "text", maxHamming = 3, bits = bits, spf = spf)
       },
-      Some("""WITH d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 288),
+      Some("""WITH nb AS (SELECT CASE WHEN n <= 1024 THEN 8 WHEN n <= 8192 THEN 11
+             |              ELSE 17 END AS w,
+             |            CASE WHEN n <= 1024 THEN 4 WHEN n <= 8192 THEN 3
+             |              ELSE 2 END AS spf
+             |            FROM (SELECT count(*) AS n FROM documents)),
+             |d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 288),
              |dd AS (SELECT doc_id, text FROM d0
              |       UNION ALL
              |       SELECT doc_id + 4000000, substr(text, 1, 4) || 'zzzz' || substr(text, 9)
@@ -3330,19 +3542,108 @@ object TrainQueries extends QuerySet {
              |                  ELSE ascii(substr(text, 2*i + 1, 1))
              |                     + 256*ascii(substr(text, 2*i + 2, 1)) END)) AS sa
              |       FROM dd),
-             |en AS (SELECT doc_id, list_transform(range(0, 36), f ->
-             |         sa[4*f + 1] + sa[4*f + 2] + sa[4*f + 3] + sa[4*f + 4]) AS e
-             |       FROM sm),
+             |en AS (SELECT doc_id, list_transform(range(0, 4*(w+1)), f ->
+             |         list_sum(list_transform(range(0, spf), i -> sa[spf*f + i + 1]))) AS e
+             |       FROM sm, nb),
              |b AS (SELECT doc_id, list_transform(range(0, 4), r ->
-             |        list_sum(list_transform(range(0, 8), c ->
-             |          CASE WHEN e[r*9 + c + 1] < e[r*9 + c + 2]
+             |        list_sum(list_transform(range(0, w), c ->
+             |          CASE WHEN e[r*(w+1) + c + 1] < e[r*(w+1) + c + 2]
              |               THEN (1 << c) ELSE 0 END))) AS bands
-             |      FROM en),
+             |      FROM en, nb),
              |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
              |        CAST(list_sum(list_transform(range(0, 4), i ->
              |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming
              |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
              |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin)),
+
+    // MM11 — band-bucket occupancy census, the tri-SF gate on the
+    // mm06/mm07 adaptive blocking spaces: per modality, the live
+    // bucket count, hottest bucket, and total candidate volume
+    // (Σ occ² — exactly the rows the band equi-join would emit). The
+    // gate rides the plan: n_candidates ≤ 64 · n_hash_rows, i.e. the
+    // blocking join stays within 64× LINEAR as the corpus grows —
+    // measured: image 33k/656k/12.4M candidates at sf0.001/0.1/sf1
+    // under adaptive bits (the FIXED 8-bit space would emit ~32M at
+    // sf1 and fail this gate; audio is near-uniform: mean occupancy
+    // 2.3/2.8/1.5 across the ladder rungs). The audio side hashes
+    // through the partition-batched DECODER, so decoder == SQL-Column
+    // equality is additionally gated tri-SF here.
+    Q("mm11_band_occupancy",
+      (s, dir) => {
+        val docsT = Tables.load(s, dir, "documents")
+        val n = docsT.count()
+        val bitsI = Multimodal.adaptiveBandBits(n)
+        val (bitsA, spf) = Multimodal.audioBandLayout(n)
+        def census(modality: String, bits: Int, ex: org.apache.spark.sql.DataFrame) =
+          ex.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("occ"))
+            .agg(count(lit(1)).as("n_live_buckets"),
+              sum(col("occ")).as("n_hash_rows"),
+              max(col("occ")).as("max_bucket"),
+              sum(col("occ") * col("occ")).as("n_candidates"))
+            .select(lit(modality).as("modality"), lit(bits).cast("long").as("bits"),
+              col("n_live_buckets"), col("n_hash_rows"), col("max_bucket"),
+              (col("n_candidates") + coalesce(assert_true(
+                col("n_candidates") <= lit(64L) * col("n_hash_rows"),
+                lit(s"mm11: $modality band blocking past 64x linear — " +
+                  "widen the adaptive space")).cast("long"), lit(0L)))
+                .as("n_candidates"))
+        val img = docsT.filter(length(col("text")) >= 8 * (bitsI + 1))
+          .select(posexplode(Multimodal.dhashBands(col("text"), bitsI))
+            .as(Seq("band", "bv")))
+        val aud = Multimodal.audioBandsDecode(
+            docsT.filter(length(col("text")) >= 288), "doc_id", "text", bitsA, spf)
+          .select(posexplode(col("bands")).as(Seq("band", "bv")))
+        census("image", bitsI, img).unionByName(census("audio", bitsA, aud))
+      },
+      Some("""WITH nbi AS (SELECT CASE WHEN n <= 1024 THEN 8 WHEN n <= 2048 THEN 9
+             |               WHEN n <= 4096 THEN 10 WHEN n <= 8192 THEN 11
+             |               WHEN n <= 16384 THEN 12 WHEN n <= 32768 THEN 13
+             |               WHEN n <= 65536 THEN 14 WHEN n <= 131072 THEN 15
+             |               ELSE 16 END AS w
+             |             FROM (SELECT count(*) AS n FROM documents)),
+             |nba AS (SELECT CASE WHEN n <= 1024 THEN 8 WHEN n <= 8192 THEN 11
+             |               ELSE 17 END AS w,
+             |               CASE WHEN n <= 1024 THEN 4 WHEN n <= 8192 THEN 3
+             |               ELSE 2 END AS spf
+             |             FROM (SELECT count(*) AS n FROM documents)),
+             |di AS (SELECT doc_id, text FROM documents, nbi
+             |       WHERE length(text) >= 8*(w + 1)),
+             |bi AS (SELECT doc_id, list_transform(range(0, 8), r ->
+             |         list_sum(list_transform(range(0, w), c ->
+             |           CASE WHEN ascii(substr(text, r*(w+1) + c + 1, 1)) <
+             |                     ascii(substr(text, r*(w+1) + c + 2, 1))
+             |                THEN (1 << c) ELSE 0 END))) AS bands
+             |       FROM di, nbi),
+             |exi AS (SELECT unnest(range(0, 8)) AS band, unnest(bands) AS bv FROM bi),
+             |occi AS (SELECT band, bv, count(*) AS occ FROM exi GROUP BY 1, 2),
+             |da AS (SELECT doc_id, text FROM documents WHERE length(text) >= 288),
+             |sm AS (SELECT doc_id, list_transform(range(0, 144), i ->
+             |         abs(CASE WHEN ascii(substr(text, 2*i + 1, 1))
+             |                     + 256*ascii(substr(text, 2*i + 2, 1)) >= 32768
+             |                  THEN ascii(substr(text, 2*i + 1, 1))
+             |                     + 256*ascii(substr(text, 2*i + 2, 1)) - 65536
+             |                  ELSE ascii(substr(text, 2*i + 1, 1))
+             |                     + 256*ascii(substr(text, 2*i + 2, 1)) END)) AS sa
+             |       FROM da),
+             |en AS (SELECT doc_id, list_transform(range(0, 4*(w+1)), f ->
+             |         list_sum(list_transform(range(0, spf), i -> sa[spf*f + i + 1]))) AS e
+             |       FROM sm, nba),
+             |ba AS (SELECT doc_id, list_transform(range(0, 4), r ->
+             |         list_sum(list_transform(range(0, w), c ->
+             |           CASE WHEN e[r*(w+1) + c + 1] < e[r*(w+1) + c + 2]
+             |                THEN (1 << c) ELSE 0 END))) AS bands
+             |       FROM en, nba),
+             |exa AS (SELECT unnest(range(0, 4)) AS band, unnest(bands) AS bv FROM ba),
+             |occa AS (SELECT band, bv, count(*) AS occ FROM exa GROUP BY 1, 2)
+             |SELECT 'image' AS modality, CAST((SELECT w FROM nbi) AS BIGINT) AS bits,
+             |       count(*) AS n_live_buckets, CAST(sum(occ) AS BIGINT) AS n_hash_rows,
+             |       max(occ) AS max_bucket, CAST(sum(occ*occ) AS BIGINT) AS n_candidates
+             |FROM occi
+             |UNION ALL
+             |SELECT 'audio', CAST((SELECT w FROM nba) AS BIGINT),
+             |       count(*), CAST(sum(occ) AS BIGINT), max(occ),
+             |       CAST(sum(occ*occ) AS BIGINT)
+             |FROM occa""".stripMargin)),
 
     // MM8 — scene-change detection over sampled frames: the video-
     // curation signal AFTER frame hashing (mm02) — cut count and

@@ -1,0 +1,119 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture contract gate for the sf1 execute-only battery rows
+  * (and a cheap invariant re-check at any SF): the corpus-quadratic
+  * d/t/n/mm queries have no DuckDB twin at sf1 (the r9 convention
+  * records them execute-only), but several carry PLANTED fixtures with
+  * exact expected signatures — this main re-opens a graft.Verify
+  * output directory and asserts each plant IS found, so silent sf1
+  * drift (a plant lost to a data regen, a gate flipped false) fails
+  * loudly instead of hiding behind "executed, rows > 0".
+  *
+  * Usage: ContractCheck <verifyOutDir> [contracts.json]
+  * Writes {query: true|false} for every contract whose output parquet
+  * exists (absent outputs are skipped — the battery's errors.json
+  * already names those), exits non-zero if any contract is false.
+  * scripts/merge_sf1.py merges the true rows as `"contract": true`. */
+object ContractCheck {
+
+  /** Per-query contract predicates over the dumped result parquet.
+    * Every predicate is also true at sf0.001/0.01/0.1 — the plants are
+    * SF-invariant by construction (fixtures bound to doc_id < 500 or
+    * vec_id < 10 slices). */
+  def contracts: Map[String, DataFrame => Boolean] = Map(
+    // spanA (doc 3's 25 leading tokens) spliced into 1000007/1000011:
+    // both recipients pair with the donor on ≥ 6 fully-in-span windows
+    "d12_substring_dup" -> (df => df.filter(col("doc_a") === 3 &&
+      col("doc_b").isin(1000007L, 1000011L) &&
+      col("n_shared_windows") >= 6).count() == 2),
+    // the arriving splice and the verbatim re-land both pair; the
+    // corpus-resident donor/recipient pair must NOT re-surface
+    // (the verbatim re-land of doc 490 is NOT asserted: doc 490 is
+    // under 20 tokens at some SFs and legitimately emits no windows)
+    "d13_substring_incremental" -> (df =>
+      df.filter(col("doc_a") === 3 && col("doc_b") === 2000011L &&
+        col("n_shared_windows") >= 6).count() == 1 &&
+      df.filter(col("doc_a") === 3 && col("doc_b") === 1000007L).count() == 0),
+    // maximal runs: one ≥25-token run vs 1000007, TWO diagonals vs
+    // 1000011 (spliced twice), one ≥40-token run vs 1000013
+    "d26_substring_runs" -> (df =>
+      df.filter(col("doc_a") === 3 && col("doc_b") === 1000007L &&
+        col("len_tokens") >= 25).count() >= 1 &&
+      df.filter(col("doc_a") === 3 && col("doc_b") === 1000011L).count() >= 2 &&
+      df.filter(col("doc_a") === 5 && col("doc_b") === 1000013L &&
+        col("len_tokens") >= 40).count() >= 1),
+    "d27_substring_runs_incremental" -> (df =>
+      df.filter(col("doc_a") === 3 && col("doc_b") === 2000011L &&
+        col("len_tokens") >= 25).count() >= 1 &&
+      df.filter(col("doc_a") === 3 && col("doc_b") === 1000007L).count() == 0),
+    // removal: every spliced recipient loses at least its span length
+    // (overlapping natural cuts can only deepen the drop); donors keep
+    // a nonempty rebuild
+    "d28_substring_run_removal" -> { df =>
+      val drops = df.filter(col("doc_id").isin(1000007L, 1000011L, 1000013L))
+        .select(col("doc_id"), (col("n_tokens_before") - col("n_tokens_after")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      drops.get(1000007L).exists(_ >= 25) &&
+        drops.get(1000011L).exists(_ >= 50) &&
+        drops.get(1000013L).exists(_ >= 40)
+    },
+    // the boilerplate cap: planted copies still pair with their
+    // originals (the rarer-body-window anchor) — ≥ 150 of 200 (docs
+    // under 20 tokens emit no windows at all and can't pair; ~20 of
+    // the 200-doc slice at every SF) — and volume stays linear
+    "d29_boilerplate_capped_runs" -> (df =>
+      df.filter(col("doc_b") === col("doc_a") + 1000000L).select(col("doc_a"))
+        .distinct().count() >= 150 && df.count() <= 5000),
+    // the census holds exactly the planted span's windows at df = 201
+    // (200 recipients + the donor)
+    "d30_hot_window_census" -> (df =>
+      df.count() >= 1 && df.count() <= 6 &&
+        df.filter(col("df") =!= 201L).count() == 0),
+    // perceptual plants: ≥ 5 of the 20 one-byte-wobble copies pair
+    // with their original at hamming ≤ 2
+    "mm06_phash_dedup" -> (df =>
+      df.filter(col("id_b") === col("id_a") + 2000000L &&
+        col("hamming") <= 2).count() >= 5),
+    // audio plants: amplitude-bump copies at hamming ≤ 2 and the
+    // signed-branch (high-byte) copies both recalled
+    "mm07_audio_dedup" -> (df =>
+      df.filter(col("id_b") === col("id_a") + 4000000L &&
+        col("hamming") <= 2).count() >= 5 &&
+      df.filter(col("id_b") === col("id_a") + 5000000L).count() >= 3),
+    // the measured recall gates must hold wherever the battery runs
+    "n19_graph_ann" -> (df => df.filter(!col("graph_ge_ivf")).count() == 0 &&
+      df.count() == 10),
+    "n20_hnsw_ann" -> (df => df.filter(!col("hnsw_ge_graph")).count() == 0 &&
+      df.count() == 10))
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val jsonOut = args.lift(1).getOrElse(s"$outDir/contracts.json")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = contracts.toSeq.sortBy(_._1).flatMap { case (name, check) =>
+      val path = s"$outDir/$name"
+      if (!Files.exists(Paths.get(path))) None
+      else Some(name -> (try check(spark.read.parquet(path))
+      catch { case e: Throwable =>
+        System.err.println(s"[contract] $name errored: ${e.getMessage}"); false
+      }))
+    }
+    val json = results.map { case (k, v) => s"${graft.Json.str(k)}: $v" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(jsonOut), json)
+    results.foreach { case (k, v) =>
+      println(s"[contract] ${if (v) "PASS" else "FAIL"} $k")
+    }
+    spark.stop()
+    if (results.exists(!_._2)) sys.exit(1)
+  }
+}

@@ -142,6 +142,15 @@ class ScaleSpec extends AnyFunSuite {
     val gs = graft.ann.Ann.graphSearch(q, corpus, cents, mp, k = 2, beam = 2, hops = 2)
     val gsp = gs.queryExecution.executedPlan.toString
     assert(!gsp.contains("CartesianProduct"), s"graph-walk cross join:\n$gsp")
+    // n20's shape: the two-layer walk adds an upper graph and a static
+    // entry broadcast — still no cartesian anywhere (the entry
+    // crossJoin is a broadcast of a ≤ ncentU-row aggregate)
+    val hs = graft.ann.Ann.hnswSearch(q, corpus, cents, mp, mp,
+      upperStep = 2, k = 2, beam = 2, hops = 2, upperHops = 2,
+      upperBeam = 2, seedK = 2)
+    val hsp = hs.queryExecution.executedPlan.toString
+    assert(!hsp.contains("CartesianProduct"), s"hnsw-walk cross join:\n$hsp")
+    assert(rowsOf(hs).nonEmpty, "hnsw walk must return neighbors on the toy graph")
   }
 
   test("RangeStab plan: bucket equi-join, no inequality cross join") {
@@ -534,6 +543,89 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.exists(r => r.head == 1L && r(1) == 2L && r(2).asInstanceOf[Long] <= 1L))
     assert(got.exists(r => r.head == 1L && r(1) == 5L))
     assert(!got.flatten.contains(4L))
+  }
+
+  test("adaptive band spaces: occupancy flat where the fixed space saturates; ladders integer-exact") {
+    import graft.mm.Multimodal
+    // threshold pins — the SQL CASE ladders in the mm06/mm07/mm11
+    // oracles replay exactly these integer breakpoints
+    assert(Multimodal.adaptiveBandBits(1024) === 8)
+    assert(Multimodal.adaptiveBandBits(1025) === 9)
+    assert(Multimodal.adaptiveBandBits(50000) === 14)
+    assert(Multimodal.adaptiveBandBits(10000000) === 16) // clamped
+    assert(Multimodal.audioBandLayout(1024) === ((8, 4)))
+    assert(Multimodal.audioBandLayout(5000) === ((11, 3)))
+    assert(Multimodal.audioBandLayout(50000) === ((17, 2)))
+    // occupancy: 2,000 uniform-random payloads — the FIXED 8-bit space
+    // averages ~n/256 ≈ 7.8 per live bucket (saturating), the adaptive
+    // 9-bit space (2000 ≤ 4·2⁹) stays at ~n/512 ≈ 3.9 ≤ targetBucket
+    val rnd = new scala.util.Random(7)
+    val dS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = df(dS, (1L to 2000L).map(i =>
+      Row(i, (0 until 96).map(_ => (33 + rnd.nextInt(90)).toChar).mkString)))
+    val bits = Multimodal.adaptiveBandBits(2000)
+    assert(bits === 9)
+    def meanOcc(b: Int): Double = {
+      val occ = docs.filter(length(col("text")) >= 8 * (b + 1))
+        .select(posexplode(Multimodal.dhashBands(col("text"), b))
+          .as(Seq("band", "bv")))
+        .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("occ"))
+        .agg(avg(col("occ"))).collect().head.getDouble(0)
+      occ
+    }
+    // live-bucket mean runs above the uniform expectation (ties skew
+    // the gradient bits slightly toward 0), but the adaptive space
+    // stays near target while the fixed space visibly saturates
+    val adaptive = meanOcc(bits)
+    val fixed = meanOcc(8)
+    assert(adaptive <= 6.0, s"adaptive space must hold near-target occupancy ($adaptive)")
+    assert(fixed >= 1.5 * adaptive,
+      s"fixed space must be visibly saturating here (fixed $fixed vs adaptive $adaptive)")
+  }
+
+  test("adaptive rungs: blocked == all-pairs and decoder == Column twin away from the default geometry") {
+    import graft.mm.Multimodal
+    val dS = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val base = (0 until 300).map(i => (40 + (i * 7) % 80).toChar).mkString
+    val docs = df(dS, Seq(
+      Row(1L, base),
+      Row(2L, base.substring(0, 4) + "zzzz" + base.substring(8)),
+      Row(3L, (0 until 300).map(i => (40 + (i * 13) % 80).toChar).mkString),
+      Row(5L, base.substring(0, 40) + "éé" + base.substring(42))))
+    for ((bits, spf) <- Seq((11, 3), (17, 2))) {
+      // decoder (the hot path's hash) == Column twin (what the oracle
+      // replays), at the non-default rungs
+      val dec = Multimodal.audioBandsDecode(docs, "doc_id", "text", bits, spf)
+        .orderBy("did")
+      val colTwin = docs.select(col("doc_id").as("did"),
+        Multimodal.audioBands(col("text"), bits, spf).as("bands")).orderBy("did")
+      assert(rowsOf(dec) === rowsOf(colTwin), s"rung ($bits,$spf) decoder drift")
+      // blocked == brute all-pairs at hamming ≤ 3 (the 4-band
+      // pigeonhole is rung-independent)
+      val p = Multimodal.audioNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bits = bits, spf = spf)
+      val brute = colTwin.as("x").crossJoin(colTwin.as("y"))
+        .filter(col("x.did") < col("y.did"))
+        .select(col("x.did").as("id_a"), col("y.did").as("id_b"),
+          (0 until 4).map(i => expr(s"bit_count(x.bands[$i] ^ y.bands[$i])"))
+            .reduce(_ + _).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+      assert(rowsOf(p.orderBy("id_a", "id_b")) ===
+        rowsOf(brute.orderBy("id_a", "id_b")), s"rung ($bits,$spf) recall")
+      // the bump pair survives at every rung (≤ 2 band-0 bits flip)
+      assert(rowsOf(p).exists(r => r.head == 1L && r(1) == 2L))
+    }
+    // image side: wider bands keep the 8-band pigeonhole — a 1-byte
+    // wobble still pairs at bits = 11
+    val inc = (0 until 120).map(i => (48 + (i % 70)).toChar).mkString
+    val imgs = df(dS, Seq(Row(1L, inc), Row(2L, inc.updated(5, '0')),
+      Row(3L, "ab" * 60)))
+    val ip = Multimodal.phashNearDupPairs(imgs, "doc_id", "text",
+      maxHamming = 7, bits = 11)
+    assert(rowsOf(ip).exists(r => r.head == 1L && r(1) == 2L))
+    assert(!rowsOf(ip).flatten.contains(3L))
   }
 
   test("partitioned layout: day filter binds as a PartitionFilter (metadata pruning, no data-filter fallback)") {
