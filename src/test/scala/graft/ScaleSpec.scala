@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Salt
+import graft.sdv.SdvAgg
 import graft.io.Lake
 import graft.valu.Valu
 
@@ -543,6 +544,121 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.exists(r => r.head == 1L && r(1) == 2L && r(2).asInstanceOf[Long] <= 1L))
     assert(got.exists(r => r.head == 1L && r(1) == 5L))
     assert(!got.flatten.contains(4L))
+  }
+
+  test("skew battery: Zipf-hot mukey through the SDV aggregation family and the hierarchy join") {
+    // The window-frame class was r11's 100×-scale killer; key skew in
+    // the mapunit hierarchy is the next likeliest. Fixture: 120k
+    // component rows where ONE mukey carries 50% (an urban survey
+    // area) over a 1,000-key tail. Two claims, both measured from
+    // per-task shuffle-read records:
+    //  1. the a02-a06 aggregation family is skew-IMMUNE by shape —
+    //     every path is groupBy/max_by, so map-side partial
+    //     aggregation collapses the hot key before the exchange and
+    //     no reducer reads a hot-key-sized input;
+    //  2. the hierarchy JOIN is not — a plain shuffle join puts every
+    //     hot-key row in one task (measured below as the unsalted
+    //     max/median ratio) and Salt.saltedJoin is the fix.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          reads.add(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured[T](action: => T): (T, Long, Long) = {
+      reads.clear()
+      val r = action
+      // the listener bus is async (and private); poll until the task
+      // stream drains
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val n = reads.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      val xs = reads.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+      assert(xs.nonEmpty, "expected a shuffle")
+      (r, xs.last, xs(xs.length / 2))
+    }
+    // AQE's small-shuffle COALESCING folds this deliberately tiny
+    // fixture into one or two reduce tasks, which would masquerade as
+    // key skew in the per-task numbers — disable it here so the
+    // measurement isolates KEY-level concentration (at real scale the
+    // coalescing target is 64 MB/task and orthogonal to hot keys)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    // 32 reduce partitions (the suite default is 4): the skew signal is
+    // per-REDUCER concentration, which 4 partitions blur into the base
+    // load (120k/4 = 30k/task dwarfs nothing)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    spark.conf.set(spKey, "32")
+    try {
+      val fact = spark.range(120000).select(
+        when(col("id") % 2 === 0, lit("HOT"))
+          .otherwise(concat(lit("m"), pmod(xxhash64(col("id")), lit(1000)))).as("mukey"),
+        col("id").as("cokey"),
+        (pmod(col("id") * 37, lit(60)) + 1).cast("double").as("comppct"),
+        pmod(col("id") * 17, lit(1000)).cast("double").as("rating"))
+        .withColumn("ratingOrd", col("rating"))
+        .localCheckpoint() // freeze the fixture; measure only the op under test
+      val aggs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "dominantComponent" -> SdvAgg.dominantComponent(fact),
+        "dominantCondition" -> SdvAgg.dominantCondition(fact),
+        "weightedAverage" -> SdvAgg.weightedAverage(fact),
+        "maxMin" -> SdvAgg.maxMin(fact, most = true),
+        "limiting" -> SdvAgg.limiting(fact, most = true))
+      for ((name, agg) <- aggs) {
+        val (rows, mx, med) = measured(agg.collect())
+        assert(rows.length === 1001, s"$name group count")
+        // no reducer ever ingests the 60k-row hot key whole: either
+        // map-side partials collapse it (weightedAverage, maxMin) or
+        // the (mukey, rating) sub-grouping hash-spreads it
+        // (dominantCondition, limiting) before the mukey-level stage
+        // sees only per-class rows
+        assert(mx < 30000, s"$name hot reducer read $mx rows — skew concentrated")
+        assert(mx <= 40L * math.max(med, 1L),
+          s"$name skewed: max $mx vs median $med")
+      }
+      // correctness under skew: WTA of the HOT key vs direct recompute
+      val hot = SdvAgg.weightedAverage(fact)
+        .filter(col("mukey") === "HOT").collect().head.getDouble(1)
+      val direct = fact.filter(col("mukey") === "HOT")
+        .agg((sum(col("comppct") * col("rating")) / sum(col("comppct"))).as("w"))
+        .collect().head.getDouble(0)
+      assert(math.abs(hot - direct) < 1e-4)
+      // hierarchy join: dim side forced through a shuffle join
+      val dim = fact.select(col("mukey")).distinct()
+        .withColumn("muname", concat(lit("name-"), col("mukey")))
+        .localCheckpoint()
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(bcKey)
+      try {
+        spark.conf.set(bcKey, "-1")
+        val (nPlain, mxP, medP) = measured(
+          fact.join(dim, Seq("mukey")).count())
+        val (nSalt, mxS, medS) = measured(
+          graft.core.Salt.saltedJoin(fact, dim, "mukey", 64, col("cokey")).count())
+        assert(nPlain === 120000L && nSalt === 120000L)
+        // the unsalted join's hottest task reads the whole hot key
+        assert(mxP >= 60000L, s"fixture not skewed as planted ($mxP)")
+        // salting spreads it: hottest task ≤ a few salt shares
+        assert(mxS <= mxP / 6,
+          s"salting failed to spread: salted max $mxS vs plain $mxP")
+        assert(mxS <= 10L * math.max(medS, 1L) + 4000,
+          s"salted still skewed: max $mxS vs median $medS")
+      } finally spark.conf.set(bcKey, prev)
+    } finally {
+      spark.conf.set(coalesceKey, prevCoalesce)
+      spark.conf.set(spKey, prevSp)
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("adaptive band spaces: occupancy flat where the fixed space saturates; ladders integer-exact") {
