@@ -497,11 +497,24 @@ object Dedup {
     * df is exact (countDistinct over the grouped window string — the
     * oracle replays it verbatim; an approximate CMS variant would not
     * be engine-portable). */
-  def hotWindowReport(win: DataFrame, maxDf: Int): DataFrame =
-    win.select(col("h"), col("s"), col("did"))
+  def hotWindowReport(win: DataFrame, maxDf: Int): DataFrame = {
+    // two-phase: df first on the 8-byte hash alone (collision-inflated
+    // UPPER bound — a hash shared by two strings can only raise the
+    // count), then exact (h, s) df for the rare candidates. The big
+    // census shuffle moves 16-byte (h, did) pairs, never the window
+    // strings; the string-keyed pass is bounded by the candidate set
+    // (≤ occurrences/maxDf by pigeonhole). Exactness: a non-candidate
+    // hash has TOTAL df ≤ maxDf, so every window under it is cold.
+    val candidates = win.select(col("h"), col("did"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("did")).as("hdf"))
+      .filter(col("hdf") > maxDf)
+      .select(col("h"))
+    win.join(candidates, Seq("h"), "left_semi")
       .groupBy(col("h"), col("s"))
       .agg(countDistinct(col("did")).as("df"))
       .filter(col("df") > maxDf)
+  }
 
   /** ANCHOR-FREQUENCY CAP — the public exact-substring practice: the
     * window-hash equi-join's output is ∝ Σ df(window)² over distinct
@@ -518,11 +531,21 @@ object Dedup {
     * one behavioral edge: a maximal run whose INTERIOR crosses a hot
     * window splits into two overlapping runs at the gap (pinned in
     * TrainOpsSpec); pair counts (d12/d13) count non-hot windows only. */
-  private def dropHotWindows(win: DataFrame, maxDf: Int): DataFrame =
-    if (maxDf == Int.MaxValue) win
-    else win.join(
-      broadcast(hotWindowReport(win, maxDf).select(col("h"), col("s"))),
-      Seq("h", "s"), "left_anti")
+  private def dropHotWindows(win0: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) win0
+    else {
+      // the window set feeds the census AND the anti-join AND both
+      // match-join sides — checkpoint lazily so the tokenize/explode
+      // subtree runs once, not 4-5× (the pqChain convention; at
+      // pipeline scale this IS the persisted window index)
+      val win = win0.localCheckpoint(eager = false)
+      // the capped set feeds both self-join sides downstream —
+      // checkpoint it too so the anti-join runs once
+      win.join(
+        broadcast(hotWindowReport(win, maxDf).select(col("h"), col("s"))),
+        Seq("h", "s"), "left_anti")
+        .localCheckpoint(eager = false)
+    }
 
   /** Distinct hashed w-token window rows (did, s, h) — the persistable
     * substring-dedup index artifact (at corpus scale: bucketed by h in
