@@ -69,11 +69,12 @@ object ContractCheck {
     "d29_boilerplate_capped_runs" -> (df =>
       df.filter(col("doc_b") === col("doc_a") + 1000000L).select(col("doc_a"))
         .distinct().count() >= 150 && df.count() <= 5000),
-    // the census holds exactly the planted span's windows at df = 201
-    // (200 recipients + the donor)
+    // the census holds the planted span's windows at df ≥ 201 (200
+    // recipients + the donor; natural carriers of a span window can
+    // only ADD — sf1 measured 203)
     "d30_hot_window_census" -> (df =>
       df.count() >= 1 && df.count() <= 6 &&
-        df.filter(col("df") =!= 201L).count() == 0),
+        df.filter(col("df") < 201L).count() == 0),
     // perceptual plants: ≥ 5 of the 20 one-byte-wobble copies pair
     // with their original at hamming ≤ 2
     "mm06_phash_dedup" -> (df =>
