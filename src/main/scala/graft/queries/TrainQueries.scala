@@ -3556,6 +3556,81 @@ object TrainQueries extends QuerySet {
              |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
              |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin)),
 
+    // MM12 — EXACT-then-NEAR image dedup, the production composition
+    // (and the pair-volume answer for identical media): 200 byte-exact
+    // copies of one payload are a TRUE duplicate group, but emitting
+    // them as C(200,2) near-dup pairs is the same quadratic fan d29
+    // caps — the right pipeline collapses byte-identical payloads
+    // first (group by payload, min-id representative, a count
+    // remembering the collapsed mass) and runs the perceptual pass on
+    // REPRESENTATIVES only. Plants: 200 exact copies of doc 3's
+    // payload (+3000000 — must contribute ZERO pair rows, their mass
+    // riding doc 3's n_dups instead) and the mm06 one-byte wobble
+    // (+2000000 — must still pair perceptually, exact grouping can't
+    // see it). Output: (id_a, id_b, hamming, n_a, n_b) —
+    // representative pairs with each side's exact-group size. At
+    // corpus scale the group key is md5(payload), not the payload
+    // (the mm03 resize hash convention); the fixture groups on the
+    // text itself so the oracle is byte-exact without hash plumbing.
+    Q("mm12_exact_then_near_dedup",
+      (s, dir) => {
+        val docsT = Tables.load(s, dir, "documents")
+        val bits = Multimodal.adaptiveBandBits(docsT.count())
+        val base = docsT.filter(length(col("text")) >= 8 * (bits + 1))
+          .select(col("doc_id"), col("text"))
+        val copies = s.range(200)
+          .crossJoin(broadcast(base.filter(col("doc_id") === 3).select(col("text"))))
+          .select((col("id") + 3000000).as("doc_id"), col("text"))
+        val wobble = base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(substring(col("text"), 1, 40), lit("~"),
+              expr("substring(text, 42)")).as("text"))
+        val dd = base.unionByName(copies).unionByName(wobble)
+        val groups = dd.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+          .localCheckpoint(eager = false)
+        val pairs = Multimodal.phashNearDupPairs(
+          groups.select(col("doc_id"), col("text")), "doc_id", "text",
+          maxHamming = 7, bits = bits)
+        pairs
+          .join(groups.select(col("doc_id").as("id_a"), col("n_dups").as("n_a")), Seq("id_a"))
+          .join(groups.select(col("doc_id").as("id_b"), col("n_dups").as("n_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("hamming"), col("n_a"), col("n_b"))
+      },
+      Some("""WITH nb AS (SELECT CASE WHEN n <= 1024 THEN 8 WHEN n <= 2048 THEN 9
+             |              WHEN n <= 4096 THEN 10 WHEN n <= 8192 THEN 11
+             |              WHEN n <= 16384 THEN 12 WHEN n <= 32768 THEN 13
+             |              WHEN n <= 65536 THEN 14 WHEN n <= 131072 THEN 15
+             |              ELSE 16 END AS w
+             |            FROM (SELECT count(*) AS n FROM documents)),
+             |d0 AS (SELECT doc_id, text FROM documents, nb
+             |       WHERE length(text) >= 8*(w + 1)),
+             |dd AS (SELECT doc_id, text FROM d0
+             |       UNION ALL
+             |       SELECT 3000000 + i, t.text
+             |       FROM (SELECT unnest(range(0, 200)) AS i) r,
+             |            (SELECT text FROM d0 WHERE doc_id = 3) t
+             |       UNION ALL
+             |       SELECT doc_id + 2000000, substr(text, 1, 40) || '~' || substr(text, 42)
+             |       FROM d0 WHERE doc_id < 20),
+             |g AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dups, text
+             |      FROM dd GROUP BY text),
+             |b AS (SELECT doc_id, list_transform(range(0, 8), r ->
+             |        list_sum(list_transform(range(0, w), c ->
+             |          CASE WHEN ascii(substr(text, r*(w+1) + c + 1, 1)) <
+             |                    ascii(substr(text, r*(w+1) + c + 2, 1))
+             |               THEN (1 << c) ELSE 0 END))) AS bands
+             |      FROM g, nb),
+             |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             |        CAST(list_sum(list_transform(range(0, 8), i ->
+             |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming
+             |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+             |SELECT id_a, id_b, hamming,
+             |       ga.n_dups AS n_a, gb.n_dups AS n_b
+             |FROM p JOIN g ga ON ga.doc_id = p.id_a
+             |       JOIN g gb ON gb.doc_id = p.id_b
+             |WHERE hamming <= 7""".stripMargin)),
+
     // MM11 — band-bucket occupancy census, the tri-SF gate on the
     // mm06/mm07 adaptive blocking spaces: per modality, the live
     // bucket count, hottest bucket, and total candidate volume

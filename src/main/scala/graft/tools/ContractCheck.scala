@@ -86,6 +86,15 @@ object ContractCheck {
       df.filter(col("id_b") === col("id_a") + 4000000L &&
         col("hamming") <= 2).count() >= 5 &&
       df.filter(col("id_b") === col("id_a") + 5000000L).count() >= 3),
+    // exact-then-near: the 200 byte-exact copies must NEVER surface as
+    // pairs (their mass rides doc 3's group count, ≥ 201 incl. the
+    // donor), while doc 3's perceptual wobble still pairs
+    "mm12_exact_then_near_dedup" -> (df =>
+      df.filter(col("id_a") >= 3000000L || col("id_b") >= 3000000L).count() == 0 &&
+      df.filter(col("id_a") === 3 && col("id_b") === 2000003L &&
+        col("hamming") <= 2 && col("n_a") >= 201L).count() == 1 &&
+      df.filter(col("id_b") === col("id_a") + 2000000L &&
+        col("hamming") <= 2).count() >= 5),
     // the measured recall gates must hold wherever the battery runs
     "n19_graph_ann" -> (df => df.filter(!col("graph_ge_ivf")).count() == 0 &&
       df.count() == 10),
