@@ -299,14 +299,15 @@ object Ann {
   /** Two-layer HNSW-style search — the public HNSW idea's entry
     * machinery on top of the [[graphSearch]] layer-0 walk: a sparse
     * UPPER layer (every `upperStep`-th vertex, ~√n of them when
-    * upperStep ≈ √n) is kNN-graphed, each query enters at the FIXED
-    * minimum-vid upper vertex and greedy-descends `upperHops` rounds
-    * (per round: score the current vertex's upper neighbors, move to
-    * the best fresh one — every scored vertex is remembered), and the
-    * `seedK` best upper vertices EVALUATED become the layer-0 seeds.
-    * Entry cost is O(upperHops · degree) score evaluations per query —
-    * no IVF probe, no centroid table at query time (vs [[graphSearch]]
-    * scoring a whole ~n/centroids bucket to seed); at corpus scale the
+    * upperStep ≈ √n) is kNN-graphed, each query enters at a STATIC
+    * per-upper-bucket entry list fixed at build time, beam-walks the
+    * upper layer (`upperBeam` × `upperHops` — see the in-body notes
+    * for why greedy-1 and a single entry both fail), and the `seedK`
+    * best VISITED upper vertices become the layer-0 seeds for the
+    * shared [[beamWalk]]. Entry cost is O(entries + upperHops ·
+    * upperBeam · degree) score evaluations per query — no IVF probe,
+    * no centroid table at query time (vs [[graphSearch]] scoring a
+    * whole ~targetBucket-sized bucket to seed); at corpus scale the
     * upper layer recurses (HNSW's log tower), each level √ the one
     * below, which this two-level form demonstrates.
     *
