@@ -93,6 +93,31 @@ class TrainOpsSpec extends AnyFunSuite {
       a == t.split("\\s+").count(_.nonEmpty) || (a == 1 && t.nonEmpty) })
   }
 
+  test("removeRepeatRuns converges: the cleaned corpus has no cross-doc runs left") {
+    // find→act→re-find: after excising later occurrences, a second
+    // maximalRepeatPairs pass over the REBUILT texts must come up
+    // empty — the cut really removed every shared span (keepers hold
+    // the only remaining copy). Chain fixture: docs 1<2<3 share one
+    // span, 2<3 share another, 4 is untouched — cuts overlap and
+    // chain, and the rebuilt text is fed back through the finder.
+    val fixture = df(docSchema, Seq(
+      Row(1L, "a b c d e u1 v1 w1"),
+      Row(2L, "u2 a b c d e f g h i"),
+      Row(3L, "f g h i u3 a b c d e"),
+      Row(4L, "nothing shared here at all")))
+    val runs = Dedup.maximalRepeatPairs(fixture, "doc_id", "text", w = 3)
+    val cleaned = Dedup.removeRepeatRuns(fixture, runs, "doc_id", "text")
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val again = Dedup.maximalRepeatPairs(cleaned, "doc_id", "text", w = 3)
+    assert(again.count() === 0L,
+      s"cleaned corpus still has runs: ${again.collect().mkString(", ")}")
+    // and the keepers' spans are intact: doc 1 still contains span A,
+    // doc 2 still contains span B
+    val byId = cleaned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L).contains("a b c d e"))
+    assert(byId(2L).contains("f g h i"))
+  }
+
   test("anchor-frequency cap: planted boilerplate bounds match volume to linear, rare spans still anchor") {
     // 220 docs share one 3-token boilerplate window (license-header
     // shape); each otherwise unique. Uncapped, that ONE window fans to
