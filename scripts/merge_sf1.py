@@ -24,15 +24,23 @@ import sys
 import pandas as pd
 
 out_path = sys.argv[1]
-args = sys.argv[2:]
 
-
-def split_flag(a, flag):
-    return (a[:a.index(flag)], a[a.index(flag) + 1:]) if flag in a else (a, [])
-
-
-args, contract_jsons = split_flag(args, "--contracts")
-check_jsons, exec_dirs = split_flag(args, "--exec-only")
+# Route every operand by the most recent flag seen — argument ORDER
+# between --exec-only and --contracts must not matter (the r12 advisor
+# found `--contracts` before `--exec-only` misrouted the directories
+# into contract_jsons and crashed json.load with a confusing error).
+buckets = {"": [], "--exec-only": [], "--contracts": []}
+current = ""
+for tok in sys.argv[2:]:
+    if tok in buckets:
+        current = tok
+    elif tok.startswith("--"):
+        sys.exit(f"unknown flag {tok}; expected --exec-only / --contracts")
+    else:
+        buckets[current].append(tok)
+check_jsons = buckets[""]
+exec_dirs = buckets["--exec-only"]
+contract_jsons = buckets["--contracts"]
 
 queries = {}
 for cj in check_jsons:

@@ -35,6 +35,43 @@ object Tables {
         spark.read.parquet(s"$dir/$name.parquet").cache())
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  private val counts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Row count per (vintage dir, table) — the per-vintage corpus-
+    * statistics artifact (the reference's `mdstattabs` row-count
+    * analog). Adaptive parameters (band bit-widths, centroid counts,
+    * layer steps) need only the integer n, and paying a full table
+    * scan per QUERY to pick an integer is a 100 TB anti-pattern: the
+    * r12 battery ran several full `documents`/`embeddings` passes for
+    * exactly this. Resolution order: session memo → parquet FOOTER
+    * metadata (row counts live in the footer, so the read is O(KB)
+    * regardless of table size — the ingest-time stats table a real
+    * lake would carry) → a counted scan only if the footer path fails.
+    * Net: zero data-scan count jobs per battery run. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    counts.getOrElseUpdate((dir, name),
+      footerRowCount(spark, s"$dir/$name.parquet")
+        .getOrElse(load(spark, dir, name).count()))
+
+  private def footerRowCount(spark: SparkSession, path: String): Option[Long] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        else Seq(fs.getFileStatus(p))
+      Some(files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** events.parquet has shipped `ts` under two physical encodings across
     * testdata generations: TIMESTAMP(NANOS) (arrives as a long of
     * nanoseconds under spark.sql.legacy.parquet.nanosAsLong) and

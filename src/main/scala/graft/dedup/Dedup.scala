@@ -477,10 +477,13 @@ object Dedup {
     * Anchor-frequency cap: windows in more than `maxDf` distinct docs
     * are dropped before the join (see [[hotWindowReport]]/the cap
     * scaladoc above — the df² fan bound); n_shared_windows counts
-    * non-hot windows only.
+    * non-hot windows only. The default maxDf=64 is the battery's
+    * pinned value (shared by the DuckDB oracles and the whole
+    * substring family's incremental twins), so default callers and
+    * gated callers agree; pass Int.MaxValue to disable the cap.
     * Returns (doc_a, doc_b, n_shared_windows). */
   def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 20, maxDf: Int = 128): DataFrame = {
+      w: Int = 20, maxDf: Int = 64): DataFrame = {
     val hashed = dropHotWindows(windowRows(docs, idCol, textCol, w), maxDf)
     hashed.as("a").join(hashed.as("b"),
         col("a.h") === col("b.h") && col("a.did") < col("b.did") &&
@@ -601,7 +604,7 @@ object Dedup {
     * (doc_a, doc_b, start_a, start_b, len_tokens), doc_a < doc_b,
     * positions 1-based. */
   def maximalRepeatPairs(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 20, maxDf: Int = 128): DataFrame = {
+      w: Int = 20, maxDf: Int = 64): DataFrame = {
     val win = dropHotWindows(positionedWindowRows(docs, idCol, textCol, w), maxDf)
     val m = win.as("a").join(win.as("b"),
         col("a.h") === col("b.h") && col("a.did") < col("b.did") &&
@@ -646,7 +649,7 @@ object Dedup {
     * artifact refreshed with the window index, not recomputed per
     * batch). Returns the [[maximalRepeatPairs]] shape. */
   def maximalRepeatPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, w: Int = 20, maxDf: Int = 128): DataFrame = {
+      idCol: String, textCol: String, w: Int = 20, maxDf: Int = 64): DataFrame = {
     val win = dropHotWindows(
       positionedWindowRows(newDocs.unionByName(corpus), idCol, textCol, w), maxDf)
     val probe = win.join(
@@ -704,6 +707,45 @@ object Dedup {
         array_join(col("kept"), " ").as("text_clean"))
   }
 
+  /** INTRA-document repeated token runs ≥ `w` tokens — the
+    * self-repetition case [[removeRepeatRuns]] declares out of scope
+    * (the run report it consumes is cross-doc by construction), yet
+    * real corpora carry within-doc boilerplate: t11 measures
+    * repetition, this excises it (the Gopher/Lee-et-al repetition
+    * filters act on exactly this shape). Every non-first occurrence of
+    * a window pairs with the doc's FIRST occurrence of the same window
+    * string (min pos over (did, h, s) — one key-partitioned window
+    * function, so the fan is ≤ 1 match row per window occurrence:
+    * LINEAR even on a degenerate single-token-×-10⁶ doc, where a naive
+    * did-equal self-join would emit C(k, 2) pairs per repeated
+    * window). The same diagonal run-merge as [[maximalRepeatPairs]]
+    * then compresses consecutive matches into maximal runs. A later
+    * copy whose windows also appear even EARLIER elsewhere in the doc
+    * matches those earlier occurrences instead — the run fragments
+    * across diagonals — but cut coverage is unchanged: every repeated
+    * window still cuts its own w-token footprint, so
+    * [[removeRepeatRuns]] over this report drops exactly the tokens
+    * covered by some repeated window (the dropHotWindows run-split
+    * argument, made per-doc). No cross-doc join, no maxDf needed: the
+    * only shuffle is the per-(did, window) first-occurrence pass.
+    * Returns (doc_id, start_first, start_rep, len_tokens) with
+    * start_first < start_rep, positions 1-based — feed to
+    * [[removeRepeatRuns]] as (doc_b = doc_id, start_b = start_rep) to
+    * keep each doc's earliest occurrence and cut the repeats. */
+  def selfRepeatRuns(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = positionedWindowRows(docs, idCol, textCol, w)
+    val fw = Window.partitionBy(col("did"), col("h"), col("s"))
+    val m = win.withColumn("fpos", min(col("pos")).over(fw))
+      .filter(col("pos") > col("fpos"))
+      .select(col("did").as("doc_a"), col("did").as("doc_b"),
+        col("pos").as("pos_a"), col("fpos").as("pos_b"))
+    runMerge(m, w)
+      .select(col("doc_a").as("doc_id"), col("start_b").as("start_first"),
+        col("start_a").as("start_rep"), col("len_tokens"))
+  }
+
   /** Incremental substring-window pairs: every pair involving at least
     * one arriving doc — new×corpus and new×new, never corpus×corpus
     * (the d09 ingestion contract at window granularity). The corpus is
@@ -715,7 +757,7 @@ object Dedup {
     * is computed over the union window set, as in
     * [[maximalRepeatPairsIncremental]]. */
   def substringDupPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, w: Int = 20, maxDf: Int = 128): DataFrame = {
+      idCol: String, textCol: String, w: Int = 20, maxDf: Int = 64): DataFrame = {
     val hashed = dropHotWindows(
       windowRows(newDocs.unionByName(corpus), idCol, textCol, w), maxDf)
     val probe = hashed.join(

@@ -39,7 +39,7 @@ object GeoQueries extends QuerySet {
   private def domainSide(s: org.apache.spark.sql.SparkSession,
       dir: String): Long =
     sideMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
-      val ratio = Tables.load(s, dir, "customer").count() / 15000L
+      val ratio = Tables.rowCount(s, dir, "customer") / 15000L
       val bitlen =
         if (ratio == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(ratio)
       1000L * (1L << (bitlen / 2))

@@ -1891,9 +1891,12 @@ object TrainQueries extends QuerySet {
         val corpus = e.select(col("vec_id"), col("embedding")).unionByName(planted)
         // centroids ∝ corpus (the n18/d08 adaptive default — SemDeDup
         // at a FIXED k is Σ|cluster|² = n²/k, measured 11× at the 10×
-        // sf1 battery); the oracle computes the identical count
+        // sf1 battery); the oracle computes the identical count.
+        // corpus = embeddings + the 200 planted rows, so its size is
+        // footer-stats arithmetic, not a scan (Tables.rowCount)
         Dedup.semDedup(corpus, "vec_id", "embedding",
-          e.filter(col("vec_id") < Ann.adaptiveCentroidCount(corpus.count()))
+          e.filter(col("vec_id") <
+              Ann.adaptiveCentroidCount(Tables.rowCount(s, dir, "embeddings") + 200))
             .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
           threshold = 0.95)
       },
@@ -2108,7 +2111,7 @@ object TrainQueries extends QuerySet {
     Q("n18_knn_graph",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val ncent = Ann.adaptiveCentroidCount(e.count())
+        val ncent = Ann.adaptiveCentroidCount(Tables.rowCount(s, dir, "embeddings"))
         Ann.knnGraph(
           e.select(col("vec_id").as("vid"), col("embedding").as("vec")),
           e.filter(col("vec_id") < ncent)
@@ -2165,7 +2168,7 @@ object TrainQueries extends QuerySet {
         // make the Σ nprobe·|bucket|² graph build quadratic as the
         // corpus grows; at every gated SF the formula still yields 8,
         // so the measured recall gate above is unchanged
-        val ncent = Ann.adaptiveCentroidCount(e.count())
+        val ncent = Ann.adaptiveCentroidCount(Tables.rowCount(s, dir, "embeddings"))
         val cents = e.filter(col("vec_id") < ncent)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val edges = Ann.knnGraphMultiProbe(corpus, cents, k = 6, nprobe = 2)
@@ -2308,7 +2311,7 @@ object TrainQueries extends QuerySet {
     Q("n20_hnsw_ann",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val n = e.count()
+        val n = Tables.rowCount(s, dir, "embeddings")
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
@@ -2322,7 +2325,13 @@ object TrainQueries extends QuerySet {
         val edges6 = edges12.filter(col("rank") <= 6)
         val step = math.max(1L, math.sqrt(n.toDouble).toLong)
         val upper = corpus.filter(col("vid") % step === 0)
-        val ncentU = Ann.adaptiveCentroidCount(upper.count(), targetBucket = 8)
+        // |upper| from stats arithmetic, not a scan: vec_ids are the
+        // contiguous [0, n) id space, so the multiples of `step` in it
+        // number ceil(n/step) — and even on a sparse id space both
+        // engines compute the SAME integer from the same n, so the
+        // parameter (a bucket-count estimate) stays oracle-portable
+        val upperN = (n + step - 1) / step
+        val ncentU = Ann.adaptiveCentroidCount(upperN, targetBucket = 8)
         val centsU = e.filter(col("vec_id") < ncentU)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val upperEdges = Ann.knnGraphMultiProbe(upper, centsU, k = 8, nprobe = 4)
@@ -2390,7 +2399,8 @@ object TrainQueries extends QuerySet {
               |stp AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS st FROM e),
               |up AS (SELECT vec_id, v FROM e, stp WHERE vec_id % st = 0),
               |uc AS (SELECT vec_id AS cid, v AS cv FROM e
-              |       WHERE vec_id < (SELECT greatest(8, (count(*) + 7) // 8) FROM up)),
+              |       WHERE vec_id < (SELECT greatest(8,
+              |         ((count(*) + min(st) - 1) // min(st) + 7) // 8) FROM e, stp)),
               |${assignCtes("up", "uc", "ua")},
               |pu AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
@@ -2851,6 +2861,79 @@ object TrainQueries extends QuerySet {
              |             FROM tk WHERE len(t) >= 20) z)
              |SELECT s, count(DISTINCT doc_id) AS df
              |FROM wn GROUP BY s HAVING count(DISTINCT doc_id) > 64""".stripMargin)),
+
+    // D31 — INTRA-document repeat removal, the self-repetition case
+    // d28 declares out of scope (its run report is cross-doc by
+    // construction; real corpora carry within-doc boilerplate — t11
+    // MEASURES repetition, this excises it, the Gopher/Lee-et-al
+    // repetition-filter shape). Finder: every non-first occurrence of
+    // a 20-token window pairs with the doc's FIRST occurrence of the
+    // same window string (min-pos window function — ≤ 1 match row per
+    // occurrence, so the fan stays LINEAR even on a degenerate
+    // periodic doc where a self-join would go C(k,2)-quadratic), then
+    // the d26 diagonal run-merge. Apply: the d28 cut machinery with
+    // doc_b = the doc itself and start_b = the repeat's start, so each
+    // doc keeps its EARLIEST occurrence and loses every later copy.
+    // Plant: doc 9's 25 leading tokens re-appended at its own tail
+    // (doc 1000009) — the tail copy is cut exactly once and the
+    // rebuilt text is byte-exactly the normalized original. The
+    // oracle replays windows → first-occurrence match → run-merge →
+    // cuts → positional keep-filter → reassembly, so token counts AND
+    // text_clean gate exactly (the d28 contract, intra-doc).
+    Q("d31_self_repeat_removal",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") === 9)
+          .select(lit(1000009L).as("doc_id"),
+            concat(col("text"), lit(" "),
+              expr("array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, 25), ' ')"))
+              .as("text"))
+        val docs = base.unionByName(planted)
+        val selfRuns = Dedup.selfRepeatRuns(docs, "doc_id", "text", w = 20)
+        Dedup.removeRepeatRuns(docs,
+          selfRuns.select(col("doc_id").as("doc_b"),
+            col("start_rep").as("start_b"), col("len_tokens")),
+          "doc_id", "text")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+             |d AS (SELECT doc_id, text FROM base
+             |      UNION ALL
+             |      SELECT 1000009, text || ' ' || array_to_string(
+             |        (string_split_regex(lower(trim(text)), '\s+'))[1:25], ' ')
+             |      FROM base WHERE doc_id = 9),
+             |tk AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM d),
+             |wn AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |              array_to_string(t[i:i+19], ' ') AS s
+             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+             |             FROM tk WHERE len(t) >= 20) z),
+             |f AS (SELECT doc_id, pos, s,
+             |        min(pos) OVER (PARTITION BY doc_id, s) AS fpos FROM wn),
+             |m AS (SELECT doc_id, pos AS pos_a, fpos AS pos_b FROM f
+             |      WHERE pos > fpos),
+             |r AS (SELECT *, pos_a - pos_b AS diag,
+             |        pos_a - row_number() OVER (PARTITION BY doc_id, pos_a - pos_b
+             |                                   ORDER BY pos_a) AS grp
+             |      FROM m),
+             |runs AS (SELECT doc_id, min(pos_a) AS start_rep,
+             |                CAST(count(*) + 19 AS BIGINT) AS len
+             |         FROM r GROUP BY doc_id, diag, grp),
+             |cuts AS (SELECT doc_id, start_rep AS cs,
+             |                start_rep + len - 1 AS ce FROM runs),
+             |pos AS (SELECT doc_id, t[i] AS tok, CAST(i AS BIGINT) AS i
+             |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+             |              FROM tk) z),
+             |keep AS (SELECT p.doc_id, p.i, p.tok FROM pos p
+             |         WHERE NOT EXISTS (SELECT 1 FROM cuts c
+             |                           WHERE c.doc_id = p.doc_id
+             |                             AND p.i >= c.cs AND p.i <= c.ce)),
+             |agg AS (SELECT doc_id, count(*) AS n_after,
+             |               array_to_string(list(tok ORDER BY i), ' ') AS text_clean
+             |        FROM keep GROUP BY doc_id)
+             |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens_before,
+             |       CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_tokens_after,
+             |       coalesce(agg.text_clean, '') AS text_clean
+             |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin)),
 
     // N7 — IVF multi-probe (nprobe=2, k=3): the recall knob of a real
     // IVF index, fully replayed by the oracle — probe selection and
@@ -3452,7 +3535,7 @@ object TrainQueries extends QuerySet {
     Q("mm06_phash_dedup",
       (s, dir) => {
         val docsT = Tables.load(s, dir, "documents")
-        val bits = Multimodal.adaptiveBandBits(docsT.count())
+        val bits = Multimodal.adaptiveBandBits(Tables.rowCount(s, dir, "documents"))
         val base = docsT.filter(length(col("text")) >= 8 * (bits + 1))
           .select(col("doc_id"), col("text"))
         val planted = base.filter(col("doc_id") < 20)
@@ -3506,7 +3589,7 @@ object TrainQueries extends QuerySet {
     Q("mm07_audio_dedup",
       (s, dir) => {
         val docsT = Tables.load(s, dir, "documents")
-        val (bits, spf) = Multimodal.audioBandLayout(docsT.count())
+        val (bits, spf) = Multimodal.audioBandLayout(Tables.rowCount(s, dir, "documents"))
         val base = docsT.filter(length(col("text")) >= 288)
           .select(col("doc_id"), col("text"))
         val bumped = base.filter(col("doc_id") < 20)
@@ -3575,7 +3658,7 @@ object TrainQueries extends QuerySet {
     Q("mm12_exact_then_near_dedup",
       (s, dir) => {
         val docsT = Tables.load(s, dir, "documents")
-        val bits = Multimodal.adaptiveBandBits(docsT.count())
+        val bits = Multimodal.adaptiveBandBits(Tables.rowCount(s, dir, "documents"))
         val base = docsT.filter(length(col("text")) >= 8 * (bits + 1))
           .select(col("doc_id"), col("text"))
         val copies = s.range(200)
@@ -3646,7 +3729,7 @@ object TrainQueries extends QuerySet {
     Q("mm11_band_occupancy",
       (s, dir) => {
         val docsT = Tables.load(s, dir, "documents")
-        val n = docsT.count()
+        val n = Tables.rowCount(s, dir, "documents")
         val bitsI = Multimodal.adaptiveBandBits(n)
         val (bitsA, spf) = Multimodal.audioBandLayout(n)
         def census(modality: String, bits: Int, ex: org.apache.spark.sql.DataFrame) =

@@ -124,6 +124,15 @@ object ContractCheck {
       println(s"[contract] ${if (v) "PASS" else "FAIL"} $k")
     }
     spark.stop()
+    // zero contracts evaluated means outDir was wrong or held none of
+    // the contract outputs — the gate must fail loudly, not write '{}'
+    // and exit 0 (the r12 advisor's silent-no-op finding)
+    if (results.isEmpty) {
+      System.err.println(
+        s"[contract] ERROR: no contract outputs found under $outDir — " +
+          "wrong directory, or the battery produced none of the gated queries")
+      sys.exit(2)
+    }
     if (results.exists(!_._2)) sys.exit(1)
   }
 }

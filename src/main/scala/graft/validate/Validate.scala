@@ -111,7 +111,13 @@ object Validate {
     * may be empty while the other has rows (tr or tc = 0 would turn
     * every contribution into a silent NaN→null — asserted on the
     * window totals). Both vintages empty ⟺ empty output (no data, no
-    * drift claim). */
+    * drift claim).
+    *
+    * `valueCol` is a bare COLUMN NAME, not a SQL expression (callers
+    * needing a derived value should `.withColumn` it first), and null
+    * values fail loudly: `null >= 0` is null, so the non-negativity
+    * assert trips rather than bucketing nulls into a silent group —
+    * filter or impute nulls before calling. */
   def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       bucketWidth: Long, maxBucket: Int): DataFrame = {
     require(bucketWidth > 0 && maxBucket >= 0, "positive width, bucket cap")

@@ -572,15 +572,10 @@ class ScaleSpec extends AnyFunSuite {
     def measured[T](action: => T): (T, Long, Long) = {
       reads.clear()
       val r = action
-      // the listener bus is async (and private); poll until the task
-      // stream drains
-      var last = -1
-      var stable = 0
-      while (stable < 3) {
-        Thread.sleep(100)
-        val n = reads.size()
-        if (n == last) stable += 1 else { stable = 0; last = n }
-      }
+      // deterministic drain: block until the async bus has dispatched
+      // every queued TaskEnd (the old 3×100 ms stability poll could
+      // miss late deliveries on a loaded machine and flake the bounds)
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       val xs = reads.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
       assert(xs.nonEmpty, "expected a shuffle")
       (r, xs.last, xs(xs.length / 2))
@@ -600,7 +595,11 @@ class ScaleSpec extends AnyFunSuite {
     val prevSp = spark.conf.get(spKey)
     spark.conf.set(spKey, "32")
     try {
-      val fact = spark.range(120000).select(
+      // fixture constants the thresholds below derive from: 120k rows,
+      // the HOT mukey carrying every even id (half the rows)
+      val nRows = 120000L
+      val hotRows = nRows / 2
+      val fact = spark.range(nRows).select(
         when(col("id") % 2 === 0, lit("HOT"))
           .otherwise(concat(lit("m"), pmod(xxhash64(col("id")), lit(1000)))).as("mukey"),
         col("id").as("cokey"),
@@ -622,7 +621,8 @@ class ScaleSpec extends AnyFunSuite {
         // the (mukey, rating) sub-grouping hash-spreads it
         // (dominantCondition, limiting) before the mukey-level stage
         // sees only per-class rows
-        assert(mx < 30000, s"$name hot reducer read $mx rows — skew concentrated")
+        assert(mx < hotRows / 2,
+          s"$name hot reducer read $mx rows — skew concentrated")
         assert(mx <= 40L * math.max(med, 1L),
           s"$name skewed: max $mx vs median $med")
       }
@@ -645,9 +645,9 @@ class ScaleSpec extends AnyFunSuite {
           fact.join(dim, Seq("mukey")).count())
         val (nSalt, mxS, medS) = measured(
           graft.core.Salt.saltedJoin(fact, dim, "mukey", 64, col("cokey")).count())
-        assert(nPlain === 120000L && nSalt === 120000L)
+        assert(nPlain === nRows && nSalt === nRows)
         // the unsalted join's hottest task reads the whole hot key
-        assert(mxP >= 60000L, s"fixture not skewed as planted ($mxP)")
+        assert(mxP >= hotRows, s"fixture not skewed as planted ($mxP)")
         // salting spreads it: hottest task ≤ a few salt shares
         assert(mxS <= mxP / 6,
           s"salting failed to spread: salted max $mxS vs plain $mxP")
