@@ -23,11 +23,17 @@ object Tables {
 
   /** Unpersist and forget every table cached under `dir` (all dirs when
     * empty) — lets a warmup phase at one SF release its storage before
-    * a timed phase at another. */
-  def clearCache(dir: String = ""): Unit =
+    * a timed phase at another. Also evicts the matching [[rowCount]]
+    * memos: a vintage dir rewritten in-process (or a long-lived driver
+    * re-pointed at regenerated data) must not serve stale counts to
+    * the adaptive-parameter call sites (r13 advice). */
+  def clearCache(dir: String = ""): Unit = {
     cached.keys.toSeq.filter(k => dir.isEmpty || k._1 == dir).foreach { k =>
       cached.remove(k).foreach(_.unpersist(blocking = false))
     }
+    counts.keys.toSeq.filter(k => dir.isEmpty || k._1 == dir)
+      .foreach(counts.remove)
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (cacheTables)
@@ -59,12 +65,21 @@ object Tables {
       val conf = spark.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
+      // A layout this flat listing can't fully account for — a
+      // partitioned key=value tree (subdirectories), or a dir with no
+      // top-level .parquet at all — must fall back to the counted
+      // scan: returning Some(0) here would permanently memoize 0 and
+      // silently collapse every adaptive parameter (centroid counts,
+      // band bits, layer steps) to its minimum (r13 advice).
       val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        else Seq(fs.getFileStatus(p))
-      Some(files.map { f =>
+        if (fs.getFileStatus(p).isDirectory) {
+          val listed = fs.listStatus(p).toSeq
+          if (listed.exists(_.isDirectory)) None
+          else Some(listed.filter(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet")))
+            .filter(_.nonEmpty)
+        } else Some(Seq(fs.getFileStatus(p)))
+      files.map(_.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(f, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

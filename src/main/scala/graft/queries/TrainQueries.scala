@@ -1891,9 +1891,13 @@ object TrainQueries extends QuerySet {
         val corpus = e.select(col("vec_id"), col("embedding")).unionByName(planted)
         // centroids ∝ corpus (the n18/d08 adaptive default — SemDeDup
         // at a FIXED k is Σ|cluster|² = n²/k, measured 11× at the 10×
-        // sf1 battery); the oracle computes the identical count.
-        // corpus = embeddings + the 200 planted rows, so its size is
-        // footer-stats arithmetic, not a scan (Tables.rowCount)
+        // sf1 battery); corpus = embeddings + the 200 planted rows, so
+        // its size is footer-stats arithmetic, not a scan
+        // (Tables.rowCount). The oracle mirrors the SAME arithmetic —
+        // count(embeddings) + 200, NOT count(ep) — so the parameter
+        // stays oracle-portable even on a sparse vec_id space where
+        // the vec_id < 200 plant filter yields fewer than 200 rows
+        // (the n20 shared-arithmetic approach; r13 advice)
         Dedup.semDedup(corpus, "vec_id", "embedding",
           e.filter(col("vec_id") <
               Ann.adaptiveCentroidCount(Tables.rowCount(s, dir, "embeddings") + 200))
@@ -1909,8 +1913,8 @@ object TrainQueries extends QuerySet {
               |                             x -> CAST(x + CAST(0.001 AS FLOAT) AS DOUBLE))
               |       FROM embeddings WHERE vec_id < 200),
               |c AS (SELECT vec_id AS cid, v AS cv FROM e0
-              |      WHERE vec_id < (SELECT greatest(8, (count(*) + 255) // 256)
-              |                      FROM ep)),
+              |      WHERE vec_id < (SELECT greatest(8, ((count(*) + 200) + 255) // 256)
+              |                      FROM e0)),
               |${assignCtes("ep", "c", "sda")},
               |sdd AS (SELECT DISTINCT b.vid
               |        FROM sda a JOIN sda b ON a.cid = b.cid AND a.vid < b.vid

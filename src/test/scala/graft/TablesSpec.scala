@@ -72,6 +72,34 @@ class TablesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("rowCount falls back to a counted scan on layouts the footer path can't total") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_rc").toFile.getAbsolutePath
+    // partitioned key=value layout: spark.read.parquet reads it fine,
+    // but the flat footer listing sees only subdirectories — Some(0)
+    // here would memoize 0 and collapse adaptive parameters (r13
+    // advice); the contract is fall back to load(...).count()
+    spark.range(7).selectExpr("id", "id % 2 AS k")
+      .write.partitionBy("k").parquet(s"$root/parts.parquet")
+    assert(Tables.rowCount(spark, root, "parts") === 7L)
+    // empty directory (no top-level .parquet): same fallback, and the
+    // count reflects whatever spark.read finds — here a failure, which
+    // must not be masked by a memoized 0
+    Files.createDirectory(new java.io.File(s"$root/none.parquet").toPath)
+    intercept[Exception](Tables.rowCount(spark, root, "none"))
+  }
+
+  test("clearCache evicts rowCount memos for the cleared dir (lifecycle-consistent)") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_cc").toFile.getAbsolutePath
+    spark.range(3).write.parquet(s"$root/t.parquet")
+    assert(Tables.rowCount(spark, root, "t") === 3L)
+    // rewrite the vintage in-process; a stale memo would keep serving 3
+    spark.range(5).write.mode("overwrite").parquet(s"$root/t.parquet")
+    Tables.clearCache(root)
+    assert(Tables.rowCount(spark, root, "t") === 5L)
+  }
+
   test("Bench.timed surfaces a failing query as an error, never a success") {
     val (_, err) = Bench.timed(() => throw new RuntimeException("boom"))
     assert(err.exists(_.contains("boom")))
