@@ -296,59 +296,13 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
-  /** Two-layer HNSW-style search — the public HNSW idea's entry
-    * machinery on top of the [[graphSearch]] layer-0 walk: a sparse
-    * UPPER layer (every `upperStep`-th vertex, ~√n of them when
-    * upperStep ≈ √n) is kNN-graphed, each query enters at a STATIC
-    * per-upper-bucket entry list fixed at build time, beam-walks the
-    * upper layer (`upperBeam` × `upperHops` — see the in-body notes
-    * for why greedy-1 and a single entry both fail), and the `seedK`
-    * best VISITED upper vertices become the layer-0 seeds for the
-    * shared [[beamWalk]]. Entry cost is O(entries + upperHops ·
-    * upperBeam · degree) score evaluations per query — no IVF probe,
-    * no centroid table at query time (vs [[graphSearch]] scoring a
-    * whole ~targetBucket-sized bucket to seed); at corpus scale the
-    * upper layer recurses (HNSW's log tower), each level √ the one
-    * below, which this two-level form demonstrates.
-    *
-    * Determinism: entry choice (min vid), descent ranking, seed
-    * ranking, walk, and re-rank are all the round-6-quantized cosine
-    * with id tiebreaks — fully oracle-replayable (the n19 unrolled-CTE
-    * technique, two layers deep). The [[graphSearch]] id-space
-    * contract applies. Returns (qid, neighbor_id, cosine, rank ≤ k). */
-  def hnswSearch(queries: DataFrame, corpus: DataFrame,
-      upperCentroids: DataFrame, upperEdges: DataFrame, edges: DataFrame,
-      upperStep: Long, k: Int, beam: Int, hops: Int, upperHops: Int = 3,
-      upperBeam: Int = 3, seedK: Int = 5): DataFrame = {
-    require(upperStep >= 1, "upperStep must be positive")
-    val qv = queries.select(col("qid"), col("qvec"))
-    val cv = corpus.select(col("vid"), col("vec"))
-    val upperV = cv.filter(col("vid") % upperStep === 0)
-    // STATIC entry list, fixed at build time: the minimum-vid upper
-    // vertex of each upper bucket (≤ |upperCentroids| rows, broadcast).
-    // A single global entry measured catastrophic at 10× corpus (5 of
-    // 50 vs the walk's 49): tight clusters make every kNN edge
-    // intra-cluster, the upper graph disconnects into per-cluster
-    // components, and one entry strands every query outside its
-    // component. One entry per bucket spans the components the way
-    // HNSW's insertion-time long links would; the list is a property
-    // of the INDEX (no query-time centroid probe — queries just score
-    // these ≤ ncentU static vertices as hop 0).
-    val entries = ivfAssign(upperV, upperCentroids)
-      .groupBy(col("cid")).agg(min(col("vid")).as("vid"))
-      .select(col("vid"))
-    val seed0 = qv.select(col("qid")).crossJoin(broadcast(entries))
-      .localCheckpoint(eager = false)
-    // descend the upper layer with the same bounded beam walk as
-    // layer 0 (a strict greedy-1 descent measured badly stuck between
-    // clusters — a bucketed kNN upper graph has only SHORT links, not
-    // the long-range edges HNSW's insertion heuristic would leave, so
-    // the descent needs a beam); visited ≤ 1 + upperHops·upperBeam
-    val uVisited = beamWalk(qv, cv, seed0, upperEdges, upperBeam, upperHops)
-    // layer-0 seeds: the seedK best VISITED upper vertices per query
+  /** Score a visited set and keep the `seedK` best vertices per query —
+    * the level-to-level handoff of [[hnswSearch]]'s descent. */
+  private def bestVisited(qv: DataFrame, cv: DataFrame,
+      visited: DataFrame, seedK: Int): DataFrame = {
     val sw = Window.partitionBy(col("qid"))
       .orderBy(col("cos6").desc, col("vid").asc)
-    val seeds = uVisited.join(cv, Seq("vid")).join(qv, Seq("qid"))
+    visited.join(cv, Seq("vid")).join(qv, Seq("qid"))
       .select(col("qid"), col("vid"),
         graft.core.Exprs.roundHalfUp(
           Vectors.cosine(col("qvec"), col("vec")), 6).as("cos6"))
@@ -356,6 +310,96 @@ object Ann {
       .filter(col("rn") <= seedK)
       .select(col("qid"), col("vid"))
       .localCheckpoint(eager = false)
+  }
+
+  /** The HNSW tower's level geometry: cumulative strides S₁..S_L such
+    * that level ℓ = the corpus vids divisible by S_ℓ (level ℓ+1 ⊂
+    * level ℓ because each stride divides the next). Level ℓ+1 keeps
+    * every ⌊√|level ℓ|⌋-th vertex of level ℓ — so level sizes fall
+    * n → √n → n^(1/4) → … — and the recursion SATURATES once a level
+    * is ≤ `cap` vertices (stride multiplier 1: further levels alias
+    * the first small-enough one, harmless and cheap). With enough
+    * `levels` the TOP level is therefore ≤ cap vertices at ANY corpus
+    * scale — levels = 4 suffices past 10⁹ — which is what bounds
+    * [[hnswSearch]]'s hop-0 entry cost by a constant instead of the
+    * √n a single upper layer leaves (the r12/r13 scale item).
+    * Integer-only arithmetic (⌊√⌋ of a bigint, ceiling divisions), so
+    * an oracle replays it exactly from count(*). */
+  def towerSteps(n: Long, levels: Int, cap: Long = 64L): Seq[Long] = {
+    require(levels >= 1 && n >= 0 && cap >= 1)
+    var cum = 1L
+    (1 to levels).map { _ =>
+      val ni = if (n == 0) 0L else (n + cum - 1) / cum
+      val mult =
+        if (ni > cap) math.max(2L, math.sqrt(ni.toDouble).toLong) else 1L
+      cum *= mult
+      cum
+    }
+  }
+
+  /** HNSW-style tower search — the public HNSW idea's full log-tower
+    * entry machinery on top of the [[graphSearch]] layer-0 walk.
+    * `steps` ([[towerSteps]]) defines L nested levels (level ℓ = vids
+    * divisible by steps(ℓ-1)); `levelEdges(ℓ-1)` is the kNN graph over
+    * level ℓ (levels 1..L-1 — the top level needs no graph because it
+    * is scored WHOLE). Each query enters by scoring every top-level
+    * vertex (≤ towerSteps' cap ≈ 64 rows — a broadcast, constant in
+    * the corpus), then beam-descends: walk level L-1 with the shared
+    * [[beamWalk]], keep the `seedK` best visited, walk level L-2 from
+    * those, … down to the layer-0 walk over `edges`. Entry cost is
+    * O(cap + levels · upperHops · upperBeam · degree) score
+    * evaluations per query — no IVF probe, no centroid table, and no
+    * √n term: the r12 two-layer form scored one static entry per
+    * upper bucket (ncentU ∝ √n — ~4k entries/query at 10⁹ vectors,
+    * the IVF-probe-shaped cost the tower exists to remove); scoring
+    * the whole ≤ cap top level replaces those entries AND the
+    * per-bucket disconnection mitigation they implemented — a
+    * modular-strided top sample spans cluster components the way
+    * HNSW's random level assignment does, so every query starts with
+    * a foothold in each component rather than needing one static
+    * entry per index bucket.
+    *
+    * Determinism: level membership (vid stride), descent ranking, seed
+    * ranking, walk, and re-rank are all integer arithmetic or the
+    * round-6-quantized cosine with id tiebreaks — fully
+    * oracle-replayable (the n19 unrolled-CTE technique, one chain per
+    * level). The [[graphSearch]] id-space contract applies. Returns
+    * (qid, neighbor_id, cosine, rank ≤ k). */
+  def hnswSearch(queries: DataFrame, corpus: DataFrame,
+      levelEdges: Seq[DataFrame], steps: Seq[Long], edges: DataFrame,
+      k: Int, beam: Int, hops: Int, upperHops: Int = 3,
+      upperBeam: Int = 3, seedK: Int = 5): DataFrame = {
+    require(steps.nonEmpty && steps.head >= 1, "steps must be non-empty")
+    require(steps.zip(steps.tail).forall { case (a, b) => b % a == 0 },
+      "steps must be cumulative strides (each divisible by the previous)")
+    require(levelEdges.length == steps.length - 1,
+      "one edge graph per walked level (levels 1..L-1)")
+    val qv = queries.select(col("qid"), col("qvec"))
+    val cv = corpus.select(col("vid"), col("vec"))
+    // hop 0: the whole top level, broadcast — ≤ cap rows by towerSteps'
+    // construction, regardless of corpus size
+    val topV = cv.filter(col("vid") % steps.last === 0).select(col("vid"))
+    var seeds = qv.select(col("qid")).crossJoin(broadcast(topV))
+      .localCheckpoint(eager = false)
+    // descend levels L-1 .. 1 with the same bounded beam walk as
+    // layer 0 (a strict greedy-1 descent measured badly stuck between
+    // clusters — a bucketed kNN upper graph has only SHORT links, not
+    // the long-range edges HNSW's insertion heuristic would leave, so
+    // the descent needs a beam). A SATURATED level (stride equal to
+    // the level above's, so the level IS its parent) skips the walk:
+    // the seeds are either the whole level (entry) or its global
+    // top-seedK (a previous saturated prune), and in both cases
+    // walk + prune provably return that same global top-seedK — an
+    // oracle that replays the walk CTEs anyway stays value-identical,
+    // while the engine saves upperHops join rounds per aliased level
+    // (saturation runs as a trailing chain, so the induction holds
+    // level to level; measured ~1.2 s of no-op stages at sf0.1).
+    for (l <- (steps.length - 1) to 1 by -1) {
+      val visited =
+        if (steps(l) == steps(l - 1)) seeds
+        else beamWalk(qv, cv, seeds, levelEdges(l - 1), upperBeam, upperHops)
+      seeds = bestVisited(qv, cv, visited, seedK)
+    }
     val visited = beamWalk(qv, cv, seeds, edges, beam, hops)
     rerankVisited(qv, cv, visited, k)
   }

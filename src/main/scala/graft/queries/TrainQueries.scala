@@ -2289,29 +2289,38 @@ object TrainQueries extends QuerySet {
               |FROM (SELECT DISTINCT qid FROM q) qq
               |LEFT JOIN hg USING (qid) LEFT JOIN hi USING (qid)""".stripMargin)),
 
-    // N20 — two-layer HNSW-STYLE search, completing the graph-ANN
-    // story n19 opened: a sparse upper layer (every ⌊√n⌋-th vertex,
-    // ~√n of them) is kNN-graphed (k=8, nprobe=4 — the upper graph
-    // needs cross-cluster reach), each query enters at a STATIC
-    // per-upper-bucket entry list fixed at build time (a single global
-    // entry measured catastrophic at sf1 — 5 of 50 — because tight
-    // clusters disconnect the kNN upper graph into per-cluster
-    // components), beam-walks the upper layer (beam 3 × 3 hops), and
-    // its 8 best visited upper vertices seed the layer-0 walk (beam 8
-    // × 5 hops over a degree-12 graph — degree 6 measured
-    // non-navigable from √n-sparse seeds: even ORACLE-PERFECT upper
-    // seeds reached only 35 of 49 at sf1; 12 reaches 50). NO IVF
-    // probe at query time — entry cost is the ≤ ncentU static entries
-    // plus the bounded walks, vs graphSearch scoring a whole
-    // ~targetBucket-sized bucket to seed. Output: the n19-style dual
-    // recall table vs brute-force truth for BOTH searches and the
-    // family gate hnsw_ge_graph — the two-layer walk must recover at
-    // least what the IVF-seeded walk does (measured, of 50: 49 v 45
-    // at sf0.001, 48 v 42 at sf0.01, 47 v 45 at sf0.1, 50 v 49 at
-    // sf1). Every ranking is the round-6-quantized cosine with id
-    // tiebreaks; the oracle replays BOTH entire walks — upper descent
-    // included — via the generated unrolled-CTE chains (walkCtes),
-    // AS MATERIALIZED per the n19 sf1 lesson.
+    // N20 — HNSW log-TOWER search, completing the graph-ANN story n19
+    // opened: Ann.towerSteps recurses levels of ⌊√⌋-strided samples
+    // (n → √n → n^¼ → … saturating at ≤ 64 vertices), level 1 (every
+    // ⌊√n⌋-th vertex) is kNN-graphed (k=8, nprobe=4 — the upper graph
+    // needs cross-cluster reach), each query enters by scoring the
+    // WHOLE ≤ 64-vertex top level (hop 0 is a broadcast constant in
+    // the corpus — the r12 two-layer form's static per-bucket entries
+    // were ncentU ∝ √n of these, ~4k at 10⁹ vectors, the cost the
+    // tower removes; the full strided top also subsumes their
+    // disconnected-component coverage, since the stride spans the
+    // fixture's interleaved clusters the way HNSW's random level
+    // draw would), beam-descends level by level (beam 3 × 3 hops;
+    // a saturated level — stride equal to the one above — walks as a
+    // no-op), and the 8 best visited upper vertices seed the layer-0
+    // walk (beam 8 × 5 hops over a degree-12 graph — degree 6
+    // measured non-navigable from √n-sparse seeds: even
+    // ORACLE-PERFECT upper seeds reached only 35 of 49 at sf1; 12
+    // reaches 50). NO IVF probe at query time. The battery instance
+    // unrolls 2 tower levels — exact for any corpus to ~16M vectors
+    // (64⁴); production passes more levels, same arithmetic — with
+    // the genuine 2-level case exercised at sf1 (n=20000: strides
+    // 141, 1551 — a 13-vertex top) and saturation below it (sf0.1:
+    // strides 44, 44 — the 46-vertex level 1 IS the top). Output:
+    // the n19-style dual recall table vs brute-force truth for BOTH
+    // searches and the family gate hnsw_ge_graph — the tower walk
+    // must recover at least what the IVF-seeded walk does. Every
+    // level stride is integer arithmetic from the footer row count
+    // and every ranking is the round-6-quantized cosine with id
+    // tiebreaks; the oracle replays the FULL tower — stride
+    // derivation and each level's descent included — via the
+    // generated unrolled-CTE chains (walkCtes), AS MATERIALIZED per
+    // the n19 sf1 lesson.
     Q("n20_hnsw_ann",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -2327,14 +2336,14 @@ object TrainQueries extends QuerySet {
         val edges12 = Ann.knnGraphMultiProbe(corpus, cents, k = 12, nprobe = 2)
           .localCheckpoint(eager = false)
         val edges6 = edges12.filter(col("rank") <= 6)
-        val step = math.max(1L, math.sqrt(n.toDouble).toLong)
-        val upper = corpus.filter(col("vid") % step === 0)
+        val steps = Ann.towerSteps(n, levels = 2)
+        val upper = corpus.filter(col("vid") % steps.head === 0)
         // |upper| from stats arithmetic, not a scan: vec_ids are the
-        // contiguous [0, n) id space, so the multiples of `step` in it
-        // number ceil(n/step) — and even on a sparse id space both
-        // engines compute the SAME integer from the same n, so the
-        // parameter (a bucket-count estimate) stays oracle-portable
-        val upperN = (n + step - 1) / step
+        // contiguous [0, n) id space, so the multiples of the stride
+        // in it number ceil(n/stride) — and even on a sparse id space
+        // both engines compute the SAME integer from the same n, so
+        // the parameter (a bucket-count estimate) stays oracle-portable
+        val upperN = (n + steps.head - 1) / steps.head
         val ncentU = Ann.adaptiveCentroidCount(upperN, targetBucket = 8)
         val centsU = e.filter(col("vec_id") < ncentU)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -2342,7 +2351,7 @@ object TrainQueries extends QuerySet {
         val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
           .localCheckpoint(eager = false)
         val h = Ann.recallAtK(truth,
-          Ann.hnswSearch(qs, corpus, centsU, upperEdges, edges12, step,
+          Ann.hnswSearch(qs, corpus, Seq(upperEdges), steps, edges12,
             k = 5, beam = 8, hops = 5, upperHops = 3, upperBeam = 3,
             seedK = 8), k = 5)
         val g = Ann.recallAtK(truth,
@@ -2400,11 +2409,18 @@ object TrainQueries extends QuerySet {
               |          SELECT *, row_number() OVER (PARTITION BY qid
               |            ORDER BY cosine DESC, neighbor_id) AS rn FROM grx) z
               |        WHERE rn <= 5),
-              |stp AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS st FROM e),
-              |up AS (SELECT vec_id, v FROM e, stp WHERE vec_id % st = 0),
+              |st1 AS (SELECT count(*) AS n0,
+              |          CASE WHEN count(*) > 64
+              |            THEN greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT))
+              |            ELSE 1 END AS s1 FROM e),
+              |st2 AS (SELECT n0, s1,
+              |          s1 * (CASE WHEN ((n0 + s1 - 1) // s1) > 64
+              |            THEN greatest(2, CAST(floor(sqrt((n0 + s1 - 1) // s1)) AS BIGINT))
+              |            ELSE 1 END) AS s2 FROM st1),
+              |up AS (SELECT vec_id, v FROM e, st2 WHERE vec_id % s1 = 0),
               |uc AS (SELECT vec_id AS cid, v AS cv FROM e
               |       WHERE vec_id < (SELECT greatest(8,
-              |         ((count(*) + min(st) - 1) // min(st) + 7) // 8) FROM e, stp)),
+              |         ((n0 + s1 - 1) // s1 + 7) // 8) FROM st2)),
               |${assignCtes("up", "uc", "ua")},
               |pu AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
@@ -2417,8 +2433,8 @@ object TrainQueries extends QuerySet {
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cosine DESC, neighbor_id) AS rn FROM uegs) z
               |       WHERE rn <= 8),
-              |ent AS (SELECT min(vid) AS vid FROM ua GROUP BY cid),
-              |us0 AS MATERIALIZED (SELECT q.qid, ent.vid FROM q, ent),
+              |topv AS (SELECT vec_id AS vid FROM e, st2 WHERE vec_id % s2 = 0),
+              |us0 AS MATERIALIZED (SELECT q.qid, topv.vid FROM q, topv),
               |${walkCtes("us0", "ueg", 3, 3, "u")},
               |sdx AS (SELECT uv3.qid, uv3.vid,
               |          floor((list_dot_product(q.qv, e.v)

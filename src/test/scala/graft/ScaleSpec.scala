@@ -143,15 +143,45 @@ class ScaleSpec extends AnyFunSuite {
     val gs = graft.ann.Ann.graphSearch(q, corpus, cents, mp, k = 2, beam = 2, hops = 2)
     val gsp = gs.queryExecution.executedPlan.toString
     assert(!gsp.contains("CartesianProduct"), s"graph-walk cross join:\n$gsp")
-    // n20's shape: the two-layer walk adds an upper graph and a static
+    // n20's shape: the tower walk adds per-level graphs and a top-level
     // entry broadcast — still no cartesian anywhere (the entry
-    // crossJoin is a broadcast of a ≤ ncentU-row aggregate)
-    val hs = graft.ann.Ann.hnswSearch(q, corpus, cents, mp, mp,
-      upperStep = 2, k = 2, beam = 2, hops = 2, upperHops = 2,
-      upperBeam = 2, seedK = 2)
+    // crossJoin is a broadcast of the ≤ cap-row top level)
+    val hs = graft.ann.Ann.hnswSearch(q, corpus, Seq(mp), Seq(2L, 4L), mp,
+      k = 2, beam = 2, hops = 2, upperHops = 2, upperBeam = 2, seedK = 2)
     val hsp = hs.queryExecution.executedPlan.toString
     assert(!hsp.contains("CartesianProduct"), s"hnsw-walk cross join:\n$hsp")
     assert(rowsOf(hs).nonEmpty, "hnsw walk must return neighbors on the toy graph")
+  }
+
+  test("hnsw tower: hop-0 entry set is ≤ cap vertices at any corpus scale (no √n term)") {
+    import graft.ann.Ann
+    // the r12 two-layer form entered at ncentU ∝ √n static vertices
+    // (~4k/query at 1e9); the tower's hop-0 is the WHOLE top level,
+    // which towerSteps bounds by cap with enough levels — pin the
+    // arithmetic across six decades, including the 1e9 design point
+    for (n <- Seq(5000L, 100000L, 10000000L, 1000000000L)) {
+      val steps = Ann.towerSteps(n, levels = 4)
+      val top = (n + steps.last - 1) / steps.last
+      assert(top <= 64L, s"n=$n: top level $top > cap 64 (steps=$steps)")
+      assert(steps.zip(steps.tail).forall { case (a, b) => b % a == 0 },
+        s"n=$n: strides not nested: $steps")
+      // the tower must genuinely beat the single-layer √n entry once
+      // √n exceeds the cap — i.e. the recursion recursed
+      if (math.sqrt(n.toDouble).toLong > 64L)
+        assert(top < math.sqrt(n.toDouble).toLong,
+          s"n=$n: top $top no better than the √n=${math.sqrt(n.toDouble).toLong} entry")
+    }
+    // saturation: a corpus whose √n already fits the cap keeps
+    // stride multiplier 1 on later levels (level 2 aliases level 1),
+    // so a fixed unroll depth serves small fixtures exactly
+    assert(Ann.towerSteps(500L, 2) === Seq(22L, 22L))
+    assert(Ann.towerSteps(2000L, 2) === Seq(44L, 44L))
+    // the genuine 2-level case (the sf1 fixture's 20000 vectors):
+    // strides 141, 141·11 — a 13-vertex top
+    assert(Ann.towerSteps(20000L, 2) === Seq(141L, 1551L))
+    // a degenerate corpus below the cap collapses every level to the
+    // whole corpus (stride 1) — entry scores all of it, still ≤ cap
+    assert(Ann.towerSteps(50L, 3) === Seq(1L, 1L, 1L))
   }
 
   test("RangeStab plan: bucket equi-join, no inequality cross join") {
