@@ -553,10 +553,22 @@ object ExtraQueries extends QuerySet {
     // V14 — CreateValuTable: the full Valu1 wide assembly
     // (gSSURGO_ValuTable.py:2992-3271) — sumpct + 11-slice AWS + RZAWS +
     // SOC + NCCPI + PWSL left-joined wide on the mapunit universe.
+    // The horizon analog (orders⋈lineitem) feeds THREE consumers in
+    // buildValu (the fused window/agg pass, the component rollup, the
+    // interp slice); unmaterialized, Catalyst evaluates the join once
+    // per consumer — 3× the fact-table shuffle, and exactly the
+    // battery's highest task:wall ratio (27 task-s for a 3 s wall at
+    // sf0.1), which is what a contended scheduler serializes into the
+    // r11–r13 20-26 s run-2/3 tail. Landing the join once
+    // (localCheckpoint) is the reference's own materialized
+    // QueryTable_HZ design (gSSURGO_ValuTable.py:3083); st04
+    // deliberately does NOT checkpoint — its per-area slices push the
+    // filter below the join, which materialization would forfeit
+    // (measured net-negative there, r9).
     Q("v14_valu_wide",
       (s, dir) => buildValu(
         Tables.load(s, dir, "customer").select(col("c_custkey").as("mukey")),
-        valuHz(s, dir)),
+        valuHz(s, dir).localCheckpoint(false)),
       Some(valuWideOracle)),
 
     // V14-incremental (SURVEY §1.5): per-SSA Valu1 refresh. Change

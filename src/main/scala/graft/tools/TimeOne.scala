@@ -11,10 +11,31 @@ object TimeOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") // same default as Bench.main
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val spark = graft.Bench.session(cpus)
+    // task-run/CPU/GC seconds per rep (the Bench Counters split): wall
+    // alone can't separate "less work" from "less contention" — the v14
+    // diagnosis needed task-seconds from a single-query loop
+    val run, cpu, gc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            run.addAndGet(m.executorRunTime)
+            cpu.addAndGet(m.executorCpuTime)
+            gc.addAndGet(m.jvmGCTime)
+          }
+        }
+      })
     for (name <- args; r <- 1 to reps) {
+      val b = (run.get, cpu.get, gc.get)
       val t0 = System.nanoTime()
       graft.Bench.runNoop(spark, sfDir, name)
-      println(f"[timeone] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val w = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      println(f"[timeone] $name rep$r: $w%.2f s" +
+        f" task=${(run.get - b._1) / 1e3}%.2f cpu=${(cpu.get - b._2) / 1e9}%.2f" +
+        f" gc=${(gc.get - b._3) / 1e3}%.2f")
     }
     spark.stop()
   }
