@@ -197,6 +197,109 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Incremental kNN-graph maintenance (n22) — batch vertex insert with
+    * bounded edge repair, the operation that makes n18/n19/n20's graph
+    * indexes maintainable instead of rebuild-only (n11/st06 cover IVF
+    * list appends against a frozen codebook; this is the graph-index
+    * analog, the public HNSW insertion idea batch-ified).
+    *
+    * Inputs are the persisted index artifacts: `assigned` (vid, vec,
+    * cid — the corpus bucketing) and `edges` (vid, neighbor_id, cosine,
+    * rank — degree ≤ k). Per batch:
+    *
+    *   1. FORWARD: each new vertex probes its `nprobe` nearest
+    *      centroid buckets (broadcast centroid table, the
+    *      knnGraphMultiProbe probe rule verbatim) and takes its top-k
+    *      neighbors among those buckets' members — existing AND
+    *      same-batch vertices (the batch joins the index first, at
+    *      its top-1 bucket, exactly where a rebuild would put it).
+    *   2. REVERSE fixup: every forward edge flips into a candidate
+    *      edge for its target; each touched vertex re-ranks its OLD
+    *      edge list ∪ the reverse candidates and keeps the best k —
+    *      degree stays capped, and a vertex the batch never reached
+    *      is never re-ranked.
+    *
+    * Scale shape: per-batch SHUFFLE is ∝ batch — the probe fan is
+    * batch·nprobe·bucket (buckets held ~constant by
+    * [[adaptiveCentroidCount]]), touched ≤ batch·k, and the re-rank
+    * window sees ≤ (touched + batch)·(k + fan) rows. The corpus-sized
+    * frames cross the plan exactly twice, both as the STREAMED side of
+    * a broadcast join (the candidate equi-join broadcasts the probe
+    * side; the touched semi/anti split broadcasts the touched set), so
+    * nothing corpus-sized is ever re-shuffled or re-scored — never
+    * corpus × corpus, never corpus × batch beyond the probed buckets
+    * (a cid-partitioned index lake would prune the streamed read too).
+    *
+    * Approximation vs a rebuild (the gate's ε): a touched vertex
+    * re-ranks old-edges ∪ reverse-candidates rather than its whole
+    * bucket, and an existing vertex the batch never probed keeps its
+    * list — the standard insertion-time repair; n22 gates incremental
+    * search recall ≥ rebuilt − ε end-to-end. Determinism: every
+    * ranking is the round-6-quantized cosine with id tiebreaks, so the
+    * whole maintenance chain is oracle-replayable.
+    *
+    * Returns (assigned', edges') — the updated index artifacts. */
+  def graphInsert(assigned: DataFrame, edges: DataFrame, batch: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): (DataFrame, DataFrame) = {
+    val pw = Window.partitionBy(col("vid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    // every checkpoint in the maintenance chain is CONSTRAINT-CLEAN
+    // (CleanCheckpoint.lazyClean): the batch is typically a filtered
+    // view of the corpus, and an ordinary checkpoint's captured
+    // originConstraints then poison the repair plan's unions — see
+    // CleanCheckpoint's scaladoc for the 4.1.2 failure mode
+    val cpoint = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean _
+    val probes = cpoint(batch.select(col("vid"), col("vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vid"), col("vec"), col("cid"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("vec"), col("cvec")), 6).as("pcos"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe))
+    // the batch joins the index at its top-1 bucket (ivfAssign's argmax
+    // is the pr=1 probe: same quantized cosine, same cid tiebreak)
+    val batchAssigned = probes.filter(col("pr") === 1)
+      .select(col("vid"), col("vec"), col("cid"))
+    val assignedAll = assigned.unionByName(batchAssigned)
+    // forward edges: batch probes against the probed buckets' members —
+    // the probe side is the broadcast build side, so the corpus-sized
+    // assignment streams through unshuffled
+    val nw = Window.partitionBy(col("vid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val newEdges = cpoint(
+      broadcast(probes.select(col("vid"), col("vec"), col("cid"))).as("a")
+        .join(assignedAll.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vid") =!= col("b.vid"))
+        .select(col("a.vid").as("vid"), col("b.vid").as("neighbor_id"),
+          graft.core.Exprs.roundHalfUp(
+            Vectors.cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
+        .withColumn("rank", row_number().over(nw).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("vid"), col("neighbor_id"), col("cosine")))
+    // reverse fixup: forward edges flip into candidates for their
+    // targets; touched ≤ batch·k vertices re-rank old ∪ reverse ∪ (for
+    // batch targets) forward, deduped — distinct() collapses the a↔b
+    // double-listing an intra-batch mutual edge produces
+    val rc = newEdges.select(col("neighbor_id").as("vid"),
+      col("vid").as("neighbor_id"), col("cosine"))
+    val touched = rc.select(col("vid")).distinct()
+    val oldSlim = edges.select(col("vid"), col("neighbor_id"), col("cosine"))
+    // the (batch-bounded) union lands at a leaf before the re-rank
+    // window — one materialization, and no optimizer rule ever
+    // interrogates the union through the window above it
+    val candUpd = cpoint(
+      oldSlim.join(broadcast(touched), Seq("vid"), "left_semi")
+        .unionByName(newEdges).unionByName(rc).distinct())
+    val ranked = candUpd
+      .withColumn("rank", row_number().over(nw).cast("long"))
+      .filter(col("rank") <= k)
+    // untouched vertices pass through verbatim (broadcast anti — the
+    // index lake's partition-overwrite expressed in one plan)
+    val untouched = edges
+      .select(col("vid"), col("neighbor_id"), col("cosine"), col("rank"))
+      .join(broadcast(touched), Seq("vid"), "left_anti")
+    (assignedAll, untouched.unionByName(ranked))
+  }
+
   /** Graph-ANN search — the query-time half of graph-based ANN (the
     * public HNSW/NSG idea restricted to one layer): seed each query at
     * its IVF top-1, then run a fixed-width beam walk over the

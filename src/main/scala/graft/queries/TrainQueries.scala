@@ -86,6 +86,46 @@ object TrainQueries extends QuerySet {
          |${prefix}v$i AS MATERIALIZED (SELECT * FROM $prevV UNION SELECT * FROM ${prefix}b$i)""".stripMargin
     }.mkString(",\n")
 
+  /** One graphInsert batch as CTEs (the n22 oracle, generated per
+    * batch): against the prior graph `prevG` (vid, neighbor_id,
+    * cosine) and assignment `prevA` (vid, v, cid), insert the vids in
+    * [`lo`, `hi`) (`hi` empty = unbounded; both are SQL scalar
+    * expressions) — forward top-`k` edges from the shared nprobe
+    * probe CTE `pp`, reverse fixup re-ranking only touched vertices,
+    * untouched rows passing through verbatim. Emits `<prefix>aa` (the
+    * updated assignment) and `<prefix>g` (the updated graph) for the
+    * next batch / the walk. */
+  private def insertCtes(prevG: String, prevA: String, lo: String,
+      hi: String, k: Int, prefix: String): String = {
+    def rng(v: String) =
+      s"$v >= $lo" + (if (hi.nonEmpty) s" AND $v < $hi" else "")
+    s"""${prefix}ab AS (SELECT vid, v, cid FROM ca WHERE ${rng("vid")}),
+       |${prefix}aa AS (SELECT * FROM $prevA UNION ALL SELECT * FROM ${prefix}ab),
+       |${prefix}ns AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+       |          floor((list_dot_product(a.v, b.v)
+       |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+       |        FROM pp a JOIN ${prefix}aa b ON a.cid = b.cid AND a.vid <> b.vid
+       |        WHERE ${rng("a.vid")}),
+       |${prefix}ne AS MATERIALIZED (SELECT vid, neighbor_id, cosine FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vid
+       |          ORDER BY cosine DESC, neighbor_id) AS rn FROM ${prefix}ns) z
+       |      WHERE rn <= $k),
+       |${prefix}rc AS (SELECT neighbor_id AS vid, vid AS neighbor_id, cosine
+       |                FROM ${prefix}ne),
+       |${prefix}tc AS (SELECT DISTINCT vid FROM ${prefix}rc),
+       |${prefix}cu AS (SELECT vid, neighbor_id, cosine FROM $prevG
+       |                WHERE vid IN (SELECT vid FROM ${prefix}tc)
+       |                UNION SELECT * FROM ${prefix}ne
+       |                UNION SELECT * FROM ${prefix}rc),
+       |${prefix}ru AS (SELECT vid, neighbor_id, cosine FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vid
+       |          ORDER BY cosine DESC, neighbor_id) AS rn FROM ${prefix}cu) z
+       |      WHERE rn <= $k),
+       |${prefix}g AS MATERIALIZED (SELECT vid, neighbor_id, cosine FROM $prevG
+       |        WHERE vid NOT IN (SELECT vid FROM ${prefix}tc)
+       |        UNION ALL SELECT * FROM ${prefix}ru)""".stripMargin
+  }
+
   /** Brute-force scored CTE over q(qid, qv) × `corpus` — shared by
     * n01/n13 (float corpus `e`) and n15 (int8-code corpus `e8`); the
     * corpus relation is aliased to `e` so the shared cosine fragment
@@ -2466,6 +2506,142 @@ object TrainQueries extends QuerySet {
               |         >= (SELECT coalesce(sum(hits), 0) FROM hgg) AS hnsw_ge_graph
               |FROM (SELECT DISTINCT qid FROM q) qq
               |LEFT JOIN hh USING (qid) LEFT JOIN hgg USING (qid)""".stripMargin)),
+
+    // N22 — incremental graph-index maintenance (Ann.graphInsert): the
+    // last 100 vectors are held out of a degree-12 kNN-graph build and
+    // then inserted in TWO sequential batches (the second batch's
+    // candidates include the first's vertices — insert-on-insert),
+    // each with bounded edge repair: forward top-12 via the standard
+    // nprobe-2 bucket probe, reverse fixup re-ranking only the ≤
+    // batch·k touched vertices (degree stays capped; per-batch shuffle
+    // ∝ batch — ScaleSpec pins corpus-sized frames to the streamed
+    // side of broadcast joins). Gate: graphSearch recall over the
+    // incrementally-maintained graph ≥ the from-scratch rebuild − 2
+    // hits of 50 (the repair's documented approximation: touched
+    // vertices re-rank old ∪ reverse candidates, not their whole
+    // bucket). The oracle replays the build, BOTH inserts, the
+    // rebuild, and both walks — every ranking is the round-6-quantized
+    // cosine with id tiebreaks, batch boundaries are count(*)
+    // arithmetic (shared with Tables.rowCount on the engine side).
+    Q("n22_graph_insert",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val n = Tables.rowCount(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        val ncent = Ann.adaptiveCentroidCount(n)
+        val cents = e.filter(col("vec_id") < ncent)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val base = corpus.filter(col("vid") < n - 100)
+        val b1 = corpus.filter(col("vid") >= n - 100 && col("vid") < n - 50)
+        val b2 = corpus.filter(col("vid") >= n - 50)
+        // the persisted index artifacts land as CONSTRAINT-CLEAN leaves
+        // (base/batches are filtered views of one corpus — ordinary
+        // checkpoints' originConstraints poison the repair unions; see
+        // CleanCheckpoint)
+        val cpoint = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean _
+        val assigned0 = cpoint(Ann.ivfAssign(base, cents))
+        val g0 = cpoint(Ann.knnGraphMultiProbe(base, cents, k = 12, nprobe = 2))
+        val (a1, g1) = Ann.graphInsert(assigned0, g0, b1, cents, k = 12, nprobe = 2)
+        val (_, g2) = Ann.graphInsert(cpoint(a1), cpoint(g1), b2, cents,
+          k = 12, nprobe = 2)
+        val rebuilt = Ann.knnGraphMultiProbe(corpus, cents, k = 12, nprobe = 2)
+        val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
+          .localCheckpoint(eager = false)
+        val ri = Ann.recallAtK(truth,
+          Ann.graphSearch(qs, corpus, cents, g2, k = 5, beam = 8,
+            hops = 3, seedK = 5), k = 5)
+        val rr = Ann.recallAtK(truth,
+          Ann.graphSearch(qs, corpus, cents, rebuilt, k = 5, beam = 8,
+            hops = 3, seedK = 5), k = 5)
+        val joined = ri.select(col("qid"), col("hits").as("hits_incr"),
+            col("recall").as("recall_incr"))
+          .join(rr.select(col("qid"), col("hits").as("hits_rebuilt"),
+            col("recall").as("recall_rebuilt")), Seq("qid"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        joined.withColumn("incr_ge_rebuilt",
+          sum(col("hits_incr")).over(wAll) >= sum(col("hits_rebuilt")).over(wAll) - 2)
+      },
+      Some(s"""WITH $embCte,
+              |nn AS (SELECT count(*) AS n FROM e),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+              |${bfScoredCte("bfs")},
+              |bfr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM bfs) z
+              |        WHERE rn <= 5),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e
+              |      WHERE vec_id < (SELECT greatest(8, (count(*) + 255) // 256)
+              |                      FROM e)),
+              |${assignCtes("e", "c", "ca")},
+              |qa AS (SELECT vid AS qid, v AS qv, cid FROM ca WHERE vid < 10),
+              |${ivfScoredCte("qa", "ivs")},
+              |s0 AS MATERIALIZED (SELECT qid, neighbor_id AS vid FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY qid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM ivs) z
+              |      WHERE rn <= 5),
+              |pp AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
+              |a0 AS (SELECT vid, v, cid FROM ca
+              |       WHERE vid < (SELECT n - 100 FROM nn)),
+              |g0s AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |          floor((list_dot_product(a.v, b.v)
+              |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM pp a JOIN a0 b ON a.cid = b.cid AND a.vid <> b.vid
+              |        WHERE a.vid < (SELECT n - 100 FROM nn)),
+              |g0 AS MATERIALIZED (SELECT vid, neighbor_id, cosine FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY vid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM g0s) z
+              |      WHERE rn <= 12),
+              |${insertCtes("g0", "a0", "(SELECT n - 100 FROM nn)", "(SELECT n - 50 FROM nn)", 12, "i1")},
+              |${insertCtes("i1g", "i1aa", "(SELECT n - 50 FROM nn)", "", 12, "i2")},
+              |grs AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |          floor((list_dot_product(a.v, b.v)
+              |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM pp a JOIN ca b ON a.cid = b.cid AND a.vid <> b.vid),
+              |grf AS MATERIALIZED (SELECT vid, neighbor_id FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY vid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM grs) z
+              |      WHERE rn <= 12),
+              |gif AS MATERIALIZED (SELECT vid, neighbor_id FROM i2g),
+              |${walkCtes("s0", "gif", 8, 3, "wi")},
+              |${walkCtes("s0", "grf", 8, 3, "wr")},
+              |rix AS (SELECT wiv3.qid, wiv3.vid AS neighbor_id,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM wiv3 JOIN e ON e.vec_id = wiv3.vid JOIN q ON q.qid = wiv3.qid
+              |        WHERE wiv3.qid <> wiv3.vid),
+              |rir AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM rix) z
+              |        WHERE rn <= 5),
+              |rrx AS (SELECT wrv3.qid, wrv3.vid AS neighbor_id,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM wrv3 JOIN e ON e.vec_id = wrv3.vid JOIN q ON q.qid = wrv3.qid
+              |        WHERE wrv3.qid <> wrv3.vid),
+              |rrr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM rrx) z
+              |        WHERE rn <= 5),
+              |hi2 AS (SELECT qid, count(*) AS hits
+              |        FROM bfr JOIN rir USING (qid, neighbor_id) GROUP BY 1),
+              |hr2 AS (SELECT qid, count(*) AS hits
+              |        FROM bfr JOIN rrr USING (qid, neighbor_id) GROUP BY 1)
+              |SELECT qq.qid,
+              |       CAST(coalesce(hi2.hits, 0) AS BIGINT) AS hits_incr,
+              |       floor((coalesce(hi2.hits, 0)/5.0)*1e4 + 0.5)/1e4 AS recall_incr,
+              |       CAST(coalesce(hr2.hits, 0) AS BIGINT) AS hits_rebuilt,
+              |       floor((coalesce(hr2.hits, 0)/5.0)*1e4 + 0.5)/1e4 AS recall_rebuilt,
+              |       (SELECT coalesce(sum(hits), 0) FROM hi2)
+              |         >= (SELECT coalesce(sum(hits), 0) FROM hr2) - 2 AS incr_ge_rebuilt
+              |FROM (SELECT DISTINCT qid FROM q) qq
+              |LEFT JOIN hi2 USING (qid) LEFT JOIN hr2 USING (qid)""".stripMargin)),
 
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient

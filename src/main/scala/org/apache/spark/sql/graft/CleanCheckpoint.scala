@@ -1,0 +1,40 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Constraint-clean lazy local checkpoint (package escape, the
+  * PointInPolygon convention).
+  *
+  * `Dataset.localCheckpoint` captures the source plan's statistics and
+  * constraints into the resulting `LogicalRDD` (`originStats` /
+  * `originConstraints`). When the source plan filters a shared lineage
+  * (e.g. a batch carved out of the corpus by `vid >= n-100`), the
+  * captured constraint set can reference attributes that are NOT in
+  * the checkpoint's own output; any later Union over a descendant of
+  * such a checkpoint then dies in `UnionBase.rewriteConstraints` with
+  * `NoSuchElementException: key not found: vid#N` when an optimizer
+  * rule interrogates the union's constraints (observed on Spark 4.1.2
+  * in the n22 insert-repair plan — union of old-edge, forward-edge and
+  * reverse-edge frames, all checkpoint-descended).
+  *
+  * This helper re-wraps the checkpointed RDD in a `LogicalRDD` with
+  * both origin fields cleared: same data, same attributes, same
+  * partitioning — the optimizer just falls back to size-based stats
+  * and derives constraints from the plan above the leaf, which is
+  * exactly what a parquet round-trip (the at-scale equivalent of a
+  * checkpoint) would give. */
+object CleanCheckpoint {
+  def lazyClean(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = false).asInstanceOf[Dataset[_]]
+    val session = cp.sparkSession.asInstanceOf[SparkSession]
+    cp.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val clean = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(session, None, None)
+        Dataset.ofRows(session, clean)
+      case _ => cp.toDF() // checkpoint contract changed — fail open
+    }
+  }
+}

@@ -153,6 +153,70 @@ class ScaleSpec extends AnyFunSuite {
     assert(rowsOf(hs).nonEmpty, "hnsw walk must return neighbors on the toy graph")
   }
 
+  test("graphInsert: bounded repair — untouched rows verbatim, degree capped, no corpus-side shuffle or cartesian") {
+    import graft.ann.Ann
+    val embS = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    def mk(n: Long, lo: Long = 0L) = df(embS, (lo until (lo + n)).map(i =>
+      Row(i, Seq(math.sin(i * 0.7) + 2.0, math.cos(i * 1.3) + 2.0,
+        math.sin(i * 2.9) + 2.0, 1.0))))
+    def run(n: Long, batchN: Long): (Long, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val corpus = mk(n).select(col("vec_id").as("vid"), col("embedding").as("vec"))
+      val batch = mk(batchN, lo = 1000000L)
+        .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+      val cents = mk(Ann.adaptiveCentroidCount(n, targetBucket = 64))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val a0 = Ann.ivfAssign(corpus, cents).localCheckpoint(eager = false)
+      val g0 = Ann.knnGraphMultiProbe(corpus, cents, k = 4, nprobe = 2)
+        .localCheckpoint(eager = false)
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            sw.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      val (_, g1) = Ann.graphInsert(a0, g0, batch, cents, k = 4, nprobe = 2)
+      val out = g1.localCheckpoint(eager = true) // materialize under the listener
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(l)
+      (sw.get, out, g0, batch)
+    }
+    val (recSmall, g1, g0, batch) = run(512L, 16L)
+    // untouched vertices pass through verbatim; touched + new are re-ranked
+    val batchIds = rowsOf(batch.select(col("vid"))).map(_.head.asInstanceOf[Long]).toSet
+    val touched = rowsOf(g1.filter(col("vid") >= 1000000L)
+      .select(col("neighbor_id")).distinct()).map(_.head.asInstanceOf[Long]).toSet
+    val untouchedOld = rowsOf(g0.filter(!col("vid").isin((touched ++ batchIds).toSeq: _*))
+      .orderBy("vid", "neighbor_id"))
+    val untouchedNew = rowsOf(g1.filter(!col("vid").isin((touched ++ batchIds).toSeq: _*))
+      .orderBy("vid", "neighbor_id"))
+    assert(untouchedNew === untouchedOld, "untouched vertices must pass through verbatim")
+    // degree stays capped everywhere after the repair
+    val deg = rowsOf(g1.groupBy(col("vid")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).select(col("max(d)")))
+    assert(deg.head.head.asInstanceOf[Long] <= 4L, "repair must cap degree at k")
+    // every new vertex joined the graph
+    assert(rowsOf(g1.filter(col("vid") >= 1000000L).select(col("vid")).distinct())
+      .size === 16, "every batch vertex needs forward edges")
+    // plan shape: corpus-sized frames only ever stream through broadcast
+    // joins (probe side and touched set are the hinted build sides) —
+    // no sort-merge join, no cartesian anywhere in the maintenance plan
+    val plan = g1.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"insert cross join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
+    // per-batch work ∝ batch, not corpus: at 4× the corpus (centroids ∝
+    // corpus, so bucket size is held constant) the insert's total
+    // shuffle-write records must stay far under 4× — the corpus-sized
+    // assignment and edge list cross the plan as streamed broadcast-join
+    // probes, never through an exchange
+    val (recBig, _, _, _) = run(2048L, 16L)
+    assert(recBig <= recSmall * 2 + 200,
+      s"per-batch shuffle grew with the corpus: $recSmall -> $recBig at 4x corpus")
+  }
+
   test("hnsw tower: hop-0 entry set is ≤ cap vertices at any corpus scale (no √n term)") {
     import graft.ann.Ann
     // the r12 two-layer form entered at ncentU ∝ √n static vertices
