@@ -375,6 +375,78 @@ object Multimodal {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** [[phashNearDupPairs]] with HOT-BUCKET balancing (the skew story
+    * for banded image dedup): natural corpora carry boilerplate
+    * regions — a letterhead, a logo strip, a black bar — that put one
+    * band VALUE in a large fraction of documents, and the banded
+    * self-join then lands that whole bucket (and its |bucket|² hamming
+    * evaluations) in ONE reducer while the rest idle. Adaptive band
+    * WIDTH ([[adaptiveBandBits]]) spreads uniform mass but cannot
+    * spread a planted constant, and unlike the text family's
+    * anchor-frequency cap, DROPPING the hot band would break the
+    * hamming ≤ 7 pigeonhole completeness (a pair's only all-equal band
+    * may be the boilerplate one). So the hot buckets are balanced
+    * instead, with output provably identical:
+    *
+    *  - a two-phase census (the d12 discipline — one aggregation over
+    *    the 8n band rows) finds (band, value) buckets with df >
+    *    `hotDf`; the hot set is broadcast (tiny by construction);
+    *  - COLD rows self-join exactly as [[phashNearDupPairs]];
+    *  - HOT rows go through a TRIANGLE decomposition: each row is
+    *    hashed into one of `saltR` fragments, the A-side replicates a
+    *    row to fragment pairs (f, j ≥ f) and the B-side to (i ≤ f, f),
+    *    so every unordered row pair meets in exactly one (i, j) task —
+    *    per-task reads fall from 2·|bucket| to ~2·|bucket|/saltR and
+    *    the |bucket|² hamming work spreads over saltR·(saltR+1)/2
+    *    reducers (total work unchanged; replication cost ≤ saltR+1
+    *    copies of only the hot rows).
+    *
+    * Pairs are canonicalized (least, greatest) in both paths and
+    * deduped, so the result equals [[phashNearDupPairs]] row-for-row
+    * (ScaleSpec pins set equality and the per-task spread under a
+    * planted 90%-hot band). */
+  def phashNearDupPairsBalanced(docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 7, bits: Int = 8,
+      hotDf: Long = 256L, saltR: Int = 8): DataFrame = {
+    require(maxHamming <= 7,
+      s"phashNearDupPairsBalanced: maxHamming=$maxHamming breaks the 8-band pigeonhole")
+    require(saltR >= 2, "saltR must spread at least 2 ways")
+    val hashed = docs.filter(length(col(textCol)) >= 8 * (bits + 1))
+      .select(col(idCol).as("did"), dhashBands(col(textCol), bits).as("bands"))
+    val ex = hashed.select(col("did"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "bv")))
+    // hot census — consumed by both the anti and semi splits, so it
+    // lands once (constraint-clean: the splits' union is downstream)
+    val hot = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
+      ex.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > hotDf).select(col("band"), col("bv")))
+    val cold = ex.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+    val hotRows = ex.join(broadcast(hot), Seq("band", "bv"), "left_semi")
+    val hamming = (0 until 8)
+      .map(i => expr(s"bit_count(a.bands[$i] ^ b.bands[$i])"))
+      .reduce(_ + _).cast("long")
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        hamming.as("hamming"))
+    val f = pmod(xxhash64(col("did")), lit(saltR.toLong)).cast("int")
+    val aSide = hotRows.withColumn("fi", f)
+      .withColumn("fj", explode(sequence(col("fi"), lit(saltR - 1))))
+    val bSide = hotRows.withColumn("fj", f)
+      .withColumn("fi", explode(sequence(lit(0), col("fj"))))
+    val hotPairs = aSide.as("a").join(bSide.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.fi") === col("b.fi") && col("a.fj") === col("b.fj") &&
+          col("a.did") =!= col("b.did"))
+      .select(least(col("a.did"), col("b.did")).as("id_a"),
+        greatest(col("a.did"), col("b.did")).as("id_b"),
+        hamming.as("hamming"))
+    coldPairs.unionByName(hotPairs)
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Audio fingerprint of a headerless 16-bit-LE PCM payload (the mm04
     * sample convention, minus the RIFF container) as 4 band WORDS:
     * band r covers (bits+1) frames of `spf` samples (default 9 frames

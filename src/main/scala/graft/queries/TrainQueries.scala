@@ -3910,6 +3910,52 @@ object TrainQueries extends QuerySet {
              |       JOIN g gb ON gb.doc_id = p.id_b
              |WHERE hamming <= 7""".stripMargin)),
 
+    // MM13 — hot-band-balanced image dedup
+    // (Multimodal.phashNearDupPairsBalanced): the skew story for
+    // banded blocking. 30% of documents get a constant first window
+    // ('ABCDEFGHI', the whole bits=8 band-0 row) — the boilerplate
+    // letterhead/logo case — so one band VALUE carries 0.3n docs and
+    // the plain self-join would put that bucket's rows AND its
+    // (0.3n)² hamming evaluations in one reducer. The balanced
+    // operator census-splits hot (band, value) buckets (df > 64, the
+    // battery's maxDf pin) and runs them through a triangle
+    // fragment-pair decomposition — output provably identical to the
+    // plain join (pairs canonicalized + deduped), per-reducer reads
+    // and work ∝ |bucket|/saltR (ScaleSpec measures the spread). The
+    // oracle is the all-pairs exact twin with the same plant — the
+    // pigeonhole completeness argument is untouched by balancing, so
+    // the blocked result still provably equals all-pairs at
+    // hamming ≤ 7. Fixed bits=8: the plant must cover a whole band
+    // window at every SF; the hot bucket is the stressor, adaptive
+    // widths can't spread a constant anyway (that is the point).
+    Q("mm13_phash_hot_balanced",
+      (s, dir) => {
+        val docsT = Tables.load(s, dir, "documents")
+        val base = docsT.filter(length(col("text")) >= 72)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 < 3,
+              concat(lit("ABCDEFGHI"), expr("substring(text, 10)")))
+              .otherwise(col("text")).as("text"))
+        Multimodal.phashNearDupPairsBalanced(base, "doc_id", "text",
+          maxHamming = 7, bits = 8, hotDf = 64L, saltR = 8)
+      },
+      Some("""WITH d0 AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 10 < 3
+             |              THEN 'ABCDEFGHI' || substr(text, 10)
+             |              ELSE text END AS text
+             |       FROM documents WHERE length(text) >= 72),
+             |b AS (SELECT doc_id, list_transform(range(0, 8), r ->
+             |        list_sum(list_transform(range(0, 8), c ->
+             |          CASE WHEN ascii(substr(text, r*9 + c + 1, 1)) <
+             |                    ascii(substr(text, r*9 + c + 2, 1))
+             |               THEN (1 << c) ELSE 0 END))) AS bands
+             |      FROM d0),
+             |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             |        CAST(list_sum(list_transform(range(0, 8), i ->
+             |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming
+             |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7""".stripMargin)),
+
     // MM11 — band-bucket occupancy census, the tri-SF gate on the
     // mm06/mm07 adaptive blocking spaces: per modality, the live
     // bucket count, hottest bucket, and total candidate volume

@@ -217,6 +217,111 @@ class ScaleSpec extends AnyFunSuite {
       s"per-batch shuffle grew with the corpus: $recSmall -> $recBig at 4x corpus")
   }
 
+  test("skew battery: hot band through the banded image dedup — triangle decomposition spreads the bucket") {
+    // The banded self-join's skew case (r13 #6): a boilerplate image
+    // region (letterhead/logo) puts one band VALUE in a large doc
+    // fraction; the plain (band, bv) self-join lands that whole bucket
+    // — and its |bucket|² hamming evaluations — in ONE reducer.
+    // Fixture: 1100 docs, 1000 share a constant first window (band 0
+    // identical), the rest of each text is id-derived. Measured claim:
+    // phashNearDupPairsBalanced cuts the hottest reducer's shuffle
+    // reads ≥ 3× vs phashNearDupPairs while producing the identical
+    // pair set.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import graft.mm.Multimodal
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          reads.add(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured[T](action: => T): (T, Long, Long) = {
+      reads.clear()
+      val r = action
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      val xs = reads.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+      assert(xs.nonEmpty, "expected a shuffle")
+      (r, xs.last, xs(xs.length / 2))
+    }
+    // same measurement hygiene as the SDV skew battery: AQE's
+    // small-shuffle coalescing masquerades as key skew on a tiny
+    // fixture, and 4 reduce partitions blur per-reducer concentration
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    spark.conf.set(coalesceKey, "false")
+    spark.conf.set(spKey, "32")
+    // force the banded self-join through a SHUFFLE join: at real scale
+    // the exploded band table is corpus-sized and never broadcasts, and
+    // a broadcast join here would hide exactly the reducer
+    // concentration under test (the balanced path's census/hot-set
+    // broadcast() hints still apply — those are genuinely tiny)
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      val docS = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      // pseudorandom bodies via a splitmix-style bit mixer — any
+      // formula LINEAR in (i, j) aliases docs into identical-body
+      // classes mod 26, and those contribute ~10⁵ genuine hamming-0
+      // pairs whose dedup exchange drowns the join-stage signal (two
+      // drafts of this fixture did exactly that)
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def body(i: Long): String = (0 until 80).map { j =>
+        ('A' + math.floorMod(mix(i * 131L + j), 26L).toInt).toChar
+      }.mkString
+      val rows = (0L until 2200L).map { i =>
+        // 2000 hot docs: identical first 9 chars (the whole bits=8
+        // band-0 window) — band 0 collides for all C(2000,2) pairs
+        val t = if (i < 2000) "ABCDEFGHI" + body(i) else body(i) + body(i + 7)
+        Row(i, t)
+      } ++ Seq(
+        // planted survivors so output equality is non-vacuous on both
+        // paths: a cold exact-dup pair and a hot near-dup pair
+        Row(2000L, body(4242) + body(4243)),
+        Row(2001L, body(4242) + body(4243)),
+        Row(2002L, "ABCDEFGHI" + body(555)),
+        Row(2003L, "ABCDEFGHI" + body(555).updated(70, 'z')))
+      val docs = df(docS, rows).localCheckpoint()
+      val plain = Multimodal.phashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 7, bits = 8)
+      val balanced = Multimodal.phashNearDupPairsBalanced(docs, "doc_id", "text",
+        maxHamming = 7, bits = 8, hotDf = 256L, saltR = 8)
+      val (plainRows, mxP, medP) = measured(plain.collect())
+      val (balRows, mxB, medB) = measured(balanced.collect())
+      // identical output — the balancing is a pure execution rewrite
+      assert(balRows.map(_.toSeq).toSet === plainRows.map(_.toSeq).toSet,
+        "balanced pair set must equal the plain banded join's")
+      // the plain join concentrates the whole 2002-row hot bucket —
+      // BOTH join sides — in one reducer (max ≈ 2·|bucket| + base).
+      // The triangle halves-or-better the hottest reducer's reads
+      // (fragment-pair keys carry ≈ 2·|bucket|/saltR rows each; the
+      // observed max is a few hash-colliding keys in one partition),
+      // and — the part reads can't show — caps any task's hamming
+      // work at keysPerTask·(|bucket|/saltR)² ≈ 125k evaluations vs
+      // the plain join's 2M-in-one. Counts are deterministic (hash
+      // partitioning over a fixed fixture), so exact bounds hold.
+      assert(mxP >= 2L * 2002L, s"fixture failed to concentrate: plain max $mxP")
+      assert(mxB * 2 <= mxP,
+        s"triangle decomposition did not spread: plain max $mxP vs balanced $mxB (medians $medP/$medB)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set(coalesceKey, prevCoalesce)
+      spark.conf.set(spKey, prevSp)
+      spark.conf.set(bcKey, prevBc)
+    }
+  }
+
   test("hnsw tower: hop-0 entry set is ≤ cap vertices at any corpus scale (no √n term)") {
     import graft.ann.Ann
     // the r12 two-layer form entered at ncentU ∝ √n static vertices
