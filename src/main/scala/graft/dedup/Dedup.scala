@@ -728,6 +728,24 @@ object Dedup {
     * covered by some repeated window (the dropHotWindows run-split
     * argument, made per-doc). No cross-doc join, no maxDf needed: the
     * only shuffle is the per-(did, window) first-occurrence pass.
+    *
+    * Why this shuffle may carry the window STRINGS (the census's
+    * hash-first discipline deliberately not applied): that discipline
+    * exists for shuffles whose row count is multiplied by a JOIN fan —
+    * the hot-window census computes df on the 8-byte hash alone
+    * because its candidate join would otherwise replicate strings df²
+    * times. Here the partition key is (did, h, s) under a WINDOW
+    * function with fan exactly 1: each occurrence row crosses the wire
+    * once, the same ~w× text amplification every consumer of
+    * [[positionedWindowRows]]/[[windowRows]] already pays per pass
+    * (windowRows' distinct shuffles (did, s, h) rows; the d26 match
+    * join shuffles strings on both probe sides). Splitting into a
+    * hash-only first pass would still need a second string-bearing
+    * shuffle to verify collided (did, h) groups byte-exactly — same
+    * volume moved, one more stage — so the single keyed pass is the
+    * cheaper exact form; dropping exactness for a double-hash key is
+    * the one rewrite that would shrink it, and the family's contract
+    * (a hash collision cannot fabricate a match) forbids it.
     * Returns (doc_id, start_first, start_rep, len_tokens) with
     * start_first < start_rep, positions 1-based — feed to
     * [[removeRepeatRuns]] as (doc_b = doc_id, start_b = start_rep) to

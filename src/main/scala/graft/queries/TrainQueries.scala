@@ -3738,7 +3738,16 @@ object TrainQueries extends QuerySet {
           .select((col("doc_id") + 2000000).as("doc_id"),
             concat(substring(col("text"), 1, 40), lit("~"),
               expr("substring(text, 42)")).as("text"))
-        Multimodal.phashNearDupPairs(base.unionByName(planted),
+        // post-scan repartition: the fixture parquet is a single row
+        // group, so without it the whole band-hash map side (8 bands ×
+        // up to 16 ascii comparisons per doc) runs in ONE task — at
+        // sf1 that made wall ≈ cpu ≈ 26 s; shuffling the raw text
+        // first costs one narrow pass and parallelizes the expression
+        // work (a real lake with many files doesn't need this, but the
+        // measured number should reflect the plan, not the fixture's
+        // file layout — r12/r13 verdict item)
+        Multimodal.phashNearDupPairs(
+          base.unionByName(planted).repartition(s.sparkContext.defaultParallelism),
           "doc_id", "text", maxHamming = 7, bits = bits)
       },
       Some("""WITH nb AS (SELECT CASE WHEN n <= 1024 THEN 8 WHEN n <= 2048 THEN 9
