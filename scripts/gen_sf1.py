@@ -28,7 +28,13 @@ import pyarrow.parquet as pq
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
 SRC = "/root/testdata/sf0.1"
 os.makedirs(OUT, exist_ok=True)
-rng = np.random.default_rng(777)
+
+
+def rng_for(table):
+    """Independent stream per table so editing one table's recipe
+    never shifts another's draws (a single shared stream meant a
+    documents tweak silently regenerated the embeddings too)."""
+    return np.random.default_rng([777, sum(map(ord, table))])
 
 N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
 N_ORDERS, N_LINE, N_EVENTS = 1_500_000, 6_000_000, 1_000_000
@@ -47,6 +53,7 @@ for t in ("region", "nation"):
     print(f"{t}: copied from sf0.1")
 
 # customer: acctbal uniform(-1000,10000) 2dp, 5 TPC-H segments
+rng = rng_for("customer")
 segments = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
                      "MACHINERY"])
 write("customer", pa.table({
@@ -57,6 +64,7 @@ write("customer", pa.table({
     "c_mktsegment": segments[rng.integers(0, 5, N_CUST)],
 }), 65536)
 
+rng = rng_for("supplier")
 write("supplier", pa.table({
     "s_suppkey": pa.array(np.arange(N_SUPP), pa.int64()),
     "s_name": [f"Supplier#{i:09d}" for i in range(N_SUPP)],
@@ -66,6 +74,7 @@ write("supplier", pa.table({
 
 # part: 8x8 adjective-noun names, Brand#1..25, 6 types, size 1..50,
 # retailprice = 900 + (key % 1000)/10 (measured exact at sf0.1)
+rng = rng_for("part")
 adjs = np.array(["blue", "cold", "hot", "large", "new", "old", "red",
                  "small"])
 nouns = np.array(["anvil", "bolt", "gear", "gizmo", "plate", "ring",
@@ -85,6 +94,7 @@ write("part", pa.table({
 
 # orders: day-granular dates uniform 1995-01-01..2001-08-01,
 # status/priority uniform, totalprice uniform(1000,500000) 2dp
+rng = rng_for("orders")
 statuses = np.array(["F", "O", "P"])
 prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
                   "5-LOW"])
@@ -107,6 +117,7 @@ write("orders", pa.table({
 # (measured: ep/qty spans 18..105k), shipdate day-granular uniform
 # over its own 1995-01-02..2001-11-04 range (independent of orderdate:
 # measured lags span -2399..+2496 days)
+rng = rng_for("lineitem")
 lok = np.sort(rng.integers(0, N_ORDERS, N_LINE))
 # per-order sequence number over the sorted keys
 starts = np.flatnonzero(np.diff(lok, prepend=-1))
@@ -134,6 +145,7 @@ write("lineitem", pa.table({
 
 # events: ts uniform over Jan 2024 with microsecond jitter, users =
 # customers/10, value Expo(mean 50) 2dp, props = {"k": 0..99}
+rng = rng_for("events")
 etypes = np.array(["click", "error", "purchase", "signup", "view"])
 t0 = np.datetime64("2024-01-01T00:00:00", "us")
 span_us = int((np.datetime64("2024-01-31T00:00:00", "us") - t0)
@@ -152,6 +164,7 @@ write("events", pa.table({
 # documents: 10..100 words from the driver's 30-word vocab plus the
 # rare 'dup' token (measured ~0.094% of tokens), en-weighted langs,
 # round-robin src0..src19 (measured exactly uniform per source)
+rng = rng_for("documents")
 vocab = np.array(["a", "agg", "batch", "big", "column", "customer",
                   "data", "fast", "filter", "group", "hash", "join",
                   "key", "line", "merge", "order", "part", "query",
@@ -161,6 +174,14 @@ vocab = np.array(["a", "agg", "batch", "big", "column", "customer",
 langs = np.array(["en", "zh", "es", "fr", "de"])
 lang_p = np.array([0.40, 0.15, 0.15, 0.15, 0.15])
 nwords = rng.integers(10, 101, N_DOCS)
+# The d26/d28 substring plants splice doc 3's leading 25 tokens and
+# doc 5's leading 40 tokens at query time — the donors must be long
+# enough to donate (ContractCheck asserts the resulting runs). The
+# driver's own sf0.1 happens to satisfy this (41/80 tokens); pin it.
+nwords[3] = max(nwords[3], 60)
+nwords[5] = max(nwords[5], 80)
+# d31's intra-doc plant appends doc 9's leading 25 tokens to itself
+nwords[9] = max(nwords[9], 45)
 texts = []
 for n in nwords:
     ws = vocab[rng.integers(0, len(vocab), n)]
@@ -176,6 +197,7 @@ write("documents", pa.table({
 
 # embeddings: 10 weak Gaussian clusters in 64-dim float32 (measured:
 # per-dim noise std 0.1245, cluster-center norm ~0.07)
+rng = rng_for("embeddings")
 labels = rng.integers(0, 10, N_VECS)
 centers = rng.normal(0, 0.009, (10, 64))
 emb = (centers[labels] + rng.normal(0, 0.1245, (N_VECS, 64))) \

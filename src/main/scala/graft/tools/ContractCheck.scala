@@ -95,6 +95,19 @@ object ContractCheck {
         col("hamming") <= 2 && col("n_a") >= 201L).count() == 1 &&
       df.filter(col("id_b") === col("id_a") + 2000000L &&
         col("hamming") <= 2).count() >= 5),
+    // intra-doc plant: doc 1000009 is doc 9 plus doc 9's own leading
+    // 25 tokens re-appended — removal must cut exactly that tail copy
+    // (before = doc 9's + 25) and rebuild byte-exactly to doc 9's
+    // cleaned text (any NATURAL self-repeat in doc 9 is excised from
+    // both rows identically, so the equality is SF-invariant)
+    "d31_self_repeat_removal" -> { df =>
+      val rows = df.filter(col("doc_id").isin(9L, 1000009L))
+        .select(col("doc_id"), col("n_tokens_before"), col("text_clean"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      (for { (b9, t9) <- rows.get(9L); (bp, tp) <- rows.get(1000009L) }
+        yield bp == b9 + 25 && tp == t9).getOrElse(false)
+    },
     // the measured recall gates must hold wherever the battery runs
     "n19_graph_ann" -> (df => df.filter(!col("graph_ge_ivf")).count() == 0 &&
       df.count() == 10),
