@@ -300,6 +300,39 @@ object Ann {
     (assignedAll, untouched.unionByName(ranked))
   }
 
+  /** One persisted tower level's index artifacts for [[towerInsert]]:
+    * the level's corpus assignment + kNN edge list, the centroid table
+    * its probes rank against, the build-time membership stride
+    * ([[towerSteps]] cumulative — stride 1 = layer 0), and the build's
+    * k / nprobe (levels differ: n20 builds layer 0 at (12, 2) and the
+    * walked level at (8, 4)). */
+  final case class LevelIndex(assigned: DataFrame, edges: DataFrame,
+      centroids: DataFrame, stride: Long, k: Int, nprobe: Int)
+
+  /** Incremental HNSW-TOWER maintenance (n23) — the [[graphInsert]]
+    * batch repair applied at every tower level, making the n20 tower
+    * maintainable instead of rebuild-only (n22 covers the flat
+    * single-graph case). Level membership is the same modular stride
+    * rule the tower was built with — vid % stride == 0, FROZEN at
+    * build time like n11's codebooks (re-deriving strides when n
+    * grows enough to change [[towerSteps]] is the compaction path, a
+    * rebuild by definition) — so each level updates with exactly its
+    * stride-qualified batch sliver: ~1/stride of the batch, usually
+    * empty above level 1, and an empty sliver passes the level
+    * through untouched (graphInsert's anti-join passthrough, pinned
+    * in ScaleSpec). Per-batch work is therefore Σℓ ∝ |batch|/strideℓ
+    * — geometric in ℓ, dominated by layer 0, never corpus-shaped.
+    * Returns the updated per-level artifacts in the input's order. */
+  def towerInsert(levels: Seq[LevelIndex], batch: DataFrame): Seq[LevelIndex] =
+    levels.map { li =>
+      val member =
+        if (li.stride <= 1L) batch
+        else batch.filter(col("vid") % li.stride === 0)
+      val (a, g) = graphInsert(li.assigned, li.edges, member,
+        li.centroids, li.k, li.nprobe)
+      li.copy(assigned = a, edges = g)
+    }
+
   /** Graph-ANN search — the query-time half of graph-based ANN (the
     * public HNSW/NSG idea restricted to one layer): seed each query at
     * its IVF top-1, then run a fixed-width beam walk over the

@@ -96,15 +96,16 @@ object TrainQueries extends QuerySet {
     * updated assignment) and `<prefix>g` (the updated graph) for the
     * next batch / the walk. */
   private def insertCtes(prevG: String, prevA: String, lo: String,
-      hi: String, k: Int, prefix: String): String = {
+      hi: String, k: Int, prefix: String, probe: String = "pp",
+      corpus: String = "ca"): String = {
     def rng(v: String) =
       s"$v >= $lo" + (if (hi.nonEmpty) s" AND $v < $hi" else "")
-    s"""${prefix}ab AS (SELECT vid, v, cid FROM ca WHERE ${rng("vid")}),
+    s"""${prefix}ab AS (SELECT vid, v, cid FROM $corpus WHERE ${rng("vid")}),
        |${prefix}aa AS (SELECT * FROM $prevA UNION ALL SELECT * FROM ${prefix}ab),
        |${prefix}ns AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
        |          floor((list_dot_product(a.v, b.v)
        |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
-       |        FROM pp a JOIN ${prefix}aa b ON a.cid = b.cid AND a.vid <> b.vid
+       |        FROM $probe a JOIN ${prefix}aa b ON a.cid = b.cid AND a.vid <> b.vid
        |        WHERE ${rng("a.vid")}),
        |${prefix}ne AS MATERIALIZED (SELECT vid, neighbor_id, cosine FROM (
        |        SELECT *, row_number() OVER (PARTITION BY vid
@@ -2642,6 +2643,205 @@ object TrainQueries extends QuerySet {
               |         >= (SELECT coalesce(sum(hits), 0) FROM hr2) - 2 AS incr_ge_rebuilt
               |FROM (SELECT DISTINCT qid FROM q) qq
               |LEFT JOIN hi2 USING (qid) LEFT JOIN hr2 USING (qid)""".stripMargin)),
+
+    // N23 — incremental TOWER maintenance (Ann.towerInsert): n22's
+    // bounded batch repair applied at every n20 tower level, closing
+    // the maintenance story for the tower index (n22 keeps the flat
+    // graph maintainable; without this, adding vectors to the tower
+    // meant rebuilding every level). The last 100 vectors are held
+    // out of a cap-8 two-level build (cap 8 — not n20's 64 — so the
+    // walked level engages at EVERY SF, not just sf1) and inserted in
+    // one batch: layer 0 takes all 100, the walked level takes only
+    // its stride-qualified sliver (vid % s1 == 0 — membership is the
+    // FROZEN build-time stride rule, the level analog of n11's frozen
+    // codebooks; at sf1 the sliver is empty and the level passes
+    // through untouched, the no-op path ScaleSpec pins). Gate:
+    // hnswSearch recall over the maintained tower ≥ the same-stride
+    // from-scratch rebuild − 2 of 50 (graphInsert's documented repair
+    // approximation, per level). The oracle replays stride
+    // derivation, both level builds, both level inserts, the rebuild,
+    // and both full tower walks — every ranking the round-6-quantized
+    // cosine with id tiebreaks, every parameter count(*) arithmetic.
+    // Bench cost is the GATE, not the operator (the n20/n22
+    // convention): two tower builds + two full tower walks ≈ 2× n20's
+    // single-tower gate; towerInsert itself is batch-bounded, and the
+    // ~45-stage chain is local-mode stage-latency, wall ≈ task/1.2.
+    Q("n23_tower_insert",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val n = Tables.rowCount(s, dir, "embeddings")
+        val nb = n - 100
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        val base = corpus.filter(col("vid") < nb)
+        val batch = corpus.filter(col("vid") >= nb)
+        val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val steps = Ann.towerSteps(nb, levels = 2, cap = 8)
+        val upperN = (nb + steps.head - 1) / steps.head
+        val centsU = e.filter(col("vec_id") <
+            Ann.adaptiveCentroidCount(upperN, targetBucket = 8))
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val upperBase = base.filter(col("vid") % steps.head === 0)
+        val cpoint = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean _
+        val lvl0 = Ann.LevelIndex(
+          cpoint(Ann.ivfAssign(base, cents)),
+          cpoint(Ann.knnGraphMultiProbe(base, cents, k = 12, nprobe = 2)),
+          cents, stride = 1L, k = 12, nprobe = 2)
+        val lvl1 = Ann.LevelIndex(
+          cpoint(Ann.ivfAssign(upperBase, centsU)),
+          cpoint(Ann.knnGraphMultiProbe(upperBase, centsU, k = 8, nprobe = 4)),
+          centsU, stride = steps.head, k = 8, nprobe = 4)
+        val maintained = Ann.towerInsert(Seq(lvl0, lvl1), batch)
+        val rebuilt0 = Ann.knnGraphMultiProbe(corpus, cents, k = 12, nprobe = 2)
+        val rebuiltU = Ann.knnGraphMultiProbe(
+          corpus.filter(col("vid") % steps.head === 0), centsU, k = 8, nprobe = 4)
+        val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
+          .localCheckpoint(eager = false)
+        val ri = Ann.recallAtK(truth,
+          Ann.hnswSearch(qs, corpus, Seq(maintained(1).edges), steps,
+            maintained(0).edges, k = 5, beam = 8, hops = 3, upperHops = 3,
+            upperBeam = 3, seedK = 8), k = 5)
+        val rr = Ann.recallAtK(truth,
+          Ann.hnswSearch(qs, corpus, Seq(rebuiltU), steps, rebuilt0,
+            k = 5, beam = 8, hops = 3, upperHops = 3, upperBeam = 3,
+            seedK = 8), k = 5)
+        val joined = ri.select(col("qid"), col("hits").as("hits_incr"),
+            col("recall").as("recall_incr"))
+          .join(rr.select(col("qid"), col("hits").as("hits_rebuilt"),
+            col("recall").as("recall_rebuilt")), Seq("qid"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        joined.withColumn("incr_ge_rebuilt",
+          sum(col("hits_incr")).over(wAll) >= sum(col("hits_rebuilt")).over(wAll) - 2)
+      },
+      Some(s"""WITH $embCte,
+              |nn AS (SELECT count(*) AS n FROM e),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+              |${bfScoredCte("bfs")},
+              |bfr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM bfs) z
+              |        WHERE rn <= 5),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e
+              |      WHERE vec_id < (SELECT greatest(8, (n - 100 + 255) // 256)
+              |                      FROM nn)),
+              |${assignCtes("e", "c", "ca")},
+              |pp AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
+              |a0 AS (SELECT vid, v, cid FROM ca
+              |       WHERE vid < (SELECT n - 100 FROM nn)),
+              |g0s AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |          floor((list_dot_product(a.v, b.v)
+              |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM pp a JOIN a0 b ON a.cid = b.cid AND a.vid <> b.vid
+              |        WHERE a.vid < (SELECT n - 100 FROM nn)),
+              |g0 AS MATERIALIZED (SELECT vid, neighbor_id, cosine FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY vid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM g0s) z
+              |      WHERE rn <= 12),
+              |${insertCtes("g0", "a0", "(SELECT n - 100 FROM nn)", "", 12, "i1")},
+              |grs AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |          floor((list_dot_product(a.v, b.v)
+              |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM pp a JOIN ca b ON a.cid = b.cid AND a.vid <> b.vid),
+              |grf AS MATERIALIZED (SELECT vid, neighbor_id FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY vid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM grs) z
+              |      WHERE rn <= 12),
+              |st1 AS (SELECT n - 100 AS n0,
+              |          CASE WHEN n - 100 > 8
+              |            THEN greatest(2, CAST(floor(sqrt(n - 100)) AS BIGINT))
+              |            ELSE 1 END AS s1 FROM nn),
+              |st2 AS (SELECT n0, s1,
+              |          s1 * (CASE WHEN ((n0 + s1 - 1) // s1) > 8
+              |            THEN greatest(2, CAST(floor(sqrt((n0 + s1 - 1) // s1)) AS BIGINT))
+              |            ELSE 1 END) AS s2 FROM st1),
+              |up AS (SELECT vec_id, v FROM e, st2 WHERE vec_id % s1 = 0),
+              |uc AS (SELECT vec_id AS cid, v AS cv FROM e
+              |       WHERE vec_id < (SELECT greatest(8,
+              |         ((n0 + s1 - 1) // s1 + 7) // 8) FROM st2)),
+              |${assignCtes("up", "uc", "ua")},
+              |pu AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM uaj) z WHERE rn <= 4),
+              |ua0 AS (SELECT vid, v, cid FROM ua
+              |        WHERE vid < (SELECT n - 100 FROM nn)),
+              |ug0s AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |           floor((list_dot_product(a.v, b.v)
+              |             /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |         FROM pu a JOIN ua0 b ON a.cid = b.cid AND a.vid <> b.vid
+              |         WHERE a.vid < (SELECT n - 100 FROM nn)),
+              |ug0 AS MATERIALIZED (SELECT vid, neighbor_id, cosine FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY vid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM ug0s) z
+              |      WHERE rn <= 8),
+              |${insertCtes("ug0", "ua0", "(SELECT n - 100 FROM nn)", "", 8, "j1", "pu", "ua")},
+              |ugs AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |          floor((list_dot_product(a.v, b.v)
+              |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM pu a JOIN ua b ON a.cid = b.cid AND a.vid <> b.vid),
+              |urf AS MATERIALIZED (SELECT vid, neighbor_id FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY vid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM ugs) z
+              |      WHERE rn <= 8),
+              |gif AS MATERIALIZED (SELECT vid, neighbor_id FROM i1g),
+              |jif AS MATERIALIZED (SELECT vid, neighbor_id FROM j1g),
+              |topv AS (SELECT vec_id AS vid FROM e, st2 WHERE vec_id % s2 = 0),
+              |us0 AS MATERIALIZED (SELECT q.qid, topv.vid FROM q, topv),
+              |${walkCtes("us0", "jif", 3, 3, "mu")},
+              |mdx AS (SELECT muv3.qid, muv3.vid,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
+              |        FROM muv3 JOIN e ON e.vec_id = muv3.vid JOIN q ON q.qid = muv3.qid),
+              |sdm AS MATERIALIZED (SELECT qid, vid FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY qid
+              |          ORDER BY cos6 DESC, vid) AS rn FROM mdx) z WHERE rn <= 8),
+              |${walkCtes("sdm", "gif", 8, 3, "mh")},
+              |mix AS (SELECT mhv3.qid, mhv3.vid AS neighbor_id,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM mhv3 JOIN e ON e.vec_id = mhv3.vid JOIN q ON q.qid = mhv3.qid
+              |        WHERE mhv3.qid <> mhv3.vid),
+              |mir AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM mix) z
+              |        WHERE rn <= 5),
+              |${walkCtes("us0", "urf", 3, 3, "ru")},
+              |rdx AS (SELECT ruv3.qid, ruv3.vid,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cos6
+              |        FROM ruv3 JOIN e ON e.vec_id = ruv3.vid JOIN q ON q.qid = ruv3.qid),
+              |sdr AS MATERIALIZED (SELECT qid, vid FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY qid
+              |          ORDER BY cos6 DESC, vid) AS rn FROM rdx) z WHERE rn <= 8),
+              |${walkCtes("sdr", "grf", 8, 3, "rh")},
+              |rrx AS (SELECT rhv3.qid, rhv3.vid AS neighbor_id,
+              |          floor((list_dot_product(q.qv, e.v)
+              |            /(sqrt(list_dot_product(q.qv, q.qv))*sqrt(list_dot_product(e.v, e.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM rhv3 JOIN e ON e.vec_id = rhv3.vid JOIN q ON q.qid = rhv3.qid
+              |        WHERE rhv3.qid <> rhv3.vid),
+              |rrr AS (SELECT qid, neighbor_id FROM (
+              |          SELECT *, row_number() OVER (PARTITION BY qid
+              |            ORDER BY cosine DESC, neighbor_id) AS rn FROM rrx) z
+              |        WHERE rn <= 5),
+              |hi3 AS (SELECT qid, count(*) AS hits
+              |        FROM bfr JOIN mir USING (qid, neighbor_id) GROUP BY 1),
+              |hr3 AS (SELECT qid, count(*) AS hits
+              |        FROM bfr JOIN rrr USING (qid, neighbor_id) GROUP BY 1)
+              |SELECT qq.qid,
+              |       CAST(coalesce(hi3.hits, 0) AS BIGINT) AS hits_incr,
+              |       floor((coalesce(hi3.hits, 0)/5.0)*1e4 + 0.5)/1e4 AS recall_incr,
+              |       CAST(coalesce(hr3.hits, 0) AS BIGINT) AS hits_rebuilt,
+              |       floor((coalesce(hr3.hits, 0)/5.0)*1e4 + 0.5)/1e4 AS recall_rebuilt,
+              |       (SELECT coalesce(sum(hits), 0) FROM hi3)
+              |         >= (SELECT coalesce(sum(hits), 0) FROM hr3) - 2 AS incr_ge_rebuilt
+              |FROM (SELECT DISTINCT qid FROM q) qq
+              |LEFT JOIN hi3 USING (qid) LEFT JOIN hr3 USING (qid)""".stripMargin)),
 
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient

@@ -217,6 +217,51 @@ class ScaleSpec extends AnyFunSuite {
       s"per-batch shuffle grew with the corpus: $recSmall -> $recBig at 4x corpus")
   }
 
+  test("towerInsert: stride membership routes each level's sliver; an empty sliver passes the level through value-identically") {
+    import graft.ann.Ann
+    val embS = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    def mk(ids: Seq[Long]) = df(embS, ids.map(i =>
+      Row(i, Seq(math.sin(i * 0.7) + 2.0, math.cos(i * 1.3) + 2.0,
+        math.sin(i * 2.9) + 2.0, 1.0))))
+    val nb = 496L
+    val steps = Ann.towerSteps(nb, levels = 2, cap = 8)
+    assert(steps.head === 22L && steps(1) % steps.head === 0L,
+      s"cap-8 tower over $nb vertices: $steps")
+    val base = mk(0L until nb)
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val cents = mk(0L until Ann.adaptiveCentroidCount(nb, targetBucket = 64))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val upperBase = base.filter(col("vid") % steps.head === 0)
+    def level(c: org.apache.spark.sql.DataFrame, stride: Long, k: Int) =
+      Ann.LevelIndex(
+        Ann.ivfAssign(c, cents).localCheckpoint(eager = false),
+        Ann.knnGraphMultiProbe(c, cents, k = k, nprobe = 2)
+          .localCheckpoint(eager = false),
+        cents, stride, k, nprobe = 2)
+    val levels = Seq(level(base, 1L, 4), level(upperBase, steps.head, 4))
+    // batch 496..511 holds exactly one stride-22 member: 506
+    val batch = mk(nb until (nb + 16L))
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val out = Ann.towerInsert(levels, batch)
+    val l0New = rowsOf(out(0).edges.filter(col("vid") >= nb)
+      .select(col("vid")).distinct()).map(_.head.asInstanceOf[Long]).toSet
+    assert(l0New === (nb until (nb + 16L)).toSet,
+      "layer 0 must take every batch vertex")
+    val l1New = rowsOf(out(1).edges.filter(col("vid") >= nb)
+      .select(col("vid")).distinct()).map(_.head.asInstanceOf[Long]).toSet
+    assert(l1New === Set(506L),
+      s"level 1 must take exactly the stride-qualified sliver: $l1New")
+    // a batch with no stride members: level 1 passes through
+    // value-identically (the sf1 shape — no multiples of 22 in 513..527)
+    val noSliver = mk(513L until 528L)
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val out2 = Ann.towerInsert(levels, noSliver)
+    assert(rowsOf(out2(1).edges.orderBy("vid", "neighbor_id")) ===
+      rowsOf(levels(1).edges.orderBy("vid", "neighbor_id")),
+      "empty sliver must leave the level's edges value-identical")
+  }
+
   test("skew battery: hot band through the banded image dedup — triangle decomposition spreads the bucket") {
     // The banded self-join's skew case (r13 #6): a boilerplate image
     // region (letterhead/logo) puts one band VALUE in a large doc
