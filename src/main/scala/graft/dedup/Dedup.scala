@@ -1056,6 +1056,122 @@ object Dedup {
     }
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (the Kiveris et al. "Connected Components in
+    * MapReduce and Beyond" algorithm) — the high-diameter complement
+    * to [[dupClusters]]: min-label propagation converges in
+    * O(component diameter) rounds, which is the right trade for the
+    * tiny star-shaped components a near-dup corpus mostly produces,
+    * but a transitive near-dup CHAIN (v1≈v2≈…≈vL — successive
+    * crawl snapshots, versioned boilerplate) has diameter L and
+    * min-propagation pays L rounds; star contraction converges in
+    * O(log² n) worst-case / ~log L observed rounds regardless of
+    * shape (ScaleSpec pins ≤ 20 rounds on a 1024-chain, where
+    * propagation would need 1023).
+    *
+    * Round = large-star then small-star, each one grouped min +
+    * re-emit over the edge list (2-3 graph-sized shuffles — same
+    * per-round cost shape as a propagation round; the win is the
+    * ROUND COUNT). Edges stay canonical (u > v) throughout:
+    *   - large-star, per node x of the SYMMETRIC graph: every
+    *     larger neighbor y > x re-attaches to m = min(Γ(x) ∪ {x});
+    *   - small-star, per node u of the canonical list: u and its
+    *     smaller neighbors all attach to their min.
+    * Fixpoint (the edge set stops changing — an exact per-round set
+    * compare, not a checksum) is a star forest: every node points
+    * directly at its component min. Output (id, cluster) is
+    * value-identical to [[dupClusters]] on any input (ScaleSpec
+    * cross-checks them on random graphs). */
+  def dupClustersStar(pairs: DataFrame, maxIter: Int = 32): DataFrame =
+    dupClustersStarWithRounds(pairs, maxIter)._1
+
+  /** [[dupClustersStar]] plus the converged round count (exposed for
+    * the ScaleSpec round-count pin). The loop is action-driven (the
+    * fixpoint compare runs per round), like [[dupClusters]]'s. */
+  def dupClustersStarWithRounds(pairs: DataFrame,
+      maxIter: Int = 32): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = pairs.sparkSession
+    // canonical u > v, self-loops dropped; materializes BEFORE the AQE
+    // toggle so the candidate pipeline feeding `pairs` keeps adaptive
+    // handling (the dupClusters convention)
+    var edges = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      // the dupClusters loop-sizing lesson: each round is 2-3 shuffles
+      // over the edge set with AQE off — at the session's fact-table
+      // partition count the per-task overhead dominates (measured 114
+      // task-seconds of ~50 ms tasks on a few-hundred-edge graph);
+      // size the loop to the graph and restore after
+      var prevCount = edges.count()
+      spark.conf.set(spKey, math.max(8L,
+        math.min(prevSp.toLong, prevCount / 500000L + 1L)).toString)
+      var rounds = 0
+      var stable = false
+      while (!stable && rounds < maxIter) {
+        // Each round is ONE action: both star ops are window minima
+        // (not groupBy+self-join — a join would consume its left side
+        // through multiple branches and re-evaluate the round's
+        // lineage per branch), the small-star's two emissions ride one
+        // explode, and the fixpoint check is a single aggregate over
+        // the new set left-joined to the old. Round latency — plan +
+        // job, not data — dominates at every scale where CC matters,
+        // and the 3-actions-per-round draft measured ~0.9 s/round of
+        // pure planning/launch on a 70-edge graph.
+        // large-star over the symmetric view: (y > x) re-attaches to
+        // m = min(Γ(x) ∪ {x}); output stays canonical because m ≤ x < y
+        val sym = edges.select(col("u").as("x"), col("v").as("y"))
+          .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+        val wL = Window.partitionBy(col("x"))
+        val ls = sym
+          .withColumn("m", least(min(col("y")).over(wL), col("x")))
+          .filter(col("y") > col("x"))
+          .select(col("y").as("u"), col("m").as("v"))
+          .distinct()
+        // small-star over the canonical list: u and its smaller
+        // neighbors attach to min(N<(u)); all outputs (·, m) canonical
+        val wS = Window.partitionBy(col("u"))
+        val ss = ls
+          .withColumn("m", min(col("v")).over(wS))
+          .select(explode(array(
+            struct(col("v").as("u"), col("m").as("v")),
+            struct(col("u"), col("m").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct().localCheckpoint(false)
+        // exact fixpoint in the same action: new-set size (old size is
+        // carried, not recomputed) and overlap with the old set — both
+        // distinct, so nNew == nOld == prevCount ⇔ set equality
+        val chk = ss.join(
+            edges.select(col("u"), col("v"), lit(1).as("old_e")),
+            Seq("u", "v"), "left")
+          .agg(count(lit(1)).as("n"), count(col("old_e")).as("o")).head()
+        stable = chk.getLong(0) == prevCount && chk.getLong(1) == chk.getLong(0)
+        prevCount = chk.getLong(0)
+        edges = ss
+        rounds += 1
+      }
+      // converged star forest: every u points at its component min;
+      // roots (v-side only) label themselves
+      val uLab = edges.groupBy(col("u")).agg(min(col("v")).as("cluster"))
+        .select(col("u").as("id"), col("cluster"))
+      val roots = edges.select(col("v")).distinct()
+        .join(edges.select(col("u").as("v")).distinct(), Seq("v"), "left_anti")
+        .select(col("v").as("id"), col("v").as("cluster"))
+      (uLab.unionByName(roots), rounds)
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(spKey, prevSp)
+    }
+  }
+
   /** Integer PageRank over the near-dup pair graph — template/
     * boilerplate HUB detection: in a web-scale corpus the documents
     * with the most near-dup edges are shared templates (nav chrome,

@@ -3331,6 +3331,50 @@ object TrainQueries extends QuerySet {
              |       coalesce(agg.text_clean, '') AS text_clean
              |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin)),
 
+    // D32 — duplicate clustering for HIGH-DIAMETER components
+    // (Dedup.dupClustersStar): alternating large-star/small-star
+    // contraction (Kiveris et al.), the O(log)-round complement to
+    // d06's min-label propagation. Near-dup corpora mostly produce
+    // tiny star components (d06's right trade), but transitive
+    // near-dup CHAINS — successive crawl snapshots, versioned
+    // boilerplate, v1≈v2≈…≈vL — have diameter L, and propagation
+    // pays L rounds where contraction pays ~log L (ScaleSpec pins
+    // ≤ 20 rounds on a 1024-chain and value-equality with
+    // dupClusters on random graphs). The query runs the SAME
+    // Jaccard pair front-end as d06 PLUS a planted 64-doc chain
+    // (synthetic ids, each linked only to its successor — exactly
+    // the shape that breaks a diameter-bound loop: d06's maxIter-20
+    // propagation would stop 43 rounds short of this chain's
+    // fixpoint) and labels every node with its component min; the
+    // oracle is the d06 recursive-CTE transitive closure over the
+    // same edge set, chain included.
+    Q("d32_dup_clusters_star",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 1000),
+          "doc_id", "text", shingleN = 2, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+        val chain = s.range(0, 63).select(
+          (col("id") + 5000000L).as("id_a"),
+          (col("id") + 5000001L).as("id_b"))
+        Dedup.dupClustersStar(pairs.unionByName(chain))
+      },
+      Some(s"""WITH RECURSIVE $shingle2Ctes,
+             |pairs AS (SELECT id_a, id_b
+             |          FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+             |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5),
+             |chain AS (SELECT 5000000 + i AS id_a, 5000001 + i AS id_b
+             |          FROM generate_series(0, 62) AS t(i)),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs
+             |          UNION ALL SELECT id_a, id_b FROM chain
+             |          UNION ALL SELECT id_b, id_a FROM chain),
+             |reach AS (SELECT DISTINCT src AS id, src AS r FROM edges
+             |          UNION
+             |          SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+             |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+             |SELECT id, cluster FROM cl""".stripMargin)),
+
     // N7 — IVF multi-probe (nprobe=2, k=3): the recall knob of a real
     // IVF index, fully replayed by the oracle — probe selection and
     // bucket assignment both rank on the round-6 cosine, so the

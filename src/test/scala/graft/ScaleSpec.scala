@@ -217,6 +217,33 @@ class ScaleSpec extends AnyFunSuite {
       s"per-batch shuffle grew with the corpus: $recSmall -> $recBig at 4x corpus")
   }
 
+  test("dupClustersStar: log-round convergence on a 1024-chain, value-identical to dupClusters on random graphs") {
+    import graft.dedup.Dedup
+    val pairS = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    // diameter-1023 chain: min-label propagation needs 1023 rounds
+    // (d06's maxIter-20 default would stop far short of fixpoint);
+    // star contraction must land in ~log rounds
+    val chain = df(pairS, (0L until 1023L).map(i => Row(i, i + 1)))
+    val (labels, rounds) = Dedup.dupClustersStarWithRounds(chain)
+    assert(rounds <= 20, s"star contraction took $rounds rounds on a 1024-chain")
+    val lab = rowsOf(labels).map(r => r.head.asInstanceOf[Long] ->
+      r(1).asInstanceOf[Long]).toMap
+    assert(lab.size === 1024 && lab.values.forall(_ == 0L),
+      "every chain node must label to the component min")
+    // random graphs: labels must equal dupClusters' exactly
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 400).map { _ =>
+        Row(rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)
+      }.filter(r => r.getLong(0) != r.getLong(1))
+      val pairs = df(pairS, edges)
+      val star = rowsOf(Dedup.dupClustersStar(pairs).orderBy("id"))
+      val prop = rowsOf(Dedup.dupClusters(pairs).orderBy("id"))
+      assert(star === prop, s"seed $seed: star labels diverge from propagation")
+    }
+  }
+
   test("towerInsert: stride membership routes each level's sliver; an empty sliver passes the level through value-identically") {
     import graft.ann.Ann
     val embS = StructType(Seq(StructField("vec_id", LongType),
