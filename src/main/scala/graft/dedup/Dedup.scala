@@ -953,6 +953,19 @@ object Dedup {
         graft.core.Exprs.roundHalfUp(contBa, 4).as("cont_ba"))
   }
 
+  /** The session's shuffle-partition count as a long, for the CC
+    * loop-sizing math. `raw` is the string the session carries for
+    * spark.sql.shuffle.partitions; a non-numeric value (e.g. "auto"
+    * under some resource managers) falls back to the RESOLVED
+    * SQLConf number so the loop sizes itself instead of aborting
+    * with NumberFormatException before the finally can restore the
+    * conf (r14 advice). */
+  private def sessionShuffleParts(spark: org.apache.spark.sql.SparkSession,
+      raw: String): Long =
+    scala.util.Try(raw.toLong).getOrElse(
+      scala.util.Try(
+        spark.sessionState.conf.numShufflePartitions.toLong).getOrElse(200L))
+
   /** Duplicate-cluster assignment: connected components over near-dup
     * pairs via iterative min-label propagation — the standard
     * large-graph CC shape (one shuffle join per round, converges in
@@ -1026,8 +1039,11 @@ object Dedup {
       // on the driver from the convergence seed, so size partitions to
       // the graph (~500k labels/partition, floor 8) and restore after;
       // a genuinely huge pair graph keeps the session's parallelism.
+      // prevSp is whatever string the session carries — parse via the
+      // resolved SQLConf value so a non-numeric setting can't abort
+      // the loop before the finally restores it (r14 advice).
       val loopParts = math.max(8L,
-        math.min(prevSp.toLong, n0 / 500000L + 1L))
+        math.min(sessionShuffleParts(spark, prevSp), n0 / 500000L + 1L))
       spark.conf.set(spKey, loopParts.toString)
       var prevSum = sum0
       var changed = true
@@ -1112,7 +1128,8 @@ object Dedup {
       // size the loop to the graph and restore after
       var prevCount = edges.count()
       spark.conf.set(spKey, math.max(8L,
-        math.min(prevSp.toLong, prevCount / 500000L + 1L)).toString)
+        math.min(sessionShuffleParts(spark, prevSp),
+          prevCount / 500000L + 1L)).toString)
       var rounds = 0
       var stable = false
       while (!stable && rounds < maxIter) {
@@ -1158,6 +1175,16 @@ object Dedup {
         edges = ss
         rounds += 1
       }
+      // fail-loud contract (r14 advice): a maxIter exit without the
+      // fixpoint means the labels below may not be component minima —
+      // silently returning them would hand a caller wrong clusters
+      // with no signal (dupClustersStar discards the round count).
+      // ~log² n rounds suffice for ANY graph, so tripping this at
+      // maxIter=32 indicates a bug, not a big input.
+      require(stable,
+        s"dupClustersStar: no fixpoint after $maxIter rounds " +
+          s"(edge set still changing, |E|=$prevCount) — labels would " +
+          "not be component minima; raise maxIter only with evidence")
       // converged star forest: every u points at its component min;
       // roots (v-side only) label themselves
       val uLab = edges.groupBy(col("u")).agg(min(col("v")).as("cluster"))
