@@ -39,4 +39,18 @@ object SparkEntry {
     * each plan. */
   def streamingBatchPlans: Map[String, (SparkSession, String) => DataFrame] =
     sets.flatMap(_.stBatchPlans).toMap
+
+  /** What [[graft.Bench]] times: every registered query, with the
+    * few gate-heavy entries swapped for their operator-only
+    * [[graft.queries.QuerySet.benchPlans]] twin. Correctness always
+    * runs the full [[queries]] form — a benchPlan key that isn't a
+    * registered (oracle-gated) query is a contract violation and
+    * fails here. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val overrides = sets.flatMap(_.benchPlans).toMap
+    val unknown = overrides.keySet -- queries.keySet
+    require(unknown.isEmpty,
+      s"benchPlans for unregistered queries: ${unknown.mkString(", ")}")
+    queries ++ overrides
+  }
 }

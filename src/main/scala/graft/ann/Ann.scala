@@ -323,7 +323,18 @@ object Ann {
     * in ScaleSpec). Per-batch work is therefore Σℓ ∝ |batch|/strideℓ
     * — geometric in ℓ, dominated by layer 0, never corpus-shaped.
     * Returns the updated per-level artifacts in the input's order. */
-  def towerInsert(levels: Seq[LevelIndex], batch: DataFrame): Seq[LevelIndex] =
+  def towerInsert(levels: Seq[LevelIndex], batch: DataFrame): Seq[LevelIndex] = {
+    // Same stride-shape validation hnswSearch applies (r14 advice): a
+    // mis-ordered or non-nested level list would silently route a
+    // batch sliver into the wrong level and only surface later as
+    // degraded recall — fail at the call instead.
+    val strides = levels.map(_.stride)
+    require(strides.nonEmpty && strides.head == 1L,
+      "towerInsert: levels must start at layer 0 (stride 1)")
+    require(strides.forall(_ >= 1L) &&
+      strides.zip(strides.tail).forall { case (a, b) => b > a && b % a == 0 },
+      s"towerInsert: strides must be increasing and cumulative " +
+        s"(each divisible by the previous); got ${strides.mkString(",")}")
     levels.map { li =>
       val member =
         if (li.stride <= 1L) batch
@@ -332,6 +343,72 @@ object Ann {
         li.centroids, li.k, li.nprobe)
       li.copy(assigned = a, edges = g)
     }
+  }
+
+  /** The distinct centroid buckets a batch's `nprobe` probe touches,
+    * COLLECTED to the driver — ≤ |batch|·nprobe ints by construction
+    * (a maintenance batch is operationally bounded; this is the
+    * partition-pruning key set for an index-lake read, not a corpus
+    * collect). Same probe rule as [[graphInsert]]: top-`nprobe`
+    * centroids by the round-6-quantized cosine with cid tiebreaks, so
+    * the pruned slice is exactly the set of buckets the repair can
+    * touch. Ints, not longs: the lake's cid partition column
+    * round-trips through directory names as IntegerType, and an
+    * un-cast long literal in the IN-list would wrap the partition
+    * column in a cast that can defeat metadata pruning. */
+  def probedCids(batch: DataFrame, centroids: DataFrame,
+      nprobe: Int): Seq[Int] = {
+    val pw = Window.partitionBy(col("vid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    batch.select(col("vid"), col("vec")).crossJoin(broadcast(centroids))
+      .select(col("vid"), col("cid"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("vec"), col("cvec")), 6).as("pcos"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
+      .select(col("cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** Persist index artifacts as a cid-PARTITIONED lake (the s18
+    * hive-layout primitive applied to the ANN index — the r14 verdict's
+    * "a cid-partitioned index lake would prune the streamed read too",
+    * now real): `assigned` (vid, vec) and `edges` (vid, neighbor_id,
+    * cosine, rank — cid attached from the OWNER vertex's bucket) each
+    * land under root/{assigned,edges}/cid=K/. A maintenance batch then
+    * reads ONLY its [[probedCids]] partitions ([[indexLakeProbedSlice]])
+    * and [[graphInsert]] on that slice produces output IDENTICAL to the
+    * full-index repair restricted to the probed buckets — forward
+    * candidates live in probed buckets by the probe rule, every touched
+    * vertex is a forward-edge target and therefore also lives there, and
+    * untouched slice rows pass through verbatim — so the updated
+    * partitions can dynamic-partition-overwrite in place while every
+    * other partition is never read, never written, never shuffled
+    * (n24 gates the equality against the full-repair oracle;
+    * ScaleSpec pins the PartitionFilters binding). */
+  def indexLakeWrite(assigned: DataFrame, edges: DataFrame,
+      root: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$root/assigned")
+    edges.join(assigned.select(col("vid"), col("cid")), Seq("vid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$root/edges")
+  }
+
+  /** Partition-pruned read of an [[indexLakeWrite]] lake: only the
+    * `probed` cid directories are listed or scanned (the IN-list binds
+    * as a PartitionFilter — metadata pruning, no file IO outside the
+    * probed buckets). Returns (assigned slice, edges slice) shaped for
+    * [[graphInsert]]; cid is cast back to the index's long key space. */
+  def indexLakeProbedSlice(spark: org.apache.spark.sql.SparkSession,
+      root: String, probed: Seq[Int]): (DataFrame, DataFrame) = {
+    val a = spark.read.parquet(s"$root/assigned")
+      .filter(col("cid").isin(probed: _*))
+      .select(col("vid"), col("vec"), col("cid").cast("long").as("cid"))
+    val g = spark.read.parquet(s"$root/edges")
+      .filter(col("cid").isin(probed: _*))
+      .select(col("vid"), col("neighbor_id"), col("cosine"), col("rank"))
+    (a, g)
+  }
 
   /** Graph-ANN search — the query-time half of graph-based ANN (the
     * public HNSW/NSG idea restricted to one layer): seed each query at

@@ -332,6 +332,23 @@ object Multimodal {
     b
   }
 
+  /** Fragment count for one hot (band, value) bucket of
+    * [[phashNearDupPairsBalanced]]'s triangle decomposition: R =
+    * max(floorR, ⌈df / ⌊√targetPairs⌋⌉), all integer arithmetic (the
+    * [[adaptiveBandBits]] replayability convention). A fragment holds
+    * df/R ≤ ⌊√targetPairs⌋ rows (in expectation — fragments are
+    * xxhash64-balanced, so concentration is Chernoff-tight at any df
+    * that matters), so an (i, j) task's candidate hamming evaluations
+    * are ≤ targetPairs — the bound holds at df = 10⁷ exactly as at
+    * 10³ (ScaleSpec pins the arithmetic across decades). The
+    * driver-side twin of the
+    * Column expression inside the operator; keep the two in step. */
+  def fragmentCount(df: Long, floorR: Int = 2,
+      targetPairs: Long = 1L << 22): Long = {
+    val sq = math.max(1L, math.sqrt(targetPairs.toDouble).toLong)
+    math.max(floorR.toLong, (df + sq - 1) / sq)
+  }
+
   /** Perceptual near-dup image pairs over [[dhashBands]]: pairs block
     * on band equality (an equi-join — never an all-pairs hamming
     * scan), then the full 64-bit hamming distance verifies the
@@ -393,35 +410,56 @@ object Multimodal {
     *    `hotDf`; the hot set is broadcast (tiny by construction);
     *  - COLD rows self-join exactly as [[phashNearDupPairs]];
     *  - HOT rows go through a TRIANGLE decomposition: each row is
-    *    hashed into one of `saltR` fragments, the A-side replicates a
+    *    hashed into one of R fragments, the A-side replicates a
     *    row to fragment pairs (f, j ≥ f) and the B-side to (i ≤ f, f),
     *    so every unordered row pair meets in exactly one (i, j) task —
-    *    per-task reads fall from 2·|bucket| to ~2·|bucket|/saltR and
-    *    the |bucket|² hamming work spreads over saltR·(saltR+1)/2
-    *    reducers (total work unchanged; replication cost ≤ saltR+1
+    *    per-task reads fall from 2·|bucket| to ~2·|bucket|/R and
+    *    the |bucket|² hamming work spreads over R·(R+1)/2
+    *    reducers (total work unchanged; replication cost ≤ R+1
     *    copies of only the hot rows).
+    *
+    * R is PER HOT VALUE, derived from the census df the hot split
+    * already computes ([[fragmentCount]]): R = max(saltRFloor,
+    * ⌈df/⌊√targetPairsPerTask⌋⌉), so any fragment-pair task holds
+    * ≤ (df/R)² ≤ targetPairsPerTask candidate hamming evaluations no
+    * matter how hot the value runs. A static R is a CONSTANT spread —
+    * at 100 TB a boilerplate band with 10⁷ members under R=8 still
+    * puts (10⁷/8)² ≈ 1.6·10¹² comparisons in one task; the adaptive R
+    * grows with df (≈ 4.9k fragments for that bucket at the default
+    * 2²² target) while tiny hot buckets stay at the floor instead of
+    * paying R·(R+1)/2 near-empty tasks. Replication cost stays linear:
+    * ~(R+1)/2 copies per hot row ⇒ total copies ≈ df·R ≈ df²/√target —
+    * the honest pair count divided by √target, never more than the
+    * hamming work itself. Both join sides derive R from the SAME
+    * broadcast census row, so the fragment grids always agree.
     *
     * Pairs are canonicalized (least, greatest) in both paths and
     * deduped, so the result equals [[phashNearDupPairs]] row-for-row
     * (ScaleSpec pins set equality and the per-task spread under a
-    * planted 90%-hot band). */
+    * planted 90%-hot band, plus the fragmentCount arithmetic across
+    * decades up to the 10⁷-member design point). */
   def phashNearDupPairsBalanced(docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 7, bits: Int = 8,
-      hotDf: Long = 256L, saltR: Int = 8): DataFrame = {
+      hotDf: Long = 256L, saltRFloor: Int = 2,
+      targetPairsPerTask: Long = 1L << 22): DataFrame = {
     require(maxHamming <= 7,
       s"phashNearDupPairsBalanced: maxHamming=$maxHamming breaks the 8-band pigeonhole")
-    require(saltR >= 2, "saltR must spread at least 2 ways")
+    require(saltRFloor >= 2, "saltRFloor must spread at least 2 ways")
+    require(targetPairsPerTask >= 4L,
+      "targetPairsPerTask must allow at least a 2x2 fragment task")
     val hashed = docs.filter(length(col(textCol)) >= 8 * (bits + 1))
       .select(col(idCol).as("did"), dhashBands(col(textCol), bits).as("bands"))
     val ex = hashed.select(col("did"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bv")))
-    // hot census — consumed by both the anti and semi splits, so it
-    // lands once (constraint-clean: the splits' union is downstream)
+    // hot census — consumed by both the anti and inner splits, so it
+    // lands once (constraint-clean: the splits' union is downstream).
+    // df rides along: the inner join below hands every hot row its
+    // bucket's df, which is what the per-value fragment count reads.
     val hot = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
       ex.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > hotDf).select(col("band"), col("bv")))
+        .filter(col("df") > hotDf))
     val cold = ex.join(broadcast(hot), Seq("band", "bv"), "left_anti")
-    val hotRows = ex.join(broadcast(hot), Seq("band", "bv"), "left_semi")
+    val hotRows = ex.join(broadcast(hot), Seq("band", "bv"))
     val hamming = (0 until 8)
       .map(i => expr(s"bit_count(a.bands[$i] ^ b.bands[$i])"))
       .reduce(_ + _).cast("long")
@@ -430,9 +468,15 @@ object Multimodal {
           col("a.did") < col("b.did"))
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
         hamming.as("hamming"))
-    val f = pmod(xxhash64(col("did")), lit(saltR.toLong)).cast("int")
-    val aSide = hotRows.withColumn("fi", f)
-      .withColumn("fj", explode(sequence(col("fi"), lit(saltR - 1))))
+    // per-value fragment count from the bucket's census df — the
+    // integer twin of fragmentCount (ceil-div by ⌊√target⌋, floored),
+    // evaluated on the broadcast-joined df so both sides agree
+    val sq = math.max(1L, math.sqrt(targetPairsPerTask.toDouble).toLong)
+    val rCol = greatest(lit(saltRFloor),
+      floor((col("df") + lit(sq - 1)) / lit(sq))).cast("int")
+    val f = pmod(xxhash64(col("did")), rCol.cast("long")).cast("int")
+    val aSide = hotRows.withColumn("r", rCol).withColumn("fi", f)
+      .withColumn("fj", explode(sequence(col("fi"), col("r") - 1)))
     val bSide = hotRows.withColumn("fj", f)
       .withColumn("fi", explode(sequence(lit(0), col("fj"))))
     val hotPairs = aSide.as("a").join(bSide.as("b"),

@@ -24,4 +24,18 @@ trait QuerySet {
     * query's per-batch transform is a named function, the SAME
     * function must back both the query and this plan. */
   def stBatchPlans: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+
+  /** BENCH-TIME substitutes for queries whose registered (Verify)
+    * form carries an expensive correctness GATE on top of the
+    * operator — e.g. the ANN maintenance queries re-prove
+    * maintained-recall ≥ from-scratch-rebuild every run, so the
+    * bench was pricing two index builds and two full search walks
+    * as if they were the operator (r14 verdict #6). A benchPlan runs
+    * ONLY the operator under measurement (same code path, same input
+    * artifacts, full evaluation); the gate stays in the Verify query,
+    * where the DuckDB oracle and ContractCheck still fail loudly.
+    * Keys must be a subset of this set's registered query names —
+    * SparkEntry asserts it, so a benchPlan can never smuggle in an
+    * unverified query. */
+  def benchPlans: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

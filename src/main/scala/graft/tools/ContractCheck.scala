@@ -112,7 +112,16 @@ object ContractCheck {
     "n19_graph_ann" -> (df => df.filter(!col("graph_ge_ivf")).count() == 0 &&
       df.count() == 10),
     "n20_hnsw_ann" -> (df => df.filter(!col("hnsw_ge_graph")).count() == 0 &&
-      df.count() == 10))
+      df.count() == 10),
+    // maintenance gates: the incrementally-maintained index must stay
+    // within 2 hits of its from-scratch rebuild (the columns the
+    // Verify form computes; the bench twin elides the rebuild, so
+    // this is where the gate fails loudly outside the oracle compare
+    // — r14 verdict #6)
+    "n22_graph_insert" -> (df =>
+      df.filter(!col("incr_ge_rebuilt")).count() == 0 && df.count() == 10),
+    "n23_tower_insert" -> (df =>
+      df.filter(!col("incr_ge_rebuilt")).count() == 0 && df.count() == 10))
 
   def main(args: Array[String]): Unit = {
     val outDir = args(0)

@@ -146,4 +146,31 @@ class CodegenGateSpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"${failures.size} silent-fallback stage(s):\n${failures.mkString("\n\n")}")
   }
+
+  test("bench twins: every benchPlans override names a registered query, executes, and stays codegen-clean") {
+    // benchPlans substitute operator-only plans for gate-heavy queries
+    // at BENCH time only (r14 verdict #6). Two failure modes to pin:
+    // a twin keyed to a name Verify never oracle-checks (smuggled
+    // query — benchQueries itself requires subset, asserted here too
+    // for a readable failure), and a twin that silently falls off
+    // whole-stage codegen while the verified form stays on it.
+    val overrides = SparkEntry.sets.flatMap(_.benchPlans).toMap
+    assert(overrides.nonEmpty, "expected the n22/n23 bench twins")
+    assert(overrides.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"bench twins for unregistered queries: ${(overrides.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
+    val failures = overrides.keys.toSeq.sorted.flatMap { name =>
+      val hits =
+        try {
+          val df = overrides(name)(gateSpark, sfDir)
+          assert(df.count() > 0, s"$name: bench twin returned 0 rows")
+          CodegenGate.probe(df)
+        } catch { case e: Throwable =>
+          Seq(s"twin construction threw ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(200))
+        }
+      hits.map(h => s"$name: $h")
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} silent-fallback stage(s):\n${failures.mkString("\n\n")}")
+  }
 }

@@ -367,8 +367,12 @@ class ScaleSpec extends AnyFunSuite {
       val docs = df(docS, rows).localCheckpoint()
       val plain = Multimodal.phashNearDupPairs(docs, "doc_id", "text",
         maxHamming = 7, bits = 8)
+      // targetPairsPerTask=2^16 ⇒ ⌊√target⌋=256 ⇒ the 2002-doc hot
+      // bucket derives R = ⌈2002/256⌉ = 8 from its census df — the
+      // same 8-way grid the static-R version used, now adaptive
       val balanced = Multimodal.phashNearDupPairsBalanced(docs, "doc_id", "text",
-        maxHamming = 7, bits = 8, hotDf = 256L, saltR = 8)
+        maxHamming = 7, bits = 8, hotDf = 256L, saltRFloor = 2,
+        targetPairsPerTask = 1L << 16)
       val (plainRows, mxP, medP) = measured(plain.collect())
       val (balRows, mxB, medB) = measured(balanced.collect())
       // identical output — the balancing is a pure execution rewrite
@@ -386,12 +390,60 @@ class ScaleSpec extends AnyFunSuite {
       assert(mxP >= 2L * 2002L, s"fixture failed to concentrate: plain max $mxP")
       assert(mxB * 2 <= mxP,
         s"triangle decomposition did not spread: plain max $mxP vs balanced $mxB (medians $medP/$medB)")
+      // the ADAPTIVE half of the story (r14's one `weak`): shrinking
+      // targetPairsPerTask 16× is observationally the same as a 16×-
+      // hotter plant at the old target — R grows from the census df
+      // to ⌈2002/64⌉ = 32 fragments, re-gridding the triangle. Output
+      // must stay identical (every unordered pair still meets exactly
+      // once on the finer grid), and the hot bucket must still never
+      // re-concentrate: on 32 reducers the per-PARTITION reads of a
+      // finer grid converge to total/32 (replication is the linear
+      // cost R pays), so the runtime pin is vs the PLAIN join's
+      // concentration; the quadratic per-TASK work bound
+      // (df/R)² ≤ target is integer arithmetic, pinned across decades
+      // in the fragmentCount test below.
+      val balanced16 = Multimodal.phashNearDupPairsBalanced(docs, "doc_id",
+        "text", maxHamming = 7, bits = 8, hotDf = 256L, saltRFloor = 2,
+        targetPairsPerTask = 1L << 12)
+      val (bal16Rows, mxB16, medB16) = measured(balanced16.collect())
+      assert(bal16Rows.map(_.toSeq).toSet === plainRows.map(_.toSeq).toSet,
+        "re-gridded (R=32) pair set must equal the plain banded join's")
+      assert(mxB16 < mxP,
+        s"re-gridded triangle re-concentrated: plain max $mxP vs " +
+          s"R=32 max $mxB16 (medians $medP/$medB16, R=8 max $mxB/$medB)")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set(coalesceKey, prevCoalesce)
       spark.conf.set(spKey, prevSp)
       spark.conf.set(bcKey, prevBc)
     }
+  }
+
+  test("mm13 fragment arithmetic: per-task candidate bound holds at any hot-bucket df") {
+    import graft.mm.Multimodal.fragmentCount
+    // the r14 `weak`: a STATIC R=8 leaves (10⁷/8)² ≈ 1.6·10¹²
+    // comparisons in one task for a 10⁷-member boilerplate band. The
+    // per-value R must keep any fragment-pair task's candidate count
+    // (⌈df/R⌉²) ≤ target across every decade a 100 TB corpus can
+    // produce, while tiny hot buckets stay at the floor instead of
+    // paying a near-empty R·(R+1)/2 grid.
+    val target = 1L << 22
+    for (df <- Seq(300L, 2002L, 32000L, 1000000L, 10000000L, 1000000000L)) {
+      val r = fragmentCount(df, floorR = 2, targetPairs = target)
+      val frag = (df + r - 1) / r
+      assert(frag * frag <= target,
+        s"df=$df: R=$r leaves ${frag * frag} candidates in one task > $target")
+      assert(r >= 2L, s"df=$df: R=$r below the floor")
+    }
+    // the 10⁷ design point from the verdict, explicitly: ~4.9k
+    // fragments, per-task work ≤ 2²² instead of 1.6·10¹²
+    assert(fragmentCount(10000000L) === 4883L)
+    // floor behavior: a barely-hot bucket keeps the minimal 2×2 grid
+    assert(fragmentCount(300L) === 2L)
+    // the Column twin inside phashNearDupPairsBalanced uses the same
+    // ⌊√target⌋ ceil-div — 16×-hotter plant ⇔ 16×-smaller target
+    assert(fragmentCount(2002L, 2, 1L << 16) === 8L)
+    assert(fragmentCount(2002L, 2, 1L << 12) === 32L)
   }
 
   test("hnsw tower: hop-0 entry set is ≤ cap vertices at any corpus scale (no √n term)") {
@@ -1013,6 +1065,58 @@ class ScaleSpec extends AnyFunSuite {
       maxHamming = 7, bits = 11)
     assert(rowsOf(ip).exists(r => r.head == 1L && r(1) == 2L))
     assert(!rowsOf(ip).flatten.contains(3L))
+  }
+
+  test("ANN index lake: probed-cid read binds as a PartitionFilter and scans only probed partitions") {
+    import graft.ann.Ann
+    // the n24 scale claim: a maintenance batch reads ∝ its probed
+    // buckets, never the index. Build a tiny lake (60 vectors, 8
+    // buckets), probe a 5-vector batch, and pin BOTH halves: the
+    // IN-list lands in the scan's PartitionFilters (metadata pruning
+    // — the s18 pin convention), and the files actually READ are
+    // exactly the probed partitions' (input_file_name() is
+    // execution-level evidence: pruning that silently fell back to a
+    // data filter would read every partition's files).
+    val vs = StructType(Seq(StructField("vid", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    def vecOf(i: Long): Seq[Float] =
+      Seq((i % 7 + 1).toFloat, (i % 5 + 1).toFloat, (i % 3 + 1).toFloat)
+    val corpus = df(vs, (0L until 60L).map(i => Row(i, vecOf(i))))
+    val cents = df(StructType(Seq(StructField("cid", LongType),
+        StructField("cvec", ArrayType(FloatType)))),
+      (0L until 8L).map(i => Row(i, vecOf(i * 11 + 3))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_lake").toString
+    Ann.indexLakeWrite(Ann.ivfAssign(corpus.filter(col("vid") < 55), cents),
+      Ann.knnGraphMultiProbe(corpus.filter(col("vid") < 55), cents,
+        k = 4, nprobe = 2), tmp)
+    val batch = corpus.filter(col("vid") >= 55)
+    val probed = Ann.probedCids(batch, cents, nprobe = 2)
+    assert(probed.nonEmpty && probed.size <= 10,
+      s"probed set must be batch-bounded: $probed")
+    val allCids = spark.read.parquet(s"$tmp/assigned")
+      .select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
+    assert((allCids -- probed.toSet).nonEmpty,
+      s"fixture vacuous: every bucket probed ($allCids)")
+    val (aP, gP) = Ann.indexLakeProbedSlice(spark, tmp, probed)
+    for ((sl, nm) <- Seq((aP, "assigned"), (gP, "edges"))) {
+      val plan = sl.queryExecution.executedPlan.toString
+      val pf = plan.split("PartitionFilters:", 2).lift(1)
+        .map(_.takeWhile(_ != ']'))
+      assert(pf.exists(_.contains("cid")),
+        s"$nm: cid not inside PartitionFilters [..]:\n$plan")
+      // execution-level: files read ⊆ probed partition directories
+      val files = sl.select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0))
+      assert(files.nonEmpty &&
+        files.forall(f => probed.exists(c => f.contains(s"cid=$c/"))),
+        s"$nm read outside probed partitions: ${files.mkString(", ")}")
+    }
+    // the pruned slice is the probed restriction of the full table
+    val fullA = spark.read.parquet(s"$tmp/assigned")
+      .filter(col("cid").isin(probed: _*))
+      .agg(count(lit(1))).head().getLong(0)
+    assert(aP.count() === fullA)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
   test("partitioned layout: day filter binds as a PartitionFilter (metadata pruning, no data-filter fallback)") {
