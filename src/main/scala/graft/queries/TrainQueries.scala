@@ -4345,7 +4345,21 @@ object TrainQueries extends QuerySet {
             when(col("doc_id") % 10 < 3 && col("doc_id") < 5000,
               concat(lit("ABCDEFGHI"), expr("substring(text, 10)")))
               .otherwise(col("text")).as("text"))
-        Multimodal.phashNearDupPairsBalanced(base, "doc_id", "text",
+        // planted wobble copies (the mm06 convention, applied AFTER
+        // the hot substitution): docs < 20 get an id+2000000 copy
+        // with one byte changed at position 41 — inside band 4's
+        // window, so the pair blocks on any of the 7 other bands at
+        // hamming ≤ 2. Sources 0/1/2/10/11/12 are HOT, so their
+        // copies inherit the 'ABCDEFGHI' band-0 value and the planted
+        // pair must survive the TRIANGLE path specifically — the
+        // ContractCheck gate for the sf1 battery, where the all-pairs
+        // twin is intractable (measured >90 s in DuckDB).
+        val planted = base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(substring(col("text"), 1, 40), lit("~"),
+              expr("substring(text, 42)")).as("text"))
+        Multimodal.phashNearDupPairsBalanced(base.unionByName(planted),
+          "doc_id", "text",
           maxHamming = 7, bits = 8, hotDf = 64L, saltRFloor = 2,
           targetPairsPerTask = 1L << 16)
       },
@@ -4354,12 +4368,17 @@ object TrainQueries extends QuerySet {
              |              THEN 'ABCDEFGHI' || substr(text, 10)
              |              ELSE text END AS text
              |       FROM documents WHERE length(text) >= 72),
+             |dd AS (SELECT doc_id, text FROM d0
+             |       UNION ALL
+             |       SELECT doc_id + 2000000,
+             |              substr(text, 1, 40) || '~' || substr(text, 42)
+             |       FROM d0 WHERE doc_id < 20),
              |b AS (SELECT doc_id, list_transform(range(0, 8), r ->
              |        list_sum(list_transform(range(0, 8), c ->
              |          CASE WHEN ascii(substr(text, r*9 + c + 1, 1)) <
              |                    ascii(substr(text, r*9 + c + 2, 1))
              |               THEN (1 << c) ELSE 0 END))) AS bands
-             |      FROM d0),
+             |      FROM dd),
              |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
              |        CAST(list_sum(list_transform(range(0, 8), i ->
              |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming

@@ -113,6 +113,17 @@ object ContractCheck {
       df.count() == 10),
     "n20_hnsw_ann" -> (df => df.filter(!col("hnsw_ge_graph")).count() == 0 &&
       df.count() == 10),
+    // hot-balanced image dedup: the one-byte wobble copies pair with
+    // their source at hamming ≤ 2 (≥ 5 of the 20 — short docs emit no
+    // window), and at least one HOT source (doc_id % 10 < 3 carries
+    // the planted band) pairs through the triangle decomposition
+    // specifically — the path a balancing bug would break
+    "mm13_phash_hot_balanced" -> (df =>
+      df.filter(col("id_b") === col("id_a") + 2000000L &&
+        col("hamming") <= 2).count() >= 5 &&
+      df.filter(col("id_a") % 10 < 3 && col("id_a") < 20 &&
+        col("id_b") === col("id_a") + 2000000L &&
+        col("hamming") <= 2).count() >= 1),
     // maintenance gates: the incrementally-maintained index must stay
     // within 2 hits of its from-scratch rebuild (the columns the
     // Verify form computes; the bench twin elides the rebuild, so
