@@ -656,6 +656,40 @@ object TrainQueries extends QuerySet {
       root
     })
 
+  private val n25LakeMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** Land the n25 TOWER as per-level cid-partitioned lakes (the n24
+    * layout applied at every tower level): level 0 over all but the
+    * last 100 vectors at (k=12, nprobe=2), the walked level over its
+    * stride-qualified slice at (k=8, nprobe=4) — the n23 build
+    * geometry, cap 8 so the upper level engages at every SF. */
+  private def n25Lake(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    n25LakeMemo.getOrElseUpdate((s, dir), {
+      val root = graft.io.TmpRoots.cleanupOnExit(s"/tmp/graft_tower_lake_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${System.identityHashCode(s)}")
+      val e = Tables.load(s, dir, "embeddings")
+      val nb = Tables.rowCount(s, dir, "embeddings") - 100
+      val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+      val base = corpus.filter(col("vid") < nb)
+      val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val steps = Ann.towerSteps(nb, levels = 2, cap = 8)
+      val upperN = (nb + steps.head - 1) / steps.head
+      val centsU = e.filter(col("vec_id") <
+          Ann.adaptiveCentroidCount(upperN, targetBucket = 8))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val upperBase = base.filter(col("vid") % steps.head === 0)
+      Ann.indexLakeWrite(Ann.ivfAssign(base, cents),
+        Ann.knnGraphMultiProbe(base, cents, k = 12, nprobe = 2),
+        s"$root/level0")
+      Ann.indexLakeWrite(Ann.ivfAssign(upperBase, centsU),
+        Ann.knnGraphMultiProbe(upperBase, centsU, k = 8, nprobe = 4),
+        s"$root/level1")
+      root
+    })
+
   /** The n23 OPERATOR chain, shared by the registered (gated) query
     * and its bench twin: two-level cap-8 tower build over all but the
     * last 100 vectors, one towerInsert batch routed per level by the
@@ -2978,6 +3012,126 @@ object TrainQueries extends QuerySet {
               |       CAST(sum(floor(cosine*1e6 + 0.5)) AS BIGINT) AS sum_cos6,
               |       (SELECT count(*) FROM pc) AS n_probed
               |FROM sl GROUP BY 1""".stripMargin)),
+
+    // N25 — tower maintenance from per-level index LAKES: n24's
+    // pruned-read insert applied at every n23 tower level, closing
+    // the "graphInsert/towerInsert read only probed partitions" scale
+    // story for the tower shape. Each level persists as its own
+    // cid-partitioned lake (n25Lake — level 0 at (12,2), the walked
+    // level's stride-qualified slice at (8,4)); the batch derives a
+    // probed set PER LEVEL from its stride sliver (level 1's sliver —
+    // and therefore its probed set, its read, and its write — is
+    // empty whenever no batch vid qualifies, the sf1 case: zero IO
+    // for an untouched level, the passthrough ScaleSpec pins on
+    // towerInsert now realized at the storage layer). towerInsert
+    // runs on the slices; per-level output equals the full per-level
+    // repair restricted to probed cids (the n24 argument, per level),
+    // which the oracle asserts by replaying the FULL n23-style
+    // two-level insert and restricting. Σℓ batch/strideℓ rows read —
+    // never corpus-shaped, never tower-shaped.
+    Q("n25_tower_lake_insert",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val n = Tables.rowCount(s, dir, "embeddings")
+        val nb = n - 100
+        val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        val batch = corpus.filter(col("vid") >= nb)
+        val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val steps = Ann.towerSteps(nb, levels = 2, cap = 8)
+        val upperN = (nb + steps.head - 1) / steps.head
+        val centsU = e.filter(col("vec_id") <
+            Ann.adaptiveCentroidCount(upperN, targetBucket = 8))
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val root = n25Lake(s, dir)
+        val sliver = batch.filter(col("vid") % steps.head === 0)
+        val probed0 = Ann.probedCids(batch, cents, nprobe = 2)
+        val probed1 = Ann.probedCids(sliver, centsU, nprobe = 4)
+        val (a0, g0) = Ann.indexLakeProbedSlice(s, s"$root/level0", probed0)
+        val (a1, g1) = Ann.indexLakeProbedSlice(s, s"$root/level1", probed1)
+        val maintained = Ann.towerInsert(Seq(
+          Ann.LevelIndex(a0, g0, cents, 1L, 12, 2),
+          Ann.LevelIndex(a1, g1, centsU, steps.head, 8, 4)), batch)
+        val probedN = Seq(probed0.size.toLong, probed1.size.toLong)
+        maintained.zipWithIndex.map { case (li, lvl) =>
+          li.edges.join(li.assigned.select(col("vid"), col("cid")), Seq("vid"))
+            .groupBy(col("cid").cast("long").as("cid"))
+            .agg(countDistinct(col("vid")).as("n_vertices"),
+              count(lit(1)).as("n_edges"),
+              sum(floor(col("cosine") * lit(1e6) + lit(0.5))).cast("long")
+                .as("sum_cos6"))
+            .withColumn("level", lit(lvl.toLong))
+            .withColumn("n_probed", lit(probedN(lvl)))
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""WITH $embCte,
+              |nn AS (SELECT count(*) AS n FROM e),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e
+              |      WHERE vec_id < (SELECT greatest(8, (n - 100 + 255) // 256)
+              |                      FROM nn)),
+              |${assignCtes("e", "c", "ca")},
+              |pp AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
+              |a0 AS (SELECT vid, v, cid FROM ca
+              |       WHERE vid < (SELECT n - 100 FROM nn)),
+              |g0s AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |          floor((list_dot_product(a.v, b.v)
+              |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM pp a JOIN a0 b ON a.cid = b.cid AND a.vid <> b.vid
+              |        WHERE a.vid < (SELECT n - 100 FROM nn)),
+              |g0 AS MATERIALIZED (SELECT vid, neighbor_id, cosine FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY vid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM g0s) z
+              |      WHERE rn <= 12),
+              |${insertCtes("g0", "a0", "(SELECT n - 100 FROM nn)", "", 12, "i1")},
+              |st1 AS (SELECT n - 100 AS n0,
+              |          CASE WHEN n - 100 > 8
+              |            THEN greatest(2, CAST(floor(sqrt(n - 100)) AS BIGINT))
+              |            ELSE 1 END AS s1 FROM nn),
+              |up AS (SELECT vec_id, v FROM e, st1 WHERE vec_id % s1 = 0),
+              |uc AS (SELECT vec_id AS cid, v AS cv FROM e
+              |       WHERE vec_id < (SELECT greatest(8,
+              |         ((n0 + s1 - 1) // s1 + 7) // 8) FROM st1)),
+              |${assignCtes("up", "uc", "ua")},
+              |pu AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM uaj) z WHERE rn <= 4),
+              |ua0 AS (SELECT vid, v, cid FROM ua
+              |        WHERE vid < (SELECT n - 100 FROM nn)),
+              |ug0s AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |           floor((list_dot_product(a.v, b.v)
+              |             /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |         FROM pu a JOIN ua0 b ON a.cid = b.cid AND a.vid <> b.vid
+              |         WHERE a.vid < (SELECT n - 100 FROM nn)),
+              |ug0 AS MATERIALIZED (SELECT vid, neighbor_id, cosine FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY vid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM ug0s) z
+              |      WHERE rn <= 8),
+              |${insertCtes("ug0", "ua0", "(SELECT n - 100 FROM nn)", "", 8, "j1", "pu", "ua")},
+              |pc0 AS (SELECT DISTINCT cid FROM pp
+              |        WHERE vid >= (SELECT n - 100 FROM nn)),
+              |pc1 AS (SELECT DISTINCT cid FROM pu
+              |        WHERE vid >= (SELECT n - 100 FROM nn)),
+              |sl0 AS (SELECT g.vid, g.neighbor_id, g.cosine, aa.cid
+              |        FROM i1g g JOIN i1aa aa ON aa.vid = g.vid
+              |        WHERE aa.cid IN (SELECT cid FROM pc0)),
+              |sl1 AS (SELECT g.vid, g.neighbor_id, g.cosine, aa.cid
+              |        FROM j1g g JOIN j1aa aa ON aa.vid = g.vid
+              |        WHERE aa.cid IN (SELECT cid FROM pc1))
+              |SELECT cid, count(DISTINCT vid) AS n_vertices,
+              |       count(*) AS n_edges,
+              |       CAST(sum(floor(cosine*1e6 + 0.5)) AS BIGINT) AS sum_cos6,
+              |       CAST(0 AS BIGINT) AS level,
+              |       (SELECT count(*) FROM pc0) AS n_probed
+              |FROM sl0 GROUP BY 1
+              |UNION ALL
+              |SELECT cid, count(DISTINCT vid) AS n_vertices,
+              |       count(*) AS n_edges,
+              |       CAST(sum(floor(cosine*1e6 + 0.5)) AS BIGINT) AS sum_cos6,
+              |       CAST(1 AS BIGINT) AS level,
+              |       (SELECT count(*) FROM pc1) AS n_probed
+              |FROM sl1 GROUP BY 1""".stripMargin)),
 
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient
