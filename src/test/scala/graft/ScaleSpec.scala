@@ -1116,6 +1116,15 @@ class ScaleSpec extends AnyFunSuite {
       .filter(col("cid").isin(probed: _*))
       .agg(count(lit(1))).head().getLong(0)
     assert(aP.count() === fullA)
+    // the n25 untouched-level claim: an EMPTY batch (a tower level
+    // whose stride sliver no batch vid qualifies for) derives an
+    // empty probed set and the pruned read touches ZERO files
+    val emptyProbe = Ann.probedCids(batch.filter(col("vid") < 0), cents, 2)
+    assert(emptyProbe.isEmpty)
+    val (aE, gE) = Ann.indexLakeProbedSlice(spark, tmp, emptyProbe)
+    assert(aE.count() === 0L && gE.count() === 0L)
+    assert(aE.select(input_file_name()).distinct().count() === 0L,
+      "empty probed set must read no partition files")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
