@@ -394,6 +394,46 @@ object Ann {
       .parquet(s"$root/edges")
   }
 
+  /** SEARCH-side partition pruning over an [[indexLakeWrite]] lake —
+    * the query-path twin of the n24/n25 maintenance pruning, and the
+    * higher-QPS one: IVF search only ever scores the probed buckets,
+    * so with the corpus assignment laid out cid-partitioned, a query
+    * batch reads ≤ |batch|·nprobe partitions and NOTHING else (a
+    * 10-query batch against a 10⁹-vector lake reads ~20 of ~4M bucket
+    * directories — the scan is batch-shaped, not corpus-shaped).
+    * Semantically identical to [[ivfSearchMultiProbe]] on the full
+    * corpus: the probe rule is the same quantized-cosine top-`nprobe`,
+    * and unprobed buckets never reach the scorer there either — the
+    * lake read just stops paying IO for them (n26 gates the equality
+    * against the full-replay oracle). */
+  def ivfSearchFromLake(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val probed = probedCids(
+      queries.select(col("qid").as("vid"), col("qvec").as("vec")),
+      centroids, nprobe)
+    val corpusAssigned = spark.read.parquet(s"$root/assigned")
+      .filter(col("cid").isin(probed: _*))
+      .select(col("vid"), col("vec"), col("cid").cast("long").as("cid"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cid"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("qvec"), col("cvec")), 6).as("pcos"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val scored = probes.join(corpusAssigned, "cid")
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid").as("neighbor_id"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Partition-pruned read of an [[indexLakeWrite]] lake: only the
     * `probed` cid directories are listed or scanned (the IN-list binds
     * as a PartitionFilter — metadata pruning, no file IO outside the

@@ -3133,6 +3133,42 @@ object TrainQueries extends QuerySet {
               |       (SELECT count(*) FROM pc1) AS n_probed
               |FROM sl1 GROUP BY 1""".stripMargin)),
 
+    // N26 — index-lake SEARCH with partition-pruned reads: the
+    // query-path twin of n24/n25 and the higher-QPS one — an IVF
+    // search only ever scores its probed buckets, so against the
+    // cid-partitioned lake a 10-query nprobe-2 batch reads ≤ 20
+    // partitions of the corpus and nothing else (batch-shaped IO at
+    // any corpus size; the PartitionFilters binding is pinned in
+    // ScaleSpec on the shared lake machinery). Output is semantically
+    // identical to ivfSearchMultiProbe over the full corpus — the
+    // oracle replays the FULL multiprobe search (the n07 CTEs over
+    // the n24 lake's base slice), so full-vs-pruned equality is the
+    // gate.
+    Q("n26_ivf_lake_search",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val nb = Tables.rowCount(s, dir, "embeddings") - 50
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Ann.ivfSearchFromLake(s, n24Lake(s, dir), qs, cents,
+          k = 5, nprobe = 2)
+      },
+      Some(s"""WITH $embCte,
+              |nn AS (SELECT count(*) AS n FROM e),
+              |eb AS (SELECT vec_id, v FROM e
+              |       WHERE vec_id < (SELECT n - 50 FROM nn)),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e
+              |      WHERE vec_id < (SELECT greatest(8, (n - 50 + 255) // 256)
+              |                      FROM nn)),
+              |${assignCtes("eb", "c", "ca")},
+              |qp AS (SELECT vid AS qid, v AS qv, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj WHERE vid < 10) z
+              |       WHERE rn <= 2),
+              |${ivfTopKSql("qp", 5)}""".stripMargin)),
+
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient
     // tops out ~0.51), restricted to queries whose top-2 centroid
