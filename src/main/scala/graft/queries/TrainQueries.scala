@@ -4544,10 +4544,21 @@ object TrainQueries extends QuerySet {
         // pair must survive the TRIANGLE path specifically — the
         // ContractCheck gate for the sf1 battery, where the all-pairs
         // twin is intractable (measured >90 s in DuckDB).
-        val planted = base.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 2000000).as("doc_id"),
-            concat(substring(col("text"), 1, 40), lit("~"),
-              expr("substring(text, 42)")).as("text"))
+        // the plant is CHECKPOINTED (20 rows, constraint-clean): its
+        // concat-over-the-hot-CASE tree otherwise re-inlines into
+        // every one of the 64 band comparisons when Catalyst pushes
+        // the operator's length/band filters below the union —
+        // ascii(substring(<2-level plant>)) × 8 bands × 8 bits blows
+        // Janino's 64 KB method limit into a silent interpreted
+        // fallback (CodegenGateSpec caught it; an exchange alone
+        // does NOT help — filters push through exchanges). A leaf
+        // plant leaves the base side's single-level CASE, which has
+        // always compiled.
+        val planted = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
+          base.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(substring(col("text"), 1, 40), lit("~"),
+                expr("substring(text, 42)")).as("text")))
         Multimodal.phashNearDupPairsBalanced(base.unionByName(planted),
           "doc_id", "text",
           maxHamming = 7, bits = 8, hotDf = 64L, saltRFloor = 2,
