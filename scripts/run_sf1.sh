@@ -47,11 +47,18 @@ d21_dup_pagerank d23_minhash_calibration d25_triangle_count \
 mm06_phash_dedup mm13_phash_hot_balanced t23_bpe_train t24_bpe_token_count"
 
 python3 - "$OUT" "$EXEC_ONLY" <<'PY'
-import json, sys
+import json, os, sys
 out, exec_only = sys.argv[1], set(sys.argv[2].split())
-full = json.load(open(f"{out}/oracle_sql.json"))
+# Idempotent (r15 advice): on a rerun oracle_sql.json is already the
+# filtered subset — the FULL record lives in oracle_sql_full.json, so
+# filter from that when present and never overwrite it with a subset.
+full_path = f"{out}/oracle_sql_full.json"
+if os.path.exists(full_path):
+    full = json.load(open(full_path))
+else:
+    full = json.load(open(f"{out}/oracle_sql.json"))
+    json.dump(full, open(full_path, "w"))
 kept = {k: v for k, v in full.items() if k not in exec_only}
-json.dump(full, open(f"{out}/oracle_sql_full.json", "w"))
 json.dump(kept, open(f"{out}/oracle_sql.json", "w"))
 print(f"oracle set: {len(kept)} of {len(full)} "
       f"({len(full)-len(kept)} exec-only by measured twin cost)")

@@ -419,10 +419,11 @@ object TrainQueries extends QuerySet {
     * when banding recall is complete (verified on the gated corpora,
     * see d02/d03 notes) the LSH result literally equals this. */
   /** [[shingle3Ctes]] extended to the ≥0.5 verified pair set jp(id_a,
-    * id_b, jaccard) — spliced by d02/d03/d09 (via [[jaccard3Sql]]) and
-    * d19 (same lockstep rule as shingle2Ctes/cc2Ctes). */
-  private val jaccard3Ctes =
-    s"""$shingle3Ctes,
+    * id_b, jaccard) — spliced by d03 (via [[jaccard3Sql]]); the
+    * d02-family oracles splice the PLANTED variant below (same
+    * lockstep rule as shingle2Ctes/cc2Ctes). */
+  private def jaccard3CtesOn(shingles: String): String =
+    s"""$shingles,
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -432,8 +433,63 @@ object TrainQueries extends QuerySet {
       |       FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
       |       WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5)""".stripMargin
 
+  private val jaccard3Ctes = jaccard3CtesOn(shingle3Ctes)
+
   private val jaccard3Sql =
     s"""WITH $jaccard3Ctes
+      |SELECT id_a, id_b, jaccard FROM jp""".stripMargin
+
+  /** Corpus-DISJOINT near-dup plant for the d02 family (r15 verdict
+    * #3): 20 families × 3 docs — a base (6000000+i, 40 synthetic
+    * tokens) and two IDENTICAL copies (6100000+i, 6200000+i) = base +
+    * one appended token. The tokens "zz{i}x{j}" appear in no driver
+    * corpus and are family-unique, so the plant shares no shingle with
+    * any ambient doc OR any other family — zero derivative pairs at any
+    * SF (planting edited COPIES of corpus docs would create borderline
+    * J≈natural-J pairs whose banding recall is a dice roll — the d02
+    * scaladoc hazard) — and each family contributes exactly 3 pairs at
+    * J = 1 and 38/39 (banding-certain: all-bands miss ≈ 4e-8) plus one
+    * triangle. Known counts at EVERY SF: 60 pair rows, 60 graph nodes
+    * of degree 2, 20 triangles — the SF-invariant signature the sf1
+    * ContractCheck contracts for d02/d09/d19/d21/d23/d25 gate (those
+    * twins are exec-only at sf1; the plant is what makes silent drift
+    * loud there — the d31 prescribed-contract precedent). */
+  private def plantDocs(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    (0 until 20).flatMap { i =>
+      val base = (0 until 40).map(j => s"zz${i}x$j").mkString(" ")
+      Seq((6000000L + i, base), (6100000L + i, base + " zzend"),
+        (6200000L + i, base + " zzend"))
+    }.toDF("doc_id", "text")
+  }
+
+  /** documents ∪ [[plantDocs]], the d02-family engine input. */
+  private def plantedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(plantDocs(s))
+
+  /** The SQL twin of [[plantDocs]]/[[plantedDocs]]: pb → plant → dpl
+    * (documents ∪ plant). Generated, not VALUES — byte-identical to
+    * the Scala construction by the shared "zz{i}x{j}" formula. */
+  private val plantCte =
+    """pb AS (SELECT i, array_to_string(list_transform(generate_series(0, 39),
+      |         j -> 'zz' || CAST(i AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ') AS base
+      |       FROM generate_series(0, 19) t(i)),
+      |plant AS (SELECT 6000000 + i AS doc_id, base AS text FROM pb
+      |          UNION ALL SELECT 6100000 + i, base || ' zzend' FROM pb
+      |          UNION ALL SELECT 6200000 + i, base || ' zzend' FROM pb),
+      |dpl AS (SELECT doc_id, text FROM documents
+      |        UNION ALL SELECT doc_id, text FROM plant)""".stripMargin
+
+  /** [[jaccard3Ctes]] over the PLANTED corpus — the d02/d09/d19/d21/
+    * d23/d24/d25 oracle chain. */
+  private val jaccard3PlantedCtes =
+    s"""$plantCte,
+      |${jaccard3CtesOn(shingle3CtesOn("dpl"))}""".stripMargin
+
+  private val jaccard3PlantedSql =
+    s"""WITH $jaccard3PlantedCtes
       |SELECT id_a, id_b, jaccard FROM jp""".stripMargin
 
   /** Paragraph-bearing view of the documents table: the synthetic corpus
@@ -453,38 +509,54 @@ object TrainQueries extends QuerySet {
     Tables.load(s, dir, "documents").select(col("doc_id"), bytes.as("bytes"))
   }
 
-  private def paraDocsDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def paraDocsDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    paraRecompose(Tables.load(s, dir, "documents"))
+
+  private def paraRecompose(docs: org.apache.spark.sql.DataFrame) = {
     val t = TextAnalysis.tokens(col("text"))
     val n2 = floor(size(t) / 2).cast("int")
-    Tables.load(s, dir, "documents").select(col("doc_id"),
+    docs.select(col("doc_id"),
       concat_ws("\n\n",
         concat_ws(" ", slice(t, lit(1), n2)),
         concat_ws(" ", slice(t, n2 + 1, size(t) - n2))).as("text"))
   }
 
+  /** [[paraDocsDf]] over the PLANTED corpus — the d10/d11 engine
+    * input. Each planted doc recomposes into two paragraphs: the
+    * copies' FIRST halves are token-identical to the base's (J = 1
+    * paragraph pairs) and the second halves differ by the one appended
+    * token (J = 18/19) — 6 paragraph pairs and 60 contaminated
+    * paragraphs per battery at EVERY SF, the d10/d11 sf1 contract. */
+  private def paraDocsPlantedDf(s: org.apache.spark.sql.SparkSession,
+      dir: String) = paraRecompose(plantedDocs(s, dir))
+
   /** CTE chain documents→two-line reconstructed docs, ending with
     * pd(doc_id, text) — the exact twin of [[paraDocsDf]]. Shared by
     * [[paraCtes]] and by t20 (which unions planted docs onto pd). */
-  private val pdCtes =
-    """ptoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      |          FROM documents),
+  private def pdCtesOn(src: String): String =
+    s"""ptoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |          FROM $src),
       |hp AS (SELECT doc_id, len(t)//2 AS n2, t FROM ptoks),
       |pd AS (SELECT doc_id,
       |         array_to_string(t[1:n2], ' ') || chr(10) || chr(10) ||
       |           array_to_string(t[n2+1:len(t)], ' ') AS text
       |       FROM hp)""".stripMargin
 
+  private val pdCtes = pdCtesOn("documents")
+
   /** CTE chain doc→paragraph token arrays (pid = doc_id·1000+idx), the
     * exact twin of Dedup.paragraphs over [[paraDocsDf]]. Ends with
     * paras(pid, pt) — shared by the shingle chain below and by the
     * line-granularity queries (d14, t17). */
-  private val paraCtes =
-    s"""$pdCtes,
+  private def paraCtesOn(pd: String): String =
+    s"""$pd,
       |pp0 AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts FROM pd),
       |pp1 AS (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM pp0),
       |paras AS (SELECT doc_id*1000 + (i-1) AS pid,
       |                 string_split_regex(lower(trim(parts[i])), '\\s+') AS pt
       |          FROM pp1 WHERE trim(parts[i]) <> '')""".stripMargin
+
+  private val paraCtes = paraCtesOn(pdCtes)
 
   /** SQL string literal with newlines spelled as chr(10) concatenation
     * (a planted multi-line doc must read identically in the Scala DF
@@ -515,8 +587,8 @@ object TrainQueries extends QuerySet {
   /** [[paraCtes]] extended doc→paragraphs→3-gram shingles, the exact
     * twin of Dedup.paragraphs + shingleRows over [[paraDocsDf]]. Ends
     * with sh(pid, s) + cnt(pid, n). */
-  private val paraShingleCtes =
-    s"""$paraCtes,
+  private def paraShingleCtesOn(para: String): String =
+    s"""$para,
       |psh0 AS (SELECT pid, pt, unnest(generate_series(1, len(pt)-2)) AS i
       |         FROM paras WHERE len(pt) >= 3),
       |pshl AS (SELECT DISTINCT pid, pt[i] || ' ' || pt[i+1] || ' ' || pt[i+2] AS s FROM psh0),
@@ -524,15 +596,24 @@ object TrainQueries extends QuerySet {
       |sh AS (SELECT * FROM pshl UNION ALL SELECT * FROM pshs),
       |cnt AS (SELECT pid, count(*) AS n FROM sh GROUP BY pid)""".stripMargin
 
+  private val paraShingleCtes = paraShingleCtesOn(paraCtes)
+
+  /** [[paraShingleCtes]] over the PLANTED corpus (d10/d11 oracles). */
+  private val paraShingleCtesPlanted =
+    paraShingleCtesOn(paraCtesOn(s"$plantCte,\n${pdCtesOn("dpl")}"))
+
   /** Exact all-pairs paragraph Jaccard at 0.6 (the d10 oracle body). */
-  private val paraPairsSql =
-    s"""WITH $paraShingleCtes,
+  private def paraPairsSqlOn(shingles: String): String =
+    s"""WITH $shingles,
        |cm AS (SELECT a.pid AS id_a, b.pid AS id_b, count(*) AS c
        |       FROM sh a JOIN sh b ON a.s = b.s AND a.pid < b.pid GROUP BY 1, 2),
        |pairs AS (SELECT id_a, id_b,
        |            CAST(c AS DOUBLE)/(na.n + nb.n - c) AS j
        |          FROM cm JOIN cnt na ON id_a = na.pid JOIN cnt nb ON id_b = nb.pid
        |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.6)""".stripMargin
+
+  private val paraPairsSql = paraPairsSqlOn(paraShingleCtes)
+  private val paraPairsPlantedSql = paraPairsSqlOn(paraShingleCtesPlanted)
 
   /** mm04's planted WAV container: mono 8 kHz, three samples
     * 0x8000 (−32768), 0x7FFF (32767), 0x0001 — the signed-decode pin.
@@ -570,7 +651,7 @@ object TrainQueries extends QuerySet {
       val p = graft.io.TmpRoots.cleanupOnExit(
         s"/tmp/graft_pairs_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
         s"_${System.identityHashCode(s)}")
-      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id",
+      Dedup.minhashLshPairs(plantedDocs(s, dir), "doc_id",
         "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5)
         .write.mode("overwrite").parquet(p)
       p
@@ -591,7 +672,7 @@ object TrainQueries extends QuerySet {
     val path = paraPairMemo.getOrElseUpdate((s, dir), {
       val p = graft.io.TmpRoots.cleanupOnExit(s"/tmp/graft_para_pairs_" +
         s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${System.identityHashCode(s)}")
-      Dedup.paragraphMinhashPairs(paraDocsDf(s, dir), "doc_id", "text")
+      Dedup.paragraphMinhashPairs(paraDocsPlantedDf(s, dir), "doc_id", "text")
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -655,6 +736,40 @@ object TrainQueries extends QuerySet {
         Ann.knnGraphMultiProbe(base, cents, k = 12, nprobe = 2), root)
       root
     })
+
+  private val n27LakeMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val n27RunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The n27 BASE lake (memoized like n24's, but built at buckets = 8
+    * so cid→pcid collisions actually occur once ncent > 8 — sf0.1's
+    * ~39 centroids exercise the apply path's collision remainder) and
+    * a per-RUN copy: [[Ann.indexLakeApply]] MUTATES its lake, so each
+    * run applies against a fresh filesystem copy of the immutable base
+    * (bench runs the query 3×; a shared mutable lake would make the
+    * second run's input the first run's output). */
+  private def n27LakeCopy(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = n27LakeMemo.getOrElseUpdate((s, dir), {
+      val root = graft.io.TmpRoots.cleanupOnExit(s"/tmp/graft_apply_lake_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${System.identityHashCode(s)}")
+      val e = Tables.load(s, dir, "embeddings")
+      val nb = Tables.rowCount(s, dir, "embeddings") - 50
+      val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+      val b = corpus.filter(col("vid") < nb)
+      val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.indexLakeWrite(Ann.ivfAssign(b, cents),
+        Ann.knnGraphMultiProbe(b, cents, k = 12, nprobe = 2), root,
+        buckets = 8)
+      root
+    })
+    val run = graft.io.TmpRoots.cleanupOnExit(
+      s"${base}_run${n27RunSeq.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(base), new java.io.File(run))
+    run
+  }
 
   private val n25LakeMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
@@ -739,7 +854,7 @@ object TrainQueries extends QuerySet {
     // recall makes LSH literally equal the exact twin, as in d02.
     Q("d10_paragraph_dedup",
       (s, dir) => paraLshPairs(s, dir),
-      Some(s"""$paraPairsSql
+      Some(s"""$paraPairsPlantedSql
              |SELECT id_a//1000 AS doc_a, id_a%1000 AS para_a,
              |       id_b//1000 AS doc_b, id_b%1000 AS para_b,
              |       floor(j*1e4 + 0.5)/1e4 AS jaccard
@@ -748,11 +863,11 @@ object TrainQueries extends QuerySet {
     // D11 — per-doc contaminated-paragraph fraction over the d10 pairs:
     // the drop-boilerplate-heavy-docs signal of a curation pipeline.
     Q("d11_paragraph_dup_stats",
-      (s, dir) => Dedup.paragraphDupStatsFromPairs(paraDocsDf(s, dir),
+      (s, dir) => Dedup.paragraphDupStatsFromPairs(paraDocsPlantedDf(s, dir),
           paraLshPairs(s, dir), "doc_id", "text")
         .select(col("did").as("doc_id"), col("n_paras"), col("n_dup_paras"),
           col("dup_para_frac")),
-      Some(s"""$paraPairsSql,
+      Some(s"""$paraPairsPlantedSql,
              |contam AS (SELECT DISTINCT did, pi FROM (
              |             SELECT id_a//1000 AS did, id_a%1000 AS pi FROM pairs
              |             UNION ALL
@@ -1091,7 +1206,7 @@ object TrainQueries extends QuerySet {
         sym.withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 3)
       },
-      Some(s"""WITH $jaccard3Ctes,
+      Some(s"""WITH $jaccard3PlantedCtes,
              |sym AS (SELECT id_a AS doc_id, id_b AS sim_id, jaccard FROM jp
              |        UNION ALL
              |        SELECT id_b, id_a, jaccard FROM jp)
@@ -1723,7 +1838,7 @@ object TrainQueries extends QuerySet {
     // borderline pair lost the banding dice roll, not an engine bug.
     Q("d02_minhash_lsh",
       (s, dir) => lshPairs(s, dir),
-      Some(jaccard3Sql)),
+      Some(jaccard3PlantedSql)),
 
     // D3 — SimHash-banded near-dup pairs (64-bit mean-debiased
     // majority-vote hash, 8×8-bit band blocking, maxHamming=10
@@ -1745,12 +1860,13 @@ object TrainQueries extends QuerySet {
     // exact all-pairs twin restricted to pairs touching the batch.
     Q("d09_dedup_incremental",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docs = plantedDocs(s, dir)
         Dedup.minhashLshPairsIncremental(
           docs.filter(col("doc_id") >= 300), docs.filter(col("doc_id") < 300),
           "doc_id", "text", k = 32, bands = 8, shingleN = 3, threshold = 0.5)
       },
-      Some(jaccard3Sql.replace("WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5",
+      Some(jaccard3PlantedSql.replace(
+        "WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5",
         "WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5 AND id_b >= 300"))),
 
     // D4 — exact n-gram Jaccard near-dup pairs (deterministic; bounded
@@ -1814,9 +1930,9 @@ object TrainQueries extends QuerySet {
     // pair set; signatures only for pair-participating docs.
     Q("d23_minhash_calibration",
       (s, dir) => Dedup.minhashJaccardEstimate(
-        Tables.load(s, dir, "documents"), lshPairs(s, dir),
+        plantedDocs(s, dir), lshPairs(s, dir),
         "doc_id", "text"),
-      Some(s"""WITH $jaccard3Ctes
+      Some(s"""WITH $jaccard3PlantedCtes
               |SELECT id_a, id_b, jaccard, TRUE AS est_within FROM jp""".stripMargin)),
 
     // D24 — split-leakage audit: verified near-dup pairs whose
@@ -1844,12 +1960,12 @@ object TrainQueries extends QuerySet {
       },
       Some {
         val hb = graft.pipeline.Sampling.hashBucketSql("doc_id")
-        s"""WITH $jaccard3Ctes,
+        s"""WITH $jaccard3PlantedCtes,
            |sp AS (SELECT doc_id,
            |         CASE WHEN $hb < 80 THEN 'train'
            |              WHEN $hb < 90 THEN 'val'
            |              ELSE 'test' END AS split
-           |       FROM documents)
+           |       FROM dpl)
            |SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
            |FROM jp JOIN sp sa ON id_a = sa.doc_id
            |         JOIN sp sb ON id_b = sb.doc_id
@@ -1866,7 +1982,7 @@ object TrainQueries extends QuerySet {
     // d02 gate's standing contract.
     Q("d21_dup_pagerank",
       (s, dir) => Dedup.pairPageRank(lshPairs(s, dir), iters = 3),
-      Some(s"""WITH $jaccard3Ctes,
+      Some(s"""WITH $jaccard3PlantedCtes,
               |ed AS (SELECT id_a AS src, id_b AS dst FROM jp
               |       UNION ALL SELECT id_b, id_a FROM jp),
               |dg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
@@ -1893,7 +2009,7 @@ object TrainQueries extends QuerySet {
     // vertex (the oracle side is pair-set-sized, where naive is fine).
     Q("d25_triangle_count",
       (s, dir) => Dedup.triangleCounts(lshPairs(s, dir)),
-      Some(s"""WITH $jaccard3Ctes,
+      Some(s"""WITH $jaccard3PlantedCtes,
               |ed AS (SELECT id_a AS a, id_b AS b FROM jp),
               |sym AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
               |dg AS (SELECT a AS n, count(*) AS deg FROM sym GROUP BY 1),
@@ -3168,6 +3284,75 @@ object TrainQueries extends QuerySet {
               |           ORDER BY cos6 DESC, cid) AS rn FROM caj WHERE vid < 10) z
               |       WHERE rn <= 2),
               |${ivfTopKSql("qp", 5)}""".stripMargin)),
+
+    // N27 — the lake WRITE-BACK (apply) half of the maintenance loop
+    // (r15 verdict #2 / "What's missing #4"): n24 computes the repair
+    // on a pruned slice; this query dynamic-partition-overwrites that
+    // repaired slice back INTO the lake (Ann.indexLakeApply — the s15
+    // apply pattern on the ANN index) and gates the lake-AFTER-apply,
+    // read back whole, against the full-index repair replayed by the
+    // oracle over EVERY bucket: probed partitions must now hold the
+    // repaired rows, unprobed partitions must still hold the base rows
+    // (equal to the full repair there by the n24 untouched-passthrough
+    // argument), and a bucket's colliding unprobed cids must survive
+    // the partition rewrite (the lake is built at buckets=8, so above
+    // sf0.01's 8 centroids several cids share a directory). IO is
+    // batch-shaped on both sides — read ≤ |probed| partitions, write ≤
+    // |probed| partitions (ScaleSpec pins zero writes outside them);
+    // each run applies against a fresh copy of the base lake because
+    // the apply mutates it.
+    Q("n27_index_lake_apply",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val n = Tables.rowCount(s, dir, "embeddings")
+        val nb = n - 50
+        val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val batch = corpus.filter(col("vid") >= nb)
+        val root = n27LakeCopy(s, dir)
+        val probed = Ann.probedCids(batch, cents, nprobe = 2)
+        val (aP, gP) = Ann.indexLakeProbedSlice(s, root, probed, buckets = 8)
+        val (a1, g1) = Ann.graphInsert(aP, gP, batch, cents, k = 12, nprobe = 2)
+        Ann.indexLakeApply(s, root, probed, a1, g1, buckets = 8)
+        s.read.parquet(s"$root/edges")
+          .groupBy(col("cid").cast("long").as("cid"))
+          .agg(countDistinct(col("vid")).as("n_vertices"),
+            count(lit(1)).as("n_edges"),
+            sum(floor(col("cosine") * lit(1e6) + lit(0.5))).cast("long")
+              .as("sum_cos6"))
+          .withColumn("n_probed", lit(probed.size.toLong))
+      },
+      Some(s"""WITH $embCte,
+              |nn AS (SELECT count(*) AS n FROM e),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e
+              |      WHERE vec_id < (SELECT greatest(8, (n - 50 + 255) // 256)
+              |                      FROM nn)),
+              |${assignCtes("e", "c", "ca")},
+              |pp AS (SELECT vid, v, cid FROM (
+              |         SELECT *, row_number() OVER (PARTITION BY vid
+              |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
+              |a0 AS (SELECT vid, v, cid FROM ca
+              |       WHERE vid < (SELECT n - 50 FROM nn)),
+              |g0s AS (SELECT a.vid AS vid, b.vid AS neighbor_id,
+              |          floor((list_dot_product(a.v, b.v)
+              |            /(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine
+              |        FROM pp a JOIN a0 b ON a.cid = b.cid AND a.vid <> b.vid
+              |        WHERE a.vid < (SELECT n - 50 FROM nn)),
+              |g0 AS MATERIALIZED (SELECT vid, neighbor_id, cosine FROM (
+              |        SELECT *, row_number() OVER (PARTITION BY vid
+              |          ORDER BY cosine DESC, neighbor_id) AS rn FROM g0s) z
+              |      WHERE rn <= 12),
+              |${insertCtes("g0", "a0", "(SELECT n - 50 FROM nn)", "", 12, "i1")},
+              |pc AS (SELECT DISTINCT cid FROM pp
+              |       WHERE vid >= (SELECT n - 50 FROM nn)),
+              |sl AS (SELECT g.vid, g.neighbor_id, g.cosine, aa.cid
+              |       FROM i1g g JOIN i1aa aa ON aa.vid = g.vid)
+              |SELECT cid, count(DISTINCT vid) AS n_vertices,
+              |       count(*) AS n_edges,
+              |       CAST(sum(floor(cosine*1e6 + 0.5)) AS BIGINT) AS sum_cos6,
+              |       (SELECT count(*) FROM pc) AS n_probed
+              |FROM sl GROUP BY 1""".stripMargin)),
 
     // N4 — IVF with a provable top-1: queries are additive-perturbed
     // copies of corpus vectors (cos ≈ 0.9999 to their source, ambient

@@ -108,6 +108,69 @@ object ContractCheck {
       (for { (b9, t9) <- rows.get(9L); (bp, tp) <- rows.get(1000009L) }
         yield bp == b9 + 25 && tp == t9).getOrElse(false)
     },
+    // ---- d02-family near-dup plants (r15 verdict #3): 20 corpus-
+    // disjoint families (base 6000000+i, two identical copies at
+    // 6100000+i/6200000+i = base + one token — see
+    // TrainQueries.plantDocs) with EXACT SF-invariant signatures:
+    // 60 pairs (J = 1 between the copies, 38/39 → 0.9744 to the base),
+    // 60 graph nodes of degree 2, 20 triangles, flat PageRank. These
+    // queries are exec-only at sf1 (the exact all-pairs twin is
+    // intractable there); the plants are the loud-drift gate.
+    "d02_minhash_lsh" -> (df =>
+      df.filter(col("id_a") >= 6000000L).count() == 60 &&
+      df.filter(col("id_a") >= 6100000L && col("jaccard") =!= 1.0)
+        .count() == 0 &&
+      df.filter(col("id_a").between(6000000L, 6099999L) &&
+        col("jaccard") =!= 0.9744).count() == 0),
+    // every plant lives in the arriving batch (ids ≥ 300), so the
+    // incremental form must surface the full 60-pair plant too
+    "d09_dedup_incremental" -> (df =>
+      df.filter(col("id_a") >= 6000000L).count() == 60),
+    // paragraph granularity: each family's 3 docs recompose into two
+    // paragraphs — first halves identical (J=1), second halves differ
+    // by the appended token (18/19 → 0.9474): 6 pairs × 20 families
+    "d10_paragraph_dedup" -> (df =>
+      df.filter(col("doc_a") >= 6000000L).count() == 120 &&
+      df.filter(col("doc_a") >= 6000000L && col("jaccard") < 0.9474)
+        .count() == 0),
+    "d11_paragraph_dup_stats" -> (df =>
+      df.filter(col("doc_id") >= 6000000L && col("n_paras") === 2 &&
+        col("n_dup_paras") === 2 && col("dup_para_frac") === 1.0)
+        .count() == 60),
+    // 60 planted nodes × 2 similars each (their family mates — under
+    // the top-3 cap, and corpus-disjoint so nothing else ranks)
+    "d19_similar_topk" -> (df =>
+      df.filter(col("doc_id") >= 6000000L).count() == 120),
+    // a symmetric triangle is PageRank-flat: every planted node keeps
+    // exactly 1e6 integer-units through all 3 iterations (deg 2,
+    // 150000 + 85% · 2·(1e6/2) = 1e6) — an exact replay pin
+    "d21_dup_pagerank" -> (df =>
+      df.filter(col("doc_id") >= 6000000L).count() == 60 &&
+      df.filter(col("doc_id") >= 6000000L &&
+        (col("outdeg") =!= 2 || col("rank") =!= 1000000L)).count() == 0),
+    "d23_minhash_calibration" -> (df =>
+      df.filter(col("id_a") >= 6000000L).count() == 60 &&
+      df.filter(!col("est_within")).count() == 0),
+    "d25_triangle_count" -> (df =>
+      df.filter(col("doc_id") >= 6000000L && col("deg") === 2 &&
+        col("n_tri") === 1).count() == 60),
+    // ---- BPE twins (t23/t24 are exec-only at sf1: 8 corpus-wide
+    // chained merge rounds): plants would CHANGE the learned merges,
+    // so these gate replay INVARIANTS instead — greedy-max training
+    // means round counts are positive and non-increasing, merges are
+    // distinct, and `merged` is the concatenation of its parts.
+    "t23_bpe_train" -> { df =>
+      val rows = df.select(col("round"), col("left"), col("right"),
+        col("merged"), col("n")).collect().sortBy(_.getLong(0))
+      rows.length == 8 &&
+        rows.map(_.getLong(0)).sameElements(1L to 8L) &&
+        rows.forall(r => r.getLong(4) > 0 &&
+          r.getString(3) == r.getString(1) + r.getString(2)) &&
+        rows.sliding(2).forall(w => w(0).getLong(4) >= w(1).getLong(4)) &&
+        rows.map(r => (r.getString(1), r.getString(2))).distinct.length == 8
+    },
+    "t24_bpe_token_count" -> (df =>
+      df.count() > 0 && df.filter(col("n_bpe_tokens") < 1).count() == 0),
     // the measured recall gates must hold wherever the battery runs
     "n19_graph_ann" -> (df => df.filter(!col("graph_ge_ivf")).count() == 0 &&
       df.count() == 10),

@@ -1067,16 +1067,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(!rowsOf(ip).flatten.contains(3L))
   }
 
-  test("ANN index lake: probed-cid read binds as a PartitionFilter and scans only probed partitions") {
+  test("ANN index lake: bounded bucket layout, two-sided prune, and probed-only write-back") {
     import graft.ann.Ann
-    // the n24 scale claim: a maintenance batch reads ∝ its probed
-    // buckets, never the index. Build a tiny lake (60 vectors, 8
-    // buckets), probe a 5-vector batch, and pin BOTH halves: the
-    // IN-list lands in the scan's PartitionFilters (metadata pruning
-    // — the s18 pin convention), and the files actually READ are
-    // exactly the probed partitions' (input_file_name() is
-    // execution-level evidence: pruning that silently fell back to a
-    // data filter would read every partition's files).
+    // the n24/n27 scale claims after the r15 re-layout: (1) the hive
+    // directory count is bounded by the bucket constant K, never the
+    // centroid count (raw-cid partitioning meant ~4M dirs at 10⁹ —
+    // the r15 verdict's one `weak`); (2) a maintenance batch reads ∝
+    // its probed buckets via a PartitionFilter on pcid (metadata
+    // pruning) PLUS a pushed cid IN-list (row-group min/max inside
+    // cid-sorted files); (3) the write-back rewrites ONLY probed
+    // buckets and loses no colliding unprobed cid. K=4 < ncent=8
+    // forces collisions so the remainder path is exercised.
+    val K = 4
     val vs = StructType(Seq(StructField("vid", LongType),
       StructField("vec", ArrayType(FloatType))))
     def vecOf(i: Long): Seq[Float] =
@@ -1086,34 +1088,49 @@ class ScaleSpec extends AnyFunSuite {
         StructField("cvec", ArrayType(FloatType)))),
       (0L until 8L).map(i => Row(i, vecOf(i * 11 + 3))))
     val tmp = java.nio.file.Files.createTempDirectory("graft_ann_lake").toString
-    Ann.indexLakeWrite(Ann.ivfAssign(corpus.filter(col("vid") < 55), cents),
-      Ann.knnGraphMultiProbe(corpus.filter(col("vid") < 55), cents,
-        k = 4, nprobe = 2), tmp)
+    val base = corpus.filter(col("vid") < 55)
+    Ann.indexLakeWrite(Ann.ivfAssign(base, cents),
+      Ann.knnGraphMultiProbe(base, cents, k = 4, nprobe = 2), tmp, buckets = K)
+    // (1) bounded directory count: ≤ K pcid dirs despite 8 cids
+    def pcidDirs(sub: String): Seq[String] =
+      new java.io.File(s"$tmp/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("pcid="))
+        .map(_.getName).toSeq.sorted
+    assert(pcidDirs("assigned").size <= K && pcidDirs("assigned").nonEmpty,
+      s"directory count must be bounded by K=$K: ${pcidDirs("assigned")}")
     val batch = corpus.filter(col("vid") >= 55)
     val probed = Ann.probedCids(batch, cents, nprobe = 2)
     assert(probed.nonEmpty && probed.size <= 10,
       s"probed set must be batch-bounded: $probed")
     val allCids = spark.read.parquet(s"$tmp/assigned")
-      .select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
+      .select(col("cid")).distinct().collect().map(_.getLong(0).toInt).toSet
     assert((allCids -- probed.toSet).nonEmpty,
       s"fixture vacuous: every bucket probed ($allCids)")
-    val (aP, gP) = Ann.indexLakeProbedSlice(spark, tmp, probed)
+    val pbuckets = probed.map(c => math.floorMod(c, K)).distinct
+    val (aP, gP) = Ann.indexLakeProbedSlice(spark, tmp, probed, buckets = K)
     for ((sl, nm) <- Seq((aP, "assigned"), (gP, "edges"))) {
       val plan = sl.queryExecution.executedPlan.toString
+      // (2a) pcid IN-list binds as a PartitionFilter (metadata prune)
       val pf = plan.split("PartitionFilters:", 2).lift(1)
         .map(_.takeWhile(_ != ']'))
-      assert(pf.exists(_.contains("cid")),
-        s"$nm: cid not inside PartitionFilters [..]:\n$plan")
-      // execution-level: files read ⊆ probed partition directories
+      assert(pf.exists(_.contains("pcid")),
+        s"$nm: pcid not inside PartitionFilters [..]:\n$plan")
+      // (2b) the cid IN-list is PUSHED to parquet (row-group min/max
+      // skip inside a bucket's cid-sorted files)
+      val pushed = plan.split("PushedFilters:", 2).lift(1)
+        .map(_.takeWhile(_ != ']'))
+      assert(pushed.exists(p => p.contains("In(cid")),
+        s"$nm: cid IN-list not in PushedFilters [..]:\n$plan")
+      // execution-level: files read ⊆ probed BUCKET directories
       val files = sl.select(input_file_name().as("f")).distinct()
         .collect().map(_.getString(0))
       assert(files.nonEmpty &&
-        files.forall(f => probed.exists(c => f.contains(s"cid=$c/"))),
-        s"$nm read outside probed partitions: ${files.mkString(", ")}")
+        files.forall(f => pbuckets.exists(b => f.contains(s"pcid=$b/"))),
+        s"$nm read outside probed buckets: ${files.mkString(", ")}")
     }
     // the pruned slice is the probed restriction of the full table
     val fullA = spark.read.parquet(s"$tmp/assigned")
-      .filter(col("cid").isin(probed: _*))
+      .filter(col("cid").isin(probed.map(_.toLong): _*))
       .agg(count(lit(1))).head().getLong(0)
     assert(aP.count() === fullA)
     // the n25 untouched-level claim: an EMPTY batch (a tower level
@@ -1121,10 +1138,53 @@ class ScaleSpec extends AnyFunSuite {
     // empty probed set and the pruned read touches ZERO files
     val emptyProbe = Ann.probedCids(batch.filter(col("vid") < 0), cents, 2)
     assert(emptyProbe.isEmpty)
-    val (aE, gE) = Ann.indexLakeProbedSlice(spark, tmp, emptyProbe)
+    val (aE, gE) = Ann.indexLakeProbedSlice(spark, tmp, emptyProbe, buckets = K)
     assert(aE.count() === 0L && gE.count() === 0L)
     assert(aE.select(input_file_name()).distinct().count() === 0L,
       "empty probed set must read no partition files")
+    // (3) WRITE-BACK: repair on the slice, apply, and pin that
+    // (a) unprobed bucket directories are byte-identical (no write
+    // outside the probed set), (b) the colliding unprobed cids inside
+    // rewritten buckets survive, (c) the applied lake equals the
+    // full-index repair everywhere.
+    def fileSig(sub: String): Map[String, Seq[(String, Long)]] =
+      pcidDirs(sub).map { d =>
+        d -> new java.io.File(s"$tmp/$sub/$d").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSeq.sortBy(_._1)
+      }.toMap
+    val sigBefore = fileSig("assigned").filterNot { case (d, _) =>
+      pbuckets.exists(b => d == s"pcid=$b") }
+    val collidersBefore = spark.read.parquet(s"$tmp/assigned")
+      .filter(col("pcid").isin(pbuckets: _*) &&
+        !col("cid").isin(probed.map(_.toLong): _*))
+      .select(col("vid")).collect().map(_.getLong(0)).toSet
+    val (a1, g1) = Ann.graphInsert(aP, gP, batch, cents, k = 4, nprobe = 2)
+    Ann.indexLakeApply(spark, tmp, probed, a1, g1, buckets = K)
+    val sigAfter = fileSig("assigned").filterNot { case (d, _) =>
+      pbuckets.exists(b => d == s"pcid=$b") }
+    assert(sigBefore === sigAfter,
+      "apply must not rewrite partitions outside the probed buckets")
+    val appliedA = spark.read.parquet(s"$tmp/assigned")
+    assert(collidersBefore.subsetOf(
+        appliedA.select(col("vid")).collect().map(_.getLong(0)).toSet),
+      "colliding unprobed cids must survive the partition rewrite")
+    // whole-lake equality vs the full repair (the n27 gate's shape)
+    val (aF, gF) = (Ann.ivfAssign(base, cents),
+      Ann.knnGraphMultiProbe(base, cents, k = 4, nprobe = 2))
+    val (aR, gR) = Ann.graphInsert(
+      org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(aF),
+      org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(gF),
+      batch, cents, k = 4, nprobe = 2)
+    assert(rowsOf(appliedA.select(col("vid"), col("cid")).orderBy("vid")) ===
+      rowsOf(aR.select(col("vid"), col("cid")).orderBy("vid")),
+      "applied assigned lake must equal the full-index repair")
+    val appliedG = spark.read.parquet(s"$tmp/edges")
+      .select(col("vid"), col("neighbor_id"), col("cosine"))
+    assert(rowsOf(appliedG.orderBy("vid", "neighbor_id")) ===
+      rowsOf(gR.select(col("vid"), col("neighbor_id"), col("cosine"))
+        .orderBy("vid", "neighbor_id")),
+      "applied edges lake must equal the full-index repair")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
