@@ -149,6 +149,102 @@ object Ann {
       minCentroids: Long = 8L): Long =
     math.max(minCentroids, (rows + targetBucket - 1) / targetBucket)
 
+  /** The two-level coarse quantizer's super-centroid stride: supers =
+    * centroids with cid % stride == 0, so |supers| ≈ √ncent. Integer
+    * floor-sqrt (the towerSteps convention) — an oracle replays it
+    * exactly from count(*). With [[adaptiveCentroidCount]] growing
+    * ncent ∝ corpus, a FLAT centroid broadcast is corpus-shaped
+    * (n/256 rows ≈ 2 GB at 10⁹ — the r15 verdict's scale-killer);
+    * two-level assignment broadcasts only the √ncent supers and
+    * reaches the full table through a bounded equi-join on the group
+    * id, so the broadcast is O(√n) at any scale. */
+  def superStride(ncent: Long): Long =
+    math.max(1L, math.sqrt(ncent.toDouble).toLong)
+
+  /** Group every centroid under its nearest SUPER-centroid (supers =
+    * cids ≡ 0 mod `gstep`; quantized-cosine argmax, gid-asc tiebreak —
+    * every ranking in this file's conventions, so the grouping is
+    * oracle-replayable). Returns (cid, cvec, gid). The broadcast here
+    * is the supers (√ncent); the centroid table itself only ever
+    * STREAMS. Computed once at index build; the output is the
+    * persisted quantizer artifact the probe/assign paths consume. */
+  def centroidGroups(centroids: DataFrame, gstep: Long): DataFrame = {
+    val supers = centroids.filter(col("cid") % gstep === 0)
+      .select(col("cid").as("gid"), col("cvec").as("gvec"))
+    Ranked.argmax(
+      centroids.crossJoin(broadcast(supers))
+        .select(col("cid"), col("cvec"), col("gid"),
+          graft.core.Exprs.roundHalfUp(
+            Vectors.cosine(col("cvec"), col("gvec")), 6).as("gcos")),
+      Seq("cid"),
+      Seq(col("gcos"), -col("gid")),
+      Seq("gid" -> col("gid"), "cvec" -> col("cvec")))
+  }
+
+  /** Two-level candidate scoring — the shared front half of the
+    * two-level assign/probe paths: each vector scores the √ncent
+    * supers (broadcast), keeps its `gprobe` best groups, and scores
+    * ONLY those groups' member centroids through an equi-join on gid
+    * (the vector side carries ≤ |vecs|·gprobe rows; the grouped
+    * centroid table streams/shuffles, never broadcasts). Returns the
+    * candidate-scored frame (vid, vec, cid, cos6) — the two-level
+    * analog of the flat crossJoin score, consumed by rn=1 (assign) or
+    * rn ≤ nprobe (probe) exactly like the flat path. */
+  def twoLevelCandidates(vecs: DataFrame, grouped: DataFrame,
+      gstep: Long, gprobe: Int): DataFrame = {
+    val supers = grouped.filter(col("cid") % gstep === 0)
+      .select(col("cid").as("gid"), col("cvec").as("gvec"))
+    val gw = Window.partitionBy(col("vid"))
+      .orderBy(col("gcos").desc, col("gid").asc)
+    val sg = vecs.select(col("vid"), col("vec"))
+      .crossJoin(broadcast(supers))
+      .select(col("vid"), col("vec"), col("gid"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("vec"), col("gvec")), 6).as("gcos"))
+      .withColumn("gr", row_number().over(gw)).filter(col("gr") <= gprobe)
+      .select(col("vid"), col("vec"), col("gid"))
+    sg.join(grouped.select(col("cid"), col("cvec"), col("gid")), "gid")
+      .select(col("vid"), col("vec"), col("cid"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("vec"), col("cvec")), 6).as("cos6"))
+  }
+
+  /** Two-level IVF assignment: argmax over [[twoLevelCandidates]]
+    * (cid-asc tiebreak, like [[ivfAssign]]). The assignment RULE is
+    * the two-level one — a vector joins the best bucket among its
+    * `gprobe` nearest super groups — and the index's oracles replay
+    * exactly that, so the gate is exact equality, not recall-ε. */
+  def ivfAssignTwoLevel(corpus: DataFrame, grouped: DataFrame,
+      gstep: Long, gprobe: Int): DataFrame =
+    Ranked.argmax(
+      twoLevelCandidates(corpus, grouped, gstep, gprobe),
+      Seq("vid"),
+      Seq(col("cos6"), -col("cid")),
+      Seq("cid" -> col("cid"), "vec" -> col("vec")))
+
+  /** Two-level probe set: top-`nprobe` candidate buckets per vector
+    * (cos desc, cid asc) — the [[twoLevelCandidates]] analog of the
+    * flat multiprobe rule, shaped (vid, vec, cid, pr) for
+    * [[graphInsertProbed]]/[[knnGraphProbed]]. */
+  def probesTwoLevel(vecs: DataFrame, grouped: DataFrame, gstep: Long,
+      nprobe: Int, gprobe: Int): DataFrame = {
+    val pw = Window.partitionBy(col("vid"))
+      .orderBy(col("cos6").desc, col("cid").asc)
+    twoLevelCandidates(vecs, grouped, gstep, gprobe)
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
+      .select(col("vid"), col("vec"), col("cid"), col("pr"))
+  }
+
+  /** [[probedCids]] under the two-level probe rule — same bounded
+    * driver collect (≤ |batch|·nprobe ints), no corpus-shaped
+    * broadcast anywhere upstream. */
+  def probedCidsTwoLevel(batch: DataFrame, grouped: DataFrame,
+      gstep: Long, nprobe: Int, gprobe: Int): Seq[Int] =
+    probesTwoLevel(batch.select(col("vid"), col("vec")), grouped, gstep,
+        nprobe, gprobe)
+      .select(col("cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
   def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
     val ca = ivfAssign(corpus, centroids)
     val scored = ca.as("a").join(ca.as("b"),
@@ -184,6 +280,24 @@ object Ann {
         graft.core.Exprs.roundHalfUp(Vectors.cosine(col("vec"), col("cvec")), 6).as("pcos"))
       .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
       .select(col("vid"), col("vec"), col("cid"))
+    knnGraphProbed(ca, probes, k)
+  }
+
+  /** [[knnGraphMultiProbe]] under the two-level quantizer — the lake
+    * build path: assignment and probes both route through the √ncent
+    * super broadcast, never a flat centroid broadcast. */
+  def knnGraphTwoLevel(corpus: DataFrame, grouped: DataFrame, gstep: Long,
+      k: Int, nprobe: Int, gprobe: Int): DataFrame =
+    knnGraphProbed(ivfAssignTwoLevel(corpus, grouped, gstep, gprobe),
+      probesTwoLevel(corpus.select(col("vid"), col("vec")), grouped, gstep,
+        nprobe, gprobe), k)
+
+  /** [[knnGraphMultiProbe]] with assignment and probes PRECOMPUTED —
+    * the two-level build path ([[ivfAssignTwoLevel]] +
+    * [[probesTwoLevel]]) shares the bucket self-join and ranking. */
+  def knnGraphProbed(ca: DataFrame, probesRaw: DataFrame,
+      k: Int): DataFrame = {
+    val probes = probesRaw.select(col("vid"), col("vec"), col("cid"))
     val scored = probes.as("a").join(ca.as("b"),
         col("a.cid") === col("b.cid") && col("a.vid") =!= col("b.vid"))
       .select(col("a.vid").as("vid"), col("b.vid").as("neighbor_id"),
@@ -243,18 +357,30 @@ object Ann {
       centroids: DataFrame, k: Int, nprobe: Int): (DataFrame, DataFrame) = {
     val pw = Window.partitionBy(col("vid"))
       .orderBy(col("pcos").desc, col("cid").asc)
+    graphInsertProbed(assigned, edges,
+      batch.select(col("vid"), col("vec"))
+        .crossJoin(broadcast(centroids))
+        .select(col("vid"), col("vec"), col("cid"),
+          graft.core.Exprs.roundHalfUp(
+            Vectors.cosine(col("vec"), col("cvec")), 6).as("pcos"))
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= nprobe), k)
+  }
+
+  /** [[graphInsert]] with the probe set PRECOMPUTED (vid, vec, cid,
+    * pr) — the seam that lets the lake path route its batch through
+    * the two-level quantizer ([[probesTwoLevel]]) while the flat
+    * small-ncent path keeps its broadcast probe; everything from the
+    * forward join on is probe-rule-agnostic. */
+  def graphInsertProbed(assigned: DataFrame, edges: DataFrame,
+      probesRaw: DataFrame, k: Int): (DataFrame, DataFrame) = {
     // every checkpoint in the maintenance chain is CONSTRAINT-CLEAN
     // (CleanCheckpoint.lazyClean): the batch is typically a filtered
     // view of the corpus, and an ordinary checkpoint's captured
     // originConstraints then poison the repair plan's unions — see
     // CleanCheckpoint's scaladoc for the 4.1.2 failure mode
     val cpoint = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean _
-    val probes = cpoint(batch.select(col("vid"), col("vec"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vid"), col("vec"), col("cid"),
-        graft.core.Exprs.roundHalfUp(
-          Vectors.cosine(col("vec"), col("cvec")), 6).as("pcos"))
-      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe))
+    val probes = cpoint(probesRaw)
     // the batch joins the index at its top-1 bucket (ivfAssign's argmax
     // is the pr=1 probe: same quantized cosine, same cid tiebreak)
     val batchAssigned = probes.filter(col("pr") === 1)
@@ -307,7 +433,8 @@ object Ann {
     * k / nprobe (levels differ: n20 builds layer 0 at (12, 2) and the
     * walked level at (8, 4)). */
   final case class LevelIndex(assigned: DataFrame, edges: DataFrame,
-      centroids: DataFrame, stride: Long, k: Int, nprobe: Int)
+      centroids: DataFrame, stride: Long, k: Int, nprobe: Int,
+      probesFor: Option[DataFrame => DataFrame] = None)
 
   /** Incremental HNSW-TOWER maintenance (n23) — the [[graphInsert]]
     * batch repair applied at every tower level, making the n20 tower
@@ -345,8 +472,15 @@ object Ann {
       val member =
         if (li.stride <= 1L) batch
         else batch.filter(col("vid") % li.stride === 0)
-      val (a, g) = graphInsert(li.assigned, li.edges, member,
-        li.centroids, li.k, li.nprobe)
+      // a level may override the probe rule (the lake path routes
+      // through the two-level quantizer); geometry/validation and the
+      // repair machinery are probe-rule-agnostic
+      val (a, g) = li.probesFor match {
+        case Some(p) => graphInsertProbed(li.assigned, li.edges,
+          p(member), li.k)
+        case None => graphInsert(li.assigned, li.edges, member,
+          li.centroids, li.k, li.nprobe)
+      }
       li.copy(assigned = a, edges = g)
     }
   }
@@ -462,6 +596,35 @@ object Ann {
           Vectors.cosine(col("qvec"), col("cvec")), 6).as("pcos"))
       .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
       .select(col("qid"), col("qvec"), col("cid"))
+    val scored = probes.join(corpusAssigned, "cid")
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid").as("neighbor_id"),
+        graft.core.Exprs.roundHalfUp(
+          Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[ivfSearchFromLake]] under the TWO-LEVEL quantizer — the 10⁹
+    * search path end to end: probe selection broadcasts only the
+    * √ncent supers ([[probesTwoLevel]]), the probed-cid collect stays
+    * batch-bounded, and the lake read prunes to ≤ |batch|·nprobe of ≤
+    * `buckets` partitions. Against an [[ivfAssignTwoLevel]]-built lake
+    * this is semantically the full-corpus two-level multiprobe search
+    * (n26's oracle replays exactly that). */
+  def ivfSearchFromLakeTwoLevel(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, grouped: DataFrame, gstep: Long,
+      k: Int, nprobe: Int, gprobe: Int,
+      buckets: Int = defaultLakeBuckets): DataFrame = {
+    val qv = queries.select(col("qid").as("vid"), col("qvec").as("vec"))
+    val probed = probedCidsTwoLevel(qv, grouped, gstep, nprobe, gprobe)
+    val corpusAssigned = lakePrune(
+        spark.read.parquet(s"$root/assigned"), probed, buckets)
+      .select(col("vid"), col("vec"), col("cid").cast("long").as("cid"))
+    val probes = probesTwoLevel(qv, grouped, gstep, nprobe, gprobe)
+      .select(col("vid").as("qid"), col("vec").as("qvec"), col("cid"))
     val scored = probes.join(corpusAssigned, "cid")
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid").as("neighbor_id"),

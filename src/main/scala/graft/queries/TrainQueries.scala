@@ -40,6 +40,41 @@ object TrainQueries extends QuerySet {
        |  SELECT *, row_number() OVER (PARTITION BY vid
        |    ORDER BY cos6 DESC, cid) AS rn FROM ${out}j) z WHERE rn = 1)""".stripMargin
 
+  /** TWO-LEVEL quantizer CTE pair — drop-in for [[assignCtes]]: same
+    * output names `<out>j` (candidate-scored) and `<out>` (rn=1
+    * assignment), but the scored set is bounded to each vector's
+    * top-`gprobe` super groups (supers = cids ≡ 0 mod ⌊√ncent⌋ — the
+    * SQL twin of Ann.superStride/centroidGroups/twoLevelCandidates).
+    * Spliced by the n24–n27 index-lake oracles; the flat
+    * [[assignCtes]] stays the small-ncent oracle everywhere else. */
+  private def assign2Ctes(src: String, cents: String, out: String,
+      gprobe: Int): String =
+    s"""${out}_gs AS (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS g
+       |              FROM $cents),
+       |${out}_sup AS (SELECT cid AS gid, cv AS gv FROM $cents, ${out}_gs
+       |               WHERE cid % g = 0),
+       |${out}_cgj AS (SELECT c.cid, c.cv, gid,
+       |    floor((list_dot_product(c.cv, gv)
+       |      /(sqrt(list_dot_product(c.cv, c.cv))*sqrt(list_dot_product(gv, gv))))*1e6 + 0.5)/1e6 AS gcos
+       |    FROM $cents c, ${out}_sup),
+       |${out}_cg AS (SELECT cid, cv, gid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid
+       |      ORDER BY gcos DESC, gid) AS rn FROM ${out}_cgj) z WHERE rn = 1),
+       |${out}_sgj AS (SELECT e.vec_id AS vid, e.v, gid,
+       |    floor((list_dot_product(e.v, gv)
+       |      /(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(gv, gv))))*1e6 + 0.5)/1e6 AS gcos
+       |    FROM $src e, ${out}_sup),
+       |${out}_sg AS (SELECT vid, v, gid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid
+       |      ORDER BY gcos DESC, gid) AS rn FROM ${out}_sgj) z WHERE rn <= $gprobe),
+       |${out}j AS (SELECT s.vid, s.v, c.cid,
+       |    floor((list_dot_product(s.v, c.cv)
+       |      /(sqrt(list_dot_product(s.v, s.v))*sqrt(list_dot_product(c.cv, c.cv))))*1e6 + 0.5)/1e6 AS cos6
+       |    FROM ${out}_sg s JOIN ${out}_cg c USING (gid)),
+       |$out AS (SELECT vid, v, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid
+       |    ORDER BY cos6 DESC, cid) AS rn FROM ${out}j) z WHERE rn = 1)""".stripMargin
+
   /** Bucket-scored candidate CTE shared by the IVF-search oracles
     * (n02/n07/n13): scores `probe`(qid, qv, cid) against `ca` into a
     * CTE named `out`. */
@@ -714,6 +749,18 @@ object TrainQueries extends QuerySet {
     (qs, corpus, cents, g2)
   }
 
+  /** The two-level quantizer artifacts for a centroid table
+    * (r15 verdict #1: the lake path must never broadcast a
+    * corpus-shaped centroid table): grouped (cid, cvec, gid) —
+    * checkpointed, it feeds assignment AND probes — plus the super
+    * stride. gprobe = 2 throughout the lake family. */
+  private def twoLevel(cents: org.apache.spark.sql.DataFrame,
+      ncent: Long): (org.apache.spark.sql.DataFrame, Long) = {
+    val gstep = Ann.superStride(ncent)
+    (org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
+      Ann.centroidGroups(cents, gstep)), gstep)
+  }
+
   private val n24LakeMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
@@ -730,10 +777,13 @@ object TrainQueries extends QuerySet {
       val nb = Tables.rowCount(s, dir, "embeddings") - 50
       val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
       val base = corpus.filter(col("vid") < nb)
-      val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+      val ncent = Ann.adaptiveCentroidCount(nb)
+      val cents = e.filter(col("vec_id") < ncent)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Ann.indexLakeWrite(Ann.ivfAssign(base, cents),
-        Ann.knnGraphMultiProbe(base, cents, k = 12, nprobe = 2), root)
+      val (grouped, gstep) = twoLevel(cents, ncent)
+      Ann.indexLakeWrite(Ann.ivfAssignTwoLevel(base, grouped, gstep, 2),
+        Ann.knnGraphTwoLevel(base, grouped, gstep, k = 12, nprobe = 2,
+          gprobe = 2), root)
       root
     })
 
@@ -757,11 +807,13 @@ object TrainQueries extends QuerySet {
       val nb = Tables.rowCount(s, dir, "embeddings") - 50
       val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
       val b = corpus.filter(col("vid") < nb)
-      val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+      val ncent = Ann.adaptiveCentroidCount(nb)
+      val cents = e.filter(col("vec_id") < ncent)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Ann.indexLakeWrite(Ann.ivfAssign(b, cents),
-        Ann.knnGraphMultiProbe(b, cents, k = 12, nprobe = 2), root,
-        buckets = 8)
+      val (grouped, gstep) = twoLevel(cents, ncent)
+      Ann.indexLakeWrite(Ann.ivfAssignTwoLevel(b, grouped, gstep, 2),
+        Ann.knnGraphTwoLevel(b, grouped, gstep, k = 12, nprobe = 2,
+          gprobe = 2), root, buckets = 8)
       root
     })
     val run = graft.io.TmpRoots.cleanupOnExit(
@@ -788,20 +840,23 @@ object TrainQueries extends QuerySet {
       val nb = Tables.rowCount(s, dir, "embeddings") - 100
       val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
       val base = corpus.filter(col("vid") < nb)
-      val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+      val ncent = Ann.adaptiveCentroidCount(nb)
+      val cents = e.filter(col("vec_id") < ncent)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val steps = Ann.towerSteps(nb, levels = 2, cap = 8)
       val upperN = (nb + steps.head - 1) / steps.head
-      val centsU = e.filter(col("vec_id") <
-          Ann.adaptiveCentroidCount(upperN, targetBucket = 8))
+      val ncentU = Ann.adaptiveCentroidCount(upperN, targetBucket = 8)
+      val centsU = e.filter(col("vec_id") < ncentU)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val upperBase = base.filter(col("vid") % steps.head === 0)
-      Ann.indexLakeWrite(Ann.ivfAssign(base, cents),
-        Ann.knnGraphMultiProbe(base, cents, k = 12, nprobe = 2),
-        s"$root/level0")
-      Ann.indexLakeWrite(Ann.ivfAssign(upperBase, centsU),
-        Ann.knnGraphMultiProbe(upperBase, centsU, k = 8, nprobe = 4),
-        s"$root/level1")
+      val (grouped, gstep) = twoLevel(cents, ncent)
+      val (groupedU, gstepU) = twoLevel(centsU, ncentU)
+      Ann.indexLakeWrite(Ann.ivfAssignTwoLevel(base, grouped, gstep, 2),
+        Ann.knnGraphTwoLevel(base, grouped, gstep, k = 12, nprobe = 2,
+          gprobe = 2), s"$root/level0")
+      Ann.indexLakeWrite(Ann.ivfAssignTwoLevel(upperBase, groupedU, gstepU, 2),
+        Ann.knnGraphTwoLevel(upperBase, groupedU, gstepU, k = 8, nprobe = 4,
+          gprobe = 2), s"$root/level1")
       root
     })
 
@@ -2708,7 +2763,7 @@ object TrainQueries extends QuerySet {
               |uc AS (SELECT vec_id AS cid, v AS cv FROM e
               |       WHERE vec_id < (SELECT greatest(8,
               |         ((n0 + s1 - 1) // s1 + 7) // 8) FROM st2)),
-              |${assignCtes("up", "uc", "ua")},
+              |${assign2Ctes("up", "uc", "ua", 2)},
               |pu AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM uaj) z WHERE rn <= 4),
@@ -2943,7 +2998,7 @@ object TrainQueries extends QuerySet {
               |c AS (SELECT vec_id AS cid, v AS cv FROM e
               |      WHERE vec_id < (SELECT greatest(8, (n - 100 + 255) // 256)
               |                      FROM nn)),
-              |${assignCtes("e", "c", "ca")},
+              |${assign2Ctes("e", "c", "ca", 2)},
               |pp AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
@@ -2979,7 +3034,7 @@ object TrainQueries extends QuerySet {
               |uc AS (SELECT vec_id AS cid, v AS cv FROM e
               |       WHERE vec_id < (SELECT greatest(8,
               |         ((n0 + s1 - 1) // s1 + 7) // 8) FROM st2)),
-              |${assignCtes("up", "uc", "ua")},
+              |${assign2Ctes("up", "uc", "ua", 2)},
               |pu AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM uaj) z WHERE rn <= 4),
@@ -3082,13 +3137,18 @@ object TrainQueries extends QuerySet {
         val n = Tables.rowCount(s, dir, "embeddings")
         val nb = n - 50
         val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
-        val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+        val ncent = Ann.adaptiveCentroidCount(nb)
+        val cents = e.filter(col("vec_id") < ncent)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val (grouped, gstep) = twoLevel(cents, ncent)
         val batch = corpus.filter(col("vid") >= nb)
         val root = n24Lake(s, dir)
-        val probed = Ann.probedCids(batch, cents, nprobe = 2)
+        val probed = Ann.probedCidsTwoLevel(batch, grouped, gstep,
+          nprobe = 2, gprobe = 2)
         val (aP, gP) = Ann.indexLakeProbedSlice(s, root, probed)
-        val (a1, g1) = Ann.graphInsert(aP, gP, batch, cents, k = 12, nprobe = 2)
+        val (a1, g1) = Ann.graphInsertProbed(aP, gP,
+          Ann.probesTwoLevel(batch.select(col("vid"), col("vec")),
+            grouped, gstep, nprobe = 2, gprobe = 2), k = 12)
         g1.join(a1.select(col("vid"), col("cid")), Seq("vid"))
           .groupBy(col("cid").cast("long").as("cid"))
           .agg(countDistinct(col("vid")).as("n_vertices"),
@@ -3102,7 +3162,7 @@ object TrainQueries extends QuerySet {
               |c AS (SELECT vec_id AS cid, v AS cv FROM e
               |      WHERE vec_id < (SELECT greatest(8, (n - 50 + 255) // 256)
               |                      FROM nn)),
-              |${assignCtes("e", "c", "ca")},
+              |${assign2Ctes("e", "c", "ca", 2)},
               |pp AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
@@ -3152,22 +3212,31 @@ object TrainQueries extends QuerySet {
         val nb = n - 100
         val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
         val batch = corpus.filter(col("vid") >= nb)
-        val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+        val ncent = Ann.adaptiveCentroidCount(nb)
+        val cents = e.filter(col("vec_id") < ncent)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val steps = Ann.towerSteps(nb, levels = 2, cap = 8)
         val upperN = (nb + steps.head - 1) / steps.head
-        val centsU = e.filter(col("vec_id") <
-            Ann.adaptiveCentroidCount(upperN, targetBucket = 8))
+        val ncentU = Ann.adaptiveCentroidCount(upperN, targetBucket = 8)
+        val centsU = e.filter(col("vec_id") < ncentU)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val (grouped, gstep) = twoLevel(cents, ncent)
+        val (groupedU, gstepU) = twoLevel(centsU, ncentU)
         val root = n25Lake(s, dir)
         val sliver = batch.filter(col("vid") % steps.head === 0)
-        val probed0 = Ann.probedCids(batch, cents, nprobe = 2)
-        val probed1 = Ann.probedCids(sliver, centsU, nprobe = 4)
+        val probed0 = Ann.probedCidsTwoLevel(batch, grouped, gstep,
+          nprobe = 2, gprobe = 2)
+        val probed1 = Ann.probedCidsTwoLevel(sliver, groupedU, gstepU,
+          nprobe = 4, gprobe = 2)
         val (a0, g0) = Ann.indexLakeProbedSlice(s, s"$root/level0", probed0)
         val (a1, g1) = Ann.indexLakeProbedSlice(s, s"$root/level1", probed1)
         val maintained = Ann.towerInsert(Seq(
-          Ann.LevelIndex(a0, g0, cents, 1L, 12, 2),
-          Ann.LevelIndex(a1, g1, centsU, steps.head, 8, 4)), batch)
+          Ann.LevelIndex(a0, g0, cents, 1L, 12, 2, Some(m =>
+            Ann.probesTwoLevel(m.select(col("vid"), col("vec")),
+              grouped, gstep, nprobe = 2, gprobe = 2))),
+          Ann.LevelIndex(a1, g1, centsU, steps.head, 8, 4, Some(m =>
+            Ann.probesTwoLevel(m.select(col("vid"), col("vec")),
+              groupedU, gstepU, nprobe = 4, gprobe = 2)))), batch)
         val probedN = Seq(probed0.size.toLong, probed1.size.toLong)
         maintained.zipWithIndex.map { case (li, lvl) =>
           li.edges.join(li.assigned.select(col("vid"), col("cid")), Seq("vid"))
@@ -3185,7 +3254,7 @@ object TrainQueries extends QuerySet {
               |c AS (SELECT vec_id AS cid, v AS cv FROM e
               |      WHERE vec_id < (SELECT greatest(8, (n - 100 + 255) // 256)
               |                      FROM nn)),
-              |${assignCtes("e", "c", "ca")},
+              |${assign2Ctes("e", "c", "ca", 2)},
               |pp AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
@@ -3209,7 +3278,7 @@ object TrainQueries extends QuerySet {
               |uc AS (SELECT vec_id AS cid, v AS cv FROM e
               |       WHERE vec_id < (SELECT greatest(8,
               |         ((n0 + s1 - 1) // s1 + 7) // 8) FROM st1)),
-              |${assignCtes("up", "uc", "ua")},
+              |${assign2Ctes("up", "uc", "ua", 2)},
               |pu AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM uaj) z WHERE rn <= 4),
@@ -3266,10 +3335,12 @@ object TrainQueries extends QuerySet {
         val nb = Tables.rowCount(s, dir, "embeddings") - 50
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+        val ncent = Ann.adaptiveCentroidCount(nb)
+        val cents = e.filter(col("vec_id") < ncent)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        Ann.ivfSearchFromLake(s, n24Lake(s, dir), qs, cents,
-          k = 5, nprobe = 2)
+        val (grouped, gstep) = twoLevel(cents, ncent)
+        Ann.ivfSearchFromLakeTwoLevel(s, n24Lake(s, dir), qs, grouped,
+          gstep, k = 5, nprobe = 2, gprobe = 2)
       },
       Some(s"""WITH $embCte,
               |nn AS (SELECT count(*) AS n FROM e),
@@ -3278,7 +3349,7 @@ object TrainQueries extends QuerySet {
               |c AS (SELECT vec_id AS cid, v AS cv FROM e
               |      WHERE vec_id < (SELECT greatest(8, (n - 50 + 255) // 256)
               |                      FROM nn)),
-              |${assignCtes("eb", "c", "ca")},
+              |${assign2Ctes("eb", "c", "ca", 2)},
               |qp AS (SELECT vid AS qid, v AS qv, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM caj WHERE vid < 10) z
@@ -3307,13 +3378,18 @@ object TrainQueries extends QuerySet {
         val n = Tables.rowCount(s, dir, "embeddings")
         val nb = n - 50
         val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
-        val cents = e.filter(col("vec_id") < Ann.adaptiveCentroidCount(nb))
+        val ncent = Ann.adaptiveCentroidCount(nb)
+        val cents = e.filter(col("vec_id") < ncent)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val (grouped, gstep) = twoLevel(cents, ncent)
         val batch = corpus.filter(col("vid") >= nb)
         val root = n27LakeCopy(s, dir)
-        val probed = Ann.probedCids(batch, cents, nprobe = 2)
+        val probed = Ann.probedCidsTwoLevel(batch, grouped, gstep,
+          nprobe = 2, gprobe = 2)
         val (aP, gP) = Ann.indexLakeProbedSlice(s, root, probed, buckets = 8)
-        val (a1, g1) = Ann.graphInsert(aP, gP, batch, cents, k = 12, nprobe = 2)
+        val (a1, g1) = Ann.graphInsertProbed(aP, gP,
+          Ann.probesTwoLevel(batch.select(col("vid"), col("vec")),
+            grouped, gstep, nprobe = 2, gprobe = 2), k = 12)
         Ann.indexLakeApply(s, root, probed, a1, g1, buckets = 8)
         s.read.parquet(s"$root/edges")
           .groupBy(col("cid").cast("long").as("cid"))
@@ -3328,7 +3404,7 @@ object TrainQueries extends QuerySet {
               |c AS (SELECT vec_id AS cid, v AS cv FROM e
               |      WHERE vec_id < (SELECT greatest(8, (n - 50 + 255) // 256)
               |                      FROM nn)),
-              |${assignCtes("e", "c", "ca")},
+              |${assign2Ctes("e", "c", "ca", 2)},
               |pp AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),

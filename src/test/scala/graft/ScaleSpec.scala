@@ -1188,6 +1188,85 @@ class ScaleSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("two-level coarse quantizer: broadcast is the √ncent supers, candidate fan is group-bounded") {
+    import graft.ann.Ann
+    // the r15 verdict's second scale-killer: flat assignment
+    // broadcasts the WHOLE centroid table (corpus-shaped at 10⁹ —
+    // adaptiveCentroidCount(1e9) ≈ 3.9M rows ≈ 2 GB). The two-level
+    // path must (1) broadcast only the ⌊√ncent⌋-strided supers,
+    // (2) score each vector against ONLY its top-gprobe groups'
+    // members, and (3) reproduce exactly the driver-replayable
+    // two-level rule (quantized cosine, id tiebreaks) — pinned here
+    // against an independent driver-side computation.
+    assert(Ann.superStride(4000000L) === 2000L)
+    assert(Ann.adaptiveCentroidCount(1000000000L) === 3906250L)
+    val vs = StructType(Seq(StructField("vid", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    def vecOf(i: Long, salt: Long): Seq[Float] =
+      Seq(((i * 13 + salt) % 17 + 1).toFloat, ((i * 7 + salt) % 11 + 1).toFloat,
+        ((i * 3 + salt) % 5 + 1).toFloat)
+    val ncent = 64
+    val cents = df(StructType(Seq(StructField("cid", LongType),
+        StructField("cvec", ArrayType(FloatType)))),
+      (0L until ncent).map(i => Row(i, vecOf(i, 3))))
+    val vecs = df(vs, (0L until 50L).map(i => Row(i, vecOf(i, 29))))
+    val gstep = Ann.superStride(ncent)
+    assert(gstep === 8L)
+    // checkpointed like every production caller (TrainQueries.twoLevel)
+    // — the quantizer artifact is a persisted leaf, so the candidate
+    // plan's ONLY cross join is vecs × supers
+    val grouped = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
+      Ann.centroidGroups(cents, gstep))
+    val gRows = grouped.select(col("cid"), col("gid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gRows.size === ncent &&
+      gRows.values.forall(g => g % gstep == 0), "gid must be a super cid")
+    // driver-side reference of the SAME rule
+    def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.floor(dot / (na * nb) * 1e6 + 0.5) / 1e6
+    }
+    val cvecs = (0L until ncent).map(i => i -> vecOf(i, 3)).toMap
+    val supers = (0L until ncent).filter(_ % gstep == 0)
+    def bestGroups(v: Seq[Float], n: Int): Seq[Long] =
+      supers.map(g => (g, cos6(v, cvecs(g))))
+        .sortBy { case (g, c) => (-c, g) }.take(n).map(_._1)
+    for ((cid, gid) <- gRows)
+      assert(gid === bestGroups(cvecs(cid), 1).head,
+        s"centroid $cid grouped to $gid, reference ${bestGroups(cvecs(cid), 1)}")
+    val cand = Ann.twoLevelCandidates(vecs, grouped, gstep, gprobe = 2)
+    // plan: exactly ONE nested-loop broadcast (the supers), and its
+    // build side is the strided filter — the full centroid table must
+    // only ever reach the plan through the gid equi-join
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 === 1,
+      s"expected exactly the supers cross join:\n$plan")
+    // candidate fan = exactly the members of the vector's top-2 groups
+    val gotFan = cand.select(col("vid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vvecs = (0L until 50L).map(i => i -> vecOf(i, 29)).toMap
+    val wantFan = (for {
+      (vid, v) <- vvecs.toSeq
+      g <- bestGroups(v, 2)
+      cid <- gRows.collect { case (c, gg) if gg == g => c }
+    } yield (vid, cid)).toSet
+    assert(gotFan === wantFan, "candidate set must be exactly the top-2 groups' members")
+    val maxFan = gotFan.groupBy(_._1).values.map(_.size).max
+    assert(maxFan < ncent, s"fan $maxFan must stay below ncent=$ncent")
+    // assignment = argmax over the candidates, cid tiebreak
+    val got = Ann.ivfAssignTwoLevel(vecs, grouped, gstep, 2)
+      .select(col("vid"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = vvecs.map { case (vid, v) =>
+      vid -> wantFan.collect { case (w, cid) if w == vid => cid }.toSeq
+        .map(c => (c, cos6(v, cvecs(c)))).sortBy { case (c, s) => (-s, c) }
+        .head._1
+    }
+    assert(got === want, "two-level assignment must replay the reference rule")
+  }
+
   test("partitioned layout: day filter binds as a PartitionFilter (metadata pruning, no data-filter fallback)") {
     val s = StructType(Seq(StructField("day", StringType),
       StructField("v", LongType)))
