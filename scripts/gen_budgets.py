@@ -6,7 +6,11 @@ round-over-round on UNCHANGED queries and nothing failed loudly. Wall
 time tracks the host's mood (load-3 windows have repeatedly faked
 regressions), but executor-CPU and GC seconds track code, so the budget
 gate pins those: each query's budget is its measured best-run CPU with
-generous headroom (1.6x + 0.75 s) and GC with 3x + 1.0 s. graft.Bench
+generous headroom (1.6x + 0.75 s) and GC with 3x + 2.5 s — the GC
+additive floor is 2.5 s because GC attribution is bursty (a major
+collection lands on whichever query is running: r15's close tripped
+t16 at 1.12 s over a 1.0 s floor on the same-day budget, a noise trip,
+while real GC regressions measured in the multi-second range). graft.Bench
 reads this file when the run's SF dir matches the header and reports
 any query whose best (minimum across runs) CPU/GC exceeds budget in the
 artifact's `budget_violations` plus stderr; SPARK_GRAFT_BUDGET_STRICT=1
@@ -35,7 +39,7 @@ def main() -> None:
     print("# query\tcpu_budget_s\tgc_budget_s  (best-run measured * headroom)")
     for name in sorted(cpu_min):
         cpu_b = round(cpu_min[name] * 1.6 + 0.75, 3)
-        gc_b = round(gc_min[name] * 3.0 + 1.0, 3)
+        gc_b = round(gc_min[name] * 3.0 + 2.5, 3)
         print(f"{name}\t{cpu_b}\t{gc_b}")
 
 

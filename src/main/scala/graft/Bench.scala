@@ -212,24 +212,44 @@ object Bench {
     val minCpu = allRuns.flatMap(_._1).groupBy(_._1)
       .map { case (k, rs) => k -> (rs.map(_._4).min, rs.map(_._5).min) }
     val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "bench_budgets.tsv")
+    // canonicalized path compare + loud skip + Try-guarded parse (r15
+    // advice): a trailing slash or symlinked sfDir must not silently
+    // disable the gate, and one malformed budget line must not crash
+    // the whole bench — both now report to stderr instead.
+    def canon(p: String): String =
+      try java.nio.file.Paths.get(p).toRealPath().toString
+      catch { case _: Exception => p.stripSuffix("/") }
     val budgetViolations: Seq[(String, String)] = {
       val f = java.nio.file.Paths.get(budgetPath)
-      if (!java.nio.file.Files.isReadable(f)) Seq.empty
-      else {
+      if (!java.nio.file.Files.isReadable(f)) {
+        System.err.println(s"[bench] budgets skipped: $budgetPath not readable")
+        Seq.empty
+      } else {
         val lines = scala.jdk.CollectionConverters
           .ListHasAsScala(java.nio.file.Files.readAllLines(f)).asScala.toSeq
-        val sfOk = lines.headOption.exists(_.trim == s"# sf=$sfDir")
-        if (!sfOk) Seq.empty
+        val headerSf = lines.headOption.map(_.trim.stripPrefix("# sf="))
+        val sfOk = headerSf.exists(h => canon(h) == canon(sfDir))
+        if (!sfOk) {
+          System.err.println(s"[bench] budgets skipped: header sf=" +
+            s"${headerSf.getOrElse("<missing>")} does not match run sf=$sfDir")
+          Seq.empty
+        }
         else lines.filterNot(_.startsWith("#")).flatMap { ln =>
           ln.split("\t") match {
             case Array(name, cpuB, gcB) =>
-              minCpu.get(name).toSeq.flatMap { case (cpu, gc) =>
-                val over = Seq(
-                  if (cpu > cpuB.toDouble)
-                    Some(s"cpu ${r3(cpu)}s > budget ${cpuB}s") else None,
-                  if (gc > gcB.toDouble)
-                    Some(s"gc ${r3(gc)}s > budget ${gcB}s") else None).flatten
-                if (over.isEmpty) None else Some(name -> over.mkString("; "))
+              (scala.util.Try(cpuB.toDouble), scala.util.Try(gcB.toDouble)) match {
+                case (scala.util.Success(cb), scala.util.Success(gb)) =>
+                  minCpu.get(name).toSeq.flatMap { case (cpu, gc) =>
+                    val over = Seq(
+                      if (cpu > cb)
+                        Some(s"cpu ${r3(cpu)}s > budget ${cpuB}s") else None,
+                      if (gc > gb)
+                        Some(s"gc ${r3(gc)}s > budget ${gcB}s") else None).flatten
+                    if (over.isEmpty) None else Some(name -> over.mkString("; "))
+                  }
+                case _ =>
+                  System.err.println(s"[bench] bad budget line skipped: $ln")
+                  Seq.empty
               }
             case _ => Seq.empty
           }
@@ -241,8 +261,9 @@ object Bench {
     }
     val budgetJson = budgetViolations
       .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
+    val twinJson = SparkEntry.benchTwinNames.map(jstr).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""total_cpu":${r3(totalCpu)},"queries":$qs,""" +
+      s""""total_cpu":${r3(totalCpu)},"twin_swapped":$twinJson,"queries":$qs,""" +
       s""""queries_best":$qsBest,"queries_cpu":$qsCpu,"queries_gc":$qsGc,""" +
       s""""errors":$errsJson,"error_count":${errors.size},""" +
       s""""budget_violations":$budgetJson,""" +

@@ -53,4 +53,10 @@ object SparkEntry {
       s"benchPlans for unregistered queries: ${unknown.mkString(", ")}")
     queries ++ overrides
   }
+
+  /** The twin-swapped query names, disclosed in the bench artifact so
+    * cross-round wall/CPU ratios can exclude measurement-definition
+    * changes from code-change claims (r15 advice). */
+  def benchTwinNames: Seq[String] =
+    sets.flatMap(_.benchPlans.keys).distinct.sorted
 }

@@ -913,28 +913,48 @@ object EventQueries extends QuerySet {
     * on a batch frame is eliminated by the optimizer, leaving exactly
     * the per-batch join plan); st08 probes the windowed aggregation
     * plus the update-mode read-back (last update per key). */
+  private def cv(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"),
+      graft.core.Exprs.cents(col("value")).cast("long").as("value_cents"))
+    (ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts")),
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("v_ts"), col("value_cents")))
+  }
+
+  private def ij(joinType: String)(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val (clicks, views) = cv(s, dir)
+    EventOps.streamIntervalJoin(clicks, views, "user_id", "c_ts", "v_ts",
+        interval = "1 HOUR", delay = "2 hours", joinType = joinType)
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        col("view_id"), unix_micros(col("v_ts")).as("view_us"),
+        col("value_cents"))
+  }
+
+  /** Bench twins (r15 verdict #6, the n22/n23 precedent applied to
+    * the streaming family): st07/st10 book ~2 s of operator work
+    * inside ~6 s of AvailableNow lifecycle + checkpoint IO each — a
+    * fixed cost a long-running stream amortizes at real scale and
+    * which the battery otherwise re-prices every rep. The twins time
+    * the interval-join CORE on static frames (withWatermark on a
+    * batch frame is optimizer-eliminated, leaving exactly the
+    * per-batch join plan); Verify still runs the full streaming
+    * lifecycle forms against their oracles. Twin-swapped queries are
+    * disclosed in the bench artifact (twin_swapped) so cross-round
+    * wall ratios stay apples-to-apples (r15 advice). */
+  override def benchPlans
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "st07_stream_interval_join" -> (ij("inner") _),
+      "st10_stream_outer_join" -> (ij("left_outer") _))
+
   override def stBatchPlans
       : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = {
-    def cv(s: org.apache.spark.sql.SparkSession, dir: String) = {
-      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), col("ts"),
-        graft.core.Exprs.cents(col("value")).cast("long").as("value_cents"))
-      (ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("c_ts")),
-        ev.filter(col("event_type") === "view")
-          .select(col("event_id").as("view_id"), col("user_id"),
-            col("ts").as("v_ts"), col("value_cents")))
-    }
-    def ij(joinType: String)(s: org.apache.spark.sql.SparkSession, dir: String) = {
-      val (clicks, views) = cv(s, dir)
-      EventOps.streamIntervalJoin(clicks, views, "user_id", "c_ts", "v_ts",
-          interval = "1 HOUR", delay = "2 hours", joinType = joinType)
-        .select(col("click_id"), col("user_id"),
-          unix_micros(col("c_ts")).as("click_us"),
-          col("view_id"), unix_micros(col("v_ts")).as("view_us"),
-          col("value_cents"))
-    }
     Map(
       "st05_funnel_stateful" ->
         all.find(_.name == "st05_funnel_stateful").get.fn,

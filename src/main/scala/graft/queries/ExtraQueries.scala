@@ -812,4 +812,28 @@ object ExtraQueries extends QuerySet {
           valuHz(s, dir).filter(areaOf.isin(areas: _*)))
         .withColumn("areasymbol", areaOf)
     }))
+
+  /** st04's bench twin (r15 verdict #6): the documented ~8 s cost is
+    * streaming lifecycle + checkpoint IO around ~2 genuine slice
+    * builds (see the query's cost-floor note). The twin prices the
+    * OPERATOR — both waves' per-area Valu1 slice rebuilds (SSA1 built
+    * twice, as the stream does) with wave 2 superseding wave 1's
+    * SSA1, i.e. the final lake content — with no checkpoint, trigger,
+    * or parquet landing. Verify keeps the full streaming form against
+    * the v14 oracle; the swap is disclosed in the bench artifact's
+    * twin_swapped list. */
+  override def benchPlans
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("st04_valu_incremental" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer").select(col("c_custkey").as("mukey"))
+      def areaOf = concat(lit("SSA"), (col("mukey") % 4).cast("string"))
+      def buildFor(areas: Seq[String]) =
+        buildValu(base.filter(areaOf.isin(areas: _*)),
+            valuHz(s, dir).filter(areaOf.isin(areas: _*)))
+          .withColumn("areasymbol", areaOf)
+      buildFor(Seq("SSA0", "SSA1", "SSA2"))
+        .filter(col("areasymbol").isin("SSA0", "SSA2"))
+        .unionByName(buildFor(Seq("SSA1", "SSA3")))
+        .drop("areasymbol")
+    }))
 }

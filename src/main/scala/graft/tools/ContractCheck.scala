@@ -178,15 +178,18 @@ object ContractCheck {
       df.count() == 10),
     // hot-balanced image dedup: the one-byte wobble copies pair with
     // their source at hamming ≤ 2 (≥ 5 of the 20 — short docs emit no
-    // window), and at least one HOT source (doc_id % 10 < 3 carries
-    // the planted band) pairs through the triangle decomposition
-    // specifically — the path a balancing bug would break
+    // window), and the TRIANGLE-ONLY plant (2100000/2100001: band 0
+    // is the hot letterhead value, bands 1–7 each differ by one bit,
+    // hamming exactly 7) must appear — that pair shares NO cold band,
+    // so only the hot branch's triangle decomposition can block it;
+    // a hot-path regression fails here even where the all-pairs twin
+    // is intractable (r15 advice: the wobble copies alone also block
+    // on their six untouched cold bands and could not catch that)
     "mm13_phash_hot_balanced" -> (df =>
       df.filter(col("id_b") === col("id_a") + 2000000L &&
         col("hamming") <= 2).count() >= 5 &&
-      df.filter(col("id_a") % 10 < 3 && col("id_a") < 20 &&
-        col("id_b") === col("id_a") + 2000000L &&
-        col("hamming") <= 2).count() >= 1),
+      df.filter(col("id_a") === 2100000L && col("id_b") === 2100001L &&
+        col("hamming") === 7).count() == 1),
     // maintenance gates: the incrementally-maintained index must stay
     // within 2 hits of its from-scratch rebuild (the columns the
     // Verify form computes; the bench twin elides the rebuild, so
