@@ -235,15 +235,23 @@ object Ann {
       .select(col("vid"), col("vec"), col("cid"), col("pr"))
   }
 
+  /** The distinct probed cids of an already-computed probe frame —
+    * the bounded driver collect (≤ |batch|·nprobe ints). Callers
+    * compute the probe frame ONCE (checkpointed), derive the prune
+    * set from it here, and hand the SAME frame to
+    * [[graphInsertProbed]] — re-deriving the probe chain for each
+    * consumer doubles its window stages per run. */
+  def cidsOf(probes: DataFrame): Seq[Int] =
+    probes.select(col("cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
   /** [[probedCids]] under the two-level probe rule — same bounded
     * driver collect (≤ |batch|·nprobe ints), no corpus-shaped
     * broadcast anywhere upstream. */
   def probedCidsTwoLevel(batch: DataFrame, grouped: DataFrame,
       gstep: Long, nprobe: Int, gprobe: Int): Seq[Int] =
-    probesTwoLevel(batch.select(col("vid"), col("vec")), grouped, gstep,
-        nprobe, gprobe)
-      .select(col("cid").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    cidsOf(probesTwoLevel(batch.select(col("vid"), col("vec")), grouped,
+      gstep, nprobe, gprobe))
 
   def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
     val ca = ivfAssign(corpus, centroids)
@@ -619,11 +627,14 @@ object Ann {
       k: Int, nprobe: Int, gprobe: Int,
       buckets: Int = defaultLakeBuckets): DataFrame = {
     val qv = queries.select(col("qid").as("vid"), col("qvec").as("vec"))
-    val probed = probedCidsTwoLevel(qv, grouped, gstep, nprobe, gprobe)
+    // one probe frame feeds the prune set AND the scorer (the n24 note)
+    val probesQ = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
+      probesTwoLevel(qv, grouped, gstep, nprobe, gprobe))
+    val probed = cidsOf(probesQ)
     val corpusAssigned = lakePrune(
         spark.read.parquet(s"$root/assigned"), probed, buckets)
       .select(col("vid"), col("vec"), col("cid").cast("long").as("cid"))
-    val probes = probesTwoLevel(qv, grouped, gstep, nprobe, gprobe)
+    val probes = probesQ
       .select(col("vid").as("qid"), col("vec").as("qvec"), col("cid"))
     val scored = probes.join(corpusAssigned, "cid")
       .filter(col("qid") =!= col("vid"))

@@ -3143,12 +3143,15 @@ object TrainQueries extends QuerySet {
         val (grouped, gstep) = twoLevel(cents, ncent)
         val batch = corpus.filter(col("vid") >= nb)
         val root = n24Lake(s, dir)
-        val probed = Ann.probedCidsTwoLevel(batch, grouped, gstep,
-          nprobe = 2, gprobe = 2)
-        val (aP, gP) = Ann.indexLakeProbedSlice(s, root, probed)
-        val (a1, g1) = Ann.graphInsertProbed(aP, gP,
+        // ONE probe frame feeds both the prune set and the repair —
+        // re-deriving the two-level chain per consumer doubles its
+        // window stages per run (cheap at 10^9, visible at sf0.1)
+        val probes = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
           Ann.probesTwoLevel(batch.select(col("vid"), col("vec")),
-            grouped, gstep, nprobe = 2, gprobe = 2), k = 12)
+            grouped, gstep, nprobe = 2, gprobe = 2))
+        val probed = Ann.cidsOf(probes)
+        val (aP, gP) = Ann.indexLakeProbedSlice(s, root, probed)
+        val (a1, g1) = Ann.graphInsertProbed(aP, gP, probes, k = 12)
         g1.join(a1.select(col("vid"), col("cid")), Seq("vid"))
           .groupBy(col("cid").cast("long").as("cid"))
           .agg(countDistinct(col("vid")).as("n_vertices"),
@@ -3224,19 +3227,22 @@ object TrainQueries extends QuerySet {
         val (groupedU, gstepU) = twoLevel(centsU, ncentU)
         val root = n25Lake(s, dir)
         val sliver = batch.filter(col("vid") % steps.head === 0)
-        val probed0 = Ann.probedCidsTwoLevel(batch, grouped, gstep,
-          nprobe = 2, gprobe = 2)
-        val probed1 = Ann.probedCidsTwoLevel(sliver, groupedU, gstepU,
-          nprobe = 4, gprobe = 2)
+        val cpoint = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean _
+        // one probe frame per level feeds prune + repair (the n24 note)
+        val probes0 = cpoint(Ann.probesTwoLevel(
+          batch.select(col("vid"), col("vec")), grouped, gstep,
+          nprobe = 2, gprobe = 2))
+        val probes1 = cpoint(Ann.probesTwoLevel(
+          sliver.select(col("vid"), col("vec")), groupedU, gstepU,
+          nprobe = 4, gprobe = 2))
+        val probed0 = Ann.cidsOf(probes0)
+        val probed1 = Ann.cidsOf(probes1)
         val (a0, g0) = Ann.indexLakeProbedSlice(s, s"$root/level0", probed0)
         val (a1, g1) = Ann.indexLakeProbedSlice(s, s"$root/level1", probed1)
         val maintained = Ann.towerInsert(Seq(
-          Ann.LevelIndex(a0, g0, cents, 1L, 12, 2, Some(m =>
-            Ann.probesTwoLevel(m.select(col("vid"), col("vec")),
-              grouped, gstep, nprobe = 2, gprobe = 2))),
-          Ann.LevelIndex(a1, g1, centsU, steps.head, 8, 4, Some(m =>
-            Ann.probesTwoLevel(m.select(col("vid"), col("vec")),
-              groupedU, gstepU, nprobe = 4, gprobe = 2)))), batch)
+          Ann.LevelIndex(a0, g0, cents, 1L, 12, 2, Some(_ => probes0)),
+          Ann.LevelIndex(a1, g1, centsU, steps.head, 8, 4,
+            Some(_ => probes1))), batch)
         val probedN = Seq(probed0.size.toLong, probed1.size.toLong)
         maintained.zipWithIndex.map { case (li, lvl) =>
           li.edges.join(li.assigned.select(col("vid"), col("cid")), Seq("vid"))
@@ -3384,12 +3390,12 @@ object TrainQueries extends QuerySet {
         val (grouped, gstep) = twoLevel(cents, ncent)
         val batch = corpus.filter(col("vid") >= nb)
         val root = n27LakeCopy(s, dir)
-        val probed = Ann.probedCidsTwoLevel(batch, grouped, gstep,
-          nprobe = 2, gprobe = 2)
-        val (aP, gP) = Ann.indexLakeProbedSlice(s, root, probed, buckets = 8)
-        val (a1, g1) = Ann.graphInsertProbed(aP, gP,
+        val probes = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
           Ann.probesTwoLevel(batch.select(col("vid"), col("vec")),
-            grouped, gstep, nprobe = 2, gprobe = 2), k = 12)
+            grouped, gstep, nprobe = 2, gprobe = 2))
+        val probed = Ann.cidsOf(probes)
+        val (aP, gP) = Ann.indexLakeProbedSlice(s, root, probed, buckets = 8)
+        val (a1, g1) = Ann.graphInsertProbed(aP, gP, probes, k = 12)
         Ann.indexLakeApply(s, root, probed, a1, g1, buckets = 8)
         s.read.parquet(s"$root/edges")
           .groupBy(col("cid").cast("long").as("cid"))

@@ -14,7 +14,7 @@ object TimeOne {
     // task-run/CPU/GC seconds per rep (the Bench Counters split): wall
     // alone can't separate "less work" from "less contention" — the v14
     // diagnosis needed task-seconds from a single-query loop
-    val run, cpu, gc = new java.util.concurrent.atomic.AtomicLong
+    val run, cpu, gc, shr, shw, ntask = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -24,18 +24,23 @@ object TimeOne {
             run.addAndGet(m.executorRunTime)
             cpu.addAndGet(m.executorCpuTime)
             gc.addAndGet(m.jvmGCTime)
+            shr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ntask.incrementAndGet()
           }
         }
       })
     for (name <- args; r <- 1 to reps) {
-      val b = (run.get, cpu.get, gc.get)
+      val b = (run.get, cpu.get, gc.get, shr.get, shw.get, ntask.get)
       val t0 = System.nanoTime()
       graft.Bench.runNoop(spark, sfDir, name)
       val w = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       println(f"[timeone] $name rep$r: $w%.2f s" +
         f" task=${(run.get - b._1) / 1e3}%.2f cpu=${(cpu.get - b._2) / 1e9}%.2f" +
-        f" gc=${(gc.get - b._3) / 1e3}%.2f")
+        f" gc=${(gc.get - b._3) / 1e3}%.2f" +
+        f" tasks=${ntask.get - b._6}%d" +
+        f" shuffle_rw_mb=[${(shr.get - b._4) / 1e6}%.1f,${(shw.get - b._5) / 1e6}%.1f]")
     }
     spark.stop()
   }
