@@ -2763,7 +2763,7 @@ object TrainQueries extends QuerySet {
               |uc AS (SELECT vec_id AS cid, v AS cv FROM e
               |       WHERE vec_id < (SELECT greatest(8,
               |         ((n0 + s1 - 1) // s1 + 7) // 8) FROM st2)),
-              |${assign2Ctes("up", "uc", "ua", 2)},
+              |${assignCtes("up", "uc", "ua")},
               |pu AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM uaj) z WHERE rn <= 4),
@@ -2998,7 +2998,7 @@ object TrainQueries extends QuerySet {
               |c AS (SELECT vec_id AS cid, v AS cv FROM e
               |      WHERE vec_id < (SELECT greatest(8, (n - 100 + 255) // 256)
               |                      FROM nn)),
-              |${assign2Ctes("e", "c", "ca", 2)},
+              |${assignCtes("e", "c", "ca")},
               |pp AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM caj) z WHERE rn <= 2),
@@ -3034,7 +3034,7 @@ object TrainQueries extends QuerySet {
               |uc AS (SELECT vec_id AS cid, v AS cv FROM e
               |       WHERE vec_id < (SELECT greatest(8,
               |         ((n0 + s1 - 1) // s1 + 7) // 8) FROM st2)),
-              |${assign2Ctes("up", "uc", "ua", 2)},
+              |${assignCtes("up", "uc", "ua")},
               |pu AS (SELECT vid, v, cid FROM (
               |         SELECT *, row_number() OVER (PARTITION BY vid
               |           ORDER BY cos6 DESC, cid) AS rn FROM uaj) z WHERE rn <= 4),
