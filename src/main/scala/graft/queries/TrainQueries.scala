@@ -517,6 +517,36 @@ object TrainQueries extends QuerySet {
       |dpl AS (SELECT doc_id, text FROM documents
       |        UNION ALL SELECT doc_id, text FROM plant)""".stripMargin
 
+  /** d03's plant — 20 pairs of byte-IDENTICAL corpus-disjoint docs
+    * (6300000+i / 6400000+i over "zw{i}x{j}" tokens). Identical docs
+    * have identical SimHash signatures (hamming 0), so — unlike the
+    * d02 family's near-copies, whose lane-sum hamming is a random
+    * walk with mean ≈ 8, beyond the 8-band pigeonhole — recall of
+    * these pairs is GUARANTEED, which is what lets d03 carry an sf1
+    * contract without making its exact-equality oracle
+    * probabilistic. */
+  private def plantDocsIdentical(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    (0 until 20).flatMap { i =>
+      val base = (0 until 40).map(j => s"zw${i}x$j").mkString(" ")
+      Seq((6300000L + i, base), (6400000L + i, base))
+    }.toDF("doc_id", "text")
+  }
+
+  private val plantIdenticalCte =
+    """pb AS (SELECT i, array_to_string(list_transform(generate_series(0, 39),
+      |         j -> 'zw' || CAST(i AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ') AS base
+      |       FROM generate_series(0, 19) t(i)),
+      |plant AS (SELECT 6300000 + i AS doc_id, base AS text FROM pb
+      |          UNION ALL SELECT 6400000 + i, base FROM pb),
+      |dpl AS (SELECT doc_id, text FROM documents
+      |        UNION ALL SELECT doc_id, text FROM plant)""".stripMargin
+
+  private val jaccard3IdenticalPlantSql =
+    s"""WITH $plantIdenticalCte,
+      |${jaccard3CtesOn(shingle3CtesOn("dpl"))}
+      |SELECT id_a, id_b, jaccard FROM jp""".stripMargin
+
   /** [[jaccard3Ctes]] over the PLANTED corpus — the d02/d09/d19/d21/
     * d23/d24/d25 oracle chain. */
   private val jaccard3PlantedCtes =
@@ -1903,9 +1933,11 @@ object TrainQueries extends QuerySet {
     // the gated corpora). The raw hamming shape (simhashPairs) is
     // spec-pinned in TrainOpsSpec.
     Q("d03_simhash",
-      (s, dir) => Dedup.simhashVerifiedPairs(Tables.load(s, dir, "documents"),
+      (s, dir) => Dedup.simhashVerifiedPairs(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(plantDocsIdentical(s)),
         "doc_id", "text", shingleN = 3, threshold = 0.5),
-      Some(jaccard3Sql)),
+      Some(jaccard3IdenticalPlantSql)),
 
     // D9 — incremental dedup: the id >= 300 slice plays the arriving
     // batch, the rest the indexed corpus; output = every near-dup pair

@@ -126,6 +126,15 @@ object ContractCheck {
     // incremental form must surface the full 60-pair plant too
     "d09_dedup_incremental" -> (df =>
       df.filter(col("id_a") >= 6000000L).count() == 60),
+    // d03's plant is 20 byte-IDENTICAL pairs (hamming 0 — recall
+    // GUARANTEED, unlike a near-copy whose lane-sum hamming is a
+    // random walk past the 8-band pigeonhole), completing the
+    // contract set: all 13 sf1 exec-only rows now gated
+    "d03_simhash" -> (df =>
+      df.filter(col("id_a") >= 6300000L && col("jaccard") === 1.0)
+        .count() == 20 &&
+      df.filter(col("id_a") >= 6300000L && col("jaccard") =!= 1.0)
+        .count() == 0),
     // paragraph granularity: each family's 3 docs recompose into two
     // paragraphs — first halves identical (J=1), second halves differ
     // by the appended token (18/19 → 0.9474): 6 pairs × 20 families
