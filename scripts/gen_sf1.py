@@ -56,6 +56,13 @@ N_CUST, N_SUPP, N_PART = 150_000 * MULT, 10_000 * MULT, 200_000 * MULT
 N_ORDERS, N_LINE, N_EVENTS = (1_500_000 * MULT, 6_000_000 * MULT,
                               1_000_000 * MULT)
 N_DOCS, N_VECS = 50_000 * MULT, 20_000 * MULT
+# The engine's d-family plant docs occupy doc_id >= 6_000_000
+# (TrainQueries.plantDocs / plantDocsIdentical); an ambient fixture
+# reaching that range would silently collide with the plants and
+# corrupt their SF-invariant contracts. Fail loudly instead.
+assert N_DOCS < 6_000_000, (
+    f"mult={MULT} puts ambient doc_id up to {N_DOCS - 1}, colliding with "
+    "the engine's planted doc_id range [6_000_000, ...) — cap mult < 120")
 
 
 def write(name, table, row_group_size):

@@ -18,33 +18,29 @@ if [ ! -f "$OUT/oracle_sql.json" ]; then
 fi
 
 # Split the oracle set by MEASURED DuckDB cost at sf1 (each twin timed
-# in isolation, 90 s budget, threads=8 — r15 triage; re-measure when a
-# twin changes). Everything not listed here oracle-compares at sf1;
-# the r9 family-level convention (all d/t/n/mm/st exec-only) left 85
-# tractable twins unchecked — the whole t-family runs in seconds, the
-# st batch twins are plain rollups, and the n-family's ladders already
-# replay at sf1 inside n22/n23. The 13 genuinely intractable ones:
-#   d02_minhash_lsh        exact all-pairs Jaccard: C(50k,2)=1.25e9
-#                          shingle-set intersections
-#   d03_simhash            same all-pairs shape over 64-bit signatures
-#   d09_dedup_incremental  replays the d02 twin twice (base + delta)
-#   d10_paragraph_dedup    all-pairs at paragraph granularity (235k)
-#   d11_paragraph_dup_stats consumes the d10 exact pair set
-#   d19_similar_topk       all-pairs cosine topk (20k x 50k-dim space)
-#   d21_dup_pagerank       consumes the d02-style exact pair set
-#   d23_minhash_calibration exact Jaccard over the full pair space
-#   d25_triangle_count     consumes the exact pair set
-#   mm06_phash_dedup       all-pairs 64-bit hamming over 50k docs
-#                          (planted-fixture contract still gates it)
-#   mm13_phash_hot_balanced all-pairs twin incl. the planted hot band
-#                          (planted-fixture contract gates it, r15)
-#   t23_bpe_train          8 sequential corpus-wide merge rounds as
-#                          chained CTEs
-#   t24_bpe_token_count    re-derives the t23 merge table first
-EXEC_ONLY="d02_minhash_lsh d03_simhash d09_dedup_incremental \
-d10_paragraph_dedup d11_paragraph_dup_stats d19_similar_topk \
-d21_dup_pagerank d23_minhash_calibration d25_triangle_count \
-mm06_phash_dedup mm13_phash_hot_balanced t23_bpe_train t24_bpe_token_count"
+# in isolation, 90 s budget, threads=8 — re-measure when a twin
+# changes). r17: the list is EMPTY — the 13 r15-intractable twins all
+# became tractable without weakening a single gate (each rewrite
+# measured at sf1 and byte-compared equal to the engine result first):
+#   - d02/d03/d09/d19/d21/d23/d25 + d10/d11: the exact-Jaccard chain
+#     now MATERIALIZEs the shingle table once (the naive CTE re-derived
+#     it 4x), joins on dense int shingle ids, and MATERIALIZEs jp
+#     (d21's pagerank rounds re-evaluated the whole pair derivation per
+#     iteration - >590 s -> 53 s). Same pair set, provably: the id
+#     mapping is a bijection and jp's filter is untouched.
+#   - t23/t24: every BPE round CTE is MATERIALIZED - the un-hinted
+#     chain re-inlined the whole history per round (2^8 blowup, >90 s);
+#     materialized it is 8 linear vocab passes (0.3 s / 1.5 s).
+#   - mm06: the oracle now replays the engine's own deterministic band
+#     blocking (hamming<=7 over 8 bands pigeonholes one equal band, so
+#     the candidate set provably contains every answer pair) - 16.5 s.
+#   - mm13: bounding the stressor input at doc_id < 5000 (the r16
+#     verdict's weak) made the existing all-pairs twin tractable
+#     outright (5.5 s).
+# The planted-fixture contracts (ContractCheck) still run on top as
+# independent gates. If a future fixture regen pushes a twin back over
+# budget, re-add it here with the measured number.
+EXEC_ONLY=""
 
 python3 - "$OUT" "$EXEC_ONLY" <<'PY'
 import json, os, sys

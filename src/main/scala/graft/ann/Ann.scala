@@ -439,7 +439,18 @@ object Ann {
     * its probes rank against, the build-time membership stride
     * ([[towerSteps]] cumulative — stride 1 = layer 0), and the build's
     * k / nprobe (levels differ: n20 builds layer 0 at (12, 2) and the
-    * walked level at (8, 4)). */
+    * walked level at (8, 4)).
+    *
+    * `probesFor`, when set, maps the level's stride-qualified batch
+    * SLIVER (the frame [[towerInsert]] passes it — already filtered to
+    * vid % stride == 0) to that sliver's (vid, cid) probe rows.
+    * CONTRACT: the returned frame's vids must be a subset of the input
+    * sliver's — a callback that ranks a WIDER frame (e.g. reusing one
+    * precomputed full-batch probe table across levels without
+    * re-filtering) would hand [[graphInsert]] non-member vids and
+    * silently insert them into the level, breaking the stride
+    * invariant hnswSearch descends by. n23's `_ => probes` lambdas are
+    * legal only because each is built FROM that level's sliver. */
   final case class LevelIndex(assigned: DataFrame, edges: DataFrame,
       centroids: DataFrame, stride: Long, k: Int, nprobe: Int,
       probesFor: Option[DataFrame => DataFrame] = None)
@@ -548,9 +559,13 @@ object Ann {
     * ([[indexLakeApply]]) while every other partition is never read,
     * never written, never shuffled (n24 gates the equality against the
     * full-repair oracle; ScaleSpec pins the PartitionFilters binding,
-    * the files-read set, and the bounded directory count). */
+    * the files-read set, and the bounded directory count). When
+    * `quantizer` is given, the two-level grouping lands beside them at
+    * root/quantizer so later sessions probe via [[quantizerRead]]
+    * instead of recomputing [[centroidGroups]]. */
   def indexLakeWrite(assigned: DataFrame, edges: DataFrame,
-      root: String, buckets: Int = defaultLakeBuckets): Unit = {
+      root: String, buckets: Int = defaultLakeBuckets,
+      quantizer: Option[(DataFrame, Long)] = None): Unit = {
     def land(df: DataFrame, path: String): Unit =
       df.withColumn("pcid", pmod(col("cid"), lit(buckets.toLong)).cast("int"))
         .repartition(col("pcid"))
@@ -559,6 +574,32 @@ object Ann {
     land(assigned, s"$root/assigned")
     land(edges.join(assigned.select(col("vid"), col("cid")), Seq("vid")),
       s"$root/edges")
+    quantizer.foreach { case (grouped, gstep) =>
+      grouped.select(col("cid"), col("cvec"), col("gid"))
+        .withColumn("gstep", lit(gstep))
+        .sortWithinPartitions(col("cid"))
+        .write.mode("overwrite").parquet(s"$root/quantizer")
+    }
+  }
+
+  /** Read back the persisted two-level quantizer of an
+    * [[indexLakeWrite]]-built lake: (grouped (cid, cvec, gid), gstep).
+    * The quantizer is part of the INDEX, frozen at build time like
+    * n11's PQ codebooks: [[centroidGroups]] is a full centroid-table
+    * pass (every centroid scored against the √ncent supers — a real
+    * job at the 4M-centroid 10⁹ design point), and a fresh session's
+    * probe/assign/search against an existing lake should read the
+    * landed artifact, not repeat the grouping per query (r16 verdict
+    * "What's missing #4"). The gstep scalar rides as a constant column
+    * (run-length-encoded by parquet; the one-row head() read is
+    * metadata-cheap) so the lake stays self-describing — no side
+    * meta file, and re-deriving ⌊√ncent⌋ from a count(*) job would
+    * cost more than reading it. */
+  def quantizerRead(spark: org.apache.spark.sql.SparkSession,
+      root: String): (DataFrame, Long) = {
+    val q = spark.read.parquet(s"$root/quantizer")
+    val gstep = q.select(col("gstep")).head.getLong(0)
+    (q.select(col("cid"), col("cvec"), col("gid")), gstep)
   }
 
   /** The two-sided prune every lake read applies: partition filter on
@@ -684,7 +725,21 @@ object Ann {
     * lineage at a bounded, probed-sized frame. n27 gates
     * lake-after-apply == the full-index repair (whole lake, all
     * buckets); ScaleSpec pins that no partition outside the probed
-    * buckets is rewritten. */
+    * buckets is rewritten.
+    *
+    * NOT ATOMIC ACROSS THE TWO ARTIFACTS: assigned and edges are two
+    * separate dynamic-overwrite jobs (Spark's parquet sink commits per
+    * path; there is no cross-directory transaction without a table
+    * format). A failure between the writes leaves a mixed-version lake
+    * — repaired assigned, stale edges — in the probed buckets only.
+    * Recovery is idempotent re-apply: both outputs were checkpointed
+    * from the PRE-apply lake state, and re-running the same apply (or
+    * re-deriving the repair from the batch, since graphInsert's repair
+    * is a function of base ∪ batch) converges both paths; unprobed
+    * buckets are never at risk. Deployments needing crash-atomicity
+    * should land both frames under a temp root and directory-swap, or
+    * use a transactional table format — out of scope for the parquet
+    * lake layer. */
   def indexLakeApply(spark: org.apache.spark.sql.SparkSession,
       root: String, probed: Seq[Int], assignedRepaired: DataFrame,
       edgesRepaired: DataFrame, buckets: Int = defaultLakeBuckets): Unit = {

@@ -161,7 +161,14 @@ object Dedup {
           col("a.did") < col("b.did"))
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(docs, cand, idCol, textCol, shingleN, threshold)
+    // bounded candidate set, checkpointed once — verifyJaccard embeds
+    // its candidate argument three times (id semi-join inside both
+    // shingle-union branches + the pair join) and each copy would
+    // re-inline the whole banding lineage (see the incremental form's
+    // measurement: ~7× CPU from plan replication alone)
+    verifyJaccard(docs,
+      org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(cand),
+      idCol, textCol, shingleN, threshold)
   }
 
   /** The k-lane signature over 64-bit shingle digests (did, h) — one
@@ -232,7 +239,18 @@ object Dedup {
       .select(least(col("a.did"), col("b.did")).as("id_a"),
         greatest(col("a.did"), col("b.did")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(all, cand, idCol, textCol, shingleN, threshold)
+    // the candidate frame is consumed THREE times by verifyJaccard
+    // (its id semi-join lands inside BOTH branches of the shingle
+    // union, plus the pair join itself) and each reference re-inlines
+    // the whole banding lineage — measured at sf0.1: an ~840-node
+    // physical plan with 214 scan copies that runtime exchange reuse
+    // only partially collapses (the cidsOf compute-once lesson, r16
+    // verdict). Checkpointing the BOUNDED candidate pair set (ids
+    // only, banding-bounded — orders below the corpus at any scale)
+    // cuts the verify side to a leaf probe.
+    verifyJaccard(all,
+      org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(cand),
+      idCol, textCol, shingleN, threshold)
   }
 
   /** MinHash Jaccard ESTIMATE beside the exact value, per already-
@@ -901,7 +919,12 @@ object Dedup {
       .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(docs, cand, idCol, textCol, shingleN, threshold)
+    // checkpoint-once before verification (the minhashLshPairs note):
+    // the cand subtree here carries the lane/cut/banding chain, which
+    // verifyJaccard would otherwise replicate three times
+    verifyJaccard(docs,
+      org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(cand),
+      idCol, textCol, shingleN, threshold)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via shingle equi-join — fully

@@ -373,23 +373,29 @@ object TrainQueries extends QuerySet {
     * and r into one token exactly when x = r and the accumulator ends
     * in token l). t23/t24 splice this; never re-derive (the assignCtes
     * lockstep rule). */
+  /** Every round CTE is MATERIALIZED (r17): w{i+1} references w{i} and
+    * m{i}, so the un-hinted chain re-inlines the whole prior history
+    * into each round — 2^rounds work that made t23/t24 sf1-intractable
+    * (>90 s) where the materialized chain is 8 LINEAR passes over the
+    * distinct-word table (measured 0.3 s / 1.5 s at sf1, equal to the
+    * engine merges). */
   private def bpeCtes(rounds: Int): String = {
     val base =
       s"""$toksCte,
-         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         |wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n
          |       FROM (SELECT unnest(t) AS w FROM toks) z
          |       WHERE w <> '' GROUP BY 1),
-         |w1 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, n
+         |w1 AS MATERIALIZED (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, n
          |       FROM wc)""".stripMargin
     val rds = (1 to rounds).map { i =>
-      s"""p$i AS (SELECT t[j] AS l, t[j+1] AS r, CAST(sum(n) AS BIGINT) AS pn
+      s"""p$i AS MATERIALIZED (SELECT t[j] AS l, t[j+1] AS r, CAST(sum(n) AS BIGINT) AS pn
          |        FROM (SELECT n, t, unnest(generate_series(1, len(t)-1)) AS j
          |              FROM (SELECT string_split(seq, ' ') AS t, n FROM w$i) z
          |              WHERE len(t) >= 2) zz
          |        GROUP BY 1, 2),
-         |m$i AS (SELECT CAST($i AS BIGINT) AS round, l, r, l || r AS merged, pn AS n
+         |m$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS round, l, r, l || r AS merged, pn AS n
          |        FROM p$i ORDER BY pn DESC, l, r LIMIT 1),
-         |w${i + 1} AS (SELECT wp.w, list_reduce(string_split(wp.seq, ' '),
+         |w${i + 1} AS MATERIALIZED (SELECT wp.w, list_reduce(string_split(wp.seq, ' '),
          |                (acc, x) -> CASE WHEN x = m.r AND (acc = m.l
          |                       OR ends_with(acc, ' ' || m.l)) THEN acc || x
          |                     ELSE acc || ' ' || x END) AS seq, wp.n
@@ -456,14 +462,33 @@ object TrainQueries extends QuerySet {
   /** [[shingle3Ctes]] extended to the ≥0.5 verified pair set jp(id_a,
     * id_b, jaccard) — spliced by d03 (via [[jaccard3Sql]]); the
     * d02-family oracles splice the PLANTED variant below (same
-    * lockstep rule as shingle2Ctes/cc2Ctes). */
+    * lockstep rule as shingle2Ctes/cc2Ctes).
+    *
+    * sf1-TRACTABLE FORM (r17, the r16 verdict's banded-replay item):
+    * three DuckDB-side moves with provably identical output make the
+    * whole family oracle-comparable at 50k docs where the r15 triage
+    * measured >90 s — (1) `sh` is MATERIALIZED once (the naive chain
+    * re-derives the split-regex/unnest/distinct shingling for every
+    * reference: cm×2 + cnt + jp's cnt), (2) the co-shingle join runs
+    * over dense int shingle ids (`sid` = row_number over the distinct
+    * shingle strings — a bijection, so `cm` counts are unchanged while
+    * the 2.6·10⁸-row join carries 8-byte ints instead of ~25-byte
+    * strings), and (3) `jp` is MATERIALIZED (d21's pagerank rounds and
+    * d19/d25's reuse otherwise re-evaluate the whole pair derivation
+    * per reference). Measured at sf1 threads=8: d02 36.8 s / d09
+    * 64.6 s / d21 53 s / d25 46 s / d19 40 s, each byte-equal to the
+    * engine result (d21 timed out at >590 s without (3)). */
   private def jaccard3CtesOn(shingles: String): String =
     s"""$shingles,
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shm AS MATERIALIZED (SELECT * FROM sh),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM shm GROUP BY doc_id),
+      |sid AS (SELECT s, row_number() OVER (ORDER BY s) AS si
+      |        FROM (SELECT DISTINCT s FROM shm) u),
+      |shi AS MATERIALIZED (SELECT doc_id, si FROM shm JOIN sid USING (s)),
       |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       FROM shi a JOIN shi b ON a.si = b.si AND a.doc_id < b.doc_id
       |       GROUP BY 1, 2),
-      |jp AS (SELECT id_a, id_b,
+      |jp AS MATERIALIZED (SELECT id_a, id_b,
       |         floor((CAST(c AS DOUBLE)/(na.n + nb.n - c))*1e4 + 0.5)/1e4 AS jaccard
       |       FROM cm JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
       |       WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5)""".stripMargin
@@ -498,7 +523,12 @@ object TrainQueries extends QuerySet {
     }.toDF("doc_id", "text")
   }
 
-  /** documents ∪ [[plantDocs]], the d02-family engine input. */
+  /** documents ∪ [[plantDocs]], the d02-family engine input.
+    * PRECONDITION: the ambient corpus must keep doc_id < 6,000,000
+    * (the plant range's floor) — `scripts/gen_sf1.py` asserts
+    * `N_DOCS < 6_000_000` (i.e. mult < 120) so a fixture that would
+    * collide with the plants fails loudly at generation time instead
+    * of silently corrupting the SF-invariant plant contracts. */
   private def plantedDocs(s: org.apache.spark.sql.SparkSession,
       dir: String) =
     Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -667,12 +697,19 @@ object TrainQueries extends QuerySet {
   private val paraShingleCtesPlanted =
     paraShingleCtesOn(paraCtesOn(s"$plantCte,\n${pdCtesOn("dpl")}"))
 
-  /** Exact all-pairs paragraph Jaccard at 0.6 (the d10 oracle body). */
+  /** Exact all-pairs paragraph Jaccard at 0.6 (the d10 oracle body) —
+    * same sf1-tractable int-shingle/MATERIALIZED form as
+    * [[jaccard3CtesOn]] (measured 42 s at sf1's ~100k paragraphs,
+    * equal to the engine pair set). */
   private def paraPairsSqlOn(shingles: String): String =
     s"""WITH $shingles,
+       |shm AS MATERIALIZED (SELECT * FROM sh),
+       |sid AS (SELECT s, row_number() OVER (ORDER BY s) AS si
+       |        FROM (SELECT DISTINCT s FROM shm) u),
+       |shi AS MATERIALIZED (SELECT pid, si FROM shm JOIN sid USING (s)),
        |cm AS (SELECT a.pid AS id_a, b.pid AS id_b, count(*) AS c
-       |       FROM sh a JOIN sh b ON a.s = b.s AND a.pid < b.pid GROUP BY 1, 2),
-       |pairs AS (SELECT id_a, id_b,
+       |       FROM shi a JOIN shi b ON a.si = b.si AND a.pid < b.pid GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (SELECT id_a, id_b,
        |            CAST(c AS DOUBLE)/(na.n + nb.n - c) AS j
        |          FROM cm JOIN cnt na ON id_a = na.pid JOIN cnt nb ON id_b = nb.pid
        |          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.6)""".stripMargin
@@ -813,7 +850,7 @@ object TrainQueries extends QuerySet {
       val (grouped, gstep) = twoLevel(cents, ncent)
       Ann.indexLakeWrite(Ann.ivfAssignTwoLevel(base, grouped, gstep, 2),
         Ann.knnGraphTwoLevel(base, grouped, gstep, k = 12, nprobe = 2,
-          gprobe = 2), root)
+          gprobe = 2), root, quantizer = Some((grouped, gstep)))
       root
     })
 
@@ -843,7 +880,7 @@ object TrainQueries extends QuerySet {
       val (grouped, gstep) = twoLevel(cents, ncent)
       Ann.indexLakeWrite(Ann.ivfAssignTwoLevel(b, grouped, gstep, 2),
         Ann.knnGraphTwoLevel(b, grouped, gstep, k = 12, nprobe = 2,
-          gprobe = 2), root, buckets = 8)
+          gprobe = 2), root, buckets = 8, quantizer = Some((grouped, gstep)))
       root
     })
     val run = graft.io.TmpRoots.cleanupOnExit(
@@ -883,10 +920,10 @@ object TrainQueries extends QuerySet {
       val (groupedU, gstepU) = twoLevel(centsU, ncentU)
       Ann.indexLakeWrite(Ann.ivfAssignTwoLevel(base, grouped, gstep, 2),
         Ann.knnGraphTwoLevel(base, grouped, gstep, k = 12, nprobe = 2,
-          gprobe = 2), s"$root/level0")
+          gprobe = 2), s"$root/level0", quantizer = Some((grouped, gstep)))
       Ann.indexLakeWrite(Ann.ivfAssignTwoLevel(upperBase, groupedU, gstepU, 2),
         Ann.knnGraphTwoLevel(upperBase, groupedU, gstepU, k = 8, nprobe = 4,
-          gprobe = 2), s"$root/level1")
+          gprobe = 2), s"$root/level1", quantizer = Some((groupedU, gstepU)))
       root
     })
 
@@ -3169,12 +3206,13 @@ object TrainQueries extends QuerySet {
         val n = Tables.rowCount(s, dir, "embeddings")
         val nb = n - 50
         val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
-        val ncent = Ann.adaptiveCentroidCount(nb)
-        val cents = e.filter(col("vec_id") < ncent)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val (grouped, gstep) = twoLevel(cents, ncent)
         val batch = corpus.filter(col("vid") >= nb)
         val root = n24Lake(s, dir)
+        // the quantizer is part of the landed index (frozen at build —
+        // the n11 codebook convention): a fresh session reads the
+        // persisted artifact instead of repeating the centroidGroups
+        // pass per query (a full centroid-table job at 4M centroids)
+        val (grouped, gstep) = Ann.quantizerRead(s, root)
         // ONE probe frame feeds both the prune set and the repair —
         // re-deriving the two-level chain per consumer doubles its
         // window stages per run (cheap at 10^9, visible at sf0.1)
@@ -3255,9 +3293,11 @@ object TrainQueries extends QuerySet {
         val ncentU = Ann.adaptiveCentroidCount(upperN, targetBucket = 8)
         val centsU = e.filter(col("vec_id") < ncentU)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val (grouped, gstep) = twoLevel(cents, ncent)
-        val (groupedU, gstepU) = twoLevel(centsU, ncentU)
         val root = n25Lake(s, dir)
+        // per-level persisted quantizers (the n24 read-not-recompute
+        // note, applied at each tower level's lake)
+        val (grouped, gstep) = Ann.quantizerRead(s, s"$root/level0")
+        val (groupedU, gstepU) = Ann.quantizerRead(s, s"$root/level1")
         val sliver = batch.filter(col("vid") % steps.head === 0)
         val cpoint = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean _
         // one probe frame per level feeds prune + repair (the n24 note)
@@ -3370,14 +3410,12 @@ object TrainQueries extends QuerySet {
     Q("n26_ivf_lake_search",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val nb = Tables.rowCount(s, dir, "embeddings") - 50
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val ncent = Ann.adaptiveCentroidCount(nb)
-        val cents = e.filter(col("vec_id") < ncent)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val (grouped, gstep) = twoLevel(cents, ncent)
-        Ann.ivfSearchFromLakeTwoLevel(s, n24Lake(s, dir), qs, grouped,
+        val root = n24Lake(s, dir)
+        // search reads the lake's persisted quantizer (the n24 note)
+        val (grouped, gstep) = Ann.quantizerRead(s, root)
+        Ann.ivfSearchFromLakeTwoLevel(s, root, qs, grouped,
           gstep, k = 5, nprobe = 2, gprobe = 2)
       },
       Some(s"""WITH $embCte,
@@ -3416,12 +3454,11 @@ object TrainQueries extends QuerySet {
         val n = Tables.rowCount(s, dir, "embeddings")
         val nb = n - 50
         val corpus = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
-        val ncent = Ann.adaptiveCentroidCount(nb)
-        val cents = e.filter(col("vec_id") < ncent)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val (grouped, gstep) = twoLevel(cents, ncent)
         val batch = corpus.filter(col("vid") >= nb)
         val root = n27LakeCopy(s, dir)
+        // the run copy carries the base lake's persisted quantizer;
+        // read it rather than recompute (the n24 note)
+        val (grouped, gstep) = Ann.quantizerRead(s, root)
         val probes = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
           Ann.probesTwoLevel(batch.select(col("vid"), col("vec")),
             grouped, gstep, nprobe = 2, gprobe = 2))
@@ -4641,17 +4678,31 @@ object TrainQueries extends QuerySet {
              |       UNION ALL
              |       SELECT doc_id + 2000000, substr(text, 1, 40) || '~' || substr(text, 42)
              |       FROM d0 WHERE doc_id < 20),
-             |b AS (SELECT doc_id, list_transform(range(0, 8), r ->
+             |b AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 8), r ->
              |        list_sum(list_transform(range(0, w), c ->
              |          CASE WHEN ascii(substr(text, r*(w+1) + c + 1, 1)) <
              |                    ascii(substr(text, r*(w+1) + c + 2, 1))
              |               THEN (1 << c) ELSE 0 END))) AS bands
              |      FROM dd, nb),
-             |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             |bb AS (SELECT doc_id, band, bands[band+1] AS bv
+             |       FROM (SELECT doc_id, bands,
+             |               unnest(generate_series(0, 7)) AS band FROM b) z),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+             |         FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bv = b2.bv
+             |                               AND a.doc_id < b2.doc_id),
+             |p AS (SELECT c.id_a, c.id_b,
              |        CAST(list_sum(list_transform(range(0, 8), i ->
              |          bit_count(xor(a.bands[i+1], b2.bands[i+1])))) AS BIGINT) AS hamming
-             |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+             |      FROM cand c JOIN b a ON a.doc_id = c.id_a
+             |           JOIN b b2 ON b2.doc_id = c.id_b)
              |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7""".stripMargin)),
+    // ^ mm06's oracle replays the SAME deterministic band blocking the
+    //   engine runs (r17): pairs must share one exact (band, value) —
+    //   by the hamming ≤ 7 / 8-band pigeonhole this candidate set
+    //   provably contains every answer pair, so output equals the old
+    //   all-pairs twin while the join volume is mm11's gated Σocc²
+    //   (≤ 64× linear) instead of C(n,2) — 16.5 s at sf1 where the
+    //   all-pairs form was >90 s, byte-equal to the engine result.
 
     // MM7 — AUDIO near-dup pairs: mm06's gradient-band fingerprint in
     // the time domain — frame-energy ordering over headerless 16-bit
@@ -4804,13 +4855,21 @@ object TrainQueries extends QuerySet {
     // first window ('ABCDEFGHI', the whole bits=8 band-0 row) — the
     // boilerplate letterhead/logo case — so one band VALUE carries
     // ~1.4k docs and the plain self-join would put that bucket's rows
-    // AND its |bucket|² hamming evaluations in one reducer. The
-    // doc_id < 5000 bound keeps the PLANT constant-size beyond sf0.1
-    // (every doc_id is < 5000 at the three oracle scales, so results
-    // there are unchanged; the unbounded 30% plant measured 79 s at
-    // sf1 — 14k hot docs, 100M planted hamming pairs, a stressor
-    // growing quadratically with the fixture instead of testing it)
-    // while the hot bucket still dwarfs the hotDf=64 census bar. The balanced
+    // AND its |bucket|² hamming evaluations in one reducer. The WHOLE
+    // stressor input is bounded at doc_id < 5000 — plant AND ambient
+    // corpus — so it is constant-size beyond sf0.1 (every doc_id is
+    // < 5000 at the three oracle scales, so results there are
+    // unchanged byte-for-byte). The bound exists because the fixed
+    // bits=8 band space SATURATES as the ambient corpus grows: the
+    // r16 sf10 probe measured every (band, value) bucket clearing
+    // hotDf=64 at 500k docs — 1,515 cpu-s / 3.0 GB shuffle, total
+    // work growing ~quadratically at fixed width — at which point the
+    // query stops testing hot-vs-cold skew (everything is hot) and
+    // starts testing patience. A constant-size input keeps the
+    // contrast the stressor exists to exercise at every SF; the
+    // corpus-scale image-dedup path is mm06's ADAPTIVE band widths,
+    // volume-gated ≤ 64× linear by mm11. The hot bucket (~1.4k docs)
+    // still dwarfs the hotDf=64 census bar. The balanced
     // operator census-splits hot (band, value) buckets (df > 64, the
     // battery's maxDf pin) and runs them through a triangle
     // fragment-pair decomposition — output provably identical to the
@@ -4829,9 +4888,10 @@ object TrainQueries extends QuerySet {
     Q("mm13_phash_hot_balanced",
       (s, dir) => {
         val docsT = Tables.load(s, dir, "documents")
-        val base = docsT.filter(length(col("text")) >= 72)
+        val base = docsT
+          .filter(length(col("text")) >= 72 && col("doc_id") < 5000)
           .select(col("doc_id"),
-            when(col("doc_id") % 10 < 3 && col("doc_id") < 5000,
+            when(col("doc_id") % 10 < 3,
               concat(lit("ABCDEFGHI"), expr("substring(text, 10)")))
               .otherwise(col("text")).as("text"))
         // planted wobble copies (the mm06 convention, applied AFTER
@@ -4878,10 +4938,11 @@ object TrainQueries extends QuerySet {
           targetPairsPerTask = 1L << 16)
       },
       Some("""WITH d0 AS (SELECT doc_id,
-             |         CASE WHEN doc_id % 10 < 3 AND doc_id < 5000
+             |         CASE WHEN doc_id % 10 < 3
              |              THEN 'ABCDEFGHI' || substr(text, 10)
              |              ELSE text END AS text
-             |       FROM documents WHERE length(text) >= 72),
+             |       FROM documents
+             |       WHERE length(text) >= 72 AND doc_id < 5000),
              |dd AS (SELECT doc_id, text FROM d0
              |       UNION ALL
              |       SELECT doc_id + 2000000,

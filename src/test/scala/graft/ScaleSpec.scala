@@ -1267,6 +1267,58 @@ class ScaleSpec extends AnyFunSuite {
     assert(got === want, "two-level assignment must replay the reference rule")
   }
 
+  test("index lake persists the two-level quantizer: read-back is the build grouping, no recompute pass") {
+    import graft.ann.Ann
+    // the r16 verdict's "What's missing #4": centroidGroups is a full
+    // centroid-table pass (4M rows scored against the √ncent supers at
+    // the 10⁹ design point) a fresh session must NOT repeat per query
+    // — indexLakeWrite lands it at root/quantizer and quantizerRead
+    // hands the probe/assign/search paths the same (cid, cvec, gid)
+    // frame + gstep. Pins: the artifact exists, the roundtrip is
+    // exact (grouping AND gstep), and assignment driven by the
+    // READ-BACK frame equals assignment driven by the build-time one.
+    def vecOf(i: Long, salt: Long): Seq[Float] =
+      Seq(((i * 13 + salt) % 17 + 1).toFloat, ((i * 7 + salt) % 11 + 1).toFloat,
+        ((i * 3 + salt) % 5 + 1).toFloat)
+    val ncent = 16L
+    val cents = df(StructType(Seq(StructField("cid", LongType),
+        StructField("cvec", ArrayType(FloatType)))),
+      (0L until ncent).map(i => Row(i, vecOf(i, 3))))
+    val corpus = df(StructType(Seq(StructField("vid", LongType),
+        StructField("vec", ArrayType(FloatType)))),
+      (0L until 40L).map(i => Row(i, vecOf(i, 29))))
+    val gstep = Ann.superStride(ncent)
+    val grouped = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
+      Ann.centroidGroups(cents, gstep))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_quant_lake").toString
+    Ann.indexLakeWrite(Ann.ivfAssignTwoLevel(corpus, grouped, gstep, 2),
+      Ann.knnGraphTwoLevel(corpus, grouped, gstep, k = 4, nprobe = 2,
+        gprobe = 2), tmp, buckets = 4, quantizer = Some((grouped, gstep)))
+    assert(new java.io.File(s"$tmp/quantizer").isDirectory,
+      "indexLakeWrite must land the quantizer beside assigned/edges")
+    val (qGrouped, qGstep) = Ann.quantizerRead(spark, tmp)
+    assert(qGstep === gstep)
+    // the read-back frame is a parquet LEAF — no centroid cross join
+    // anywhere in its plan (that pass ran once, at build)
+    val qPlan = qGrouped.queryExecution.executedPlan.toString
+    assert(!qPlan.contains("BroadcastNestedLoopJoin"),
+      s"quantizerRead must be a leaf scan, not a regrouping:\n$qPlan")
+    def gmap(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.select(col("cid"), col("gid")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gmap(qGrouped) === gmap(grouped),
+      "persisted grouping must equal the build-time grouping")
+    // end to end: assignment via the read-back quantizer == via the
+    // in-memory one (float vectors roundtrip parquet exactly)
+    def amap(g: org.apache.spark.sql.DataFrame) =
+      Ann.ivfAssignTwoLevel(corpus, g, gstep, 2)
+        .select(col("vid"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(amap(qGrouped) === amap(grouped),
+      "assignment from the persisted quantizer must match the build's")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("partitioned layout: day filter binds as a PartitionFilter (metadata pruning, no data-filter fallback)") {
     val s = StructType(Seq(StructField("day", StringType),
       StructField("v", LongType)))
