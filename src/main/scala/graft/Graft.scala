@@ -75,7 +75,10 @@ object Graft {
   def soilMaps(tables: Map[String, DataFrame],
       domains: Map[String, Seq[String]] = Map.empty)(
       queries: Seq[(SdvAttribute, SdvRequest)]): DataFrame = {
-    val planner = new SdvPlanner(tables, domains)
+    // shareBase: one materialization of the mapunit⟕component join
+    // serves every catalog row (the planner's batch-loop optimization —
+    // see SdvPlanner.baseMemo)
+    val planner = new SdvPlanner(tables, domains, shareBase = true)
     val base = tables("mapunit").select(org.apache.spark.sql.functions.col("mukey"))
     queries.foldLeft(base) { case (acc, (att, req)) =>
       val rating = planner.plan(graft.schema.SdvCatalog.normalize(att), req)

@@ -163,7 +163,17 @@ object Decontam {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val report = Dedup.verifyJaccard(all, cand, idCol, textCol, shingleN, threshold)
+    // checkpoint-once before verification (the minhashLshPairs note):
+    // verifyJaccard embeds its candidate argument three times, and each
+    // copy re-inlines the corpus-wide signature/banding lineage — at
+    // sf0.1 this ran ~28 replicated signature stages concurrently
+    // (measured: 86 task-s for 25 cpu-s, the gap being block-manager
+    // contention between the replicas). The candidate pair set is
+    // banding-bounded (≤ |eval| × bucket occupancy), so the checkpoint
+    // is tiny.
+    val report = Dedup.verifyJaccard(all,
+      org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(cand),
+      idCol, textCol, shingleN, threshold)
       .groupBy(col("id_a").as(idCol))
       .agg(max(col("jaccard")).as("max_jaccard"),
         count(lit(1)).as("n_bench_matches"))

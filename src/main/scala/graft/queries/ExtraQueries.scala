@@ -675,8 +675,24 @@ object ExtraQueries extends QuerySet {
     * st04 feeds it per-survey-area slices, v14 the whole data. */
   private def buildValu(base: org.apache.spark.sql.DataFrame,
       h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // max over a STRING buffer is not hash-aggregable — the plan fell
+    // back to a SortAggregate pair (full sort of the horizon frame on
+    // both sides of the exchange, plan-verified). crating is the analog
+    // returnflag alphabet {A,N,R}; rank-encoding it (order-isomorphic,
+    // 'A'<'N'<'R') turns the pre-aggregation into a HashAggregate over
+    // an int buffer and the identical string is reconstructed after.
+    // Loud on alphabet drift: an unexpected value raises rather than
+    // silently mis-ranking.
+    val crRank = when(col("crating") === "A", 0)
+      .when(col("crating") === "N", 1).when(col("crating") === "R", 2) +
+      coalesce(assert_true(col("crating").isin("A", "N", "R"),
+        lit("buildValu: crating outside {A,N,R} — extend the rank map"))
+        .cast("int"), lit(0))
     val cmp = h.groupBy(col("mukey"), col("cokey"), col("comppct"))
-      .agg(max(col("crating")).as("crating"))
+      .agg(max(crRank).as("crmax"))
+      .select(col("mukey"), col("cokey"), col("comppct"),
+        element_at(array(lit("A"), lit("N"), lit("R")), col("crmax") + 1)
+          .as("crating"))
     // J12 restricts the NCCPI query table to major components
     val interp = h.filter(col("crating") =!= "N")
       .select(col("mukey"), col("cokey"), col("comppct"),

@@ -238,8 +238,13 @@ object PlannerQueries extends QuerySet {
         val att = SdvAttribute("Drainage", "component", "draincl", "rating",
           "Choice", "Dominant Condition", complevelattribflag = 1,
           tiebreakdomainname = Some("drainage"))
+        // one shareBase planner for all three legs: the mapunit⟕component
+        // join materializes once instead of once per variant (the
+        // soilMaps batch-loop shape; output identical)
+        val planner = new graft.sdv.SdvPlanner(t, dom, shareBase = true)
         def leg(tag: String, req: SdvRequest) =
-          Graft.soilMap(t, dom)(att, req).withColumn("variant", lit(tag))
+          planner.plan(graft.schema.SdvCatalog.normalize(att), req)
+            .withColumn("variant", lit(tag))
         leg("zon_low", SdvRequest(bZero = true))
           .unionByName(leg("zon_high", SdvRequest(bZero = true, tieLow = Some(false))))
           .unionByName(leg("zoff_low", SdvRequest()))

@@ -157,13 +157,22 @@ object SweepQueries extends QuerySet {
         col("rating").cast("double").as("rating_num"),
         lit(null).cast("string").as("rating_txt"))
 
+    // one shareBase planner per fixture-table map: the 104 legs re-used
+    // the same mapunit⟕component join (per comppct cutoff) — with a
+    // fresh planner per leg that join re-ran inside every leg's plan;
+    // shared, it materializes once per (tables, cutOff) (output
+    // identical — the soilMaps batch-loop shape)
+    val compPlanner = new graft.sdv.SdvPlanner(compT, dom, shareBase = true)
+    val hzPlanner = new graft.sdv.SdvPlanner(hzT, dom, shareBase = true)
+    def planLeg(p: graft.sdv.SdvPlanner, att: SdvAttribute, req: SdvRequest) =
+      p.plan(graft.schema.SdvCatalog.normalize(att), req)
     val legs: Seq[DataFrame] =
       numLegs.map { lg =>
         val att = SdvAttribute("Price", "component", "price_r", "rating",
           "Float", lg.alg, complevelattribflag = 1)
         val req = SdvRequest(cutOff = lg.cut, tieLow = Some(lg.tieLow),
           bZero = lg.bZero, rv = if (lg.rv == "r") None else Some(lg.rv))
-        shape(lg.tag, Graft.soilMap(compT, dom)(att, req), choice = false)
+        shape(lg.tag, planLeg(compPlanner, att, req), choice = false)
       } ++
       choiceLegs.map { lg =>
         val att = SdvAttribute("Drainage", "component", "draincl", "rating",
@@ -171,14 +180,14 @@ object SweepQueries extends QuerySet {
           tiebreakdomainname = Some("drainage"))
         val req = SdvRequest(cutOff = lg.cut, tieLow = Some(lg.tieLow),
           bZero = lg.bZero)
-        shape(lg.tag, Graft.soilMap(compT, dom)(att, req), choice = true)
+        shape(lg.tag, planLeg(compPlanner, att, req), choice = true)
       } ++
       hzLegs.map { lg =>
         val att = SdvAttribute("AWC", "chorizon", "awc_r", "rating",
           "Float", lg.alg, horzlevelattribflag = 1)
         val req = SdvRequest(top = lg.top, bot = lg.bot,
           tieLow = Some(lg.tieLow), rv = if (lg.rv == "r") None else Some(lg.rv))
-        shape(lg.tag, Graft.soilMap(hzT, dom)(att, req), choice = false)
+        shape(lg.tag, planLeg(hzPlanner, att, req), choice = false)
       }
     // Stitch the legs at the RDD level rather than one 104-branch
     // union plan: a single unioned logical plan makes AQE re-optimize

@@ -30,9 +30,22 @@ import graft.schema.SdvAttribute
 class SdvPlanner(
     tables: Map[String, DataFrame],
     domains: Map[String, Seq[String]] = Map.empty,
-    fkCatalog: Seq[(String, String, String)] = SdvPlanner.defaultFks) {
+    fkCatalog: Seq[(String, String, String)] = SdvPlanner.defaultFks,
+    shareBase: Boolean = false) {
 
   import SdvPlanner._
+
+  /** With `shareBase` (the multi-query CreateSoilMaps batch loop,
+    * [[graft.Graft.soilMaps]]), the mapunit⟕component join+filter is
+    * materialized ONCE per comppct cutoff and every catalog row's
+    * aggregation reads the checkpointed rows — without it, an N-row
+    * catalog re-runs the same fact-table join N times inside one merged
+    * plan (measured on the 6-leg p09 sweep: five duplicate scan+join
+    * map stages at ~2-3 cpu-s each). Off by default: a single
+    * CreateSoilMap query consumes the join once, where materialization
+    * is pure overhead. */
+  private val baseMemo =
+    scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
 
   /** child → (parent, join key) from the FK catalog. */
   private val parentOf: Map[String, (String, String)] =
@@ -111,9 +124,14 @@ class SdvPlanner(
 
     // component chain (always mapunit ⟕ component with F2 filters;
     // :10318-10330, :5017)
-    var comp = tables("mapunit").select(col("mukey"))
+    def compJoin = tables("mapunit").select(col("mukey"))
       .join(tables("component"), Seq("mukey"), "left")
       .filter(col("comppct_r") >= req.cutOff && !upper(col("compname")).eqNullSafe("NOTCOM"))
+    var comp =
+      if (shareBase)
+        baseMemo.getOrElseUpdate(req.cutOff,
+          org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(compJoin))
+      else compJoin
 
 
     var joined: DataFrame = att.attributetablename match {
