@@ -70,7 +70,9 @@ object Ann {
         graft.core.Exprs.roundHalfUp(Vectors.cosine(col("qvec"), col("cvec")), 6).as("pcos"))
       .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
       .select(col("qid"), col("qvec"), col("cid"))
-    val scored = probes.join(corpusAssigned, "cid")
+    // probes is query-batch-bounded (|queries|·nprobe) — broadcast it
+    // so the corpus-shaped assignment streams unshuffled (guide §3.1)
+    val scored = corpusAssigned.join(broadcast(probes), "cid")
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid").as("neighbor_id"),
         graft.core.Exprs.roundHalfUp(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))
@@ -116,12 +118,14 @@ object Ann {
     * a row (hits = 0). The hit count is one semi-join + aggregation on
     * qid — both sides are top-k lists (q·k rows), never the corpus. */
   def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    // both sides are top-k lists (q·k rows) — broadcast the probe sides
+    // so neither rank list pays an exchange (guide §3.1)
     val hits = truth.select(col("qid"), col("neighbor_id"))
-      .join(approx.select(col("qid"), col("neighbor_id")),
+      .join(broadcast(approx.select(col("qid"), col("neighbor_id"))),
         Seq("qid", "neighbor_id"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
     truth.select(col("qid")).distinct()
-      .join(hits, Seq("qid"), "left")
+      .join(broadcast(hits), Seq("qid"), "left")
       .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
         graft.core.Exprs.roundHalfUp(
           coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
@@ -838,12 +842,26 @@ object Ann {
     var visited = seed
     var frontier = seed
     for (_ <- 1 to hops) {
-      val cand = frontier.join(e, Seq("vid"))
+      // Walk state (frontier / visited / fresh / qv) is bounded by the
+      // QUERY BATCH — ≤ |queries|·(1 + hops·beam) rows of ids — while
+      // e and cv are corpus-shaped. Each hop is its own QueryExecution
+      // (the frontier checkpoint truncates lineage), so nothing reuses
+      // exchanges across hops: without hints every hop re-shuffled the
+      // EDGE LIST and the CORPUS for its joins (guide §2.4 accidental
+      // per-round shuffles; r18 StageProbe: ~12 stages/hop, wall ≈
+      // stage rounds × launch latency, cores idle). Broadcasting the
+      // batch-bounded side of every join leaves corpus-shaped frames
+      // streaming in place: a hop is now scan(e)+BHJ → distinct →
+      // scan(cv)+BHJ+window — 2 tiny exchanges, no corpus shuffle at
+      // any scale (batches beyond ~10⁵ queries should split — the
+      // graphInsert "operationally bounded batch" contract).
+      val cand = e.join(broadcast(frontier), Seq("vid"))
         .select(col("qid"), col("neighbor_id").as("vid")).distinct()
-      val fresh = cand.join(visited, Seq("qid", "vid"), "left_anti")
+      val fresh = cand.join(broadcast(visited), Seq("qid", "vid"), "left_anti")
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos6").desc, col("vid").asc)
-      frontier = fresh.join(cv, Seq("vid")).join(qv, Seq("qid"))
+      frontier = cv.join(broadcast(fresh), Seq("vid"))
+        .join(broadcast(qv), Seq("qid"))
         .select(col("qid"), col("vid"),
           graft.core.Exprs.roundHalfUp(
             Vectors.cosine(col("qvec"), col("vec")), 6).as("cos6"))
@@ -861,7 +879,10 @@ object Ann {
     * contract applies). */
   private def rerankVisited(qv: DataFrame, cv: DataFrame,
       visited: DataFrame, k: Int): DataFrame = {
-    val rescored = visited.join(cv, Seq("vid")).join(qv, Seq("qid"))
+    // visited/qv are query-batch-bounded, cv is the corpus — broadcast
+    // the bounded sides so the corpus streams (see beamWalk)
+    val rescored = cv.join(broadcast(visited), Seq("vid"))
+      .join(broadcast(qv), Seq("qid"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid").as("neighbor_id"),
         graft.core.Exprs.roundHalfUp(
@@ -878,7 +899,8 @@ object Ann {
       visited: DataFrame, seedK: Int): DataFrame = {
     val sw = Window.partitionBy(col("qid"))
       .orderBy(col("cos6").desc, col("vid").asc)
-    visited.join(cv, Seq("vid")).join(qv, Seq("qid"))
+    // bounded-side broadcasts, corpus streams (see beamWalk)
+    cv.join(broadcast(visited), Seq("vid")).join(broadcast(qv), Seq("qid"))
       .select(col("qid"), col("vid"),
         graft.core.Exprs.roundHalfUp(
           Vectors.cosine(col("qvec"), col("vec")), 6).as("cos6"))
@@ -988,7 +1010,8 @@ object Ann {
     val queriesAssigned = ivfAssign(
       queries.select(col("qid").as("vid"), col("qvec").as("vec")), centroids)
       .select(col("vid").as("qid"), col("cid"), col("vec").as("qvec"))
-    val scored = queriesAssigned.join(corpusAssigned, "cid")
+    // query side is batch-bounded — broadcast it, stream the corpus
+    val scored = corpusAssigned.join(broadcast(queriesAssigned), "cid")
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid").as("neighbor_id"),
         graft.core.Exprs.roundHalfUp(Vectors.cosine(col("qvec"), col("vec")), 6).as("cosine"))

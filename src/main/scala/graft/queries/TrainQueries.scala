@@ -2574,7 +2574,11 @@ object TrainQueries extends QuerySet {
     // localCheckpoints (measured at sf1: >37 GB of spill and an OOM
     // uninlined, 10 s materialized).
     Q("n19_graph_ann",
-      (s, dir) => {
+      // static construction (StaticPlan.sized): the walk builds ~10
+      // lazy checkpoints whose exchanges AQE would otherwise
+      // materialize as sequential blocking jobs at construction time
+      (s, dir) => graft.core.StaticPlan.sized(s,
+          Tables.rowCount(s, dir, "embeddings")) {
         val e = Tables.load(s, dir, "embeddings")
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -2733,7 +2737,10 @@ object TrainQueries extends QuerySet {
     // generated unrolled-CTE chains (walkCtes), AS MATERIALIZED per
     // the n19 sf1 lesson.
     Q("n20_hnsw_ann",
-      (s, dir) => {
+      // static construction — see n19 (the tower chain is the deepest:
+      // two graph builds + two walks' worth of lazy checkpoints)
+      (s, dir) => graft.core.StaticPlan.sized(s,
+          Tables.rowCount(s, dir, "embeddings")) {
         val e = Tables.load(s, dir, "embeddings")
         val n = Tables.rowCount(s, dir, "embeddings")
         val qs = e.filter(col("vec_id") < 10)
@@ -2900,7 +2907,9 @@ object TrainQueries extends QuerySet {
     // two walks + brute truth, ~10 s at sf0.1) as if it were the
     // operator. Verify still runs THIS full gated form.
     Q("n22_graph_insert",
-      (s, dir) => {
+      // static construction — see n19 (chain + rebuild + two walks)
+      (s, dir) => graft.core.StaticPlan.sized(s,
+          Tables.rowCount(s, dir, "embeddings")) {
         val (qs, corpus, cents, g2) = n22MaintainedChain(s, dir)
         val rebuilt = Ann.knnGraphMultiProbe(corpus, cents, k = 12, nprobe = 2)
         val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
@@ -3022,7 +3031,9 @@ object TrainQueries extends QuerySet {
     // single-tower gate; towerInsert itself is batch-bounded, and the
     // ~45-stage chain is local-mode stage-latency, wall ≈ task/1.2.
     Q("n23_tower_insert",
-      (s, dir) => {
+      // static construction — see n19 (two tower builds + two walks)
+      (s, dir) => graft.core.StaticPlan.sized(s,
+          Tables.rowCount(s, dir, "embeddings")) {
         val (qs, corpus, steps, maintained) = n23MaintainedChain(s, dir)
         val e = Tables.load(s, dir, "embeddings")
         val nb = Tables.rowCount(s, dir, "embeddings") - 100
@@ -5377,12 +5388,14 @@ object TrainQueries extends QuerySet {
   override def benchPlans
       : Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map(
-      "n22_graph_insert" -> ((s, dir) => {
+      "n22_graph_insert" -> ((s, dir) => graft.core.StaticPlan.sized(s,
+          Tables.rowCount(s, dir, "embeddings")) {
         val (qs, corpus, cents, g2) = n22MaintainedChain(s, dir)
         Ann.graphSearch(qs, corpus, cents, g2, k = 5, beam = 8,
           hops = 3, seedK = 5)
       }),
-      "n23_tower_insert" -> ((s, dir) => {
+      "n23_tower_insert" -> ((s, dir) => graft.core.StaticPlan.sized(s,
+          Tables.rowCount(s, dir, "embeddings")) {
         val (qs, corpus, steps, maintained) = n23MaintainedChain(s, dir)
         Ann.hnswSearch(qs, corpus, Seq(maintained(1).edges), steps,
           maintained(0).edges, k = 5, beam = 8, hops = 3, upperHops = 3,

@@ -47,8 +47,15 @@ object StageProbe {
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         if (record) stages.synchronized {
+          // the call-site stage name is useless under AQE (every stage
+          // submits from the same CompletableFuture thread) — name the
+          // stage by its RDDs' operator SCOPES instead (WholeStageCodegen
+          // ids match the numbered plan; Exchange/Sort/etc. name the rest)
+          val ops = sc.stageInfo.rddInfos.flatMap(_.scope)
+            .map(_.name).distinct.mkString(",")
           stages.get(sc.stageInfo.stageId).foreach(_.name =
-            sc.stageInfo.name.takeWhile(_ != '\n').take(90))
+            (if (ops.nonEmpty) ops
+             else sc.stageInfo.name.takeWhile(_ != '\n')).take(110))
         }
     })
     for (name <- args; r <- 1 to reps) {

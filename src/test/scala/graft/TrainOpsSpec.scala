@@ -784,6 +784,38 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(e.nullSafeEval(arr(0.0, 0.0), arr(1.0, 2.0)) === null)
   }
 
+  test("CosineSim: float arrays run NATIVE (no cast in plan) and equal the double path bit-for-bit") {
+    // r18: the embedding columns are array<float>; a double-only input
+    // contract made every call site wrap the vector in
+    // cast(array<float> AS array<double>) — evaluated per scored PAIR
+    // in the post-join projection (two array allocations per row on
+    // the Σ|bucket|² scoring paths). Float inputs must now evaluate in
+    // place, and float→double element promotion is exact, so values
+    // must equal the old cast path exactly.
+    val vals = Seq(
+      (Seq(0.25f, -1.5f, 3.75f), Seq(1.125f, 2.0f, -0.5f)),
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(0.1f, 0.2f), Seq(0.3f, 0.7f))) // 0.1f etc: non-exact floats
+    val s = StructType(Seq(StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType))))
+    val d = df(s, vals.map { case (a, b) => Row(a, b) })
+    val native = d.select(graft.ann.Vectors.cosine(col("a"), col("b")).as("c"))
+    // the analyzed plan must carry NO cast above the float columns
+    assert(!native.queryExecution.analyzed.toString.toLowerCase.contains("cast("),
+      s"float input should not be cast:\n${native.queryExecution.analyzed}")
+    val got = native.collect().map(_.getDouble(0)).toSeq
+    // reference: the old behavior — explicit cast to array<double> first
+    val ref = d.select(graft.ann.Vectors.cosine(
+        col("a").cast("array<double>"), col("b").cast("array<double>")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === ref)
+    // mixed float/double sides also run uncast and agree
+    val mixed = d.select(graft.ann.Vectors.cosine(
+        col("a"), col("b").cast("array<double>")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(mixed === ref)
+  }
+
   test("PrefixSum.exclusive == single-node window cumsum on unsorted multi-partition input") {
     import org.apache.spark.sql.expressions.Window
     val s = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
