@@ -37,8 +37,31 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (cacheTables)
-      cached.getOrElseUpdate((dir, name),
-        spark.read.parquet(s"$dir/$name.parquet").cache())
+      cached.getOrElseUpdate((dir, name), {
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        // Cache-fill LAYOUT (r18): the test lake ships one row group per
+        // table, so the scan - and therefore the cached RDD every query
+        // maps over - is a single partition; every first map stage of
+        // every query then runs ONE task regardless of cores (StageProbe:
+        // p09 spent ~10 s in five serial 2.7-s scans of the cached
+        // 600k-row lineitem). Widen the cache to a row-count-derived
+        // partition count ONCE at fill (an 11 MB round-robin exchange,
+        // paid one time per session). 20k rows/partition was swept
+        // against 250 and 2000 at sf0.1: finer widths win nothing more
+        // on the heavy lineitem scans but tax every small-table stage
+        // with per-task overhead (e05 1.72 s at rows/250 vs 0.70 at
+        // rows/20k). Scale story: a production lake's scan already
+        // yields >= cores splits, so target <= scanParts and this is a
+        // no-op - it repairs the small-file/single-row-group case only,
+        // and the footer row count is O(KB) metadata.
+        val rpp = sys.env.getOrElse("SPARK_GRAFT_CACHE_ROWS_PER_PART", "20000").toLong
+        val target = footerRowCount(spark, s"$dir/$name.parquet")
+          .map(r => math.min(spark.sparkContext.defaultParallelism.toLong,
+            (r + rpp - 1) / rpp).toInt)
+          .getOrElse(1)
+        val scanParts = raw.queryExecution.toRdd.getNumPartitions
+        (if (target > scanParts) raw.repartition(target) else raw).cache()
+      })
     else spark.read.parquet(s"$dir/$name.parquet")
 
   private val counts =

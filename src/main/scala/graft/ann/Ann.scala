@@ -387,11 +387,16 @@ object Ann {
   def graphInsertProbed(assigned: DataFrame, edges: DataFrame,
       probesRaw: DataFrame, k: Int): (DataFrame, DataFrame) = {
     // every checkpoint in the maintenance chain is CONSTRAINT-CLEAN
-    // (CleanCheckpoint.lazyClean): the batch is typically a filtered
-    // view of the corpus, and an ordinary checkpoint's captured
-    // originConstraints then poison the repair plan's unions — see
-    // CleanCheckpoint's scaladoc for the 4.1.2 failure mode
-    val cpoint = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean _
+    // (CleanCheckpoint): the batch is typically a filtered view of the
+    // corpus, and an ordinary checkpoint's captured originConstraints
+    // then poison the repair plan's unions — see CleanCheckpoint's
+    // scaladoc for the 4.1.2 failure mode. EAGER (r18): probes feeds
+    // three independent subtrees (batch assignment, the forward join's
+    // broadcast build, the prune set) and newEdges three more (reverse
+    // flip, the candidate union, the touched set) — concurrent stages
+    // raced the lazy fills and re-ran the repair lineage per consumer
+    // (n22 bench CPU 3.9 → 4.8 under the r18 static chains until this).
+    val cpoint = org.apache.spark.sql.graft.CleanCheckpoint.eagerClean _
     val probes = cpoint(probesRaw)
     // the batch joins the index at its top-1 bucket (ivfAssign's argmax
     // is the pr=1 probe: same quantized cosine, same cid tiebreak)

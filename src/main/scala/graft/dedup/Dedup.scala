@@ -165,9 +165,11 @@ object Dedup {
     // its candidate argument three times (id semi-join inside both
     // shingle-union branches + the pair join) and each copy would
     // re-inline the whole banding lineage (see the incremental form's
-    // measurement: ~7× CPU from plan replication alone)
+    // measurement: ~7× CPU from plan replication alone). EAGER (r18):
+    // the three consumers' stages run concurrently and raced a lazy
+    // fill, re-running the banding pipeline anyway.
     verifyJaccard(docs,
-      org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(cand),
+      org.apache.spark.sql.graft.CleanCheckpoint.eagerClean(cand),
       idCol, textCol, shingleN, threshold)
   }
 
@@ -1170,11 +1172,15 @@ object Dedup {
         val sym = edges.select(col("u").as("x"), col("v").as("y"))
           .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
         val wL = Window.partitionBy(col("x"))
+        // no distinct here (r18): the small-star min below is
+        // duplicate-insensitive and ss re-distincts, so the dedup
+        // exchange+aggregate this carried every round bought nothing —
+        // duplicate (u,v) rows (bounded by the symmetric degree) ride
+        // one more exchange instead. Set semantics per round unchanged.
         val ls = sym
           .withColumn("m", least(min(col("y")).over(wL), col("x")))
           .filter(col("y") > col("x"))
           .select(col("y").as("u"), col("m").as("v"))
-          .distinct()
         // small-star over the canonical list: u and its smaller
         // neighbors attach to min(N<(u)); all outputs (·, m) canonical
         val wS = Window.partitionBy(col("u"))

@@ -449,13 +449,22 @@ object Multimodal {
       "targetPairsPerTask must allow at least a 2x2 fragment task")
     val hashed = docs.filter(length(col(textCol)) >= 8 * (bits + 1))
       .select(col(idCol).as("did"), dhashBands(col(textCol), bits).as("bands"))
-    val ex = hashed.select(col("did"), col("bands"),
-      posexplode(col("bands")).as(Seq("band", "bv")))
+    // the band rows feed FIVE independent subtrees (census, both cold
+    // self-join sides, both hot fragment sides) whose stages run
+    // concurrently — materialize ONCE, eagerly, or each consumer
+    // re-evaluates the text hash pass (r18 StageProbe: four full
+    // dhashBands scans). At true corpus scale this frame is corpus×8
+    // rows; swap the checkpoint for a parquet round-trip there (the
+    // CleanCheckpoint scaladoc note) — this operator's battery input
+    // is bounded by construction (mm13's doc_id < 5000 stressor).
+    val ex = org.apache.spark.sql.graft.CleanCheckpoint.eagerClean(
+      hashed.select(col("did"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bv"))))
     // hot census — consumed by both the anti and inner splits, so it
     // lands once (constraint-clean: the splits' union is downstream).
     // df rides along: the inner join below hands every hot row its
     // bucket's df, which is what the per-value fragment count reads.
-    val hot = org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(
+    val hot = org.apache.spark.sql.graft.CleanCheckpoint.eagerClean(
       ex.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("df"))
         .filter(col("df") > hotDf))
     val cold = ex.join(broadcast(hot), Seq("band", "bv"), "left_anti")

@@ -172,7 +172,7 @@ object Decontam {
     // banding-bounded (≤ |eval| × bucket occupancy), so the checkpoint
     // is tiny.
     val report = Dedup.verifyJaccard(all,
-      org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(cand),
+      org.apache.spark.sql.graft.CleanCheckpoint.eagerClean(cand),
       idCol, textCol, shingleN, threshold)
       .groupBy(col("id_a").as(idCol))
       .agg(max(col("jaccard")).as("max_jaccard"),

@@ -2593,8 +2593,10 @@ object TrainQueries extends QuerySet {
         val edges = Ann.knnGraphMultiProbe(corpus, cents, k = 6, nprobe = 2)
         // truth feeds BOTH recall accountings — checkpoint lazily so
         // the query×corpus scoring runs once (the pqChain convention)
+        // eager: truth feeds BOTH recall gates; concurrent consumer
+        // stages raced a lazy fill and re-ran the brute-force pass
         val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val g = Ann.recallAtK(truth,
           Ann.graphSearch(qs, corpus, cents, edges, k = 5, beam = 8,
             hops = 3, seedK = 5), k = 5)
@@ -2751,8 +2753,9 @@ object TrainQueries extends QuerySet {
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         // one k=12 graph build serves both walks: rank ≤ 6 of the same
         // engine-portable ranking IS the n19 edge list
+        // eager: both walks consume the one k=12 build (see truth note)
         val edges12 = Ann.knnGraphMultiProbe(corpus, cents, k = 12, nprobe = 2)
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val edges6 = edges12.filter(col("rank") <= 6)
         val steps = Ann.towerSteps(n, levels = 2)
         val upper = corpus.filter(col("vid") % steps.head === 0)
@@ -2766,8 +2769,10 @@ object TrainQueries extends QuerySet {
         val centsU = e.filter(col("vec_id") < ncentU)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val upperEdges = Ann.knnGraphMultiProbe(upper, centsU, k = 8, nprobe = 4)
+        // eager: truth feeds BOTH recall gates; concurrent consumer
+        // stages raced a lazy fill and re-ran the brute-force pass
         val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val h = Ann.recallAtK(truth,
           Ann.hnswSearch(qs, corpus, Seq(upperEdges), steps, edges12,
             k = 5, beam = 8, hops = 5, upperHops = 3, upperBeam = 3,
@@ -2912,8 +2917,10 @@ object TrainQueries extends QuerySet {
           Tables.rowCount(s, dir, "embeddings")) {
         val (qs, corpus, cents, g2) = n22MaintainedChain(s, dir)
         val rebuilt = Ann.knnGraphMultiProbe(corpus, cents, k = 12, nprobe = 2)
+        // eager: truth feeds BOTH recall gates; concurrent consumer
+        // stages raced a lazy fill and re-ran the brute-force pass
         val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val ri = Ann.recallAtK(truth,
           Ann.graphSearch(qs, corpus, cents, g2, k = 5, beam = 8,
             hops = 3, seedK = 5), k = 5)
@@ -3046,8 +3053,10 @@ object TrainQueries extends QuerySet {
         val rebuilt0 = Ann.knnGraphMultiProbe(corpus, cents, k = 12, nprobe = 2)
         val rebuiltU = Ann.knnGraphMultiProbe(
           corpus.filter(col("vid") % steps.head === 0), centsU, k = 8, nprobe = 4)
+        // eager: truth feeds BOTH recall gates; concurrent consumer
+        // stages raced a lazy fill and re-ran the brute-force pass
         val truth = Ann.bruteForceTopK(qs, corpus, k = 5)
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val ri = Ann.recallAtK(truth,
           Ann.hnswSearch(qs, corpus, Seq(maintained(1).edges), steps,
             maintained(0).edges, k = 5, beam = 8, hops = 3, upperHops = 3,

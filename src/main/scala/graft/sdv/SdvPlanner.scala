@@ -127,10 +127,15 @@ class SdvPlanner(
     def compJoin = tables("mapunit").select(col("mukey"))
       .join(tables("component"), Seq("mukey"), "left")
       .filter(col("comppct_r") >= req.cutOff && !upper(col("compname")).eqNullSafe("NOTCOM"))
+    // EAGER (r18): the batch base is consumed by every catalog leg, and
+    // the legs' query stages run concurrently — a lazy fill was raced
+    // and recomputed per leg (four lineitem scans measured on p09's
+    // six-leg sweep); one blocking materialization is exactly what the
+    // memo promises.
     var comp =
       if (shareBase)
         baseMemo.getOrElseUpdate(req.cutOff,
-          org.apache.spark.sql.graft.CleanCheckpoint.lazyClean(compJoin))
+          org.apache.spark.sql.graft.CleanCheckpoint.eagerClean(compJoin))
       else compJoin
 
 

@@ -26,8 +26,22 @@ import org.apache.spark.sql.execution.LogicalRDD
   * exactly what a parquet round-trip (the at-scale equivalent of a
   * checkpoint) would give. */
 object CleanCheckpoint {
-  def lazyClean(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = false).asInstanceOf[Dataset[_]]
+  def lazyClean(df: DataFrame): DataFrame = clean(df, eager = false)
+
+  /** [[lazyClean]] with EAGER materialization — for a frame consumed by
+    * several INDEPENDENT downstream subtrees of one plan. A lazy local
+    * checkpoint persists partitions only as they are first computed,
+    * and the scheduler (AQE query stages, or plain concurrent stages)
+    * happily launches the consumers concurrently — each then computes
+    * the not-yet-persisted lineage from scratch (r18 StageProbe: p09's
+    * shareBase base join, nominally materialized once, scanned the
+    * 600k-row lineitem four times because the six catalog legs raced
+    * it). Eager costs one blocking job; use it exactly where the fan
+    * of independent consumers would otherwise race the fill. */
+  def eagerClean(df: DataFrame): DataFrame = clean(df, eager = true)
+
+  private def clean(df: DataFrame, eager: Boolean): DataFrame = {
+    val cp = df.localCheckpoint(eager = eager).asInstanceOf[Dataset[_]]
     val session = cp.sparkSession.asInstanceOf[SparkSession]
     cp.queryExecution.analyzed match {
       case lr: LogicalRDD =>
