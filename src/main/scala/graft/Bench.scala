@@ -48,6 +48,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // The 248-query battery carries far more distinct whole-stage
+      // codegen units than the default 100-entry compiled-class cache
+      // (p10 alone plans 104 leg sources): under the default, every
+      // query's units are evicted between reps and TASKS re-compile
+      // them concurrently — StageProbe measured p10's steady-state
+      // stage at 146 cpu-s vs 6.7 with a hit, a random 2-20× per-rep
+      // wall swing that twice masqueraded as noise windows. Static
+      // conf, read once at first codegen; sized to hold the whole
+      // suite's working set (metaspace cost ~a few hundred MB). The
+      // same cache exists per executor at scale — any long-lived
+      // session serving a wide query mix wants this over the default.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // multi-query batch session → reuse cached base tables, exactly the

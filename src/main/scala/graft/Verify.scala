@@ -20,6 +20,9 @@ object Verify {
       // tolerate the TIMESTAMP(NANOS) events vintage (read as long,
       // converted in Tables.normalizeTs); harmless for MICROS lakes
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // suite-wide codegen working set > default 100-entry compiled
+      // class cache — see Bench.session for the measured pathology
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

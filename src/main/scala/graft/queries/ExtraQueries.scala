@@ -682,10 +682,12 @@ object ExtraQueries extends QuerySet {
     // 'A'<'N'<'R') turns the pre-aggregation into a HashAggregate over
     // an int buffer and the identical string is reconstructed after.
     // Loud on alphabet drift: an unexpected value raises rather than
-    // silently mis-ranking.
+    // silently mis-ranking. NULL passes the guard so it keeps the old
+    // max(string) ignored-by-aggregate semantics (crRank stays null).
     val crRank = when(col("crating") === "A", 0)
       .when(col("crating") === "N", 1).when(col("crating") === "R", 2) +
-      coalesce(assert_true(col("crating").isin("A", "N", "R"),
+      coalesce(assert_true(
+        col("crating").isNull || col("crating").isin("A", "N", "R"),
         lit("buildValu: crating outside {A,N,R} — extend the rank map"))
         .cast("int"), lit(0))
     val cmp = h.groupBy(col("mukey"), col("cokey"), col("comppct"))

@@ -132,6 +132,10 @@ class SdvPlanner(
     // and recomputed per leg (four lineitem scans measured on p09's
     // six-leg sweep); one blocking materialization is exactly what the
     // memo promises.
+    // getOrElseUpdate's by-name arg is non-atomic under concurrent
+    // plan() calls (two threads could each checkpoint and leak the
+    // loser's blocks); planners are driver-side and single-threaded
+    // today — guard creation if that ever changes.
     var comp =
       if (shareBase)
         baseMemo.getOrElseUpdate(req.cutOff,

@@ -31,6 +31,10 @@ object StageProbe {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = if (record) {
         val m = te.taskMetrics
         if (m != null) {
+          // keyed by stageId only: a retried stage attempt's tasks sum
+          // into the same aggregate (fine for a local diagnostics tool —
+          // retries are absent in local mode, and a retry inflating its
+          // stage's totals is itself a signal worth seeing)
           val a = stages.synchronized(stages.getOrElseUpdate(te.stageId, StageAgg()))
           a.synchronized {
             a.taskMs += m.executorRunTime; a.cpuNs += m.executorCpuTime
@@ -58,13 +62,16 @@ object StageProbe {
              else sc.stageInfo.name.takeWhile(_ != '\n')).take(110))
         }
     })
+    // SPARK_GRAFT_PROBE_ALL=1: per-rep stage tables (bimodal reps —
+    // diff a slow rep's stages against a fast one's)
+    val probeAll = sys.env.get("SPARK_GRAFT_PROBE_ALL").contains("1")
     for (name <- args; r <- 1 to reps) {
-      if (r == reps) { stages.synchronized(stages.clear()); record = true }
+      if (r == reps || probeAll) { stages.synchronized(stages.clear()); record = true }
       val t0 = System.nanoTime()
       graft.Bench.runNoop(spark, sfDir, name)
       val w = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-      if (r == reps) {
+      if (r == reps || probeAll) {
         record = false
         println(f"[stageprobe] $name rep$r wall=$w%.2f s  (stages by task-time desc)")
         val snap = stages.synchronized(stages.toSeq)
