@@ -26,6 +26,24 @@ import org.apache.spark.sql.execution.LogicalRDD
   * exactly what a parquet round-trip (the at-scale equivalent of a
   * checkpoint) would give. */
 object CleanCheckpoint {
+
+  /** Block residency for the checkpointed partitions, settable per
+    * session via `spark.graft.checkpoint.storageLevel` (any
+    * `StorageLevel.fromString` name). Default MEMORY_AND_DISK — the
+    * right local/batch-session choice. AT SCALE the caller must weigh
+    * the contract: localCheckpoint truncates lineage and the blocks
+    * live UNREPLICATED on executors, so one lost executor fails the
+    * job instead of recomputing. A cluster session materializing a
+    * fact-sized frame (the shareBase batch base at 100 TB) should set
+    * MEMORY_AND_DISK_2 / DISK_ONLY_2 (survives one executor loss) or
+    * land the frame in the lake (parquet round-trip — the durable
+    * equivalent this helper's plan shape mimics). ScaleSpec pins the
+    * conf plumbing. */
+  private def level(df: DataFrame) =
+    org.apache.spark.storage.StorageLevel.fromString(
+      df.sparkSession.conf.get("spark.graft.checkpoint.storageLevel",
+        "MEMORY_AND_DISK"))
+
   def lazyClean(df: DataFrame): DataFrame = clean(df, eager = false)
 
   /** [[lazyClean]] with EAGER materialization — for a frame consumed by
@@ -41,7 +59,7 @@ object CleanCheckpoint {
   def eagerClean(df: DataFrame): DataFrame = clean(df, eager = true)
 
   private def clean(df: DataFrame, eager: Boolean): DataFrame = {
-    val cp = df.localCheckpoint(eager = eager).asInstanceOf[Dataset[_]]
+    val cp = df.localCheckpoint(eager, level(df)).asInstanceOf[Dataset[_]]
     val session = cp.sparkSession.asInstanceOf[SparkSession]
     cp.queryExecution.analyzed match {
       case lr: LogicalRDD =>

@@ -1374,6 +1374,32 @@ class ScaleSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("CleanCheckpoint honors spark.graft.checkpoint.storageLevel (scale contract)") {
+    // At 100 TB a cluster session materializing a fact-sized frame must
+    // be able to pick a residency that survives executor loss
+    // (MEMORY_AND_DISK_2 / DISK_ONLY_2) — localCheckpoint truncates
+    // lineage, so the default unreplicated blocks are a single point of
+    // failure there. Pin: the conf reaches the checkpointed RDD, and
+    // the default stays MEMORY_AND_DISK.
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.storage.StorageLevel
+    val s = StructType(Seq(StructField("k", LongType)))
+    val base = df(s, (1L to 100L).map(Row(_)))
+    def levelOf(d: org.apache.spark.sql.DataFrame): StorageLevel =
+      d.queryExecution.analyzed.asInstanceOf[LogicalRDD].rdd.getStorageLevel
+    def keysOf(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.collect().map(_.getLong(0)).toSet
+    val dflt = org.apache.spark.sql.graft.CleanCheckpoint.eagerClean(base)
+    assert(levelOf(dflt) === StorageLevel.MEMORY_AND_DISK)
+    assert(keysOf(dflt) === (1L to 100L).toSet)
+    spark.conf.set("spark.graft.checkpoint.storageLevel", "DISK_ONLY")
+    try {
+      val disk = org.apache.spark.sql.graft.CleanCheckpoint.eagerClean(base)
+      assert(levelOf(disk) === StorageLevel.DISK_ONLY)
+      assert(keysOf(disk) === (1L to 100L).toSet)
+    } finally spark.conf.unset("spark.graft.checkpoint.storageLevel")
+  }
+
   test("V6+V7: corestriction depth caps the horizon-rule root zone") {
     val hzS = StructType(Seq(StructField("mukey", StringType),
       StructField("cokey", StringType), StructField("comppct", DoubleType),
